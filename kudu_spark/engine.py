@@ -1,0 +1,338 @@
+"""Engine: the catalog surface (≈ KuduClient + master catalog_manager).
+
+create/alter/drop/soft-delete tables, hash+range partitioning, online
+partition add/drop, schema evolution — all as metadata-log operations
+over the directory-per-table layout (SURVEY.md §2.11). None of Kudu's
+consensus machinery survives the translation: the object store's
+atomic create-if-absent is the only primitive needed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from kudu_spark.errors import KuduSparkError, SchemaError, TableExistsError, TableNotFoundError
+from kudu_spark.meta import (
+    ColumnSpec,
+    HashDimension,
+    LOG_DIR,
+    PartitionSpec,
+    RangeSpec,
+    Schema,
+    append_commit,
+    replay,
+)
+from kudu_spark.table import AUTO_INC_COL, RESERVED, Table
+
+
+def _spark_type_to_ddl(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog ---------------------------------------------------------------
+
+    def _table_root(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise KuduSparkError(f"invalid table name {name!r}")
+        return os.path.join(self.root, name)
+
+    def table_exists(self, name: str) -> bool:
+        st = self._state_or_none(name)
+        return st is not None and not st.tombstoned
+
+    def _state_or_none(self, name: str):
+        root = self._table_root(name)
+        if not os.path.isdir(os.path.join(root, LOG_DIR)):
+            return None
+        return replay(name, root)
+
+    def table(self, name: str) -> Table:
+        st = self._state_or_none(name)
+        if st is None or st.tombstoned:
+            raise TableNotFoundError(name)
+        return Table(self.spark, name, self._table_root(name))
+
+    def list_tables(self, include_soft_deleted: bool = False) -> list[str]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in sorted(os.listdir(self.root)):
+            st = self._state_or_none(name)
+            if st is None:
+                continue
+            if st.tombstoned and not include_soft_deleted:
+                continue
+            out.append(name)
+        return out
+
+    # -- create ------------------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType | list[tuple],
+        pk: list[str],
+        hash_partitions: list[dict] | None = None,
+        range_partition: dict | None = None,
+        immutable_cols: list[str] | None = None,
+        defaults: dict | None = None,
+        non_unique_pk: bool = False,
+        if_not_exists: bool = False,
+    ) -> Table:
+        """≈ KuduTableCreator (client.h:1241). ``hash_partitions`` is a
+        list of {"columns": [...], "buckets": N, "seed": 0}; ``range_partition``
+        is {"column": c, "ranges": [[lo,hi), ...]} or {"column": c,
+        "splits": [s1, s2]} for covering ranges split at the given points.
+        ``non_unique_pk`` appends the hidden auto-increment column
+        (common.proto:173, schema.h:263)."""
+        if self.table_exists(name):
+            if if_not_exists:
+                return self.table(name)
+            raise TableExistsError(name)
+        immutable = set(immutable_cols or [])
+        defaults = defaults or {}
+        cols: list[ColumnSpec] = []
+        if isinstance(schema, T.StructType):
+            fields = [(f.name, _spark_type_to_ddl(f.dataType), f.nullable) for f in schema.fields]
+        else:
+            fields = [(n, t, bool(nl)) for n, t, nl in schema]
+        # PK columns first, non-nullable (docs/known_issues.adoc:39-46)
+        pk = list(pk)
+        if non_unique_pk:
+            pk = pk + [AUTO_INC_COL]
+        by_name = {n: (n, t, nl) for n, t, nl in fields}
+        ordered = []
+        for k in pk:
+            if k == AUTO_INC_COL:
+                ordered.append((AUTO_INC_COL, "bigint", False))
+                continue
+            if k not in by_name:
+                raise SchemaError(f"PK column {k} not in schema")
+            n, t, _ = by_name[k]
+            ordered.append((n, t, False))
+        for n, t, nl in fields:
+            if n not in pk:
+                ordered.append((n, t, nl))
+        for i, (n, t, nl) in enumerate(ordered):
+            if n in RESERVED or n.startswith("__"):
+                raise SchemaError(f"reserved column name {n}")
+            cols.append(
+                ColumnSpec(
+                    id=i + 1,
+                    name=n,
+                    type=t,
+                    nullable=nl,
+                    immutable=n in immutable,
+                    default=defaults.get(n),
+                )
+            )
+        sch = Schema(columns=cols, pk=pk, version=1)
+
+        hash_dims = [
+            HashDimension(h["columns"], h["buckets"], h.get("seed", 0))
+            for h in (hash_partitions or [])
+        ]
+        for h in hash_dims:
+            for c in h.columns:
+                if c not in pk:
+                    raise SchemaError(f"hash column {c} must be part of the primary key")
+        rspec = RangeSpec()
+        if range_partition:
+            col = range_partition["column"]
+            if col not in pk:
+                raise SchemaError(f"range column {col} must be part of the primary key")
+            if "ranges" in range_partition:
+                ranges = [list(r) for r in range_partition["ranges"]]
+            else:
+                splits = sorted(range_partition.get("splits", []))
+                edges = [None] + list(splits) + [None]
+                ranges = [[edges[i], edges[i + 1]] for i in range(len(edges) - 1)]
+            rspec = RangeSpec(column=col, ranges=ranges)
+        pspec = PartitionSpec(hash_dims=hash_dims, range_spec=rspec)
+
+        root = self._table_root(name)
+        os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        append_commit(
+            root,
+            1,
+            {
+                "op": "create",
+                "schema": sch.to_json(),
+                "partition_spec": pspec.to_json(),
+                "actions": [],
+            },
+        )
+        return Table(self.spark, name, root)
+
+    # -- drop / soft-delete (python/kudu/client.pyx:527-583) ---------------------
+
+    def drop_table(self, name: str) -> None:
+        root = self._table_root(name)
+        if not os.path.isdir(root):
+            raise TableNotFoundError(name)
+        shutil.rmtree(root)
+
+    def soft_delete_table(self, name: str) -> None:
+        t = self.table(name)
+        t._commit(t.state(), "soft_delete", [])
+
+    def recall_table(self, name: str) -> None:
+        st = self._state_or_none(name)
+        if st is None:
+            raise TableNotFoundError(name)
+        if not st.tombstoned:
+            raise KuduSparkError(f"table {name} is not soft-deleted")
+        t = Table(self.spark, name, self._table_root(name))
+        t._commit(st, "recall", [])
+
+    # -- alter (client.h:1920-2099 KuduTableAlterer) ------------------------------
+
+    def alter_table(self, name: str) -> "Alterer":
+        return Alterer(self, name)
+
+    def locate_row(self, name: str, pk_values: dict) -> dict:
+        """Partition-function evaluation for a row (≈ `kudu table
+        locate_row`, tools/tool_action_table.cc:1380-1431)."""
+        t = self.table(name)
+        st = t.state()
+        hash_b = [
+            t._bucket_of(i, {c: pk_values[c] for c in dim.columns})
+            for i, dim in enumerate(st.partition_spec.hash_dims)
+        ]
+        rid = None
+        rs = st.partition_spec.range_spec
+        if rs.enabled:
+            rid = rs.range_id_of(pk_values[rs.column])
+            if rid < 0:
+                raise KuduSparkError("row does not fall in any range partition")
+        return {"hash": hash_b, "range": rid}
+
+
+class Alterer:
+    """Accumulates schema/partition changes; ``apply()`` is one atomic
+    commit. Type/nullability changes are rejected like Kudu
+    (docs/known_issues.adoc:59-62)."""
+
+    def __init__(self, engine: Engine, name: str):
+        self.engine = engine
+        self.table = engine.table(name)
+        self._adds: list[tuple] = []
+        self._drops: list[str] = []
+        self._renames: dict[str, str] = {}
+        self._defaults: dict[str, object] = {}
+        self._range_adds: list[list] = []
+        self._range_drops: list[list] = []
+
+    def add_column(self, name: str, type_: str, nullable: bool = True, default=None,
+                   immutable: bool = False) -> "Alterer":
+        self._adds.append((name, type_, nullable, default, immutable))
+        return self
+
+    def drop_column(self, name: str) -> "Alterer":
+        self._drops.append(name)
+        return self
+
+    def rename_column(self, old: str, new: str) -> "Alterer":
+        self._renames[old] = new
+        return self
+
+    def set_default(self, name: str, default) -> "Alterer":
+        self._defaults[name] = default
+        return self
+
+    def add_range_partition(self, lower, upper) -> "Alterer":
+        self._range_adds.append([lower, upper])
+        return self
+
+    def drop_range_partition(self, lower, upper) -> "Alterer":
+        self._range_drops.append([lower, upper])
+        return self
+
+    def apply(self) -> int:
+        st = self.table.state()
+        sch = st.schema
+        cols = [ColumnSpec(**c.__dict__) for c in sch.columns]
+        pk = set(sch.pk)
+        for name in self._drops:
+            if name in pk:
+                raise SchemaError(f"cannot drop PK column {name}")
+            cols = [c for c in cols if c.name != name]
+        for old, new in self._renames.items():
+            if old in pk:
+                raise SchemaError(f"cannot rename PK column {old}")  # Kudu allows; we defer
+            for c in cols:
+                if c.name == old:
+                    c.name = new
+        for name, default in self._defaults.items():
+            for c in cols:
+                if c.name == name:
+                    c.default = default
+        next_id = sch.next_col_id
+        for name, type_, nullable, default, immutable in self._adds:
+            if any(c.name == name for c in cols):
+                raise SchemaError(f"column {name} already exists")
+            if not nullable and default is None:
+                raise SchemaError(f"new column {name} must be nullable or have a default")
+            cols.append(
+                ColumnSpec(id=next_id, name=name, type=type_, nullable=nullable,
+                           default=default, immutable=immutable)
+            )
+            next_id += 1
+        new_schema = Schema(columns=cols, pk=sch.pk, version=sch.version + 1,
+                            next_col_id=next_id)
+
+        pspec = None
+        if self._range_adds or self._range_drops:
+            rs = st.partition_spec.range_spec
+            if not rs.enabled:
+                raise KuduSparkError("table has no range component")
+            ranges = [list(r) for r in rs.ranges]
+            for lo, hi in self._range_drops:
+                if [lo, hi] not in ranges:
+                    raise KuduSparkError(f"no such range partition [{lo},{hi})")
+                ranges.remove([lo, hi])
+            for lo, hi in self._range_adds:
+                ranges.append([lo, hi])
+            pspec = PartitionSpec(st.partition_spec.hash_dims, RangeSpec(rs.column, ranges))
+
+        if self._range_drops:
+            # dropping ranges removes their files and remaps surviving ids
+            return self._apply_with_range_remap(st, new_schema, pspec)
+        return self.table._commit(st, "alter", [], schema=new_schema, partition_spec=pspec)
+
+    def _apply_with_range_remap(self, st, new_schema, pspec) -> int:
+        """Dropping range partitions removes their files AND remaps the
+        range ids of every surviving file in one commit."""
+        old_ranges = st.partition_spec.range_spec.ranges
+        new_ranges = pspec.range_spec.ranges
+        id_map = {}
+        for old_id, r in enumerate(old_ranges):
+            r = list(r)
+            if r in [list(x) for x in new_ranges]:
+                id_map[old_id] = [list(x) for x in new_ranges].index(r)
+        entries = []
+        removes = []
+        for f in st.files:
+            rid = f.partition.get("range")
+            removes.append(f.path)
+            if rid in id_map:
+                from kudu_spark.meta import FileEntry
+
+                nf = FileEntry(**{**f.__dict__})
+                nf.partition = {**f.partition, "range": id_map[rid]}
+                entries.append(nf)
+        return self.table._commit(
+            st, "alter", entries, removes=removes, schema=new_schema, partition_spec=pspec
+        )

@@ -1,0 +1,368 @@
+"""Table metadata: schema with column IDs, partition spec, and the
+atomic JSON commit log.
+
+This is the Spark-first replacement for Kudu's catalog + tablet
+metadata + Raft-replicated WAL (SURVEY.md §3.3): immutable parquet
+data files + an append-only log of JSON commits, where publishing a
+commit file atomically (O_CREAT|O_EXCL) makes a new table version
+visible. Snapshot = replay of commits 1..V, which yields:
+
+  - the live file manifest (adds minus removes) with per-file
+    partition tuple, commit seq, and PK min/max stats
+    (≈ Kudu's rowset metadata + interval tree, tablet/rowset_tree.h:49)
+  - the current schema, versioned, with Iceberg-style column IDs for
+    rename-safe evolution (≈ Kudu schema column IDs, common/schema.h:1233)
+  - the partition spec: hash dimensions + range bounds
+    (≈ PartitionSchema, common/partition.h:268-288)
+
+MVCC snapshots (tablet/mvcc.h:45) collapse into "pick a commit
+version"; READ_AT_SNAPSHOT = replay to that version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from bisect import bisect_right
+from dataclasses import dataclass, field
+
+from kudu_spark.errors import ConcurrentCommitError, SchemaError
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnSpec:
+    """One column. ``type`` is a Spark SQL DDL type string ("bigint",
+    "decimal(12,2)", "array<double>", ...). ``immutable`` mirrors
+    common.proto:170; ``default`` is applied when old files miss the
+    column (add-column evolution)."""
+
+    id: int
+    name: str
+    type: str
+    nullable: bool = True
+    immutable: bool = False
+    default: object = None
+    comment: str | None = None
+
+    def to_json(self) -> dict:
+        d = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.immutable:
+            d["immutable"] = True
+        if self.default is not None:
+            d["default"] = self.default
+        if self.comment:
+            d["comment"] = self.comment
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnSpec":
+        return ColumnSpec(
+            id=d["id"],
+            name=d["name"],
+            type=d["type"],
+            nullable=d.get("nullable", True),
+            immutable=d.get("immutable", False),
+            default=d.get("default"),
+            comment=d.get("comment"),
+        )
+
+
+@dataclass
+class Schema:
+    """Ordered columns (PK columns first, Kudu invariant:
+    docs/known_issues.adoc:39-46) + PK name list + version counter."""
+
+    columns: list[ColumnSpec]
+    pk: list[str]
+    version: int = 1
+    next_col_id: int = 0
+
+    def __post_init__(self):
+        if self.next_col_id == 0:
+            self.next_col_id = max((c.id for c in self.columns), default=0) + 1
+        self.validate()
+
+    def validate(self) -> None:
+        names = [c.name for c in self.columns]
+        if len(set(names)) != len(names):
+            raise SchemaError(f"duplicate column names: {names}")
+        if not self.pk:
+            raise SchemaError("primary key required")
+        for i, k in enumerate(self.pk):
+            if i >= len(names) or names[i] != k:
+                raise SchemaError(f"PK columns must be listed first in order, got {names[:len(self.pk)]} vs pk {self.pk}")
+        for c in self.columns[: len(self.pk)]:
+            if c.nullable:
+                raise SchemaError(f"PK column {c.name} must be non-nullable")
+
+    @property
+    def names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    @property
+    def non_pk_names(self) -> list[str]:
+        return [c.name for c in self.columns[len(self.pk):]]
+
+    def col(self, name: str) -> ColumnSpec:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise SchemaError(f"no such column: {name}")
+
+    def ddl(self, include: list[str] | None = None) -> str:
+        cols = self.columns if include is None else [self.col(n) for n in include]
+        return ", ".join(
+            f"`{c.name}` {c.type}" + ("" if c.nullable else " NOT NULL") for c in cols
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "columns": [c.to_json() for c in self.columns],
+            "pk": self.pk,
+            "version": self.version,
+            "next_col_id": self.next_col_id,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Schema":
+        return Schema(
+            columns=[ColumnSpec.from_json(c) for c in d["columns"]],
+            pk=d["pk"],
+            version=d.get("version", 1),
+            next_col_id=d.get("next_col_id", 0),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Partitioning
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HashDimension:
+    """≈ PartitionSchema::HashDimension (partition.h:285-288).
+    Bucket assignment uses Spark's xxhash64 (JVM-side, codegen'd)
+    rather than Kudu's Murmur2-64 — we are not binary-compatible and
+    xxhash64 keeps bucketing entirely inside WholeStageCodegen."""
+
+    columns: list[str]
+    buckets: int
+    seed: int = 0
+
+    def to_json(self) -> dict:
+        return {"columns": self.columns, "buckets": self.buckets, "seed": self.seed}
+
+    @staticmethod
+    def from_json(d: dict) -> "HashDimension":
+        return HashDimension(d["columns"], d["buckets"], d.get("seed", 0))
+
+
+@dataclass
+class RangeSpec:
+    """Single-column range component with sorted split bounds.
+    ``bounds`` = [b1, b2, ...] defines ranges (-inf,b1), [b1,b2), ...
+    [bn,+inf) when ``covering`` — or, Kudu-style non-covering ranges
+    (docs/design-docs/non-covering-range-partitions.md), an explicit
+    list of [lower, upper) pairs in ``ranges`` where rows outside all
+    ranges are write errors."""
+
+    column: str | None = None
+    ranges: list[list] = field(default_factory=list)  # [[lower|None, upper|None], ...]
+
+    @property
+    def enabled(self) -> bool:
+        return self.column is not None
+
+    def to_json(self) -> dict:
+        return {"column": self.column, "ranges": self.ranges}
+
+    @staticmethod
+    def from_json(d: dict) -> "RangeSpec":
+        return RangeSpec(d.get("column"), d.get("ranges", []))
+
+    def range_id_of(self, value) -> int:
+        """Python-side range lookup (planner); -1 = no covering range."""
+        for i, (lo, hi) in enumerate(self.ranges):
+            if (lo is None or value >= lo) and (hi is None or value < hi):
+                return i
+        return -1
+
+
+@dataclass
+class PartitionSpec:
+    hash_dims: list[HashDimension] = field(default_factory=list)
+    range_spec: RangeSpec = field(default_factory=RangeSpec)
+
+    def to_json(self) -> dict:
+        return {
+            "hash": [h.to_json() for h in self.hash_dims],
+            "range": self.range_spec.to_json(),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionSpec":
+        return PartitionSpec(
+            [HashDimension.from_json(h) for h in d.get("hash", [])],
+            RangeSpec.from_json(d.get("range", {"column": None})),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Commit log
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict  # {"hash": [b0, b1...], "range": range_id}
+    seq: int  # commit version that produced it
+    schema_version: int
+    kind: str = "base"  # "base" | "delta"
+    min_pk: list | None = None  # min/max of first PK column (JSON-able)
+    max_pk: list | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": self.partition,
+            "seq": self.seq,
+            "schema_version": self.schema_version,
+            "kind": self.kind,
+            "min_pk": self.min_pk,
+            "max_pk": self.max_pk,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(
+            d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
+            d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
+        )
+
+
+def _log_path(table_root: str, version: int) -> str:
+    return os.path.join(table_root, LOG_DIR, f"{version:020d}.json")
+
+
+def append_commit(table_root: str, expected_version: int, payload: dict) -> int:
+    """Atomically publish commit ``expected_version`` (optimistic
+    concurrency: O_CREAT|O_EXCL fails if another writer won — caller
+    reloads and retries, ≈ Kudu leader serialization via Raft)."""
+    payload = dict(payload)
+    payload["version"] = expected_version
+    payload.setdefault("timestamp_ms", int(time.time() * 1000))
+    path = _log_path(table_root, expected_version)
+    tmp = path + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)  # atomic fail-if-exists publish
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"commit {expected_version} already exists at {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return expected_version
+
+
+def read_log(table_root: str, max_version: int | None = None) -> list[dict]:
+    log_dir = os.path.join(table_root, LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    commits = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json") or ".tmp." in name:
+            continue
+        v = int(name[:-5])
+        if max_version is not None and v > max_version:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            commits.append(json.load(f))
+    return commits
+
+
+@dataclass
+class TableState:
+    """Materialized view of the log at some version (an MVCC snapshot)."""
+
+    name: str
+    root: str
+    version: int
+    schema: Schema
+    schemas_by_version: dict[int, Schema]
+    partition_spec: PartitionSpec
+    files: list[FileEntry]
+    props: dict
+    tombstoned: bool = False
+    timestamps_ms: dict[int, int] = field(default_factory=dict)
+
+    def files_for_partition(self, pred=None) -> list[FileEntry]:
+        return [f for f in self.files if pred is None or pred(f)]
+
+
+def replay(name: str, root: str, max_version: int | None = None) -> TableState | None:
+    commits = read_log(root, max_version)
+    if not commits:
+        return None
+    schema: Schema | None = None
+    schemas: dict[int, Schema] = {}
+    pspec = PartitionSpec()
+    files: dict[str, FileEntry] = {}
+    props: dict = {}
+    tombstoned = False
+    ts: dict[int, int] = {}
+    for c in commits:
+        ts[c["version"]] = c.get("timestamp_ms", 0)
+        if "schema" in c:
+            schema = Schema.from_json(c["schema"])
+            schemas[schema.version] = schema
+        if "partition_spec" in c:
+            pspec = PartitionSpec.from_json(c["partition_spec"])
+        if c.get("op") == "soft_delete":
+            tombstoned = True
+        elif c.get("op") == "recall":
+            tombstoned = False
+        for a in c.get("actions", []):
+            if a["type"] == "add":
+                fe = FileEntry.from_json(a["file"])
+                files[fe.path] = fe
+            elif a["type"] == "remove":
+                files.pop(a["path"], None)
+        props.update(c.get("props", {}))
+    assert schema is not None, f"log for {name} never set a schema"
+    return TableState(
+        name=name,
+        root=root,
+        version=commits[-1]["version"],
+        schema=schema,
+        schemas_by_version=schemas,
+        partition_spec=pspec,
+        files=list(files.values()),
+        props=props,
+        tombstoned=tombstoned,
+        timestamps_ms=ts,
+    )
+
+
+def version_at_timestamp(root: str, timestamp_ms: int) -> int | None:
+    """Largest commit version with commit time <= timestamp_ms
+    (READ_AT_SNAPSHOT by time, common.proto:268)."""
+    commits = read_log(root)
+    versions = [c["version"] for c in commits if c.get("timestamp_ms", 0) <= timestamp_ms]
+    return max(versions) if versions else None

@@ -1,0 +1,749 @@
+"""Table handle: scans (snapshot, ordered, diff) and row mutations
+(INSERT/UPSERT/UPDATE/DELETE + _IGNORE variants).
+
+Spark-first re-expression of Kudu's tablet read/write paths:
+
+- Scan (SURVEY §2.1/§3.2): the planner prunes the file manifest in
+  Python (hash-bucket + range + PK min/max pruning ≈
+  common/partition_pruner.cc:478, tablet/rowset_tree.h:49), then hands
+  Spark a plain parquet scan of the surviving files — predicates and
+  projection push into the parquet reader via Catalyst, so steps 4-7
+  of Kudu's iterator tree collapse into one WholeStageCodegen stage.
+- Mutations (SURVEY §2.10, row_operations.proto:34-63): each batch
+  becomes immutable parquet files plus one atomic commit-log entry.
+  Updates/deletes/upserts land as "delta" files holding full rows
+  tagged (__seq, __deleted); reads merge them with last-write-wins
+  per PK (union + row_number, ≈ MergeIterator dedup of ghosts,
+  generic_iterators.cc:354-930). Partitions without deltas skip the
+  merge entirely, so scan cost degrades only where mutations happened
+  — the same property Kudu gets from per-rowset delta tracking.
+  Compaction (maintenance.py) folds deltas back into base files.
+
+Scale notes: every dedup window shuffles only the delta-affected
+partitions; inserts probe PK existence with a file-pruned anti-join
+(≈ per-rowset bloom probe, tablet/tablet.cc:116-124); writes
+repartition by the table's partition function so each output task
+writes one partition's file (connector precedent:
+java/kudu-spark/.../KuduWriteOptions.scala:31-46).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kudu_spark.errors import (
+    ConcurrentCommitError,
+    DuplicateKeyError,
+    ImmutableColumnError,
+    KuduSparkError,
+    RowNotFoundError,
+    SchemaError,
+)
+from kudu_spark.meta import (
+    DATA_DIR,
+    FileEntry,
+    Schema,
+    TableState,
+    append_commit,
+    replay,
+    version_at_timestamp,
+)
+
+SEQ_COL = "__seq"
+DEL_COL = "__deleted"
+RESERVED = {SEQ_COL, DEL_COL}
+AUTO_INC_COL = "auto_incrementing_id"  # hidden PK suffix, common.proto:173
+AUTO_INC_STRIDE = 1 << 40  # id space reserved per insert commit
+
+Predicate = tuple  # ("col", op, value) — op in {"=","<","<=",">",">=","in","not_null","is_null"}
+
+
+def _jsonable(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+class Table:
+    def __init__(self, spark: SparkSession, name: str, root: str):
+        self.spark = spark
+        self.name = name
+        self.root = root
+        self._bucket_cache: dict = {}
+
+    # -- state ---------------------------------------------------------------
+
+    def state(self, version: int | None = None, timestamp_ms: int | None = None) -> TableState:
+        if timestamp_ms is not None:
+            version = version_at_timestamp(self.root, timestamp_ms)
+            if version is None:
+                raise KuduSparkError(f"no commit at or before timestamp {timestamp_ms}")
+        st = replay(self.name, self.root, version)
+        if st is None:
+            raise KuduSparkError(f"table {self.name} has no commits")
+        return st
+
+    @property
+    def schema(self) -> Schema:
+        return self.state().schema
+
+    @property
+    def version(self) -> int:
+        return self.state().version
+
+    # -- partition expressions -------------------------------------------------
+
+    def _partition_exprs(self, st: TableState):
+        """(names, exprs) of staging partition columns for a write."""
+        names, exprs = [], []
+        for i, dim in enumerate(st.partition_spec.hash_dims):
+            cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
+            names.append(f"__b{i}")
+            exprs.append(F.pmod(F.xxhash64(*cols), F.lit(dim.buckets)).cast("int"))
+        rs = st.partition_spec.range_spec
+        if rs.enabled:
+            col_type = st.schema.col(rs.column).type
+            expr = F.lit(-1)
+            for rid in range(len(rs.ranges) - 1, -1, -1):
+                lo, hi = rs.ranges[rid]
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (F.col(rs.column) >= F.lit(lo).cast(col_type))
+                if hi is not None:
+                    cond = cond & (F.col(rs.column) < F.lit(hi).cast(col_type))
+                expr = F.when(cond, F.lit(rid)).otherwise(expr)
+            names.append("__r")
+            exprs.append(expr.cast("int"))
+        return names, exprs
+
+    def _bucket_of(self, dim_idx: int, values: dict) -> int:
+        """Planner-side hash-bucket for a fully-bound hash dimension:
+        evaluated by Spark itself on a 1-row frame so it is exactly the
+        write-path function (no Python reimplementation to drift)."""
+        st = self.state()
+        dim = st.partition_spec.hash_dims[dim_idx]
+        key = (dim_idx, tuple(sorted((k, repr(v)) for k, v in values.items())))
+        if key not in self._bucket_cache:
+            row = self.spark.range(1).select(
+                *[F.lit(values[c]).cast(st.schema.col(c).type).alias(c) for c in dim.columns]
+            )
+            cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
+            b = row.select(F.pmod(F.xxhash64(*cols), F.lit(dim.buckets)).alias("b")).collect()[0].b
+            self._bucket_cache[key] = int(b)
+        return self._bucket_cache[key]
+
+    # -- pruning ---------------------------------------------------------------
+
+    def _prune(self, st: TableState, filters: list[Predicate] | None) -> list[FileEntry]:
+        files = st.files
+        if not filters:
+            return files
+        eqs = {f[0]: f[2] for f in filters if f[1] == "="}
+        # hash-bucket pruning: all columns of a dim bound by equality
+        for i, dim in enumerate(st.partition_spec.hash_dims):
+            if all(c in eqs for c in dim.columns):
+                b = self._bucket_of(i, {c: eqs[c] for c in dim.columns})
+                files = [f for f in files if f.partition["hash"][i] == b]
+        # range pruning
+        rs = st.partition_spec.range_spec
+        if rs.enabled:
+            keep_ids = self._live_range_ids(st, filters, rs)
+            if keep_ids is not None:
+                files = [f for f in files if f.partition.get("range") in keep_ids]
+        # PK min/max pruning on first PK column
+        pk0 = st.schema.pk[0]
+        for col, op, val in filters:
+            if col != pk0:
+                continue
+            val = _jsonable(val)
+            if op == "=":
+                files = [
+                    f
+                    for f in files
+                    if f.min_pk is None or (f.min_pk[0] <= val <= f.max_pk[0])
+                ]
+            elif op in ("<", "<="):
+                files = [f for f in files if f.min_pk is None or f.min_pk[0] <= val]
+            elif op in (">", ">="):
+                files = [f for f in files if f.max_pk is None or f.max_pk[0] >= val]
+        return files
+
+    def _live_range_ids(self, st, filters, rs) -> set | None:
+        ids = None
+        for col, op, val in filters:
+            if col != rs.column:
+                continue
+            cur = set()
+            for rid, (lo, hi) in enumerate(rs.ranges):
+                if op == "=" and rs.range_id_of(val) == rid:
+                    cur.add(rid)
+                elif op in ("<", "<=") and (lo is None or lo <= val):
+                    cur.add(rid)
+                elif op in (">", ">=") and (hi is None or hi > val):
+                    cur.add(rid)
+                elif op == "in" and any(rs.range_id_of(v) == rid for v in val):
+                    cur.add(rid)
+            ids = cur if ids is None else ids & cur
+        return ids
+
+    # -- reading ---------------------------------------------------------------
+
+    def _read_files(self, st: TableState, files: list[FileEntry]) -> DataFrame | None:
+        """Read a file set, adapting every schema version to the current
+        one by column ID (rename-safe evolution, ≈ RowProjector
+        src/kudu/common/row.h via codegen/row_projector.h)."""
+        if not files:
+            return None
+        cur = st.schema
+        out = None
+        by_sv: dict[int, list[FileEntry]] = {}
+        for f in files:
+            by_sv.setdefault(f.schema_version, []).append(f)
+        for sv, group in sorted(by_sv.items()):
+            df = self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in group])
+            old = st.schemas_by_version.get(sv, cur)
+            by_id_old = {c.id: c.name for c in old.columns}
+            exprs = []
+            for c in cur.columns:
+                old_name = by_id_old.get(c.id)
+                if old_name is not None and old_name in df.columns:
+                    exprs.append(F.col(old_name).cast(c.type).alias(c.name))
+                else:
+                    exprs.append(F.lit(c.default).cast(c.type).alias(c.name))
+            exprs += [F.col(SEQ_COL), F.col(DEL_COL)]
+            part = df.select(*exprs)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _snapshot_df(
+        self,
+        st: TableState,
+        filters: list[Predicate] | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Merge-on-read snapshot: clean partitions stream straight from
+        parquet; delta-affected partitions get last-write-wins dedup."""
+        files = self._prune(st, filters)
+        pk = st.schema.pk
+
+        def pkey(f: FileEntry):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        delta_parts = {pkey(f) for f in files if f.kind == "delta"}
+        clean = [f for f in files if pkey(f) not in delta_parts]
+        dirty = [f for f in files if pkey(f) in delta_parts]
+
+        df_clean = self._read_files(st, clean)
+        df_dirty = self._read_files(st, dirty)
+        if df_dirty is not None:
+            w = Window.partitionBy(*pk).orderBy(F.desc(SEQ_COL))
+            df_dirty = (
+                df_dirty.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (~F.col(DEL_COL)))
+                .drop("__rn")
+            )
+        if df_clean is None and df_dirty is None:
+            # empty table: zero-row frame with the right schema
+            ddl = st.schema.ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
+            df = self.spark.createDataFrame([], ddl)
+        elif df_clean is None:
+            df = df_dirty
+        elif df_dirty is None:
+            df = df_clean
+        else:
+            df = df_clean.unionByName(df_dirty)
+        if filters:
+            df = df.where(self._filters_to_column(st, filters))
+        if not keep_meta:
+            df = df.drop(SEQ_COL, DEL_COL)
+        return df
+
+    def _filters_to_column(self, st: TableState, filters: list[Predicate]):
+        expr = F.lit(True)
+        for col, op, val in filters:
+            c = F.col(col)
+            if op == "=":
+                expr = expr & (c == val)
+            elif op == "!=":
+                expr = expr & (c != val)
+            elif op == "<":
+                expr = expr & (c < val)
+            elif op == "<=":
+                expr = expr & (c <= val)
+            elif op == ">":
+                expr = expr & (c > val)
+            elif op == ">=":
+                expr = expr & (c >= val)
+            elif op == "in":
+                expr = expr & c.isin(*val)
+            elif op == "not_null":
+                expr = expr & c.isNotNull()
+            elif op == "is_null":
+                expr = expr & c.isNull()
+            else:
+                raise KuduSparkError(f"unknown predicate op {op}")
+        return expr
+
+    def scan(
+        self,
+        columns: list[str] | None = None,
+        filters: list[Predicate] | None = None,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        ordered: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent scan (≈ KuduScanner, client.h:2736-3242):
+        projection + structured predicates (pruned AND pushed down),
+        READ_AT_SNAPSHOT via version/timestamp, ORDERED (PK order,
+        common.proto:332-336), LIMIT (scan_spec.h:151)."""
+        st = self.state(version, timestamp_ms)
+        df = self._snapshot_df(st, filters)
+        if ordered:
+            df = df.orderBy(*st.schema.pk)
+        if columns is not None:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def to_df(self, version: int | None = None) -> DataFrame:
+        return self.scan(version=version)
+
+    # -- diff scan ---------------------------------------------------------------
+
+    def diff_scan(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Changes between two snapshots with IS_DELETED semantics
+        (common.proto:60 virtual column; backup incremental
+        KuduBackupRDD.scala:74-78,150-164). A row inserted and deleted
+        within the window is a ghost and is not emitted
+        (generic_iterators.h:42-51) — guaranteed here because we diff
+        *states*, not replay events. Only partitions touched by commits
+        in (from, to] are read."""
+        st2 = self.state(to_version)
+        st1 = replay(self.name, self.root, from_version)
+        pk = st2.schema.pk
+        cols = st2.schema.names
+        touched = self._touched_partitions(from_version, st2.version)
+
+        def restrict(st):
+            if st is None:
+                ddl = st2.schema.ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
+                return self.spark.createDataFrame([], ddl).drop(SEQ_COL, DEL_COL)
+            sub = TableState(**{**st.__dict__})
+            if touched is not None:
+                sub.files = [
+                    f
+                    for f in st.files
+                    if (tuple(f.partition.get("hash", [])), f.partition.get("range")) in touched
+                ]
+            return self._snapshot_df(sub)
+
+        a = restrict(st1).select(*cols)
+        b = restrict(st2).select(*cols)
+        a_s = a.select(*pk, F.struct(*[F.col(c) for c in cols]).alias("__a"))
+        b_s = b.select(*pk, F.struct(*[F.col(c) for c in cols]).alias("__b"))
+        j = a_s.join(b_s, on=pk, how="full_outer")
+        changed = j.where(~F.col("__a").eqNullSafe(F.col("__b")))
+        out = changed.select(
+            *[
+                F.when(F.col("__b").isNotNull(), F.col(f"__b.{c}"))
+                .otherwise(F.col(f"__a.{c}"))
+                .alias(c)
+                for c in cols
+            ],
+            F.col("__b").isNull().alias("_is_deleted"),
+        )
+        return out
+
+    def _touched_partitions(self, from_version: int, to_version: int):
+        from kudu_spark.meta import read_log
+
+        touched = set()
+        for c in read_log(self.root, to_version):
+            if c["version"] <= from_version:
+                continue
+            for a in c.get("actions", []):
+                if a["type"] == "add":
+                    p = a["file"]["partition"]
+                    touched.add((tuple(p.get("hash", [])), p.get("range")))
+                elif a["type"] == "remove":
+                    return None  # compaction rewrote files; fall back to full diff
+        return touched
+
+    # -- scan tokens ----------------------------------------------------------
+
+    def scan_tokens(self, filters: list[Predicate] | None = None, version: int | None = None) -> list[dict]:
+        """Serializable per-partition scan tokens (≈ KuduScanToken,
+        client.h:3287, docs/design-docs/scan-tokens.md). Each token is
+        independently readable via ``token_to_df``; within Spark you
+        never need them (one DataFrame already parallelizes), they
+        exist for external schedulers — parity with the RPC surface."""
+        st = self.state(version)
+        files = self._prune(st, filters)
+        groups: dict = {}
+        for f in files:
+            key = (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+            groups.setdefault(key, []).append(f)
+        return [
+            {
+                "table": self.name,
+                "version": st.version,
+                "partition": {"hash": list(k[0]), "range": k[1]},
+                "files": [f.path for f in g],
+                "filters": [list(p) for p in (filters or [])],
+            }
+            for k, g in sorted(groups.items())
+        ]
+
+    def token_to_df(self, token: dict) -> DataFrame:
+        st = self.state(token["version"])
+        wanted = set(token["files"])
+        sub = TableState(**{**st.__dict__})
+        sub.files = [f for f in st.files if f.path in wanted]
+        filters = [tuple(p) for p in token.get("filters", [])] or None
+        return self._snapshot_df(sub, filters)
+
+    # -- write plumbing ---------------------------------------------------------
+
+    def _validate_batch(self, st: TableState, df: DataFrame, require_all: bool = True) -> DataFrame:
+        sch = st.schema
+        extra = [c for c in df.columns if c not in sch.names and c not in RESERVED]
+        if extra:
+            raise SchemaError(f"unknown columns in batch: {extra}")
+        missing = [c for c in sch.names if c not in df.columns]
+        if require_all:
+            hard = [m for m in missing if not sch.col(m).nullable and sch.col(m).default is None
+                    and m != AUTO_INC_COL]
+            if hard:
+                raise SchemaError(f"batch missing non-nullable columns: {hard}")
+        exprs = []
+        for c in sch.columns:
+            if c.name in df.columns:
+                exprs.append(F.col(c.name).cast(c.type).alias(c.name))
+            elif c.name == AUTO_INC_COL:
+                continue  # assigned by insert path
+            elif not require_all:
+                continue
+            else:
+                exprs.append(F.lit(c.default).cast(c.type).alias(c.name))
+        return df.select(*exprs)
+
+    def _write_files(
+        self, df: DataFrame, st: TableState, seq: int, kind: str
+    ) -> list[FileEntry]:
+        """Partition-route and write one batch as parquet, returning
+        manifest entries with PK stats from the parquet footers."""
+        pnames, pexprs = self._partition_exprs(st)
+        out = df.withColumn(SEQ_COL, F.lit(seq).cast("bigint"))
+        if DEL_COL not in out.columns:
+            out = out.withColumn(DEL_COL, F.lit(False))
+        for n, e in zip(pnames, pexprs):
+            out = out.withColumn(n, e)
+        if st.partition_spec.range_spec.enabled:
+            bad = out.where(F.col("__r") < 0).limit(1).collect()
+            if bad:
+                raise KuduSparkError(
+                    f"row does not fall in any range partition: {bad[0].asDict()}"
+                )
+        staging = os.path.join(self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
+        writer = out.repartition(*pnames).write if pnames else out.repartition(1).write
+        if pnames:
+            writer = writer.partitionBy(*pnames)
+        writer.mode("overwrite").parquet(staging)
+
+        import pyarrow.parquet as pq
+
+        pk0 = st.schema.pk[0]
+        entries: list[FileEntry] = []
+        for dirpath, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(dirpath, staging)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for piece in rel_dir.split(os.sep):
+                    k, _, v = piece.partition("=")
+                    pvals[k] = int(v)
+            for fname in names:
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fname)
+                newname = f"{seq:012d}-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.root, DATA_DIR, newname)
+                md = pq.ParquetFile(src).metadata
+                mn = mx = None
+                sch_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if pk0 in sch_names:
+                    ci = sch_names[pk0]
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(ci).statistics
+                        if s is None or not s.has_min_max:
+                            mins = []
+                            break
+                        mins.append(s.min)
+                        maxs.append(s.max)
+                    if mins:
+                        mn, mx = [_jsonable(min(mins))], [_jsonable(max(maxs))]
+                os.replace(src, dst)
+                hash_b = [pvals[f"__b{i}"] for i in range(len(st.partition_spec.hash_dims))]
+                entries.append(
+                    FileEntry(
+                        path=os.path.join(DATA_DIR, newname),
+                        rows=md.num_rows,
+                        bytes=os.path.getsize(dst),
+                        partition={"hash": hash_b, "range": pvals.get("__r")},
+                        seq=seq,
+                        schema_version=st.schema.version,
+                        kind=kind,
+                        min_pk=mn,
+                        max_pk=mx,
+                    )
+                )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _commit(self, st: TableState, op: str, entries: list[FileEntry],
+                removes: list[str] | None = None, props: dict | None = None,
+                schema: Schema | None = None, partition_spec=None, retries: int = 5) -> int:
+        actions = [{"type": "add", "file": e.to_json()} for e in entries]
+        for p in removes or []:
+            actions.append({"type": "remove", "path": p})
+        payload: dict = {"op": op, "actions": actions}
+        if props:
+            payload["props"] = props
+        if schema is not None:
+            payload["schema"] = schema.to_json()
+        if partition_spec is not None:
+            payload["partition_spec"] = partition_spec.to_json()
+        version = st.version + 1
+        for _ in range(retries):
+            try:
+                return append_commit(self.root, version, payload)
+            except ConcurrentCommitError:
+                version = self.state().version + 1
+        raise ConcurrentCommitError(f"could not commit to {self.name} after {retries} retries")
+
+    # -- PK existence probe -------------------------------------------------------
+
+    def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
+        """Current PK set restricted to files overlapping the batch's
+        first-PK-column range (the planner analogue of Kudu's
+        per-rowset bloom + key-bounds probe, tablet/tablet.cc:116-124)."""
+        pk = st.schema.pk
+        pk0 = pk[0]
+        bounds = batch.agg(F.min(pk0).alias("lo"), F.max(pk0).alias("hi")).collect()[0]
+        filters: list[Predicate] = []
+        if bounds.lo is not None:
+            filters = [(pk0, ">=", bounds.lo), (pk0, "<=", bounds.hi)]
+        return self._snapshot_df(st, filters or None).select(*pk)
+
+    # -- mutations ---------------------------------------------------------------
+
+    def insert(self, df: DataFrame, mode: str = "error") -> int:
+        """INSERT (error on duplicate PK) / INSERT_IGNORE
+        (row_operations.proto:36,40; apply path tablet/tablet.cc:836)."""
+        assert mode in ("error", "ignore")
+        st = self.state()
+        batch = self._validate_batch(st, df)
+        pk = st.schema.pk
+        logical_pk = [c for c in pk if c != AUTO_INC_COL]
+        props = {}
+        if any(c.name == AUTO_INC_COL for c in st.schema.columns):
+            base = int(st.props.get("auto_inc_next", 1))
+            batch = batch.withColumn(
+                AUTO_INC_COL, (F.lit(base) + F.monotonically_increasing_id()).cast("bigint")
+            ).select(*st.schema.names)
+            props["auto_inc_next"] = base + AUTO_INC_STRIDE
+        else:
+            batch = batch.persist()
+            n = batch.count()
+            nd = batch.select(*pk).distinct().count()
+            if n != nd:
+                if mode == "error":
+                    batch.unpersist()
+                    raise DuplicateKeyError(
+                        f"batch contains {n - nd} duplicate primary key(s)"
+                    )
+                batch = batch.dropDuplicates(pk)
+            existing = self._existing_pks(st, batch)
+            dup = batch.join(existing, on=logical_pk, how="left_semi")
+            if mode == "error":
+                hit = dup.limit(1).collect()
+                if hit:
+                    batch.unpersist()
+                    raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
+            else:
+                batch = batch.join(existing, on=logical_pk, how="left_anti")
+        entries = self._write_files(batch, st, st.version + 1, "base")
+        try:
+            batch.unpersist()
+        except Exception:
+            pass
+        return self._commit(st, "insert", entries, props=props or None)
+
+    def insert_ignore(self, df: DataFrame) -> int:
+        return self.insert(df, mode="ignore")
+
+    def upsert(self, df: DataFrame, mode: str = "error") -> int:
+        """UPSERT / UPSERT_IGNORE (row_operations.proto:39,43).
+        Duplicate PKs within the batch resolve last-wins by __row_idx
+        when the caller provides it (writer sessions do), else
+        arbitrarily (Kudu resolves by apply order; DataFrames are
+        unordered sets). UPSERT that would change an immutable column
+        of an existing row errors; UPSERT_IGNORE keeps the old value."""
+        assert mode in ("error", "ignore")
+        st = self.state()
+        pk = st.schema.pk
+        order_col = "__row_idx" if "__row_idx" in df.columns else None
+        batch = df.select(
+            *[
+                (F.col(c.name) if c.name in df.columns else F.lit(c.default))
+                .cast(c.type)
+                .alias(c.name)
+                for c in st.schema.columns
+            ],
+            *([F.col(order_col)] if order_col else []),
+        )
+        if order_col:
+            w = Window.partitionBy(*pk).orderBy(F.desc(order_col))
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", order_col)
+            )
+        else:
+            batch = batch.dropDuplicates(pk)
+        imm = [c.name for c in st.schema.columns if c.immutable and c.name in df.columns]
+        if imm:
+            import functools
+            import operator
+
+            existing = self._snapshot_df(st).select(
+                *pk, *[F.col(c).alias(f"__old_{c}") for c in imm]
+            ).withColumn("__exists", F.lit(True))
+            joined = batch.join(existing, on=pk, how="left")
+            if mode == "error":
+                violation = functools.reduce(
+                    operator.or_,
+                    [~F.col(f"__old_{c}").eqNullSafe(F.col(c)) for c in imm],
+                ) & F.col("__exists").isNotNull()
+                bad = joined.where(violation).limit(1).collect()
+                if bad:
+                    raise ImmutableColumnError(
+                        f"UPSERT would modify immutable column(s) {imm}: {bad[0].asDict()}"
+                    )
+            # existing rows keep their immutable values (even if NULL)
+            batch = joined.select(
+                *[
+                    F.when(F.col("__exists").isNotNull(), F.col(f"__old_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in imm
+                    else F.col(c)
+                    for c in st.schema.names
+                ]
+            )
+        entries = self._write_files(batch, st, st.version + 1, "delta")
+        return self._commit(st, "upsert", entries)
+
+    def upsert_ignore(self, df: DataFrame) -> int:
+        return self.upsert(df, mode="ignore")
+
+    def update(self, df: DataFrame, mode: str = "error") -> int:
+        """UPDATE / UPDATE_IGNORE (row_operations.proto:37,41): per-column
+        set by PK; errors on absent keys and on immutable columns
+        (tablet.cc:1052 MutateRowUnlocked)."""
+        assert mode in ("error", "ignore")
+        st = self.state()
+        pk = st.schema.pk
+        upd_cols = [c for c in df.columns if c not in pk]
+        if not upd_cols:
+            raise KuduSparkError("UPDATE batch sets no columns")
+        for c in upd_cols:
+            if c not in st.schema.names:
+                raise SchemaError(f"unknown column {c}")
+            if st.schema.col(c).immutable:
+                if mode == "error":
+                    raise ImmutableColumnError(f"UPDATE of immutable column {c}")
+                upd_cols = [u for u in upd_cols if u != c]
+        if not upd_cols:
+            return st.version  # update_ignore dropped everything: no-op
+        batch = df.select(
+            *[F.col(c).cast(st.schema.col(c).type).alias(c) for c in pk],
+            *[F.col(c).cast(st.schema.col(c).type).alias(f"__new_{c}") for c in upd_cols],
+        ).dropDuplicates(pk)
+        current = self._snapshot_df(st).withColumn("__exists", F.lit(True))
+        joined = batch.join(current, on=pk, how="left")
+        if mode == "error":
+            miss = joined.where(F.col("__exists").isNull()).limit(1).collect()
+            if miss:
+                raise RowNotFoundError(f"UPDATE of absent key: {miss[0].asDict()}")
+        else:
+            joined = joined.where(F.col("__exists").isNotNull())
+        rows = joined.select(
+            *pk,
+            *[
+                (F.col(f"__new_{c}") if c in upd_cols else F.col(c)).alias(c)
+                for c in st.schema.non_pk_names
+            ],
+        )
+        entries = self._write_files(rows, st, st.version + 1, "delta")
+        return self._commit(st, "update", entries)
+
+    def update_ignore(self, df: DataFrame) -> int:
+        return self.update(df, mode="ignore")
+
+    def delete(self, df: DataFrame, mode: str = "error") -> int:
+        """DELETE / DELETE_IGNORE by PK (row_operations.proto:38,42):
+        writes PK tombstones as delta rows with __deleted=true."""
+        assert mode in ("error", "ignore")
+        st = self.state()
+        pk = st.schema.pk
+        keys = df.select(
+            *[F.col(c).cast(st.schema.col(c).type).alias(c) for c in pk]
+        ).dropDuplicates(pk)
+        current_pks = self._existing_pks(st, keys)
+        if mode == "error":
+            miss = keys.join(current_pks, on=pk, how="left_anti").limit(1).collect()
+            if miss:
+                raise RowNotFoundError(f"DELETE of absent key: {miss[0].asDict()}")
+        else:
+            keys = keys.join(current_pks, on=pk, how="left_semi")
+        rows = keys.select(
+            *pk,
+            *[
+                F.lit(None).cast(st.schema.col(c).type).alias(c)
+                for c in st.schema.non_pk_names
+            ],
+        ).withColumn(DEL_COL, F.lit(True))
+        entries = self._write_files(rows, st, st.version + 1, "delta")
+        return self._commit(st, "delete", entries)
+
+    def delete_ignore(self, df: DataFrame) -> int:
+        return self.delete(df, mode="ignore")
+
+    # -- statistics (client.h:1568 KuduTableStatistics) -------------------------
+
+    def statistics(self) -> dict:
+        st = self.state()
+        return {
+            "on_disk_size": sum(f.bytes for f in st.files),
+            "on_disk_rows": sum(f.rows for f in st.files),
+            "live_row_count": self._snapshot_df(st).count(),
+            "num_files": len(st.files),
+            "version": st.version,
+        }

@@ -1,0 +1,171 @@
+"""Storage-kernel tests: create/insert/scan, partition pruning,
+time travel, and the FIXTURES.md §A `simple` schema."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kudu_spark.engine import Engine
+from kudu_spark.errors import (
+    DuplicateKeyError,
+    RowNotFoundError,
+    SchemaError,
+    TableExistsError,
+    TableNotFoundError,
+)
+
+SIMPLE = [("key", "int", False), ("int_val", "int", False), ("string_val", "string", True)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def simple_rows(spark, keys, base=0):
+    return spark.createDataFrame(
+        [(k, k * 10 + base, f"s{k}") for k in keys], "key int, int_val int, string_val string"
+    )
+
+
+def test_create_insert_scan(engine, spark):
+    t = engine.create_table(
+        "simple", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 4}]
+    )
+    t.insert(simple_rows(spark, range(100)))
+    df = t.scan()
+    assert df.count() == 100
+    assert df.columns == ["key", "int_val", "string_val"]
+    got = {r.key: (r.int_val, r.string_val) for r in df.collect()}
+    assert got[7] == (70, "s7")
+
+
+def test_create_validation(engine):
+    with pytest.raises(SchemaError):
+        engine.create_table("bad", SIMPLE, pk=["nope"])
+    engine.create_table("t1", SIMPLE, pk=["key"])
+    with pytest.raises(TableExistsError):
+        engine.create_table("t1", SIMPLE, pk=["key"])
+    with pytest.raises(TableNotFoundError):
+        engine.table("missing")
+    with pytest.raises(SchemaError):
+        engine.create_table(
+            "badhash", SIMPLE, pk=["key"],
+            hash_partitions=[{"columns": ["int_val"], "buckets": 2}],
+        )
+
+
+def test_insert_duplicate_detection(engine, spark):
+    t = engine.create_table("dup", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(10)))
+    with pytest.raises(DuplicateKeyError):
+        t.insert(simple_rows(spark, [5, 100]))
+    # table unchanged after failed insert
+    assert t.scan().count() == 10
+    t.insert_ignore(simple_rows(spark, [5, 100], base=999))
+    assert t.scan().count() == 11
+    # original row 5 untouched (INSERT_IGNORE skips, not overwrites)
+    assert t.scan(filters=[("key", "=", 5)]).collect()[0].int_val == 50
+    # in-batch duplicates
+    with pytest.raises(DuplicateKeyError):
+        t.insert(simple_rows(spark, [200, 200]))
+
+
+def test_hash_partition_pruning(engine, spark):
+    t = engine.create_table(
+        "pruned", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 8}]
+    )
+    t.insert(simple_rows(spark, range(200)))
+    st = t.state()
+    assert len({tuple(f.partition["hash"]) for f in st.files}) == 8
+    pruned = t._prune(st, [("key", "=", 17)])
+    assert 0 < len(pruned) < len(st.files)
+    rows = t.scan(filters=[("key", "=", 17)]).collect()
+    assert len(rows) == 1 and rows[0].int_val == 170
+
+
+def test_range_partition_pruning_and_bounds(engine, spark):
+    t = engine.create_table(
+        "ranged",
+        SIMPLE,
+        pk=["key"],
+        range_partition={"column": "key", "ranges": [[0, 50], [50, 100]]},
+    )
+    t.insert(simple_rows(spark, range(100)))
+    st = t.state()
+    assert {f.partition["range"] for f in st.files} == {0, 1}
+    pruned = t._prune(st, [("key", "=", 75)])
+    assert {f.partition["range"] for f in pruned} == {1}
+    # non-covering: a row outside every range is a write error
+    from kudu_spark.errors import KuduSparkError
+
+    with pytest.raises(KuduSparkError):
+        t.insert(simple_rows(spark, [150]))
+
+
+def test_pk_minmax_file_pruning(engine, spark):
+    t = engine.create_table("minmax", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(0, 50)))
+    t.insert(simple_rows(spark, range(50, 100)))
+    st = t.state()
+    assert len(st.files) >= 2
+    pruned = t._prune(st, [("key", "=", 75)])
+    assert len(pruned) < len(st.files)
+
+
+def test_time_travel(engine, spark):
+    t = engine.create_table("tt", SIMPLE, pk=["key"])
+    v1 = t.insert(simple_rows(spark, range(10)))
+    v2 = t.insert(simple_rows(spark, range(10, 20)))
+    assert t.scan(version=v1).count() == 10
+    assert t.scan(version=v2).count() == 20
+    assert t.scan().count() == 20
+
+
+def test_ordered_scan_and_limit(engine, spark):
+    t = engine.create_table(
+        "ord", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 4}]
+    )
+    t.insert(simple_rows(spark, [5, 3, 9, 1, 7]))
+    keys = [r.key for r in t.scan(ordered=True).collect()]
+    assert keys == [1, 3, 5, 7, 9]
+    assert t.scan(ordered=True, limit=2).count() == 2
+
+
+def test_scan_tokens(engine, spark):
+    t = engine.create_table(
+        "tok", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 4}]
+    )
+    t.insert(simple_rows(spark, range(40)))
+    tokens = t.scan_tokens()
+    assert len(tokens) == 4
+    total = sum(t.token_to_df(tok).count() for tok in tokens)
+    assert total == 40
+
+
+def test_statistics_and_catalog(engine, spark):
+    t = engine.create_table("stats", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(25)))
+    s = t.statistics()
+    assert s["live_row_count"] == 25 and s["on_disk_size"] > 0
+    assert engine.list_tables() == ["stats"]
+    engine.soft_delete_table("stats")
+    assert engine.list_tables() == []
+    assert engine.list_tables(include_soft_deleted=True) == ["stats"]
+    engine.recall_table("stats")
+    assert engine.list_tables() == ["stats"]
+    assert engine.table("stats").scan().count() == 25
+
+
+def test_locate_row(engine, spark):
+    t = engine.create_table(
+        "loc",
+        SIMPLE,
+        pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 4}],
+        range_partition={"column": "key", "ranges": [[0, 100], [100, 200]]},
+    )
+    t.insert(simple_rows(spark, [5, 150]))
+    p = engine.locate_row("loc", {"key": 150})
+    assert p["range"] == 1 and 0 <= p["hash"][0] < 4

@@ -1,0 +1,163 @@
+"""Mutation-semantics tests: the row_operations.proto:34-63 outcome
+matrix (INSERT/UPSERT/UPDATE/DELETE ± IGNORE), immutable columns,
+merge-on-read correctness, diff scans, auto-increment PK."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kudu_spark.engine import Engine
+from kudu_spark.errors import (
+    DuplicateKeyError,
+    ImmutableColumnError,
+    RowNotFoundError,
+)
+
+SIMPLE = [("key", "int", False), ("int_val", "int", False), ("string_val", "string", True)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def rows(spark, pairs):
+    return spark.createDataFrame(
+        [(k, v, f"s{k}") for k, v in pairs], "key int, int_val int, string_val string"
+    )
+
+
+@pytest.fixture()
+def t(engine, spark):
+    t = engine.create_table(
+        "m", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
+    )
+    t.insert(rows(spark, [(k, k * 10) for k in range(10)]))
+    return t
+
+
+def snap(t):
+    return {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+
+
+def test_upsert_insert_and_replace(t, spark):
+    t.upsert(rows(spark, [(5, 555), (20, 200)]))
+    s = snap(t)
+    assert s[5] == (555, "s5") and s[20] == (200, "s20")
+    assert len(s) == 11
+
+
+def test_upsert_batch_last_wins_with_row_idx(t, spark):
+    df = spark.createDataFrame(
+        [(30, 1, "a", 1), (30, 2, "b", 2)],
+        "key int, int_val int, string_val string, __row_idx long",
+    )
+    t.upsert(df)
+    assert snap(t)[30] == (2, "b")
+
+
+def test_update_semantics(t, spark):
+    t.update(spark.createDataFrame([(3, 999)], "key int, int_val int"))
+    s = snap(t)
+    assert s[3] == (999, "s3")  # untouched column keeps its value
+    with pytest.raises(RowNotFoundError):
+        t.update(spark.createDataFrame([(100, 1)], "key int, int_val int"))
+    v = t.version
+    t.update_ignore(spark.createDataFrame([(100, 1), (4, 444)], "key int, int_val int"))
+    s = snap(t)
+    assert s[4] == (444, "s4") and 100 not in s
+    assert t.version == v + 1
+
+
+def test_delete_semantics(t, spark):
+    t.delete(spark.createDataFrame([(2,), (3,)], "key int"))
+    s = snap(t)
+    assert 2 not in s and 3 not in s and len(s) == 8
+    with pytest.raises(RowNotFoundError):
+        t.delete(spark.createDataFrame([(2,)], "key int"))
+    t.delete_ignore(spark.createDataFrame([(2,), (4,)], "key int"))
+    assert len(snap(t)) == 7
+    # re-insert a deleted key: INSERT must succeed (key is gone)
+    t.insert(rows(spark, [(2, 22)]))
+    assert snap(t)[2] == (22, "s2")
+
+
+def test_immutable_columns(engine, spark):
+    t = engine.create_table("imm", SIMPLE, pk=["key"], immutable_cols=["string_val"])
+    t.insert(rows(spark, [(1, 10)]))
+    with pytest.raises(ImmutableColumnError):
+        t.update(spark.createDataFrame([(1, "x")], "key int, string_val string"))
+    with pytest.raises(ImmutableColumnError):
+        t.upsert(spark.createDataFrame([(1, 11, "x")], "key int, int_val int, string_val string"))
+    # UPSERT_IGNORE: keeps old immutable value, updates the rest
+    t.upsert_ignore(
+        spark.createDataFrame([(1, 11, "x")], "key int, int_val int, string_val string")
+    )
+    s = snap(t)
+    assert s[1] == (11, "s1")
+    # upsert of a NEW row may set immutable columns freely
+    t.upsert(spark.createDataFrame([(2, 20, "fresh")], "key int, int_val int, string_val string"))
+    assert snap(t)[2] == (20, "fresh")
+
+
+def test_snapshot_reads_span_mutations(t, spark):
+    v0 = t.version
+    t.upsert(rows(spark, [(5, 555)]))
+    t.delete(spark.createDataFrame([(6,)], "key int"))
+    assert t.scan(version=v0, filters=[("key", "=", 5)]).collect()[0].int_val == 50
+    assert t.scan(version=v0).count() == 10
+    assert t.scan().count() == 9
+
+
+def test_diff_scan(t, spark):
+    v0 = t.version
+    t.upsert(rows(spark, [(5, 555), (20, 200)]))  # update + insert
+    t.delete(spark.createDataFrame([(6,)], "key int"))
+    d = {r.key: r for r in t.diff_scan(v0).collect()}
+    assert set(d) == {5, 20, 6}
+    assert d[5]._is_deleted is False and d[5].int_val == 555
+    assert d[20]._is_deleted is False and d[20].int_val == 200
+    assert d[6]._is_deleted is True
+    # ghost: inserted then deleted inside the window → not emitted
+    v1 = t.version
+    t.insert(rows(spark, [(50, 500)]))
+    t.delete(spark.createDataFrame([(50,)], "key int"))
+    assert t.diff_scan(v1).count() == 0
+
+
+def test_diff_scan_update_then_delete(t, spark):
+    v0 = t.version
+    t.update(spark.createDataFrame([(7, 777)], "key int, int_val int"))
+    t.delete(spark.createDataFrame([(7,)], "key int"))
+    d = t.diff_scan(v0).collect()
+    assert len(d) == 1 and d[0].key == 7 and d[0]._is_deleted is True
+
+
+def test_auto_increment_non_unique_pk(engine, spark):
+    t = engine.create_table("auto", SIMPLE, pk=["key"], non_unique_pk=True)
+    df = rows(spark, [(1, 10), (1, 11), (2, 20)])
+    t.insert(df)
+    t.insert(rows(spark, [(1, 12)]))
+    out = t.scan().collect()
+    assert len(out) == 4  # duplicate logical keys allowed
+    ids = [r.auto_incrementing_id for r in out]
+    assert len(set(ids)) == 4  # hidden column makes rows unique
+    assert [c for c in t.scan().columns] == [
+        "key", "auto_incrementing_id", "int_val", "string_val"
+    ]
+
+
+def test_mutations_on_range_partitions(engine, spark):
+    t = engine.create_table(
+        "rm",
+        SIMPLE,
+        pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 2}],
+        range_partition={"column": "key", "ranges": [[0, 100], [100, 200]]},
+    )
+    t.insert(rows(spark, [(k, k) for k in (1, 50, 150)]))
+    t.upsert(rows(spark, [(50, 5000), (199, 1990)]))
+    t.delete(spark.createDataFrame([(1,)], "key int"))
+    s = snap(t)
+    assert s == {50: (5000, "s50"), 150: (150, "s150"), 199: (1990, "s199")}
