@@ -60,6 +60,17 @@ RESERVED = {SEQ_COL, DEL_COL}
 AUTO_INC_COL = "auto_incrementing_id"  # hidden PK suffix, common.proto:173
 AUTO_INC_STRIDE = 1 << 40  # id space reserved per insert commit
 
+# Manifest seq = (commit_version << SEQ_SHIFT) + sub_index. The low bits
+# order multiple write sets inside one transaction commit; the manifest
+# value (not the advisory __seq stamped inside files) is what the
+# merge-on-read window orders by, so a commit retry after a concurrency
+# conflict can re-stamp seq without rewriting data files.
+SEQ_SHIFT = 20
+
+
+def seq_for(version: int, sub: int = 0) -> int:
+    return (version << SEQ_SHIFT) + sub
+
 Predicate = tuple  # ("col", op, value) — op in {"=","<","<=",">",">=","in","not_null","is_null"}
 
 
@@ -213,6 +224,15 @@ class Table:
             by_sv.setdefault(f.schema_version, []).append(f)
         for sv, group in sorted(by_sv.items()):
             df = self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in group])
+            # authoritative seq comes from the manifest (retry-safe), joined
+            # in via the tiny broadcast file→seq map
+            seq_map = self.spark.createDataFrame(
+                [(os.path.basename(f.path), f.seq) for f in group],
+                "__file string, __manifest_seq bigint",
+            )
+            df = df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            ).join(F.broadcast(seq_map), on="__file", how="inner")
             old = st.schemas_by_version.get(sv, cur)
             by_id_old = {c.id: c.name for c in old.columns}
             exprs = []
@@ -222,7 +242,7 @@ class Table:
                     exprs.append(F.col(old_name).cast(c.type).alias(c.name))
                 else:
                     exprs.append(F.lit(c.default).cast(c.type).alias(c.name))
-            exprs += [F.col(SEQ_COL), F.col(DEL_COL)]
+            exprs += [F.col("__manifest_seq").alias(SEQ_COL), F.col(DEL_COL)]
             part = df.select(*exprs)
             out = part if out is None else out.unionByName(part)
         return out
@@ -459,7 +479,15 @@ class Table:
                     f"row does not fall in any range partition: {bad[0].asDict()}"
                 )
         staging = os.path.join(self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
-        writer = out.repartition(*pnames).write if pnames else out.repartition(1).write
+        # co-locate each partition in one task, PK-sorted within files so
+        # parquet row-group stats give tight PK bounds (≈ Kudu's
+        # PK-sorted DiskRowSets + B-tree index, cfile/index_btree.cc)
+        pk_cols = list(st.schema.pk)
+        if pnames:
+            out = out.repartition(*pnames).sortWithinPartitions(*pnames, *pk_cols)
+        else:
+            out = out.sortWithinPartitions(*pk_cols)
+        writer = out.write.option("maxRecordsPerFile", 10_000_000)
         if pnames:
             writer = writer.partitionBy(*pnames)
         writer.mode("overwrite").parquet(staging)
@@ -519,18 +547,23 @@ class Table:
     def _commit(self, st: TableState, op: str, entries: list[FileEntry],
                 removes: list[str] | None = None, props: dict | None = None,
                 schema: Schema | None = None, partition_spec=None, retries: int = 5) -> int:
-        actions = [{"type": "add", "file": e.to_json()} for e in entries]
-        for p in removes or []:
-            actions.append({"type": "remove", "path": p})
-        payload: dict = {"op": op, "actions": actions}
-        if props:
-            payload["props"] = props
-        if schema is not None:
-            payload["schema"] = schema.to_json()
-        if partition_spec is not None:
-            payload["partition_spec"] = partition_spec.to_json()
         version = st.version + 1
         for _ in range(retries):
+            # re-stamp manifest seqs to the attempted version so that a
+            # retry after losing the race still orders after the winner
+            for e in entries:
+                e.seq = seq_for(version, e.seq & ((1 << SEQ_SHIFT) - 1))
+            # removes first: a commit may remove and re-add the same path
+            # (range-id remap), and replay applies actions in order
+            actions = [{"type": "remove", "path": rp} for rp in removes or []]
+            actions += [{"type": "add", "file": e.to_json()} for e in entries]
+            payload: dict = {"op": op, "actions": actions}
+            if props:
+                payload["props"] = props
+            if schema is not None:
+                payload["schema"] = schema.to_json()
+            if partition_spec is not None:
+                payload["partition_spec"] = partition_spec.to_json()
             try:
                 return append_commit(self.root, version, payload)
             except ConcurrentCommitError:
@@ -588,7 +621,7 @@ class Table:
                     raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
             else:
                 batch = batch.join(existing, on=logical_pk, how="left_anti")
-        entries = self._write_files(batch, st, st.version + 1, "base")
+        entries = self._write_files(batch, st, seq_for(st.version + 1), "base")
         try:
             batch.unpersist()
         except Exception:
@@ -657,7 +690,7 @@ class Table:
                     for c in st.schema.names
                 ]
             )
-        entries = self._write_files(batch, st, st.version + 1, "delta")
+        entries = self._write_files(batch, st, seq_for(st.version + 1), "delta")
         return self._commit(st, "upsert", entries)
 
     def upsert_ignore(self, df: DataFrame) -> int:
@@ -701,7 +734,7 @@ class Table:
                 for c in st.schema.non_pk_names
             ],
         )
-        entries = self._write_files(rows, st, st.version + 1, "delta")
+        entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
         return self._commit(st, "update", entries)
 
     def update_ignore(self, df: DataFrame) -> int:
@@ -730,11 +763,58 @@ class Table:
                 for c in st.schema.non_pk_names
             ],
         ).withColumn(DEL_COL, F.lit(True))
-        entries = self._write_files(rows, st, st.version + 1, "delta")
+        entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
         return self._commit(st, "delete", entries)
 
     def delete_ignore(self, df: DataFrame) -> int:
         return self.delete(df, mode="ignore")
+
+    # -- maintenance ---------------------------------------------------------------
+
+    def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4) -> int | None:
+        """Fold delta files into fresh base files and bin-pack small
+        base files (≈ Kudu compaction: tablet/compaction.cc, policy
+        tablet/compaction_policy.h:74-129, delta fold-in
+        tablet/delta_compaction.cc). Only partitions that need work are
+        rewritten; time travel to pre-compaction versions still works
+        because old files are removed from the manifest, not deleted."""
+        st = self.state()
+
+        def pkey(f: FileEntry):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        groups: dict = {}
+        for f in st.files:
+            groups.setdefault(pkey(f), []).append(f)
+        rewrite: list[FileEntry] = []
+        for _key, fs in groups.items():
+            has_delta = any(f.kind == "delta" for f in fs)
+            smalls = [f for f in fs if f.bytes < small_file_bytes]
+            if has_delta or len(smalls) >= min_small_files:
+                rewrite.extend(fs)
+        if not rewrite:
+            return None
+        sub = TableState(**{**st.__dict__})
+        sub.files = rewrite
+        merged = self._snapshot_df(sub)  # dedup + tombstones dropped
+        entries = self._write_files(merged, st, seq_for(st.version + 1), "base")
+        return self._commit(
+            st, "compact", entries, removes=[f.path for f in rewrite]
+        )
+
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Physically delete data files no longer referenced by the
+        manifest at HEAD (bounds time travel; run after compact)."""
+        st = self.state()
+        live = {f.path for f in st.files}
+        removed = 0
+        data_dir = os.path.join(self.root, DATA_DIR)
+        for name in os.listdir(data_dir):
+            rel = os.path.join(DATA_DIR, name)
+            if name.endswith(".parquet") and rel not in live:
+                os.unlink(os.path.join(data_dir, name))
+                removed += 1
+        return removed
 
     # -- statistics (client.h:1568 KuduTableStatistics) -------------------------
 

@@ -1,0 +1,106 @@
+"""Randomized mutation fuzz vs an in-memory model (FIXTURES.md §F,
+analogue of src/kudu/integration-tests/fuzz-itest.cc:122-141).
+
+A seeded generator emits op sequences over a small key domain; the
+expected state lives in a plain dict. Every scan — latest, per-snapshot,
+and diff — must match the model exactly, including error outcomes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kudu_spark.engine import Engine
+from kudu_spark.errors import DuplicateKeyError, RowNotFoundError
+
+SIMPLE = [("key", "int", False), ("int_val", "int", False), ("string_val", "string", True)]
+KEYS = range(16)
+
+
+def df_of(spark, rows, cols="key int, int_val int, string_val string"):
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_fuzz_mutations_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"wh{seed}"))
+    t = eng.create_table(
+        "fuzz", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
+    )
+    model: dict[int, tuple] = {}
+    snapshots: list[tuple[int, dict]] = []  # (version, model copy)
+
+    for step in range(40):
+        op = rng.choice(
+            ["insert", "insert_ignore", "upsert", "update", "update_ignore",
+             "delete", "delete_ignore", "compact", "snapshot"]
+        )
+        k = rng.choice(KEYS)
+        v = step * 100 + k
+        if op == "insert":
+            df = df_of(spark, [(k, v, f"s{v}")])
+            if k in model:
+                with pytest.raises(DuplicateKeyError):
+                    t.insert(df)
+            else:
+                t.insert(df)
+                model[k] = (v, f"s{v}")
+        elif op == "insert_ignore":
+            t.insert_ignore(df_of(spark, [(k, v, f"s{v}")]))
+            model.setdefault(k, (v, f"s{v}"))
+        elif op == "upsert":
+            t.upsert(df_of(spark, [(k, v, f"s{v}")]))
+            model[k] = (v, f"s{v}")
+        elif op == "update":
+            df = df_of(spark, [(k, v)], "key int, int_val int")
+            if k not in model:
+                with pytest.raises(RowNotFoundError):
+                    t.update(df)
+            else:
+                t.update(df)
+                model[k] = (v, model[k][1])
+        elif op == "update_ignore":
+            t.update_ignore(df_of(spark, [(k, v)], "key int, int_val int"))
+            if k in model:
+                model[k] = (v, model[k][1])
+        elif op == "delete":
+            df = df_of(spark, [(k,)], "key int")
+            if k not in model:
+                with pytest.raises(RowNotFoundError):
+                    t.delete(df)
+            else:
+                t.delete(df)
+                del model[k]
+        elif op == "delete_ignore":
+            t.delete_ignore(df_of(spark, [(k,)], "key int"))
+            model.pop(k, None)
+        elif op == "compact":
+            t.compact()
+        elif op == "snapshot":
+            snapshots.append((t.version, dict(model)))
+
+        if step % 10 == 9:
+            got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+            assert got == model, f"step {step} op {op}: {got} != {model}"
+
+    got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+    assert got == model
+
+    # snapshot reads must reproduce historical states exactly
+    for version, expected in snapshots:
+        got = {r.key: (r.int_val, r.string_val) for r in t.scan(version=version).collect()}
+        assert got == expected, f"snapshot v{version}"
+
+    # diff between first snapshot and HEAD matches model delta
+    if snapshots:
+        v0, m0 = snapshots[0]
+        d = {r.key: r for r in t.diff_scan(v0).collect()}
+        for k in set(m0) | set(model):
+            if k in m0 and k not in model:
+                assert d[k]._is_deleted is True, f"key {k} should be deleted in diff"
+            elif k in model and model.get(k) != m0.get(k):
+                assert d[k]._is_deleted is False and (d[k].int_val, d[k].string_val) == model[k]
+            elif model.get(k) == m0.get(k):
+                assert k not in d, f"unchanged key {k} must not appear in diff"

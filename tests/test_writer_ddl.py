@@ -1,0 +1,157 @@
+"""Writer sessions, transactions, schema evolution, range add/drop,
+compaction, and the JSON predicate grammar."""
+
+from __future__ import annotations
+
+import pytest
+
+from kudu_spark.engine import Engine
+from kudu_spark.errors import KuduSparkError, SchemaError
+from kudu_spark.plans.predicates import parse_predicates
+from kudu_spark.writer import FlushMode, Session, Transaction
+
+SIMPLE = [("key", "int", False), ("int_val", "int", False), ("string_val", "string", True)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def t(engine, spark):
+    t = engine.create_table("w", SIMPLE, pk=["key"])
+    t.insert(
+        spark.createDataFrame(
+            [(k, k * 10, f"s{k}") for k in range(5)], "key int, int_val int, string_val string"
+        )
+    )
+    return t
+
+
+def snap(t):
+    return {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+
+
+def test_session_manual_flush_apply_order(t):
+    with Session(t, FlushMode.MANUAL_FLUSH) as s:
+        s.insert({"key": 10, "int_val": 1, "string_val": "a"})
+        s.upsert({"key": 10, "int_val": 2, "string_val": "b"})  # later op wins
+        s.update({"key": 0, "int_val": 999})
+        s.delete({"key": 1})
+    s2 = snap(t)
+    assert s2[10] == (2, "b")
+    assert s2[0] == (999, "s0")
+    assert 1 not in s2
+
+
+def test_session_upsert_last_wins_same_batch(t):
+    with Session(t) as s:
+        s.upsert({"key": 20, "int_val": 1, "string_val": "first"})
+        s.upsert({"key": 20, "int_val": 2, "string_val": "second"})
+    assert snap(t)[20] == (2, "second")
+
+
+def test_session_auto_flush_background(t):
+    s = Session(t, FlushMode.AUTO_FLUSH_BACKGROUND, buffer_rows=2)
+    s.upsert({"key": 30, "int_val": 1, "string_val": "x"})
+    assert 30 not in snap(t)  # buffered
+    s.upsert({"key": 31, "int_val": 1, "string_val": "y"})  # hits limit → flush
+    got = snap(t)
+    assert 30 in got and 31 in got
+
+
+def test_transaction_atomic_commit(t, spark):
+    v0 = t.version
+    txn = Transaction(t)
+    txn.insert(spark.createDataFrame([(40, 1, "a")], "key int, int_val int, string_val string"))
+    txn.delete(spark.createDataFrame([(0,)], "key int"))
+    assert snap(t) == {k: (k * 10, f"s{k}") for k in range(5)}  # nothing visible yet
+    txn.commit()
+    got = snap(t)
+    assert got[40] == (1, "a") and 0 not in got
+    assert t.version == v0 + 1  # ONE commit for both ops
+
+
+def test_transaction_rollback(t, spark):
+    txn = Transaction(t)
+    txn.insert(spark.createDataFrame([(50, 1, "a")], "key int, int_val int, string_val string"))
+    txn.rollback()
+    assert 50 not in snap(t)
+    with pytest.raises(KuduSparkError):
+        txn.commit()
+
+
+def test_alter_add_drop_rename(engine, spark, t):
+    engine.alter_table("w").add_column("score", "double", default=0.5).apply()
+    got = t.scan().collect()[0]
+    assert got.score == 0.5  # old rows read the default
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, "z", 9.9)], "key int, int_val int, string_val string, score double"
+        )
+    )
+    s = {r.key: r.score for r in t.scan().collect()}
+    assert s[0] == 9.9 and s[1] == 0.5
+    # rename keeps data via column IDs
+    engine.alter_table("w").rename_column("score", "points").apply()
+    s = {r.key: r.points for r in t.scan().collect()}
+    assert s[0] == 9.9
+    engine.alter_table("w").drop_column("points").apply()
+    assert "points" not in t.scan().columns
+    with pytest.raises(SchemaError):
+        engine.alter_table("w").drop_column("key").apply()
+    with pytest.raises(SchemaError):
+        engine.alter_table("w").add_column("bad", "int", nullable=False).apply()
+
+
+def test_range_partition_add_drop(engine, spark):
+    t = engine.create_table(
+        "rp", SIMPLE, pk=["key"],
+        range_partition={"column": "key", "ranges": [[0, 100]]},
+    )
+    rows = lambda ks: spark.createDataFrame(
+        [(k, k, f"s{k}") for k in ks], "key int, int_val int, string_val string"
+    )
+    t.insert(rows([1, 2]))
+    with pytest.raises(KuduSparkError):
+        t.insert(rows([150]))  # not covered yet
+    engine.alter_table("rp").add_range_partition(100, 200).apply()
+    t.insert(rows([150]))
+    assert t.scan().count() == 3
+    # dropping a range partition drops its rows (Kudu semantics)
+    engine.alter_table("rp").drop_range_partition(0, 100).apply()
+    got = [r.key for r in t.scan().collect()]
+    assert got == [150]
+    # and pruning still works after the id remap
+    assert t.scan(filters=[("key", "=", 150)]).count() == 1
+
+
+def test_compaction_folds_deltas(engine, spark, t):
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame(
+                [(0, i, f"u{i}")], "key int, int_val int, string_val string"
+            )
+        )
+    t.delete(spark.createDataFrame([(2,)], "key int"))
+    before = snap(t)
+    st = t.state()
+    assert any(f.kind == "delta" for f in st.files)
+    t.compact()
+    st2 = t.state()
+    assert all(f.kind == "base" for f in st2.files)
+    assert snap(t) == before  # contents unchanged
+    removed = t.vacuum()
+    assert removed > 0
+    assert snap(t) == before
+
+
+def test_json_predicate_grammar(t):
+    preds = parse_predicates('["AND", [">=", "key", 1], ["<", "key", 4], ["NOTNULL", "string_val"]]')
+    assert preds == [("key", ">=", 1), ("key", "<", 4), ("string_val", "not_null", None)]
+    assert t.scan(filters=preds).count() == 3
+    assert parse_predicates('["IN", "key", [1, 2]]') == [("key", "in", [1, 2])]
+    assert t.scan(filters=parse_predicates('["IN", "key", [1, 2]]')).count() == 2
+    with pytest.raises(KuduSparkError):
+        parse_predicates('["OR", ["=", "key", 1]]')
