@@ -1,9 +1,165 @@
-"""Engine-table queries: mutation semantics exercised through the
-correctness gate (insert/upsert/update/delete + time travel + diff scan
-round-trips on engine tables, with SQL-emulated oracles).
-
-Filled in as the storage kernel lands; each registers into
-kudu_spark.queries.REGISTRY.
+"""Engine-table queries: Kudu's mutation surface exercised through the
+correctness gate. Each query creates a fresh engine table in a temp
+warehouse, applies mutations derived deterministically from the input
+tables, and returns a scan; the oracle emulates the same end state in
+plain SQL over the original parquet. This proves INSERT/UPSERT/DELETE,
+merge-on-read, time travel, diff scans and partition pruning produce
+exactly the state SQL algebra predicts.
 """
 
 from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kudu_spark.queries import load, query
+
+CUSTOMER_SCHEMA = [
+    ("c_custkey", "bigint", False),
+    ("c_name", "string", True),
+    ("c_nationkey", "int", True),
+    ("c_acctbal", "double", True),
+    ("c_mktsegment", "string", True),
+]
+CUSTOMER_COLS = [c for c, _, _ in CUSTOMER_SCHEMA]
+
+
+def _engine(spark):
+    from kudu_spark.engine import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="pyskudu-q-"))
+
+
+def _customer_table(spark, sf_dir, name="cust", **create_kw):
+    eng = _engine(spark)
+    t = eng.create_table(name, CUSTOMER_SCHEMA, pk=["c_custkey"], **create_kw)
+    t.insert(load(spark, sf_dir, "customer").select(*CUSTOMER_COLS))
+    return t
+
+
+@query(
+    "engine_upsert_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN 'UPSERTED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 9000001 + r AS c_custkey, 'synthetic' AS c_name, CAST(r AS INT) AS c_nationkey,
+           0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+    FROM (SELECT unnest(range(5)) AS r)
+    """,
+)
+def engine_upsert_scan(spark, sf_dir):
+    """UPSERT round-trip: replace existing rows + insert new ones in one
+    batch, then merge-on-read scan (row_operations.proto:39)."""
+    t = _customer_table(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    changed = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    )
+    fresh = spark.range(5).select(
+        (F.lit(9000001) + F.col("id")).alias("c_custkey"),
+        F.lit("synthetic").alias("c_name"),
+        F.col("id").cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    t.upsert(changed.unionByName(fresh))
+    return t.scan()
+
+
+@query(
+    "engine_delete_scan",
+    oracle="SELECT * FROM customer WHERE NOT (c_custkey % 7 = 0)",
+)
+def engine_delete_scan(spark, sf_dir):
+    """DELETE by PK, then scan (tombstones win in merge-on-read)."""
+    t = _customer_table(spark, sf_dir)
+    keys = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    t.delete(keys)
+    return t.scan()
+
+
+@query(
+    "engine_timetravel_scan",
+    oracle="SELECT * FROM customer WHERE c_custkey % 2 = 0",
+)
+def engine_timetravel_scan(spark, sf_dir):
+    """READ_AT_SNAPSHOT: scan an older version after later inserts and
+    updates (common.proto:268)."""
+    eng = _engine(spark)
+    t = eng.create_table("tt", CUSTOMER_SCHEMA, pk=["c_custkey"])
+    c = load(spark, sf_dir, "customer")
+    v_even = t.insert(c.where(F.col("c_custkey") % 2 == 0).select(*CUSTOMER_COLS))
+    t.insert(c.where(F.col("c_custkey") % 2 == 1).select(*CUSTOMER_COLS))
+    t.update(
+        c.where(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", (F.col("c_acctbal") * 0).alias("c_acctbal"))
+    )
+    return t.scan(version=v_even)
+
+
+@query(
+    "engine_diff_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+           'UPSERTED' AS c_mktsegment, FALSE AS _is_deleted
+    FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 7 != 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, TRUE AS _is_deleted
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def engine_diff_scan(spark, sf_dir):
+    """Diff scan (change feed) between versions: upserts show new
+    values, deletes show the pre-image with _is_deleted=true, rows
+    upserted-then-deleted collapse to a delete (ghost dedup,
+    generic_iterators.h:42-51)."""
+    t = _customer_table(spark, sf_dir)
+    v0 = t.version
+    c = load(spark, sf_dir, "customer")
+    t.upsert(
+        c.where(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("UPSERTED").alias("c_mktsegment"),
+        )
+    )
+    t.delete(c.where(F.col("c_custkey") % 7 == 0).select("c_custkey"))
+    return t.diff_scan(v0)
+
+
+@query(
+    "engine_partitioned_scan",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey >= 100 AND c_custkey < 600 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def engine_partitioned_scan(spark, sf_dir):
+    """Projected/predicated scan on a hash+range partitioned engine
+    table: the planner prunes buckets+ranges+file stats, Catalyst
+    pushes the residual predicates into parquet."""
+    t = _customer_table(
+        spark,
+        sf_dir,
+        name="part",
+        hash_partitions=[{"columns": ["c_custkey"], "buckets": 4}],
+        range_partition={"column": "c_custkey", "splits": [400, 800, 1200]},
+    )
+    return t.scan(
+        columns=["c_custkey", "c_acctbal"],
+        filters=[
+            ("c_custkey", ">=", 100),
+            ("c_custkey", "<", 600),
+            ("c_mktsegment", "=", "BUILDING"),
+        ],
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis functions for training-data pipelines: tokenization,
+language ID, quality scoring, token counting, fingerprinting.
+
+Every function exists twice — a Spark Column expression and a DuckDB
+SQL fragment — generated from the same constants so the two engines
+agree value-for-value (the correctness gate hashes outputs). Hashes
+are md5-hex prefixes: fixed-width lowercase hex compares
+lexicographically exactly like the underlying number, so MIN() over
+them is a valid min-hash in both engines with no bigint parsing.
+
+All expressions stay JVM-side on the Spark side (built-in functions,
+no Python UDFs) — at 100 TB these run inside WholeStageCodegen with
+no serialization boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# n-gram size for shingles, number of minhash permutations, LSH bands
+SHINGLE_N = 3
+MINHASH_SEEDS = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
+SIMHASH_BITS = 60  # keep within a signed 64-bit value
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+# -- tokenization -------------------------------------------------------------
+
+def tokens_expr(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def tokens_sql(col: str = "text") -> str:
+    return f"string_split(lower({col}), ' ')"
+
+
+def shingles_expr(col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles (guarding short docs: Spark's
+    sequence(1, k) DESCENDS when k < 1, so it must be gated)."""
+    t = tokens_expr(col)
+    k = F.size(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingles_sql(col: str = "text", n: int = SHINGLE_N) -> str:
+    t = tokens_sql(col)
+    parts = " || ' ' || ".join(f"__t[i+{j}]" if j else "__t[i]" for j in range(n))
+    return (
+        f"(SELECT list_distinct(CASE WHEN len(__t) >= {n} THEN "
+        f"[{parts} for i in range(1, len(__t) - {n - 2})] ELSE [] END) "
+        f"FROM (SELECT {t} AS __t) __sh)"
+    )
+
+
+# -- token counting -----------------------------------------------------------
+
+def token_count_cols() -> list[Column]:
+    t = tokens_expr()
+    return [
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias("est_bpe_tokens"),
+    ]
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(string_split(lower(text), ' '))      AS n_tokens,
+       length(text)                             AS n_chars_measured,
+       CAST(ceil(length(text) / 4) AS BIGINT)   AS est_bpe_tokens
+FROM documents
+"""
+
+
+# -- language ID (stopword-hit heuristic) ---------------------------------------
+
+def langid_expr() -> Column:
+    """argmax over per-language stopword hit counts; deterministic
+    tiebreak by language order; 'und' when nothing matches."""
+    t = tokens_expr()
+    scores = {
+        lang: F.size(F.filter(t, lambda x: x.isin(*ws)))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):  # later langs win ties only if strictly greater
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def langid_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(lower(text), ' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in ws)
+            + ")))"
+        )
+        for lang, ws in STOPWORDS.items()
+    }
+    expr = "'und'"
+    score_expr = "0"
+    for lang in sorted(STOPWORDS):
+        expr = f"CASE WHEN {score[lang]} > {score_expr} THEN '{lang}' ELSE {expr} END"
+        score_expr = f"CASE WHEN {score[lang]} > {score_expr} THEN {score[lang]} ELSE {score_expr} END"
+    return expr
+
+
+# -- quality score ---------------------------------------------------------------
+
+def quality_cols() -> list[Column]:
+    """Rational-arithmetic-only quality score (no transcendentals, so
+    Spark and DuckDB agree bit-for-bit before rounding)."""
+    t = tokens_expr()
+    n = F.size(t).cast("double")
+    chars = F.length("text").cast("double")
+    avg_len = chars / n
+    stop_ratio = F.size(F.filter(t, lambda x: x.isin(*ALL_STOPWORDS))).cast("double") / n
+    score = (
+        F.least(F.lit(1.0), n / 500.0) * 0.4
+        + stop_ratio * 0.4
+        + (1.0 - F.least(F.lit(1.0), F.abs(avg_len - 5.0) / 10.0)) * 0.2
+    )
+    return [
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    ]
+
+
+def quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           round(__stop / __n, 4) AS stopword_ratio,
+           round(__chars / __n, 4) AS avg_token_len,
+           round(least(1.0, __n / 500.0) * 0.4 + (__stop / __n) * 0.4
+                 + (1.0 - least(1.0, abs(__chars / __n - 5.0) / 10.0)) * 0.2, 4)
+             AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS __n,
+             CAST(length(text) AS DOUBLE) AS __chars,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x IN ({stops}))) AS DOUBLE) AS __stop
+      FROM documents
+    )
+    """
+
+
+# -- fingerprint ------------------------------------------------------------------
+
+def fingerprint_expr() -> Column:
+    """Winnowing-lite document fingerprint: min md5-prefix over word
+    n-gram shingles (empty-doc guard → md5 of whole text)."""
+    sh = shingles_expr()
+    mins = F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
+    return F.coalesce(mins, F.substring(F.md5(F.col("text")), 1, 16))
+
+
+def fingerprint_sql() -> str:
+    return (
+        f"coalesce(list_min(list_transform({shingles_sql()}, "
+        f"s -> substring(md5(s), 1, 16))), substring(md5(text), 1, 16))"
+    )

@@ -1,6 +1,299 @@
-"""Training-data pipeline operators (dedup, similarity, text analysis).
+"""Training-data pipeline operators as correctness-gated queries.
 
-Filled in as operators land; each registers into kudu_spark.queries.REGISTRY.
+Each entry pairs the Spark operator (kudu_spark.operators.*) with a
+DuckDB oracle generated from the SAME constants/formulas
+(kudu_spark.functions.text, operators.similarity.*_sql) so hash
+comparison is exact. See operator modules for 100 TB scale notes.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kudu_spark.functions import text as TX
+from kudu_spark.operators import dedup as DD
+from kudu_spark.operators import similarity as SIM
+from kudu_spark.queries import load, query
+
+ANN_QUERY_IDS = [10, 20, 30, 40, 50]
+COSINE_DUP_THRESHOLD = 0.35
+
+_SHINGLES_LIST_SQL = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] "
+    "ELSE [] END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                        AS n_chars_measured,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)            AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace token count + BPE-ish estimate (chars/4)."""
+    return load(spark, sf_dir, "documents").select("doc_id", *TX.token_count_cols())
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, {TX.langid_sql()} AS lang_pred
+    FROM documents
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword-hit language ID heuristic (argmax, deterministic tiebreak)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", TX.langid_expr().alias("lang_pred")
+    )
+
+
+@query("text_quality_score", oracle=TX.quality_sql())
+def text_quality_score(spark, sf_dir):
+    """Length/stopword/shape quality score in rational arithmetic."""
+    return load(spark, sf_dir, "documents").select("doc_id", *TX.quality_cols())
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {TX.fingerprint_sql()} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Winnowing-lite fingerprint: min shingle-hash per document."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint_expr().alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return DD.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(substring(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 16)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range({TX.MINHASH_SEEDS})) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), bk AS (
+      SELECT doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT) AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS bkey
+      FROM mh GROUP BY doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                              substring(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                            >> (3 - CAST(j % 4 AS INT))) & 1 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM toks CROSS JOIN (SELECT unnest(range({TX.SIMHASH_BITS})) AS j) bits
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    return DD.simhash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), freq AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), rare AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 50
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {SIM.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return SIM.cosine_pairs(load(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _ids_sql():
+    return ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {SIM.cosine_sql('qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           round(c, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    return SIM.brute_force_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {SIM.cosine_sql('e.embedding', 'c.centv')} DESC, c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id AS qc
+      FROM assigned WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {SIM.cosine_sql('qv', 'a.embedding')} AS c
+      FROM assigned a JOIN q ON a.centroid_id = q.qc AND a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           round(c, 6) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (decode stubbed; Spark-side plumbing real)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS est_frames
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Multimodal plumbing: text re-encoded as an opaque binary column
+    (stand-in for image/audio payloads), then feature-extracted with an
+    Arrow-batched mapInPandas — the real decode (PIL/ffmpeg) is stubbed
+    deterministically since codecs aren't in this container, but the
+    schema/batching/partitioning path is exactly what a production
+    decode would use (SURVEY: multimodal columns are outside the
+    reference's surface; binary type parity per common.proto:54)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    # stub decoder: a real one would return frames/pixels
+                    "est_frames": (n_bytes % 7 + 1).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(extract, "doc_id long, n_bytes long, est_frames long")
