@@ -138,6 +138,44 @@ def engine_diff_scan(spark, sf_dir):
 
 
 @query(
+    "engine_changelog_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CAST(2 AS BIGINT) AS _change_version, FALSE AS _is_deleted
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0, 'UPSERTED',
+           CAST(3 AS BIGINT), FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, NULL, NULL, CAST(4 AS BIGINT), TRUE
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def engine_changelog_scan(spark, sf_dir):
+    """Full row-level changelog via the kudu_cdc Python Data Source
+    (batch mode): every mutation commit's rows tagged with
+    _change_version/_is_deleted — the streaming-source read path
+    (≈ incremental backup KuduBackupRDD.scala:74-78 + replication
+    feed), exercised through the correctness gate."""
+    from kudu_spark.streaming import read_changes
+
+    t = _customer_table(spark, sf_dir)  # create=v1, insert=v2
+    c = load(spark, sf_dir, "customer")
+    t.upsert(  # v3
+        c.where(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("UPSERTED").alias("c_mktsegment"),
+        )
+    )
+    t.delete(c.where(F.col("c_custkey") % 7 == 0).select("c_custkey"))  # v4
+    return read_changes(spark, t.root)
+
+
+@query(
     "engine_partitioned_scan",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer

@@ -1,0 +1,213 @@
+"""Change-feed Structured Streaming source over engine tables.
+
+Kudu feeds continuous consumers through repeated diff scans — the
+backup job's incremental mode (java/kudu-backup/KuduBackupRDD.scala:74-78)
+and the Flink replication source (java/kudu-replication/ReplicationJob.java)
+both poll ``diffScan(fromTs, toTs)`` and emit rows tagged with
+IS_DELETED (common.proto:60). This module is the Spark-native
+equivalent: a **Python Data Source** (PySpark 4 `pyspark.sql.datasource`)
+whose offsets are commit-log versions, registered as
+``spark.readStream.format("kudu_cdc")``.
+
+Design (scale notes):
+  - Every mutation commit's data files already carry the row-level
+    change (post-image + ``__deleted`` tombstone flag), so the source
+    never recomputes a diff: a micro-batch over versions (v1, v2] is
+    just "read the parquet files added by mutation commits in that
+    window". One InputPartition per file → executor-parallel, no
+    driver bottleneck, no shuffle.
+  - read() yields **Arrow RecordBatches** (zero row-at-a-time Python),
+    conformed to the table schema at HEAD so schema evolution across
+    the window is handled (missing columns → nulls/defaults).
+  - Offsets are monotone integers; checkpoint/restart and
+    Trigger.AvailableNow work out of the box.
+  - Compaction/vacuum/alter commits are invisible (no logical change),
+    matching diff-scan semantics. Unlike a state diff, the feed is a
+    full changelog: a row upserted 3 times appears 3 times, each
+    tagged with its ``_change_version`` — the replication consumer
+    applies them in version order (apply_changes).
+
+Batch mode works too: ``spark.read.format("kudu_cdc")`` with
+``startingVersion``/``endingVersion`` options reads one window —
+the DataFrame analogue of KuduBackupRDD's incremental scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+MUTATION_OPS = {"insert", "upsert", "update", "delete"}
+VERSION_COL = "_change_version"
+DELETED_COL = "_is_deleted"
+
+
+class ChangeFile(InputPartition):
+    """One parquet delta/base file added by a mutation commit."""
+
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+def _table_state(root: str):
+    from kudu_spark.meta import replay
+
+    st = replay(os.path.basename(root.rstrip("/")), root, None)
+    if st is None:
+        raise ValueError(f"no kudu_spark table at {root}")
+    return st
+
+
+def _change_files(root: str, start_v: int, end_v: int) -> list[ChangeFile]:
+    """Files added by mutation commits in (start_v, end_v]."""
+    from kudu_spark.meta import read_log
+
+    out: list[ChangeFile] = []
+    for c in read_log(root, end_v):
+        if c["version"] <= start_v or c.get("op") not in MUTATION_OPS:
+            continue
+        for a in c.get("actions", []):
+            if a["type"] == "add":
+                out.append(ChangeFile(os.path.join(root, a["file"]["path"]), c["version"]))
+    return out
+
+
+def _read_change_file(part: ChangeFile, arrow_schema):
+    """Executor-side: parquet file → conformed Arrow batches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    cols = []
+    for field in arrow_schema:
+        if field.name == VERSION_COL:
+            arr = pa.array(np.full(n, part.version, dtype=np.int64)).cast(field.type)
+        elif field.name == DELETED_COL:
+            if "__deleted" in tbl.column_names:
+                arr = tbl.column("__deleted").cast(field.type)
+            else:
+                arr = pa.array(np.zeros(n, dtype=bool)).cast(field.type)
+        elif field.name in tbl.column_names:
+            arr = tbl.column(field.name).cast(field.type)
+        else:  # column added after this file was written (schema evolution)
+            arr = pa.nulls(n, type=field.type)
+        cols.append(arr)
+    yield from pa.table(cols, schema=arrow_schema).to_batches()
+
+
+def _arrow_schema_for(spark_schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+class ChangeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, spark_schema, options: dict):
+        self.root = options["path"]
+        self.start_version = int(options.get("startingversion", 0))
+        # driver-side: needs the JVM; executors get the pickled result
+        self.arrow_schema = _arrow_schema_for(spark_schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _table_state(self.root).version}
+
+    def partitions(self, start: dict, end: dict):
+        parts = _change_files(self.root, start["version"], end["version"])
+        # Spark requires a non-empty partition list per planned batch
+        return parts or [ChangeFile("", end["version"])]
+
+    def read(self, partition: ChangeFile):
+        if not partition.path:
+            return iter(())
+        return _read_change_file(partition, self.arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # the commit log is the source of truth; nothing to ack
+
+    def stop(self) -> None:
+        pass
+
+
+class ChangeFeedBatchReader(DataSourceReader):
+    def __init__(self, spark_schema, options: dict):
+        self.root = options["path"]
+        self.start_version = int(options.get("startingversion", 0))
+        end = options.get("endingversion")
+        self.end_version = int(end) if end is not None else _table_state(self.root).version
+        self.arrow_schema = _arrow_schema_for(spark_schema)
+
+    def partitions(self):
+        return _change_files(self.root, self.start_version, self.end_version) or [
+            ChangeFile("", self.end_version)
+        ]
+
+    def read(self, partition: ChangeFile):
+        if not partition.path:
+            return iter(())
+        return _read_change_file(partition, self.arrow_schema)
+
+
+class ChangeFeedDataSource(DataSource):
+    """``format("kudu_cdc")``: change feed over an engine table.
+
+    Options: ``path`` (table root, required), ``startingVersion``
+    (exclusive lower bound, default 0 = since creation),
+    ``endingVersion`` (batch mode only, default HEAD).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kudu_cdc"
+
+    def schema(self) -> str:
+        st = _table_state(self.options["path"])
+        return st.schema.ddl() + f", {VERSION_COL} bigint, {DELETED_COL} boolean"
+
+    def reader(self, schema) -> DataSourceReader:
+        return ChangeFeedBatchReader(schema, self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return ChangeFeedStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the kudu_cdc format on a session."""
+    spark.dataSource.register(ChangeFeedDataSource)
+
+
+def read_changes(spark, table_root: str, from_version: int = 0,
+                 to_version: int | None = None):
+    """Batch changelog between two versions as a DataFrame."""
+    register(spark)
+    r = (
+        spark.read.format("kudu_cdc")
+        .option("path", table_root)
+        .option("startingVersion", from_version)
+    )
+    if to_version is not None:
+        r = r.option("endingVersion", to_version)
+    return r.load()
+
+
+def stream_changes(spark, table_root: str, from_version: int = 0):
+    """Streaming changelog (readStream) from a version onward."""
+    register(spark)
+    return (
+        spark.readStream.format("kudu_cdc")
+        .option("path", table_root)
+        .option("startingVersion", from_version)
+        .load()
+    )
