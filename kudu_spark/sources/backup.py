@@ -1,0 +1,127 @@
+"""Backup and restore (≈ java/kudu-backup).
+
+A backup is a directory of parquet + a JSON metadata sidecar, in a
+graph keyed by (from_version, to_version] exactly like kudu-backup's
+time-window graph:
+
+  {root}/{table}/{from}-{to}/rows/   parquet data
+  {root}/{table}/{from}-{to}/kudu-backup.json
+
+- Full backup (KuduBackup.scala): scan at HEAD, ``from = 0``.
+- Incremental (KuduBackupRDD.scala:74-78 diffScan): the collapsed
+  change set since the last backup's ``to_version``, rows tagged
+  ``_is_deleted`` (IS_DELETED virtual column, common.proto:60).
+- Restore (KuduRestore.scala): create the table from the full
+  backup's metadata, then replay incrementals in window order —
+  upserts for live rows, deletes for tombstones (RowAction mapping,
+  KuduBackupRDD.scala:150-164).
+
+Scale: backup writes are straight DataFrame→parquet jobs (executor
+parallel); restore replays each window through the bulk mutation
+path. Nothing iterates rows on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kudu_spark.streaming.sink import apply_changes
+
+META_NAME = "kudu-backup.json"
+
+
+def _window_dir(root: str, table_name: str, lo: int, hi: int) -> str:
+    return os.path.join(root, table_name, f"{lo:012d}-{hi:012d}")
+
+
+def _windows(root: str, table_name: str) -> list[tuple[int, int, str]]:
+    tdir = os.path.join(root, table_name)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(tdir)):
+        parts = name.split("-")
+        if len(parts) == 2 and os.path.exists(os.path.join(tdir, name, META_NAME)):
+            out.append((int(parts[0]), int(parts[1]), os.path.join(tdir, name)))
+    return out
+
+
+def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
+    """Write a backup window. ``incremental=None`` auto-picks: full if
+    no prior backup exists, else incremental from the last one."""
+    st = table.state()
+    prior = _windows(backup_root, table.name)
+    if incremental is None:
+        incremental = bool(prior)
+    if incremental and not prior:
+        raise ValueError("incremental backup requires a prior full backup")
+    lo = prior[-1][1] if incremental else 0
+    hi = st.version
+    if incremental and lo == hi:
+        return {"skipped": "no changes", "from_version": lo, "to_version": hi}
+    out = _window_dir(backup_root, table.name, lo, hi)
+    df = table.diff_scan(lo, hi) if incremental else table.scan(version=hi)
+    df.write.mode("overwrite").parquet(os.path.join(out, "rows"))
+    meta = {
+        "table": table.name,
+        "type": "incremental" if incremental else "full",
+        "from_version": lo,
+        "to_version": hi,
+        "schema": st.schema.to_json(),
+        "partition_spec": st.partition_spec.to_json(),
+    }
+    with open(os.path.join(out, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def restore(engine, backup_root: str, table_name: str,
+            new_name: str | None = None, through_version: int | None = None):
+    """Recreate a table from its backup graph (full + incrementals in
+    order). ``through_version`` stops early (point-in-time restore to
+    a backed-up window boundary)."""
+    from kudu_spark.meta import Schema
+    from kudu_spark.table import AUTO_INC_COL
+
+    wins = _windows(backup_root, table_name)
+    if not wins or wins[0][0] != 0:
+        raise ValueError(f"no full backup for {table_name} under {backup_root}")
+    spark = engine.spark
+    with open(os.path.join(wins[0][2], META_NAME)) as f:
+        meta = json.load(f)
+    sch = Schema.from_json(meta["schema"])
+    pk = [c for c in sch.pk if c != AUTO_INC_COL]
+    fields = [(c.name, c.type, c.nullable) for c in sch.columns if c.name != AUTO_INC_COL]
+    ps = meta.get("partition_spec", {})
+    hash_partitions = [
+        {"columns": h["columns"], "buckets": h["buckets"], "seed": h.get("seed", 0)}
+        for h in ps.get("hash", [])
+    ] or None
+    rng = ps.get("range") or {}
+    range_partition = (
+        {"column": rng["column"], "ranges": [list(r) for r in rng.get("ranges", [])]}
+        if rng.get("column")
+        else None
+    )
+    dst = engine.create_table(
+        new_name or table_name,
+        fields,
+        pk=pk,
+        hash_partitions=hash_partitions,
+        range_partition=range_partition,
+        immutable_cols=[c.name for c in sch.columns if c.immutable] or None,
+        non_unique_pk=AUTO_INC_COL in sch.pk,
+    )
+    for lo, hi, path in wins:
+        if through_version is not None and lo >= through_version:
+            break
+        df = spark.read.parquet(os.path.join(path, "rows"))
+        if AUTO_INC_COL in df.columns:
+            df = df.drop(AUTO_INC_COL)
+        if lo == 0:
+            if not df.isEmpty():
+                dst.insert(df)
+        else:
+            apply_changes(dst, df)
+    return dst

@@ -1,0 +1,110 @@
+"""Bulk import/export, table copy, Avro schema export, backup/restore
+(SURVEY §2.1: line_item_tsv_importer.h, table_scanner.cc copy mode,
+tool_action_table.cc PopulateAvroSchema, java/kudu-backup)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kudu_spark.engine import Engine
+from kudu_spark.sources import (
+    avro_schema,
+    backup,
+    copy_table,
+    export_csv,
+    import_csv,
+    restore,
+)
+
+SCHEMA = [
+    ("k", "bigint", False),
+    ("v", "int", True),
+    ("s", "string", True),
+]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def rows(spark, keys, v=0):
+    return spark.createDataFrame(
+        [(k, k * 10 + v, f"s{k}") for k in keys], "k bigint, v int, s string"
+    )
+
+
+def test_import_csv_tbl(engine, spark, tmp_path):
+    tbl = tmp_path / "in.tbl"
+    tbl.write_text("".join(f"{k}|{k * 10}|s{k}|\n" for k in range(50)))
+    t = engine.create_table("imp", SCHEMA, pk=["k"])
+    import_csv(t, str(tbl), sep="|")
+    got = {r.k: (r.v, r.s) for r in t.scan().collect()}
+    assert got == {k: (k * 10, f"s{k}") for k in range(50)}
+
+
+def test_export_csv_predicated(engine, spark, tmp_path):
+    t = engine.create_table("exp", SCHEMA, pk=["k"])
+    t.insert(rows(spark, range(100)))
+    out = str(tmp_path / "out")
+    export_csv(t, out, predicates=["AND", [">=", "k", 10], ["<", "k", 20]])
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 10
+
+
+def test_copy_table(engine, spark):
+    t = engine.create_table(
+        "src", SCHEMA, pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    t.insert(rows(spark, range(100)))
+    t.delete(spark.createDataFrame([(7,), (8,)], "k bigint"))
+    dst = copy_table(engine, "src", "dst")
+    assert dst.scan().count() == 98
+    assert [d.buckets for d in dst.state().partition_spec.hash_dims] == [4]
+    # predicated copy
+    dst2 = copy_table(engine, "src", "dst2", predicates=["<", "k", 10])
+    assert dst2.scan().count() == 8  # 0-9 minus deleted 7,8
+
+
+def test_avro_schema(engine):
+    t = engine.create_table(
+        "av",
+        [("k", "bigint", False), ("d", "decimal(12,2)", True),
+         ("ts", "timestamp", True), ("tags", "array<string>", True)],
+        pk=["k"],
+    )
+    av = avro_schema(t)
+    by_name = {f["name"]: f["type"] for f in av["fields"]}
+    assert by_name["k"] == "long"
+    assert by_name["d"][1]["logicalType"] == "decimal"
+    assert by_name["ts"][1]["logicalType"] == "timestamp-micros"
+    assert by_name["tags"][1]["type"] == "array"
+
+
+def test_backup_restore_cycle(engine, spark, tmp_path):
+    broot = str(tmp_path / "backups")
+    t = engine.create_table("bk", SCHEMA, pk=["k"])
+    t.insert(rows(spark, range(60)))
+    m1 = backup(t, broot)                      # full
+    assert m1["type"] == "full"
+    t.upsert(rows(spark, [1, 2, 61], v=5))
+    t.delete(spark.createDataFrame([(3,)], "k bigint"))
+    m2 = backup(t, broot)                      # incremental
+    assert m2["type"] == "incremental" and m2["from_version"] == m1["to_version"]
+    # restore full+incremental into a new table
+    r = restore(engine, broot, "bk", new_name="bk_restored")
+    want = {(x.k, x.v, x.s) for x in t.scan().collect()}
+    got = {(x.k, x.v, x.s) for x in r.scan().collect()}
+    assert got == want
+    # point-in-time restore: only the full window
+    r2 = restore(engine, broot, "bk", new_name="bk_pit",
+                 through_version=m1["to_version"])
+    assert r2.scan().count() == 60
+    # no-change incremental is skipped
+    m3 = backup(t, broot)
+    assert "skipped" in m3
