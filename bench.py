@@ -28,6 +28,16 @@ HEADLINE = [
     "join_local_supplier_volume",
     "join_returned_item_customers",
     "window_top3_orders_per_customer",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "window_tumbling_events",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
 ]
 
 

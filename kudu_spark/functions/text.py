@@ -24,6 +24,26 @@ MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
 SIMHASH_BITS = 60  # keep within a signed 64-bit value
 
+# Universal-hash family for minhash permutations: mh_i = (a_i*h + b_i) mod P
+# over h = first 32 bits of md5(shingle). One md5 per shingle, then
+# multiply-add per permutation — 8-128 permutations cost ~nothing vs
+# one md5 each. Constants derived from md5(seed) so both engines can
+# inline them as literals. a < 2^29 (odd), h < 2^32, b < 2^32 →
+# a*h + b < 2^62: no bigint overflow in either engine (DuckDB raises
+# on overflow; Spark silently wraps — both stay exact here).
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_perms(seeds: int = MINHASH_SEEDS) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for s in range(seeds):
+        a = int(hashlib.md5(f"a{s}".encode()).hexdigest()[:7], 16) * 2 + 1
+        b = int(hashlib.md5(f"b{s}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
@@ -44,16 +64,29 @@ def tokens_sql(col: str = "text") -> str:
     return f"string_split(lower({col}), ' ')"
 
 
-def shingles_expr(col: str = "text", n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles (guarding short docs: Spark's
-    sequence(1, k) DESCENDS when k < 1, so it must be gated)."""
-    t = tokens_expr(col)
+def shingles_from(t: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED
+    tokens column (guarding short docs: Spark's sequence(1, k)
+    DESCENDS when k < 1, so it must be gated).
+
+    Performance contract: ``t`` must be a bound attribute (e.g. via
+    ``withColumn("__t", tokens_expr())``), not an inline expression —
+    ``element_at(t, i)`` runs once per sequence index, and an inline
+    ``split`` there re-tokenizes the document per index (quadratic;
+    measured 10-17x slower at 100-token docs, worse at 100 TB doc
+    sizes)."""
     k = F.size(t) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
     return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingles_expr(col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Inline-tokenizing variant — only for one-shot/small uses; hot
+    paths must materialize tokens and call shingles_from."""
+    return shingles_from(tokens_expr(col), n)
 
 
 def shingles_sql(col: str = "text", n: int = SHINGLE_N) -> str:
@@ -166,12 +199,17 @@ def quality_sql() -> str:
 
 # -- fingerprint ------------------------------------------------------------------
 
-def fingerprint_expr() -> Column:
-    """Winnowing-lite document fingerprint: min md5-prefix over word
-    n-gram shingles (empty-doc guard → md5 of whole text)."""
-    sh = shingles_expr()
+def fingerprint_from(t: Column) -> Column:
+    """Winnowing-lite document fingerprint over a materialized tokens
+    column: min md5-prefix over word n-gram shingles (empty-doc guard
+    → md5 of whole text)."""
+    sh = shingles_from(t)
     mins = F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
     return F.coalesce(mins, F.substring(F.md5(F.col("text")), 1, 16))
+
+
+def fingerprint_expr() -> Column:
+    return fingerprint_from(tokens_expr())
 
 
 def fingerprint_sql() -> str:

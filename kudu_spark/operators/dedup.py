@@ -24,11 +24,25 @@ from pyspark.sql import functions as F
 
 from kudu_spark.functions.text import (
     LSH_BANDS,
+    MINHASH_P,
     MINHASH_SEEDS,
     SIMHASH_BITS,
-    shingles_expr,
+    minhash_perms,
+    shingles_from,
     tokens_expr,
 )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives with fewer
+    partitions than cores (e.g. one small parquet file) so the
+    per-document hashing below parallelizes. At warehouse scale inputs
+    already carry >= cores partitions and this is a no-op — no shuffle
+    is added on the 100 TB path."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -44,38 +58,56 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, seed, minhash) — min md5-prefix per permutation."""
-    sh = docs.select("doc_id", F.explode(shingles_expr()).alias("s"))
-    seed_df = docs.sparkSession.range(seeds).select(F.col("id").cast("int").alias("seed"))
+    """(doc_id, seed, mh) — permutation minima via a universal hash
+    family: ONE md5 per distinct shingle (h = first 32 md5 bits as an
+    attribute), then min((a_i*h + b_i) mod P) per seed. The seed
+    fan-out is a broadcast crossJoin of multiply-adds over the
+    materialized h — not one digest per (shingle, seed) — and the
+    (doc, seed) min is map-side combinable, so the shuffle carries one
+    row per (doc, seed), independent of document length.
+
+    (An arrays-only formulation — per-doc hash array + 'seeds'
+    array_mins in one projection — benchmarked 8x SLOWER: Catalyst's
+    CollapseProject inlines the hash-array alias into every array_min,
+    re-hashing all shingles per permutation. Attributes flowing
+    through explode/agg boundaries are evaluated exactly once.)"""
+    sh = (
+        _spread(docs)
+        .withColumn("__t", tokens_expr())
+        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h"))
+    )
+    perms = docs.sparkSession.createDataFrame(
+        [(s, a, b) for s, (a, b) in enumerate(minhash_perms(seeds))],
+        "seed int, a bigint, b bigint",
+    )
     return (
-        sh.crossJoin(F.broadcast(seed_df))
+        sh.crossJoin(F.broadcast(perms))
         .groupBy("doc_id", "seed")
         .agg(
-            F.min(
-                F.substring(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))), 1, 16)
-            ).alias("mh")
+            F.min((F.col("h") * F.col("a") + F.col("b")) % F.lit(MINHASH_P)).alias("mh")
         )
     )
 
 
 def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any LSH band."""
-    rows_per_band = seeds // bands
+    """Candidate near-duplicate pairs: docs sharing any LSH band.
+    Downstream shuffles are keyed on (doc, band) and md5(band slice)
+    — collision buckets only, never document content."""
+    r = seeds // bands
     sig = minhash_signatures(docs, seeds).withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
+        "band", (F.col("seed") / r).cast("int")
     )
-    band_key = (
-        sig.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]
-                    ),
-                    ",",
-                )
-            ).alias("bkey")
-        )
+    band_key = sig.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bkey")
     )
     a = band_key.alias("a")
     b = band_key.alias("b")
@@ -94,12 +126,16 @@ def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc simhash over distinct tokens: bit j of md5(token) votes
     ±1; simhash bit j = (vote sum > 0). Returned as a bigint."""
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok"))
+    # materialize the md5 hex BEFORE fanning out over bit positions —
+    # one hash per token, not one per (token, bit)
+    tok = _spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("tok"))
     bit_df = docs.sparkSession.range(bits).select(F.col("id").cast("int").alias("j"))
     # SQL-expression form: shiftright/shiftleft take column shift amounts
     # in SQL (the F.shiftright python wrapper requires an int literal)
     bit_sql = (
-        "(shiftright(CAST(conv(substring(md5(tok), CAST(j / 4 AS INT) + 1, 1), 16, 10)"
+        "(shiftright(CAST(conv(substring(tok, CAST(j / 4 AS INT) + 1, 1), 16, 10)"
         " AS INT), 3 - CAST(j % 4 AS INT)) & 1)"
     )
     votes = (
@@ -169,7 +205,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     generate quadratic candidates and discriminate nothing); both the
     intersection and the set sizes use the filtered shingle space, so
     the value is the exact Jaccard of the rare-shingle sets."""
-    sh = docs.select("doc_id", F.explode(shingles_expr()).alias("s"))
+    sh = (
+        _spread(docs).withColumn("__t", tokens_expr())
+        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        # 60-bit md5 prefix as the join/groupBy key: the inverted-index
+        # self-join shuffles 8-byte ints instead of shingle strings
+        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"))
+    )
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(F.broadcast(freq.where(F.col("df") <= max_shingle_freq)), "s").select(
         "doc_id", "s"

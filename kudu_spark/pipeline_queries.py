@@ -74,8 +74,10 @@ def text_quality_score(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Winnowing-lite fingerprint: min shingle-hash per document."""
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", TX.fingerprint_expr().alias("fingerprint")
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("__t", TX.tokens_expr())
+        .select("doc_id", TX.fingerprint_from(F.col("__t")).alias("fingerprint"))
     )
 
 
@@ -97,6 +99,11 @@ def dedup_exact(spark, sf_dir):
     return DD.exact_duplicates(load(spark, sf_dir, "documents"))
 
 
+_PERMS_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(TX.minhash_perms())
+)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -104,14 +111,15 @@ def dedup_exact(spark, sf_dir):
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh
     ), mh AS (
-      SELECT doc_id, seed,
-             min(substring(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 16)) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(range({TX.MINHASH_SEEDS})) AS seed) seeds
+      SELECT doc_id, seed, min((h * a + b) % {TX.MINHASH_P}) AS mh
+      FROM h CROSS JOIN (VALUES {_PERMS_VALUES}) seeds(seed, a, b)
       GROUP BY doc_id, seed
     ), bk AS (
       SELECT doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT) AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS bkey
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
       FROM mh GROUP BY doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

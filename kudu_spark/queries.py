@@ -536,6 +536,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # late imports register their REGISTRY entries on first use
     from kudu_spark import pipeline_queries  # noqa: F401
     from kudu_spark import engine_queries  # noqa: F401
+    from kudu_spark import tpch_queries  # noqa: F401
 
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
@@ -543,5 +544,6 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def get_oracles() -> dict[str, str]:
     from kudu_spark import pipeline_queries  # noqa: F401
     from kudu_spark import engine_queries  # noqa: F401
+    from kudu_spark import tpch_queries  # noqa: F401
 
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,370 @@
+"""TPC-H-adapted queries over the engine's scan surface.
+
+Kudu's published benchmark IS TPC-H via an engine layered on top
+(docs/whitepaper/kudu.tex:884-931 runs all 22 queries through Impala;
+BASELINE.md). The reference implements none of these operators itself
+— they exercise exactly the division of labor the engine is built
+for: pushdown-friendly scans feeding Spark's joins/aggs/windows.
+Queries are adapted to the driver's synthetic schema (no
+partsupp/ps_supplycost, no l_shipmode/l_commitdate; lineitem's
+(l_partkey, l_suppkey) stands in for partsupp) but keep each
+original's plan shape: semi/anti joins, correlated aggregates,
+scalar subqueries, HAVING, multi-way joins with small broadcast dims.
+
+Scale notes (100 TB): dimension tables (region/nation/supplier/part)
+are broadcast — no shuffle of the fact table for those joins; AQE
+handles the remaining fact-side shuffles; all predicates are plain
+column comparisons that reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from kudu_spark.queries import load, query
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4: EXISTS → left-semi join (l_commitdate/receiptdate absent;
+    adapted to 'shipped after order date')."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    sel = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7: 5-way join, two broadcast nation dims, year rollup."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority_lines(spark, sf_dir):
+    """Q12: conditional aggregation over a join (l_shipmode absent;
+    grouped by returnflag)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14: promo revenue share; part dim broadcast."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-06-01")) & (F.col("l_shipdate") < _ts("1997-07-01"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15: view + scalar-subquery max (rounded before the compare so
+    both engines agree bit-exactly)."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.m)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16: distinct-count suppliers per part group (lineitem's
+    (partkey, suppkey) stands in for partsupp)."""
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """Q17: correlated aggregate subquery → per-key average joined
+    back (decorrelation done declaratively)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ap"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 300
+    """,
+)
+def tpch_q18_large_volume(spark, sf_dir):
+    """Q18: HAVING over a 3-way join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("__sq"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """Q19: disjunctive multi-column predicates across the join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales(spark, sf_dir):
+    """Q22: scalar subquery + anti join (phone cntrycode absent;
+    grouped by nationkey)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "window_tumbling_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_events(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation (F.window) — the
+    batch shape of the Structured Streaming windowed agg (SURVEY §2.9;
+    streaming watermark variant in kudu_spark.streaming)."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
