@@ -1,0 +1,117 @@
+"""Thin CLI over the engine (≈ the `kudu table ...` tool surface,
+src/kudu/tools/tool_action_table.cc and table_scanner.cc).
+
+    python -m kudu_spark.cli list --warehouse WH
+    python -m kudu_spark.cli describe  --warehouse WH TABLE
+    python -m kudu_spark.cli scan      --warehouse WH TABLE \
+        --predicates '["AND", [">=", "k", 10], ["<", "k", 20]]' \
+        --columns k,v --limit 10 [--csv-out DIR]
+    python -m kudu_spark.cli copy      --warehouse WH SRC DST
+    python -m kudu_spark.cli backup    --warehouse WH TABLE --dir B
+    python -m kudu_spark.cli restore   --warehouse WH TABLE --dir B [--as NEW]
+    python -m kudu_spark.cli statistics --warehouse WH TABLE
+    python -m kudu_spark.cli checksum  --warehouse WH TABLE
+    python -m kudu_spark.cli locate-row --warehouse WH TABLE --pk '{"k": 5}'
+
+Predicates use the `kudu table scan` JSON grammar
+(table_scanner.cc:113-131): [op, col, value] with op in <= < = > >=,
+["IN", col, [...]], ["NULL"/"NOTNULL", col], ["AND", ...].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args):
+    from kudu_spark.engine import Engine
+    from kudu_spark.session import get_spark
+
+    return Engine(get_spark(app_name="pyskudu-cli"), args.warehouse)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pyskudu")
+    p.add_argument("--warehouse", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list")
+    for name in ("describe", "statistics", "checksum"):
+        sp = sub.add_parser(name)
+        sp.add_argument("table")
+    sp = sub.add_parser("scan")
+    sp.add_argument("table")
+    sp.add_argument("--predicates", default=None)
+    sp.add_argument("--columns", default=None)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--ordered", action="store_true")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--csv-out", default=None)
+    sp = sub.add_parser("copy")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp = sub.add_parser("backup")
+    sp.add_argument("table")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--full", action="store_true", help="force a full backup")
+    sp = sub.add_parser("restore")
+    sp.add_argument("table")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--as", dest="new_name", default=None)
+    sp = sub.add_parser("locate-row")
+    sp.add_argument("table")
+    sp.add_argument("--pk", required=True, help='JSON dict, e.g. {"k": 5}')
+    args = p.parse_args(argv)
+
+    eng = _engine(args)
+    if args.cmd == "list":
+        print("\n".join(eng.list_tables()))
+    elif args.cmd == "describe":
+        st = eng.table(args.table).state()
+        print(json.dumps({
+            "schema": st.schema.to_json(),
+            "partition_spec": st.partition_spec.to_json(),
+            "version": st.version,
+        }, indent=2))
+    elif args.cmd == "statistics":
+        print(json.dumps(eng.table(args.table).statistics()))
+    elif args.cmd == "checksum":
+        print(json.dumps(eng.table(args.table).checksum()))
+    elif args.cmd == "scan":
+        from kudu_spark.plans.predicates import parse_predicates
+
+        t = eng.table(args.table)
+        filters = parse_predicates(args.predicates) if args.predicates else None
+        cols = args.columns.split(",") if args.columns else None
+        df = t.scan(columns=cols, filters=filters, limit=args.limit,
+                    ordered=args.ordered, version=args.version)
+        if args.csv_out:
+            df.write.option("header", "true").mode("overwrite").csv(args.csv_out)
+        else:
+            for row in df.toLocalIterator():
+                print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "copy":
+        from kudu_spark.sources import copy_table
+
+        copy_table(eng, args.src, args.dst)
+        print(f"copied {args.src} -> {args.dst}")
+    elif args.cmd == "backup":
+        from kudu_spark.sources import backup
+
+        meta = backup(eng.table(args.table), args.dir,
+                      incremental=False if args.full else None)
+        print(json.dumps(meta))
+    elif args.cmd == "restore":
+        from kudu_spark.sources import restore
+
+        t = restore(eng, args.dir, args.table, new_name=args.new_name)
+        print(f"restored {args.table} as {t.name} ({t.scan().count()} rows)")
+    elif args.cmd == "locate-row":
+        print(json.dumps(eng.locate_row(args.table, json.loads(args.pk))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -219,20 +219,20 @@ class Table:
             return None
         cur = st.schema
         out = None
-        by_sv: dict[int, list[FileEntry]] = {}
+        # One parquet scan per (schema_version, manifest seq) group with
+        # the seq attached as a LITERAL: the authoritative seq comes
+        # from the manifest (retry-safe — commit retries re-stamp the
+        # manifest, never the files), and a literal keeps the branch a
+        # bare parquet scan so Catalyst pushes predicates/projection
+        # all the way down. (The previous input_file_name()+broadcast-
+        # join formulation defeated ALL parquet pushdown: the join
+        # barrier sat between Filter and Scan.) Group count = commits
+        # contributing live files, collapsed by compaction.
+        groups: dict[tuple[int, int], list[FileEntry]] = {}
         for f in files:
-            by_sv.setdefault(f.schema_version, []).append(f)
-        for sv, group in sorted(by_sv.items()):
+            groups.setdefault((f.schema_version, f.seq), []).append(f)
+        for (sv, seq), group in sorted(groups.items()):
             df = self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in group])
-            # authoritative seq comes from the manifest (retry-safe), joined
-            # in via the tiny broadcast file→seq map
-            seq_map = self.spark.createDataFrame(
-                [(os.path.basename(f.path), f.seq) for f in group],
-                "__file string, __manifest_seq bigint",
-            )
-            df = df.withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            ).join(F.broadcast(seq_map), on="__file", how="inner")
             old = st.schemas_by_version.get(sv, cur)
             by_id_old = {c.id: c.name for c in old.columns}
             exprs = []
@@ -242,7 +242,7 @@ class Table:
                     exprs.append(F.col(old_name).cast(c.type).alias(c.name))
                 else:
                     exprs.append(F.lit(c.default).cast(c.type).alias(c.name))
-            exprs += [F.col("__manifest_seq").alias(SEQ_COL), F.col(DEL_COL)]
+            exprs += [F.lit(seq).cast("bigint").alias(SEQ_COL), F.col(DEL_COL)]
             part = df.select(*exprs)
             out = part if out is None else out.unionByName(part)
         return out
@@ -312,6 +312,18 @@ class Table:
                 expr = expr & c.isNotNull()
             elif op == "is_null":
                 expr = expr & c.isNull()
+            elif op == "prefix":
+                # StringStartsWith: Catalyst pushes StartsWith to parquet
+                # (the connector rewrites it to a range the same way,
+                # DefaultSource.scala:406-414)
+                expr = expr & c.startswith(val)
+            elif op == "in_bloom":
+                # InBloomFilter (column_predicate.h:143-149): val is a
+                # plans.bloom.BloomFilter (or its to_json dict)
+                from kudu_spark.plans.bloom import BloomFilter
+
+                bf = BloomFilter.from_json(val) if isinstance(val, dict) else val
+                expr = expr & bf.might_contain(c)
             else:
                 raise KuduSparkError(f"unknown predicate op {op}")
         return expr
@@ -586,11 +598,14 @@ class Table:
 
     # -- mutations ---------------------------------------------------------------
 
-    def insert(self, df: DataFrame, mode: str = "error") -> int:
+    def insert(self, df: DataFrame, mode: str = "error",
+               handle_schema_drift: bool = False) -> int:
         """INSERT (error on duplicate PK) / INSERT_IGNORE
-        (row_operations.proto:36,40; apply path tablet/tablet.cc:836)."""
+        (row_operations.proto:36,40; apply path tablet/tablet.cc:836).
+        ``handle_schema_drift`` auto-adds unknown batch columns first
+        (KuduWriteOptions.handleSchemaDrift)."""
         assert mode in ("error", "ignore")
-        st = self.state()
+        st = self._auto_add_columns(df) if handle_schema_drift else self.state()
         batch = self._validate_batch(st, df)
         pk = st.schema.pk
         logical_pk = [c for c in pk if c != AUTO_INC_COL]
@@ -631,7 +646,8 @@ class Table:
     def insert_ignore(self, df: DataFrame) -> int:
         return self.insert(df, mode="ignore")
 
-    def upsert(self, df: DataFrame, mode: str = "error") -> int:
+    def upsert(self, df: DataFrame, mode: str = "error",
+               handle_schema_drift: bool = False) -> int:
         """UPSERT / UPSERT_IGNORE (row_operations.proto:39,43).
         Duplicate PKs within the batch resolve last-wins by __row_idx
         when the caller provides it (writer sessions do), else
@@ -639,7 +655,7 @@ class Table:
         unordered sets). UPSERT that would change an immutable column
         of an existing row errors; UPSERT_IGNORE keeps the old value."""
         assert mode in ("error", "ignore")
-        st = self.state()
+        st = self._auto_add_columns(df) if handle_schema_drift else self.state()
         pk = st.schema.pk
         order_col = "__row_idx" if "__row_idx" in df.columns else None
         batch = df.select(
@@ -815,6 +831,56 @@ class Table:
                 os.unlink(os.path.join(data_dir, name))
                 removed += 1
         return removed
+
+    # -- schema drift on write (KuduWriteOptions.scala:37-46) --------------------
+
+    def _auto_add_columns(self, df: DataFrame) -> TableState:
+        """handleSchemaDrift: unknown batch columns become nullable
+        table columns via an automatic ALTER before the write."""
+        from kudu_spark.engine import _spark_type_to_ddl
+        from kudu_spark.meta import ColumnSpec
+
+        st = self.state()
+        extra = [
+            f for f in df.schema.fields
+            if f.name not in st.schema.names and f.name not in RESERVED
+            and f.name != "__row_idx"
+        ]
+        if not extra:
+            return st
+        import copy
+
+        sch = copy.deepcopy(st.schema)
+        for fld in extra:
+            sch.columns.append(
+                ColumnSpec(
+                    id=sch.next_col_id,
+                    name=fld.name,
+                    type=_spark_type_to_ddl(fld.dataType),
+                    nullable=True,
+                )
+            )
+            sch.next_col_id += 1
+        sch.version += 1
+        self._commit(st, "alter", [], schema=sch)
+        return self.state()
+
+    # -- checksum scan (tablet_service.cc:2561 Checksum RPC, ksck_checksum) ------
+
+    def checksum(self, version: int | None = None) -> dict:
+        """Order-insensitive content checksum: bit_xor of per-row
+        xxhash64 over all columns + row count (xor commutes and cannot
+        overflow under ANSI mode; rows are PK-unique so pair
+        cancellation needs a 64-bit hash collision). Two replicas /
+        two engines holding the same logical rows agree regardless of
+        file layout — the cluster-consistency verifier's primitive."""
+        st = self.state(version)
+        df = self._snapshot_df(st)
+        row_h = F.xxhash64(*[F.col(c) for c in st.schema.names])
+        r = df.agg(
+            F.bit_xor(row_h).alias("x"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return {"checksum": int(r.x or 0), "rows": int(r.n)}
 
     # -- statistics (client.h:1568 KuduTableStatistics) -------------------------
 
