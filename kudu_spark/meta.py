@@ -123,6 +123,14 @@ class Schema:
             f"`{c.name}` {c.type}" + ("" if c.nullable else " NOT NULL") for c in cols
         )
 
+    def frame_ddl(self) -> str:
+        """DDL usable for DataFrame schemas: Spark 4 forbids
+        char/varchar in plan output, so those degrade to string (the
+        declared length is still enforced by the write path)."""
+        import re
+
+        return re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string", self.ddl())
+
     def to_json(self) -> dict:
         return {
             "columns": [c.to_json() for c in self.columns],

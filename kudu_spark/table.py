@@ -74,6 +74,17 @@ def seq_for(version: int, sub: int = 0) -> int:
 Predicate = tuple  # ("col", op, value) — op in {"=","<","<=",">",">=","in","not_null","is_null"}
 
 
+def _write_cast(expr, type_str: str):
+    """Cast a batch column to its declared type; VARCHAR(n) truncates
+    (ColumnTypeAttributesPB.length, common.proto:127)."""
+    import re
+
+    m = re.fullmatch(r"varchar\s*\(\s*(\d+)\s*\)", type_str.strip(), re.I)
+    if m:
+        return F.substring(expr.cast("string"), 1, int(m.group(1)))
+    return expr.cast(type_str)
+
+
 def _jsonable(v):
     import datetime
     import decimal
@@ -276,7 +287,7 @@ class Table:
             )
         if df_clean is None and df_dirty is None:
             # empty table: zero-row frame with the right schema
-            ddl = st.schema.ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
+            ddl = st.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
             df = self.spark.createDataFrame([], ddl)
         elif df_clean is None:
             df = df_dirty
@@ -372,7 +383,7 @@ class Table:
 
         def restrict(st):
             if st is None:
-                ddl = st2.schema.ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
+                ddl = st2.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
                 return self.spark.createDataFrame([], ddl).drop(SEQ_COL, DEL_COL)
             sub = TableState(**{**st.__dict__})
             if touched is not None:
@@ -464,7 +475,7 @@ class Table:
         exprs = []
         for c in sch.columns:
             if c.name in df.columns:
-                exprs.append(F.col(c.name).cast(c.type).alias(c.name))
+                exprs.append(_write_cast(F.col(c.name), c.type).alias(c.name))
             elif c.name == AUTO_INC_COL:
                 continue  # assigned by insert path
             elif not require_all:
@@ -660,9 +671,9 @@ class Table:
         order_col = "__row_idx" if "__row_idx" in df.columns else None
         batch = df.select(
             *[
-                (F.col(c.name) if c.name in df.columns else F.lit(c.default))
-                .cast(c.type)
-                .alias(c.name)
+                _write_cast(
+                    F.col(c.name) if c.name in df.columns else F.lit(c.default), c.type
+                ).alias(c.name)
                 for c in st.schema.columns
             ],
             *([F.col(order_col)] if order_col else []),
@@ -732,8 +743,8 @@ class Table:
         if not upd_cols:
             return st.version  # update_ignore dropped everything: no-op
         batch = df.select(
-            *[F.col(c).cast(st.schema.col(c).type).alias(c) for c in pk],
-            *[F.col(c).cast(st.schema.col(c).type).alias(f"__new_{c}") for c in upd_cols],
+            *[_write_cast(F.col(c), st.schema.col(c).type).alias(c) for c in pk],
+            *[_write_cast(F.col(c), st.schema.col(c).type).alias(f"__new_{c}") for c in upd_cols],
         ).dropDuplicates(pk)
         current = self._snapshot_df(st).withColumn("__exists", F.lit(True))
         joined = batch.join(current, on=pk, how="left")
