@@ -279,29 +279,34 @@ def ann_ivf_topk(spark, sf_dir):
     """,
 )
 def multimodal_binary_stats(spark, sf_dir):
-    """Multimodal plumbing: text re-encoded as an opaque binary column
-    (stand-in for image/audio payloads), then feature-extracted with an
-    Arrow-batched mapInPandas — the real decode (PIL/ffmpeg) is stubbed
-    deterministically since codecs aren't in this container, but the
-    schema/batching/partitioning path is exactly what a production
-    decode would use (SURVEY: multimodal columns are outside the
-    reference's surface; binary type parity per common.proto:54)."""
-    import pandas as pd
+    """Multimodal metadata pass: text re-encoded as an opaque binary
+    column (stand-in for image/audio payloads; binary type parity per
+    common.proto:54), stats computed JVM-side — see
+    operators.multimodal for the Arrow-batched decode plumbing."""
+    from kudu_spark.operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
+    return MM.binary_stats(docs)
 
-    def extract(batches):
-        for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    # stub decoder: a real one would return frames/pixels
-                    "est_frames": (n_bytes % 7 + 1).astype("int64"),
-                }
-            )
 
-    return docs.mapInPandas(extract, "doc_id long, n_bytes long, est_frames long")
+@query(
+    "multimodal_frame_positions",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * octet_length(encode(text)) // 4 AS BIGINT) AS frame_offset
+    FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) idx
+    """,
+)
+def multimodal_frame_positions(spark, sf_dir):
+    """Frame-sample planning (video keyframe shape): k byte offsets
+    per payload, pure JVM — payloads never shuffle. The actual byte
+    extraction (frame_sample, mapInPandas) is covered by pytest since
+    SQL can't compare binary windows portably."""
+    from kudu_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return MM.frame_positions(docs, k=4)

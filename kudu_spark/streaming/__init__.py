@@ -1,4 +1,4 @@
-from kudu_spark.streaming.sink import apply_changes, replicate, write_stream
+from kudu_spark.streaming.sink import apply_changes, replicate, windowed_rollup, write_stream
 from kudu_spark.streaming.source import (
     ChangeFeedDataSource,
     read_changes,
@@ -12,6 +12,7 @@ __all__ = [
     "read_changes",
     "register",
     "replicate",
+    "windowed_rollup",
     "stream_changes",
     "write_stream",
 ]

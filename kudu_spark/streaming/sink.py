@@ -87,6 +87,44 @@ def apply_changes(table, changes: DataFrame) -> None:
             table.upsert(ups)
 
 
+def windowed_rollup(
+    stream_df: DataFrame,
+    table,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    checkpoint: str | None = None,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Continuous aggregate: watermarked tumbling-window aggregation
+    streamed into an engine table (hypertable-rollup shape). Each
+    micro-batch upserts the affected windows by PK
+    (window_start, *keys), so the table always holds the current
+    rollup and late data within the watermark revises it in place —
+    update-mode semantics made durable via the mutation surface.
+    ``aggs`` maps output column -> aggregate Column."""
+    from pyspark.sql import functions as F
+
+    keys = keys or []
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("__w"), *keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(
+            F.col("__w.start").alias("window_start"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+    return write_stream(
+        agg, table, op="upsert", checkpoint=checkpoint,
+        available_now=available_now, processing_time=processing_time,
+    )
+
+
 def replicate(
     src_table,
     dst_table,

@@ -340,6 +340,45 @@ def tpch_q22_global_sales(spark, sf_dir):
 
 
 @query(
+    "window_session_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_session_events(spark, sf_dir):
+    """Session windows (30-min gap) per user via F.session_window —
+    the batch shape of the streaming sessionization operator
+    (SURVEY §2.9; oracle is the classic gaps-and-islands rewrite)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "window_tumbling_events",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -128,3 +128,87 @@ def test_apply_changes_from_diff_scan(engine, spark):
     want = {(r.k, r.v) for r in t.scan().collect()}
     got = {(r.k, r.v) for r in dst.scan().collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics on a multi-batch stream: a row older than
+    the advanced watermark is excluded from its (already finalized)
+    window in append mode."""
+    import time
+
+    src = tmp_path / "wm-in"
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, v int").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    ts = lambda m: __import__("datetime").datetime(2024, 1, 1, 10, m)
+    write_file("f1", [(ts(0), 1), (ts(5), 1)])
+    q = (
+        spark.readStream.schema("ts timestamp, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("wm_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm-ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(3)
+        # advance watermark past 10:10 so window [10:00,10:10) finalizes
+        write_file("f2", [(ts(50), 1)])
+        time.sleep(4)
+        # late row for the finalized window: must be dropped
+        write_file("f3", [(ts(2), 99), (ts(59), 1)])
+        time.sleep(4)
+    finally:
+        q.stop()
+    got = {r.ws.minute: r.n for r in spark.sql("SELECT * FROM wm_mem").collect()}
+    assert got.get(0) == 2  # late (10:02, v=99) row NOT counted
+
+
+def test_windowed_rollup_into_table(engine, spark, tmp_path):
+    from kudu_spark.streaming import windowed_rollup
+
+    t = engine.create_table(
+        "rollup",
+        [("window_start", "timestamp", False), ("event_type", "string", False),
+         ("n_events", "bigint", True), ("sum_value", "double", True)],
+        pk=["window_start", "event_type"],
+    )
+    import datetime
+
+    rows_ = [
+        (datetime.datetime(2024, 1, 1, 10, m % 60, s), "click" if m % 2 else "view", float(m))
+        for m in range(50) for s in (0, 30)
+    ]
+    src = tmp_path / "ru-in"
+    spark.createDataFrame(rows_, "ts timestamp, event_type string, value double").write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(str(src))
+    q = windowed_rollup(
+        stream, t, ts_col="ts", window_duration="10 minutes",
+        aggs={"n_events": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        keys=["event_type"], checkpoint=str(tmp_path / "ru-ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    batch = spark.createDataFrame(rows_, "ts timestamp, event_type string, value double")
+    want = {
+        (r.ws, r.event_type): (r.n, r.s)
+        for r in batch.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s").collect()
+    }
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in t.scan().collect()
+    }
+    assert got == want
