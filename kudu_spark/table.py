@@ -263,9 +263,12 @@ class Table:
         st: TableState,
         filters: list[Predicate] | None = None,
         keep_meta: bool = False,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Merge-on-read snapshot: clean partitions stream straight from
-        parquet; delta-affected partitions get last-write-wins dedup."""
+        parquet; delta-affected partitions get last-write-wins dedup.
+        ``include_deleted`` keeps ghost rows and exposes the IS_DELETED
+        virtual column (common.proto:60, generic_iterators.h:42-51)."""
         files = self._prune(st, filters)
         pk = st.schema.pk
 
@@ -280,9 +283,12 @@ class Table:
         df_dirty = self._read_files(st, dirty)
         if df_dirty is not None:
             w = Window.partitionBy(*pk).orderBy(F.desc(SEQ_COL))
+            keep = F.col("__rn") == 1
+            if not include_deleted:
+                keep = keep & (~F.col(DEL_COL))
             df_dirty = (
                 df_dirty.withColumn("__rn", F.row_number().over(w))
-                .where((F.col("__rn") == 1) & (~F.col(DEL_COL)))
+                .where(keep)
                 .drop("__rn")
             )
         if df_clean is None and df_dirty is None:
@@ -297,6 +303,8 @@ class Table:
             df = df_clean.unionByName(df_dirty)
         if filters:
             df = df.where(self._filters_to_column(st, filters))
+        if include_deleted and not keep_meta:
+            df = df.withColumn("_is_deleted", F.col(DEL_COL))
         if not keep_meta:
             df = df.drop(SEQ_COL, DEL_COL)
         return df
@@ -347,13 +355,14 @@ class Table:
         timestamp_ms: int | None = None,
         ordered: bool = False,
         limit: int | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Snapshot-consistent scan (≈ KuduScanner, client.h:2736-3242):
         projection + structured predicates (pruned AND pushed down),
         READ_AT_SNAPSHOT via version/timestamp, ORDERED (PK order,
         common.proto:332-336), LIMIT (scan_spec.h:151)."""
         st = self.state(version, timestamp_ms)
-        df = self._snapshot_df(st, filters)
+        df = self._snapshot_df(st, filters, include_deleted=include_deleted)
         if ordered:
             df = df.orderBy(*st.schema.pk)
         if columns is not None:
@@ -428,7 +437,8 @@ class Table:
 
     # -- scan tokens ----------------------------------------------------------
 
-    def scan_tokens(self, filters: list[Predicate] | None = None, version: int | None = None) -> list[dict]:
+    def scan_tokens(self, filters: list[Predicate] | None = None, version: int | None = None,
+                    split_size_bytes: int | None = None) -> list[dict]:
         """Serializable per-partition scan tokens (≈ KuduScanToken,
         client.h:3287, docs/design-docs/scan-tokens.md). Each token is
         independently readable via ``token_to_df``; within Spark you
@@ -440,16 +450,35 @@ class Table:
         for f in files:
             key = (tuple(f.partition.get("hash", [])), f.partition.get("range"))
             groups.setdefault(key, []).append(f)
-        return [
-            {
-                "table": self.name,
-                "version": st.version,
-                "partition": {"hash": list(k[0]), "range": k[1]},
-                "files": [f.path for f in g],
-                "filters": [list(p) for p in (filters or [])],
-            }
-            for k, g in sorted(groups.items())
-        ]
+        out = []
+        for k, g in sorted(groups.items()):
+            # splitSizeBytes sub-splitting (KuduRDD.scala:85-87,
+            # scan_token-internal.cc:482 SplitKeyRange): bin-pack a
+            # partition's files into size-bounded tokens for finer
+            # external parallelism. Delta-bearing partitions stay whole
+            # (their merge window needs every file of the partition).
+            if split_size_bytes and not any(f.kind == "delta" for f in g):
+                chunk, size = [], 0
+                chunks = []
+                for f in sorted(g, key=lambda x: x.path):
+                    if chunk and size + f.bytes > split_size_bytes:
+                        chunks.append(chunk)
+                        chunk, size = [], 0
+                    chunk.append(f)
+                    size += f.bytes
+                if chunk:
+                    chunks.append(chunk)
+            else:
+                chunks = [g]
+            for c in chunks:
+                out.append({
+                    "table": self.name,
+                    "version": st.version,
+                    "partition": {"hash": list(k[0]), "range": k[1]},
+                    "files": [f.path for f in c],
+                    "filters": [list(p) for p in (filters or [])],
+                })
+        return out
 
     def token_to_df(self, token: dict) -> DataFrame:
         st = self.state(token["version"])

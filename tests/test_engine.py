@@ -169,3 +169,36 @@ def test_locate_row(engine, spark):
     t.insert(simple_rows(spark, [5, 150]))
     p = engine.locate_row("loc", {"key": 150})
     assert p["range"] == 1 and 0 <= p["hash"][0] < 4
+
+
+def test_scan_include_deleted(engine, spark):
+    t = engine.create_table("ghosts", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(10)))
+    t.delete(spark.createDataFrame([(3,), (7,)], "key int"))
+    live = t.scan()
+    assert "_is_deleted" not in live.columns and live.count() == 8
+    ghosts = t.scan(include_deleted=True)
+    got = {r.key: r._is_deleted for r in ghosts.collect()}
+    assert len(got) == 10
+    assert got[3] is True and got[7] is True and got[0] is False
+    # predicate composes with the virtual column scan
+    one = t.scan(filters=[("key", "=", 3)], include_deleted=True).collect()
+    assert len(one) == 1 and one[0]._is_deleted
+
+
+def test_scan_tokens_split_size(engine, spark):
+    t = engine.create_table(
+        "tok", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
+    )
+    for i in range(4):  # 4 commits -> 4 files per bucket
+        t.insert(simple_rows(spark, range(i * 100, (i + 1) * 100)))
+    whole = t.scan_tokens()
+    assert len(whole) == 2
+    split = t.scan_tokens(split_size_bytes=1)  # force one file per token
+    assert len(split) == sum(len(tk["files"]) for tk in whole)
+    # token union still reads the exact table content
+    import functools
+
+    dfs = [t.token_to_df(tk) for tk in split]
+    union = functools.reduce(lambda a, b: a.unionByName(b), dfs)
+    assert union.count() == 400
