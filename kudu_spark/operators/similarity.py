@@ -124,6 +124,94 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 8, n_iters: int = 5) -> list[list[float]]:
+    """Lloyd's k-means on the embedding column, Spark-native:
+    assignment = broadcast-centroid argmax (one scan, no shuffle of
+    vectors); update = posexplode + groupBy(cluster, dim) mean — the
+    shuffle carries (cluster, dim, partial-sum), never vectors. Only
+    k x dims floats cross the driver per iteration. Deterministic:
+    init = embeddings of the k smallest vec_ids, fixed iteration
+    count (an iterative algorithm — exercised by the rows-only gate,
+    not SQL-expressible)."""
+    init = (
+        emb.orderBy("vec_id").limit(k)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("c"))
+        .collect()
+    )
+    cents = [list(r.c) for r in init]
+    spark = emb.sparkSession
+    for _ in range(n_iters):
+        cent_df = F.broadcast(spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "centroid_id int, centv array<double>"
+        ))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+        assigned = (
+            emb.crossJoin(cent_df)
+            .select("vec_id", "embedding", "centroid_id",
+                    cosine_expr("embedding", "centv").alias("c"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        new = (
+            assigned.select("centroid_id", F.posexplode(_dbl("embedding")).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_id = {r.centroid_id: list(r.c) for r in new}
+        cents = [by_id.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_kmeans_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                    n_centroids: int = 8, n_iters: int = 3,
+                    n_probes: int = 2) -> DataFrame:
+    """ANN over learned k-means cells with multi-probe: each query
+    searches its n_probes nearest cells (the standard recall knob).
+    Candidates shrink ~(n_centroids / n_probes)x vs brute force."""
+    cents = kmeans_centroids(emb, n_centroids, n_iters)
+    spark = emb.sparkSession
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "centroid_id int, centv array<double>"
+    ))
+    scored_cells = emb.crossJoin(cent_df).select(
+        "vec_id", "embedding", "centroid_id",
+        cosine_expr("embedding", "centv").alias("c"),
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    ranked = scored_cells.withColumn("r", F.row_number().over(w1))
+    assigned = ranked.where(F.col("r") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("centroid_id").alias("cell"),
+    )
+    probes = ranked.where((F.col("r") <= n_probes) & F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell")
+    )
+    qv = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 6).alias("cosine"))
+    )
+
+
 # -- DuckDB oracle fragments ----------------------------------------------------
 
 

@@ -264,6 +264,14 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+@query("ann_ivf_kmeans_topk")  # iterative (Lloyd) -> rows-only gate
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """ANN over learned k-means cells with multi-probe (iterative
+    algorithm, not SQL-expressible; recall checked in pytest against
+    brute force)."""
+    return SIM.ivf_kmeans_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing (decode stubbed; Spark-side plumbing real)
 # ---------------------------------------------------------------------------

@@ -202,3 +202,40 @@ def test_scan_tokens_split_size(engine, spark):
     dfs = [t.token_to_df(tk) for tk in split]
     union = functools.reduce(lambda a, b: a.unionByName(b), dfs)
     assert union.count() == 400
+
+
+def test_concurrent_commit_retry(engine, spark):
+    """Optimistic concurrency (append_commit O_EXCL, ≈ Kudu leader
+    serialization): a writer holding a stale state retries its commit
+    against the advanced log and both writes land."""
+    t = engine.create_table("race", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(10)))
+    stale = t.state()  # writer A snapshots...
+    t.insert(simple_rows(spark, range(100, 110)))  # ...writer B commits first
+    from kudu_spark.table import seq_for
+
+    entries = t._write_files(
+        t._validate_batch(stale, simple_rows(spark, range(200, 210))),
+        stale, seq_for(stale.version + 1), "base",
+    )
+    v = t._commit(stale, "insert", entries)  # retries past the conflict
+    assert v == stale.version + 2
+    assert t.scan().count() == 30
+
+
+def test_concurrent_commit_exhaustion(engine, spark, monkeypatch):
+    from kudu_spark import meta as M
+    from kudu_spark.errors import ConcurrentCommitError
+
+    t = engine.create_table("race2", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(5)))
+    stale = t.state()
+    entries = []
+
+    def always_conflict(root, version, payload):
+        raise ConcurrentCommitError("simulated")
+
+    import kudu_spark.table as TBL
+    monkeypatch.setattr(TBL, "append_commit", always_conflict)
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(stale, "insert", entries, retries=3)

@@ -1,0 +1,46 @@
+"""ANN operators: exactness of brute force, recall of IVF variants,
+determinism of the k-means iteration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kudu_spark.operators import similarity as SIM
+from kudu_spark.queries import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+def test_kmeans_deterministic(emb):
+    a = SIM.kmeans_centroids(emb, k=4, n_iters=2)
+    b = SIM.kmeans_centroids(emb, k=4, n_iters=2)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == SIM.DIMS
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(emb):
+    qids = [10, 20, 30]
+    exact = SIM.brute_force_topk(emb, qids, k=5).collect()
+    approx = SIM.ivf_kmeans_topk(emb, qids, k=5, n_centroids=4, n_iters=2,
+                                 n_probes=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multi-probe IVF recall floor
+    # approx scores are genuine cosines: every reported neighbor's score
+    # matches the exact computation
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(r.cosine - exact_scores[(r.query_id, r.neighbor_id)]) < 1e-9
