@@ -38,6 +38,8 @@ HEADLINE = [
     "window_tumbling_events",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "engine_upsert_scan",
+    "engine_partitioned_scan",
 ]
 
 
