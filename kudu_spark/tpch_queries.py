@@ -340,6 +340,56 @@ def tpch_q22_global_sales(spark, sf_dir):
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_quantity, 0.99), 4) AS p99_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (both engines implement the
+    same continuous-quantile definition, so values hash-match)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("p99_qty"),
+    )
+
+
+@query(
+    "scan_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def scan_json_props(spark, sf_dir):
+    """Semi-structured JSON column extraction (get_json_object) +
+    aggregation — the events-table property-bag pattern."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "window_session_events",
     oracle="""
     WITH ordered AS (
