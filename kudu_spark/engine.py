@@ -159,7 +159,12 @@ class Engine:
                 edges = [None] + list(splits) + [None]
                 ranges = [[edges[i], edges[i + 1]] for i in range(len(edges) - 1)]
             rspec = RangeSpec(column=col, ranges=ranges)
-        pspec = PartitionSpec(hash_dims=hash_dims, range_spec=rspec)
+        overrides = {}
+        for rid, ov in (range_partition or {}).get("hash_overrides", {}).items():
+            ov = [int(ov)] * len(hash_dims) if isinstance(ov, int) else [int(x) for x in ov]
+            overrides[int(rid)] = ov
+        pspec = PartitionSpec(hash_dims=hash_dims, range_spec=rspec,
+                              hash_overrides=overrides)
 
         root = self._table_root(name)
         os.makedirs(os.path.join(root, LOG_DIR), exist_ok=True)
@@ -252,8 +257,11 @@ class Alterer:
         self._defaults[name] = default
         return self
 
-    def add_range_partition(self, lower, upper) -> "Alterer":
-        self._range_adds.append([lower, upper])
+    def add_range_partition(self, lower, upper, hash_buckets=None) -> "Alterer":
+        """Add a range partition online (client.h:2006); ``hash_buckets``
+        gives the new range a custom hash schema (per-range custom hash,
+        partition.h:512-517) — an int or per-dimension list."""
+        self._range_adds.append([lower, upper, hash_buckets])
         return self
 
     def drop_range_partition(self, lower, upper) -> "Alterer":
@@ -303,9 +311,19 @@ class Alterer:
                 if [lo, hi] not in ranges:
                     raise KuduSparkError(f"no such range partition [{lo},{hi})")
                 ranges.remove([lo, hi])
-            for lo, hi in self._range_adds:
+            added_overrides = {}  # keyed in the NEW range-id space
+            for lo, hi, hb in self._range_adds:
                 ranges.append([lo, hi])
-            pspec = PartitionSpec(st.partition_spec.hash_dims, RangeSpec(rs.column, ranges))
+                if hb is not None:
+                    dims = st.partition_spec.hash_dims
+                    hb = [int(hb)] * len(dims) if isinstance(hb, int) else [int(x) for x in hb]
+                    added_overrides[len(ranges) - 1] = hb
+            if self._range_drops:
+                overrides = added_overrides  # old ids remapped below
+            else:
+                overrides = dict(st.partition_spec.hash_overrides) | added_overrides
+            pspec = PartitionSpec(st.partition_spec.hash_dims, RangeSpec(rs.column, ranges),
+                                  overrides)
 
         if self._range_drops:
             # dropping ranges removes their files and remaps surviving ids
@@ -322,6 +340,11 @@ class Alterer:
             r = list(r)
             if r in [list(x) for x in new_ranges]:
                 id_map[old_id] = [list(x) for x in new_ranges].index(r)
+        pspec.hash_overrides = {
+            id_map[k]: v
+            for k, v in st.partition_spec.hash_overrides.items()
+            if k in id_map
+        } | pspec.hash_overrides  # adds were keyed in the new space already
         entries = []
         removes = []
         for f in st.files:

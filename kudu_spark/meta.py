@@ -206,20 +206,39 @@ class RangeSpec:
 
 @dataclass
 class PartitionSpec:
+    """Hash dimensions + optional range component. ``hash_overrides``
+    models Kudu's per-range custom hash schemas
+    (partition.h:512-517 ranges_with_custom_hash_schemas,
+    client.h:1509 KuduRangePartition): range_id -> per-dimension
+    bucket counts, so hot ranges can carry more buckets than the
+    table-wide default. Keyed by STRING range-id in JSON (JSON object
+    keys are strings)."""
+
     hash_dims: list[HashDimension] = field(default_factory=list)
     range_spec: RangeSpec = field(default_factory=RangeSpec)
+    hash_overrides: dict = field(default_factory=dict)  # {range_id: [buckets,...]}
+
+    def buckets_for(self, range_id, dim_idx: int) -> int:
+        ov = self.hash_overrides.get(range_id)
+        if ov is not None and dim_idx < len(ov):
+            return int(ov[dim_idx])
+        return self.hash_dims[dim_idx].buckets
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "hash": [h.to_json() for h in self.hash_dims],
             "range": self.range_spec.to_json(),
         }
+        if self.hash_overrides:
+            d["hash_overrides"] = {str(k): list(v) for k, v in self.hash_overrides.items()}
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "PartitionSpec":
         return PartitionSpec(
             [HashDimension.from_json(h) for h in d.get("hash", [])],
             RangeSpec.from_json(d.get("range", {"column": None})),
+            {int(k): list(v) for k, v in d.get("hash_overrides", {}).items()},
         )
 
 

@@ -128,16 +128,15 @@ class Table:
     # -- partition expressions -------------------------------------------------
 
     def _partition_exprs(self, st: TableState):
-        """(names, exprs) of staging partition columns for a write."""
-        names, exprs = [], []
-        for i, dim in enumerate(st.partition_spec.hash_dims):
-            cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
-            names.append(f"__b{i}")
-            exprs.append(F.pmod(F.xxhash64(*cols), F.lit(dim.buckets)).cast("int"))
-        rs = st.partition_spec.range_spec
+        """(names, exprs) of staging partition columns for a write.
+        With per-range custom hash schemas (partition.h:512-517) the
+        bucket modulus switches on the row's range id."""
+        ps = st.partition_spec
+        rs = ps.range_spec
+        range_expr = None
         if rs.enabled:
             col_type = st.schema.col(rs.column).type
-            expr = F.lit(-1)
+            range_expr = F.lit(-1)
             for rid in range(len(rs.ranges) - 1, -1, -1):
                 lo, hi = rs.ranges[rid]
                 cond = F.lit(True)
@@ -145,24 +144,43 @@ class Table:
                     cond = cond & (F.col(rs.column) >= F.lit(lo).cast(col_type))
                 if hi is not None:
                     cond = cond & (F.col(rs.column) < F.lit(hi).cast(col_type))
-                expr = F.when(cond, F.lit(rid)).otherwise(expr)
+                range_expr = F.when(cond, F.lit(rid)).otherwise(range_expr)
+        names, exprs = [], []
+        for i, dim in enumerate(ps.hash_dims):
+            cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
+            h = F.xxhash64(*cols)
+            if ps.hash_overrides and range_expr is not None:
+                buckets = F.lit(dim.buckets)
+                for rid in sorted(ps.hash_overrides):
+                    buckets = F.when(
+                        range_expr == rid, F.lit(ps.buckets_for(rid, i))
+                    ).otherwise(buckets)
+                b = F.pmod(h, buckets)
+            else:
+                b = F.pmod(h, F.lit(dim.buckets))
+            names.append(f"__b{i}")
+            exprs.append(b.cast("int"))
+        if rs.enabled:
             names.append("__r")
-            exprs.append(expr.cast("int"))
+            exprs.append(range_expr.cast("int"))
         return names, exprs
 
-    def _bucket_of(self, dim_idx: int, values: dict) -> int:
+    def _bucket_of(self, dim_idx: int, values: dict, buckets: int | None = None) -> int:
         """Planner-side hash-bucket for a fully-bound hash dimension:
         evaluated by Spark itself on a 1-row frame so it is exactly the
-        write-path function (no Python reimplementation to drift)."""
+        write-path function (no Python reimplementation to drift).
+        ``buckets`` overrides the dimension default (per-range custom
+        hash schemas)."""
         st = self.state()
         dim = st.partition_spec.hash_dims[dim_idx]
-        key = (dim_idx, tuple(sorted((k, repr(v)) for k, v in values.items())))
+        n = dim.buckets if buckets is None else int(buckets)
+        key = (dim_idx, n, tuple(sorted((k, repr(v)) for k, v in values.items())))
         if key not in self._bucket_cache:
             row = self.spark.range(1).select(
                 *[F.lit(values[c]).cast(st.schema.col(c).type).alias(c) for c in dim.columns]
             )
             cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
-            b = row.select(F.pmod(F.xxhash64(*cols), F.lit(dim.buckets)).alias("b")).collect()[0].b
+            b = row.select(F.pmod(F.xxhash64(*cols), F.lit(n)).alias("b")).collect()[0].b
             self._bucket_cache[key] = int(b)
         return self._bucket_cache[key]
 
@@ -173,11 +191,23 @@ class Table:
         if not filters:
             return files
         eqs = {f[0]: f[2] for f in filters if f[1] == "="}
-        # hash-bucket pruning: all columns of a dim bound by equality
-        for i, dim in enumerate(st.partition_spec.hash_dims):
+        # hash-bucket pruning: all columns of a dim bound by equality.
+        # With per-range custom hash schemas each file's range decides
+        # its modulus, so the expected bucket is computed per range id.
+        ps = st.partition_spec
+        for i, dim in enumerate(ps.hash_dims):
             if all(c in eqs for c in dim.columns):
-                b = self._bucket_of(i, {c: eqs[c] for c in dim.columns})
-                files = [f for f in files if f.partition["hash"][i] == b]
+                vals = {c: eqs[c] for c in dim.columns}
+                if ps.hash_overrides:
+                    files = [
+                        f
+                        for f in files
+                        if f.partition["hash"][i]
+                        == self._bucket_of(i, vals, ps.buckets_for(f.partition.get("range"), i))
+                    ]
+                else:
+                    b = self._bucket_of(i, vals)
+                    files = [f for f in files if f.partition["hash"][i] == b]
         # range pruning
         rs = st.partition_spec.range_spec
         if rs.enabled:

@@ -155,3 +155,44 @@ def test_json_predicate_grammar(t):
     assert t.scan(filters=parse_predicates('["IN", "key", [1, 2]]')).count() == 2
     with pytest.raises(KuduSparkError):
         parse_predicates('["OR", ["=", "key", 1]]')
+
+
+def simple_rows(spark, keys, base=0):
+    return spark.createDataFrame(
+        [(k, k * 10 + base, f"s{k}") for k in keys], "key int, int_val int, string_val string"
+    )
+
+
+def test_per_range_custom_hash_schema(engine, spark):
+    """Per-range custom hash schemas (partition.h:512-517): a hot
+    range carries more buckets than the table default; writes route
+    with the per-range modulus and eq-scans prune per range."""
+    t = engine.create_table(
+        "custom_hash", SIMPLE, pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 2}],
+        range_partition={"column": "key", "ranges": [[0, 500], [500, 1000]],
+                         "hash_overrides": {1: 8}},
+    )
+    t.insert(simple_rows(spark, range(1000)))
+    st = t.state()
+    buckets_by_range = {}
+    for f in st.files:
+        buckets_by_range.setdefault(f.partition["range"], set()).add(f.partition["hash"][0])
+    assert buckets_by_range[0] <= set(range(2)) and len(buckets_by_range[0]) == 2
+    assert buckets_by_range[1] <= set(range(8)) and len(buckets_by_range[1]) > 2
+    # correctness + per-range eq pruning
+    assert t.scan().count() == 1000
+    for probe in (3, 700):
+        got = t.scan(filters=[("key", "=", probe)]).collect()
+        assert len(got) == 1 and got[0].key == probe
+        pruned = t._prune(st, [("key", "=", probe)])
+        assert len(pruned) == 1
+    # online add of a custom-hash range (client.h:2006 + custom schema)
+    engine.alter_table("custom_hash").add_range_partition(1000, 2000, hash_buckets=4).apply()
+    t.insert(simple_rows(spark, range(1000, 1100)))
+    st2 = t.state()
+    new_buckets = {f.partition["hash"][0] for f in st2.files if f.partition["range"] == 2}
+    assert new_buckets <= set(range(4))
+    assert t.scan().count() == 1100
+    got = t.scan(filters=[("key", "=", 1050)]).collect()
+    assert len(got) == 1
