@@ -252,7 +252,8 @@ class Table:
 
     # -- reading ---------------------------------------------------------------
 
-    def _read_files(self, st: TableState, files: list[FileEntry]) -> DataFrame | None:
+    def _read_files(self, st: TableState, files: list[FileEntry],
+                    with_seq: bool = True) -> DataFrame | None:
         """Read a file set, adapting every schema version to the current
         one by column ID (rename-safe evolution, ≈ RowProjector
         src/kudu/common/row.h via codegen/row_projector.h)."""
@@ -269,9 +270,15 @@ class Table:
         # join formulation defeated ALL parquet pushdown: the join
         # barrier sat between Filter and Scan.) Group count = commits
         # contributing live files, collapsed by compaction.
+        # with_seq=False (clean partitions, no merge window downstream):
+        # collapse ALL files of a schema version into ONE parquet
+        # relation — a scan over a 10k-commit table plans 1 relation,
+        # not 10k. Per-commit grouping is only needed when the merge
+        # window will order rows by seq.
         groups: dict[tuple[int, int], list[FileEntry]] = {}
         for f in files:
-            groups.setdefault((f.schema_version, f.seq), []).append(f)
+            key = (f.schema_version, f.seq if with_seq else 0)
+            groups.setdefault(key, []).append(f)
         for (sv, seq), group in sorted(groups.items()):
             df = self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in group])
             old = st.schemas_by_version.get(sv, cur)
@@ -309,7 +316,7 @@ class Table:
         clean = [f for f in files if pkey(f) not in delta_parts]
         dirty = [f for f in files if pkey(f) in delta_parts]
 
-        df_clean = self._read_files(st, clean)
+        df_clean = self._read_files(st, clean, with_seq=keep_meta)
         df_dirty = self._read_files(st, dirty)
         if df_dirty is not None:
             w = Window.partitionBy(*pk).orderBy(F.desc(SEQ_COL))
