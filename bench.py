@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "engine_upsert_scan",
     "engine_partitioned_scan",
+    "pipeline_clean_corpus",
 ]
 
 

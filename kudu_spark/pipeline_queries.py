@@ -273,6 +273,85 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus cleaning (quality filter -> exact dedup -> LSH dedup)
+# ---------------------------------------------------------------------------
+
+QUALITY_CUT = 0.25  # ~median of the synthetic corpus: filter is selective, not degenerate
+
+_STOPS_SQL = ", ".join("'" + w + "'" for w in TX.ALL_STOPWORDS)
+_QUALITY_SCORE_SQL = f"""
+    round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 500.0) * 0.4
+          + (CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ({_STOPS_SQL}))) AS DOUBLE)
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.4
+          + (1.0 - least(1.0, abs(CAST(length(text) AS DOUBLE)
+                    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) - 5.0)
+                    / 10.0)) * 0.2, 4)
+"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, {_QUALITY_SCORE_SQL} AS q
+      FROM documents
+    ), good AS (
+      SELECT doc_id, text FROM scored WHERE q >= {QUALITY_CUT}
+    ), canon AS (
+      SELECT doc_id, text FROM good
+      WHERE doc_id = (SELECT min(g2.doc_id) FROM good g2 WHERE md5(g2.text) = md5(good.text))
+    ), toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM canon
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh
+    ), mh AS (
+      SELECT doc_id, seed, min((h * a + b) % {TX.MINHASH_P}) AS mh
+      FROM h CROSS JOIN (VALUES {{perms}}) seeds(seed, a, b)
+      GROUP BY doc_id, seed
+    ), bk AS (
+      SELECT doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
+      FROM mh GROUP BY doc_id, CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT)
+    ), near_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id FROM canon
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)
+    """.replace("{perms}", _PERMS_VALUES),
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The full training-data cleaning pipeline in one declarative
+    plan: quality-score filter -> exact dedup (keep min doc_id per
+    content hash) -> MinHash-LSH near-dedup (drop the higher doc_id of
+    each candidate pair). Every stage composes as DataFrames, so
+    Catalyst sees one plan end-to-end — the shape a 100 TB corpus
+    clean actually runs."""
+    docs = load(spark, sf_dir, "documents")
+    q = TX.quality_cols()[2]  # quality_score
+    good = docs.select("doc_id", "text", q).where(
+        F.col("quality_score") >= QUALITY_CUT
+    )
+    canon = (
+        DD.exact_duplicates(good)
+        .where(~F.col("is_dup"))
+        .select("doc_id")
+        .join(good, "doc_id")
+        .select("doc_id", "text")
+    )
+    dup_ids = (
+        DD.minhash_lsh_pairs(canon)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return canon.join(dup_ids, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal column plumbing (decode stubbed; Spark-side plumbing real)
 # ---------------------------------------------------------------------------
 
