@@ -661,17 +661,23 @@ class Table:
 
     # -- PK existence probe -------------------------------------------------------
 
-    def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
-        """Current PK set restricted to files overlapping the batch's
+    def _snapshot_overlapping(self, st: TableState, batch: DataFrame) -> DataFrame:
+        """Current snapshot restricted to files overlapping the batch's
         first-PK-column range (the planner analogue of Kudu's
-        per-rowset bloom + key-bounds probe, tablet/tablet.cc:116-124)."""
-        pk = st.schema.pk
-        pk0 = pk[0]
+        per-rowset bloom + key-bounds probe, tablet/tablet.cc:116-124).
+        Safe for any batch-vs-current join: every key in the batch lies
+        inside the batch's own bounds, so no candidate match is lost —
+        point mutations on a huge table touch a handful of files, not
+        the whole snapshot."""
+        pk0 = st.schema.pk[0]
         bounds = batch.agg(F.min(pk0).alias("lo"), F.max(pk0).alias("hi")).collect()[0]
         filters: list[Predicate] = []
         if bounds.lo is not None:
             filters = [(pk0, ">=", bounds.lo), (pk0, "<=", bounds.hi)]
-        return self._snapshot_df(st, filters or None).select(*pk)
+        return self._snapshot_df(st, filters or None)
+
+    def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
+        return self._snapshot_overlapping(st, batch).select(*st.schema.pk)
 
     # -- mutations ---------------------------------------------------------------
 
@@ -758,7 +764,7 @@ class Table:
             import functools
             import operator
 
-            existing = self._snapshot_df(st).select(
+            existing = self._snapshot_overlapping(st, batch).select(
                 *pk, *[F.col(c).alias(f"__old_{c}") for c in imm]
             ).withColumn("__exists", F.lit(True))
             joined = batch.join(existing, on=pk, how="left")
@@ -812,7 +818,7 @@ class Table:
             *[_write_cast(F.col(c), st.schema.col(c).type).alias(c) for c in pk],
             *[_write_cast(F.col(c), st.schema.col(c).type).alias(f"__new_{c}") for c in upd_cols],
         ).dropDuplicates(pk)
-        current = self._snapshot_df(st).withColumn("__exists", F.lit(True))
+        current = self._snapshot_overlapping(st, batch).withColumn("__exists", F.lit(True))
         joined = batch.join(current, on=pk, how="left")
         if mode == "error":
             miss = joined.where(F.col("__exists").isNull()).limit(1).collect()
@@ -908,6 +914,24 @@ class Table:
                 os.unlink(os.path.join(data_dir, name))
                 removed += 1
         return removed
+
+    def count(self, version: int | None = None) -> int:
+        """COUNT(*) fast path (whitepaper Q2, kudu.tex:979): partitions
+        without deltas are counted from manifest row counts (no scan at
+        all); only delta-bearing partitions pay a merge + count."""
+        st = self.state(version)
+
+        def pkey(f):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        delta_parts = {pkey(f) for f in st.files if f.kind == "delta"}
+        clean_rows = sum(f.rows for f in st.files if pkey(f) not in delta_parts)
+        dirty = [f for f in st.files if pkey(f) in delta_parts]
+        if not dirty:
+            return clean_rows
+        sub = TableState(**{**st.__dict__})
+        sub.files = dirty
+        return clean_rows + self._snapshot_df(sub).count()
 
     # -- schema drift on write (KuduWriteOptions.scala:37-46) --------------------
 

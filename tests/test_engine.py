@@ -239,3 +239,16 @@ def test_concurrent_commit_exhaustion(engine, spark, monkeypatch):
     monkeypatch.setattr(TBL, "append_commit", always_conflict)
     with pytest.raises(ConcurrentCommitError):
         t._commit(stale, "insert", entries, retries=3)
+
+
+def test_count_fast_path(engine, spark):
+    t = engine.create_table("cnt", SIMPLE, pk=["key"],
+                            hash_partitions=[{"columns": ["key"], "buckets": 4}])
+    t.insert(simple_rows(spark, range(500)))
+    assert t.count() == 500  # pure-manifest path (no delta files)
+    t.delete(spark.createDataFrame([(1,), (2,)], "key int"))
+    t.upsert(simple_rows(spark, [3, 501], base=7))
+    assert t.count() == 499  # mixed: manifest for clean buckets + merge for dirty
+    assert t.count() == t.scan().count()
+    t.compact()
+    assert t.count() == 499
