@@ -104,3 +104,69 @@ def test_fuzz_mutations_match_model(spark, tmp_path, seed):
                 assert d[k]._is_deleted is False and (d[k].int_val, d[k].string_val) == model[k]
             elif model.get(k) == m0.get(k):
                 assert k not in d, f"unchanged key {k} must not appear in diff"
+
+
+@pytest.mark.parametrize("seed", [1337])
+def test_fuzz_with_restarts_alters_batches(spark, tmp_path, seed):
+    """fuzz-itest.cc's wider op mix: multi-row batches, engine
+    restarts (state rebuilt from the log), online ALTERs interleaved
+    with mutations, compactions, plus count()/include_deleted checks
+    at every checkpoint."""
+    rng = random.Random(seed)
+    root = str(tmp_path / "whx")
+    eng = Engine(spark, root)
+    t = eng.create_table(
+        "fuzz2", SIMPLE, pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 2}],
+        range_partition={"column": "key", "splits": [8]},
+    )
+    model: dict[int, tuple] = {}
+    ever_deleted: set[int] = set()
+    has_extra = False
+
+    for step in range(30):
+        op = rng.choice(
+            ["batch_upsert", "batch_upsert", "batch_delete", "batch_insert_ignore",
+             "compact", "restart", "alter"]
+        )
+        ks = rng.sample(list(KEYS), rng.randint(1, 5))
+        if op == "batch_upsert":
+            rows = [(k, step * 100 + k, f"s{step}-{k}") for k in ks]
+            t.upsert(df_of(spark, rows))
+            for k in ks:
+                model[k] = (step * 100 + k, f"s{step}-{k}")
+        elif op == "batch_insert_ignore":
+            rows = [(k, step * 100 + k, f"i{step}-{k}") for k in ks]
+            t.insert_ignore(df_of(spark, rows))
+            for k in ks:
+                model.setdefault(k, (step * 100 + k, f"i{step}-{k}"))
+        elif op == "batch_delete":
+            t.delete_ignore(df_of(spark, [(k,) for k in ks], "key int"))
+            for k in ks:
+                if k in model:
+                    ever_deleted.add(k)
+                model.pop(k, None)
+        elif op == "compact":
+            t.compact()
+        elif op == "restart":
+            t = Engine(spark, root).table("fuzz2")
+        elif op == "alter":
+            if has_extra:
+                eng.alter_table("fuzz2").drop_column("extra").apply()
+            else:
+                eng.alter_table("fuzz2").add_column("extra", "int", default=0).apply()
+            has_extra = not has_extra
+
+        if step % 6 == 5:
+            cols = ["key", "int_val", "string_val"]
+            got = {r.key: (r.int_val, r.string_val) for r in t.scan(columns=cols).collect()}
+            assert got == model, f"step {step} op {op}"
+            assert t.count() == len(model)
+            ghosts = {
+                r.key for r in t.scan(include_deleted=True).collect() if r._is_deleted
+            }
+            assert ghosts.isdisjoint(model)  # no live key doubles as a ghost
+
+    got = {r.key: (r.int_val, r.string_val) for r in t.scan(columns=["key", "int_val", "string_val"]).collect()}
+    assert got == model
+    assert t.count() == len(model)
