@@ -458,18 +458,29 @@ class Table:
         return out
 
     def _touched_partitions(self, from_version: int, to_version: int):
+        """Partitions whose LOGICAL content can differ between the two
+        versions: the add-partitions of mutation commits. Compaction
+        commits rewrite files without changing content, so they are
+        ignored; an alter that removes files (range drop: rows
+        logically deleted, ids remapped) forces a full diff."""
         from kudu_spark.meta import read_log
 
+        mutation_ops = {"insert", "upsert", "update", "delete"}
         touched = set()
         for c in read_log(self.root, to_version):
             if c["version"] <= from_version:
+                continue
+            op = c.get("op")
+            if op == "compact":
+                continue
+            if op not in mutation_ops:
+                if any(a["type"] == "remove" for a in c.get("actions", [])):
+                    return None
                 continue
             for a in c.get("actions", []):
                 if a["type"] == "add":
                     p = a["file"]["partition"]
                     touched.add((tuple(p.get("hash", [])), p.get("range")))
-                elif a["type"] == "remove":
-                    return None  # compaction rewrote files; fall back to full diff
         return touched
 
     # -- scan tokens ----------------------------------------------------------

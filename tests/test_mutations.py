@@ -161,3 +161,25 @@ def test_mutations_on_range_partitions(engine, spark):
     t.delete(spark.createDataFrame([(1,)], "key int"))
     s = snap(t)
     assert s == {50: (5000, "s50"), 150: (150, "s150"), 199: (1990, "s199")}
+
+
+def test_diff_scan_across_compaction(engine, spark):
+    """Compaction rewrites files without changing content — diff scans
+    spanning a compaction must still return exactly the logical delta
+    (and stay partition-restricted rather than falling back to a full
+    diff)."""
+    t = engine.create_table(
+        "dc", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 4}]
+    )
+    t.insert(rows(spark, [(k, k * 10) for k in range(40)]))
+    v0 = t.version
+    t.upsert(rows(spark, [(1, 15), (2, 25)]))
+    t.delete(spark.createDataFrame([(3,)], "key int"))
+    t.compact()
+    touched = t._touched_partitions(v0, t.version)
+    assert touched is not None and len(touched) <= 3  # restricted, not full
+    d = {r.key: r for r in t.diff_scan(v0).collect()}
+    assert set(d) == {1, 2, 3}
+    assert d[3]._is_deleted and not d[1]._is_deleted
+    assert d[1].int_val == 15
+
