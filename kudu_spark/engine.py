@@ -212,16 +212,21 @@ class Engine:
         locate_row`, tools/tool_action_table.cc:1380-1431)."""
         t = self.table(name)
         st = t.state()
-        hash_b = [
-            t._bucket_of(i, {c: pk_values[c] for c in dim.columns})
-            for i, dim in enumerate(st.partition_spec.hash_dims)
-        ]
         rid = None
         rs = st.partition_spec.range_spec
         if rs.enabled:
             rid = rs.range_id_of(pk_values[rs.column])
             if rid < 0:
                 raise KuduSparkError("row does not fall in any range partition")
+        # per-range custom hash schemas change the bucket modulus
+        hash_b = [
+            t._bucket_of(
+                i,
+                {c: pk_values[c] for c in dim.columns},
+                st.partition_spec.buckets_for(rid, i),
+            )
+            for i, dim in enumerate(st.partition_spec.hash_dims)
+        ]
         return {"hash": hash_b, "range": rid}
 
 

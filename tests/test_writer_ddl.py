@@ -196,3 +196,19 @@ def test_per_range_custom_hash_schema(engine, spark):
     assert t.scan().count() == 1100
     got = t.scan(filters=[("key", "=", 1050)]).collect()
     assert len(got) == 1
+
+
+def test_locate_row_with_custom_hash(engine, spark):
+    t = engine.create_table(
+        "loc", SIMPLE, pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 2}],
+        range_partition={"column": "key", "ranges": [[0, 500], [500, 1000]],
+                         "hash_overrides": {1: 8}},
+    )
+    t.insert(simple_rows(spark, [3, 700]))
+    st = t.state()
+    for probe in (3, 700):
+        loc = engine.locate_row("loc", {"key": probe})
+        match = [f for f in st.files
+                 if f.partition["hash"] == loc["hash"] and f.partition["range"] == loc["range"]]
+        assert match, f"locate_row({probe}) -> {loc} matches no file"
