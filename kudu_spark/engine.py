@@ -76,6 +76,25 @@ class Engine:
             out.append(name)
         return out
 
+    # -- SQL over engine tables ---------------------------------------------------
+
+    def sql(self, query: str, version_of: dict | None = None):
+        """Run Spark SQL over the warehouse's tables — the division of
+        labor Kudu ships with Impala (docs/kudu_impala_integration.adoc):
+        every live table is registered as a temp view of its
+        merge-on-read snapshot, then the query planner owns
+        joins/aggs/windows. ``version_of`` maps table name -> version
+        for AS-OF reads inside SQL (≈ READ_AT_SNAPSHOT).
+
+        Scale note: views are DataFrames over the pruned scan path —
+        predicates in the SQL still reach parquet via Catalyst; nothing
+        is materialized by registration."""
+        version_of = version_of or {}
+        for name in self.list_tables():
+            df = self.table(name).scan(version=version_of.get(name))
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- create ------------------------------------------------------------------
 
     def create_table(

@@ -252,3 +252,29 @@ def test_count_fast_path(engine, spark):
     assert t.count() == t.scan().count()
     t.compact()
     assert t.count() == 499
+
+
+def test_engine_sql_over_tables(engine, spark):
+    """Engine.sql: full Spark SQL (joins/aggs) over engine tables'
+    merge-on-read views — the Impala-on-Kudu division of labor."""
+    a = engine.create_table("facts", SIMPLE, pk=["key"])
+    a.insert(simple_rows(spark, range(20)))
+    a.delete(spark.createDataFrame([(5,)], "key int"))
+    dims = engine.create_table(
+        "dims", [("int_val", "int", False), ("label", "string", True)], pk=["int_val"]
+    )
+    dims.insert(spark.createDataFrame(
+        [(k * 10, f"lab{k % 3}") for k in range(20)], "int_val int, label string"
+    ))
+    out = engine.sql("""
+        SELECT label, count(*) AS n, sum(facts.key) AS key_sum
+        FROM facts JOIN dims USING (int_val)
+        GROUP BY label ORDER BY label
+    """).collect()
+    assert sum(r.n for r in out) == 19  # deleted row invisible to SQL
+    assert {r.label for r in out} == {"lab0", "lab1", "lab2"}
+    # AS-OF: version pinned per table
+    v_before = a.version - 1  # before the delete
+    n = engine.sql("SELECT count(*) AS n FROM facts",
+                   version_of={"facts": v_before}).collect()[0].n
+    assert n == 20
