@@ -114,3 +114,14 @@ def test_cli_roundtrip(engine, spark, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(["--warehouse", wh, "statistics", "c2"]) == 0
     assert json.loads(capsys.readouterr().out)["live_row_count"] == 20
+    # backup / restore / describe / locate-row round-trip
+    bdir = str(tmp_path / "clibackup")
+    assert cli.main(["--warehouse", wh, "backup", "c1", "--dir", bdir]) == 0
+    assert json.loads(capsys.readouterr().out)["type"] == "full"
+    assert cli.main(["--warehouse", wh, "restore", "c1", "--dir", bdir,
+                     "--as", "c1r"]) == 0
+    assert "20 rows" in capsys.readouterr().out
+    assert cli.main(["--warehouse", wh, "describe", "c1r"]) == 0
+    assert json.loads(capsys.readouterr().out)["schema"]["pk"] == ["k"]
+    assert cli.main(["--warehouse", wh, "locate-row", "c1", "--pk", '{"k": 5}']) == 0
+    assert "hash" in capsys.readouterr().out

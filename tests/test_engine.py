@@ -278,3 +278,29 @@ def test_engine_sql_over_tables(engine, spark):
     n = engine.sql("SELECT count(*) AS n FROM facts",
                    version_of={"facts": v_before}).collect()[0].n
     assert n == 20
+
+
+def test_scan_token_external_engine(engine, spark):
+    """Scan tokens exist for EXTERNAL compute frameworks
+    (docs/design-docs/scan-tokens.md) — a token's file list plus its
+    filters must be consumable without Spark. DuckDB plays the foreign
+    engine here."""
+    import duckdb
+    import os as _os
+
+    t = engine.create_table(
+        "ext", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
+    )
+    t.insert(simple_rows(spark, range(200)))
+    tokens = t.scan_tokens(filters=[("int_val", ">=", 1000)])
+    con = duckdb.connect()
+    total = 0
+    for tk in tokens:
+        paths = [_os.path.join(t.root, p) for p in tk["files"]]
+        rel = con.sql(
+            "SELECT key, int_val, string_val FROM read_parquet($paths) WHERE int_val >= 1000",
+            params={"paths": paths},
+        )
+        total += rel.df().shape[0]
+    want = t.scan(filters=[("int_val", ">=", 1000)]).count()
+    assert total == want == 100
