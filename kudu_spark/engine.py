@@ -380,6 +380,10 @@ class Alterer:
                 nf = FileEntry(**{**f.__dict__})
                 nf.partition = {**f.partition, "range": id_map[rid]}
                 entries.append(nf)
+        # range-drop remaps every file's range id against the state read
+        # above; a blind retry after a concurrent mutation would remap a
+        # stale file list — fail fast and let the caller re-apply
         return self.table._commit(
-            st, "alter", entries, removes=removes, schema=new_schema, partition_spec=pspec
+            st, "alter", entries, removes=removes, schema=new_schema,
+            partition_spec=pspec, retries=1
         )

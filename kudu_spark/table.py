@@ -690,10 +690,38 @@ class Table:
     def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
         return self._snapshot_overlapping(st, batch).select(*st.schema.pk)
 
+    def _discard(self, entries: list[FileEntry]) -> None:
+        """Unlink files written for a commit attempt that lost the
+        optimistic-concurrency race (never referenced by any commit)."""
+        for e in entries:
+            try:
+                os.unlink(os.path.join(self.root, e.path))
+            except OSError:
+                pass
+
+    def _commit_revalidated(self, st, op, entries, retry_fn, props=None,
+                            removes=None, _attempts=5):
+        """Commit once against the state the mutation validated with;
+        on a concurrency conflict, discard this attempt's files and
+        re-run the WHOLE mutation against fresh state via ``retry_fn``.
+        A blind seq-restamp retry (what _commit does internally) is
+        only sound for validation-free writes: duplicate-PK checks,
+        absent-key checks and auto-increment assignment all read the
+        snapshot, so a conflicting writer may have invalidated them
+        (Kudu re-validates per row at apply time on the tablet leader;
+        our unit of revalidation is the batch)."""
+        try:
+            return self._commit(st, op, entries, removes=removes, props=props, retries=1)
+        except ConcurrentCommitError:
+            self._discard(entries)
+            if _attempts <= 1:
+                raise
+            return retry_fn(_attempts - 1)
+
     # -- mutations ---------------------------------------------------------------
 
     def insert(self, df: DataFrame, mode: str = "error",
-               handle_schema_drift: bool = False) -> int:
+               handle_schema_drift: bool = False, _attempts: int = 5) -> int:
         """INSERT (error on duplicate PK) / INSERT_IGNORE
         (row_operations.proto:36,40; apply path tablet/tablet.cc:836).
         ``handle_schema_drift`` auto-adds unknown batch columns first
@@ -735,13 +763,17 @@ class Table:
             batch.unpersist()
         except Exception:
             pass
-        return self._commit(st, "insert", entries, props=props or None)
+        return self._commit_revalidated(
+            st, "insert", entries,
+            lambda a: self.insert(df, mode, handle_schema_drift, _attempts=a),
+            props=props or None, _attempts=_attempts,
+        )
 
     def insert_ignore(self, df: DataFrame) -> int:
         return self.insert(df, mode="ignore")
 
     def upsert(self, df: DataFrame, mode: str = "error",
-               handle_schema_drift: bool = False) -> int:
+               handle_schema_drift: bool = False, _attempts: int = 5) -> int:
         """UPSERT / UPSERT_IGNORE (row_operations.proto:39,43).
         Duplicate PKs within the batch resolve last-wins by __row_idx
         when the caller provides it (writer sessions do), else
@@ -801,12 +833,16 @@ class Table:
                 ]
             )
         entries = self._write_files(batch, st, seq_for(st.version + 1), "delta")
-        return self._commit(st, "upsert", entries)
+        return self._commit_revalidated(
+            st, "upsert", entries,
+            lambda a: self.upsert(df, mode, handle_schema_drift, _attempts=a),
+            _attempts=_attempts,
+        )
 
     def upsert_ignore(self, df: DataFrame) -> int:
         return self.upsert(df, mode="ignore")
 
-    def update(self, df: DataFrame, mode: str = "error") -> int:
+    def update(self, df: DataFrame, mode: str = "error", _attempts: int = 5) -> int:
         """UPDATE / UPDATE_IGNORE (row_operations.proto:37,41): per-column
         set by PK; errors on absent keys and on immutable columns
         (tablet.cc:1052 MutateRowUnlocked)."""
@@ -845,12 +881,16 @@ class Table:
             ],
         )
         entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
-        return self._commit(st, "update", entries)
+        return self._commit_revalidated(
+            st, "update", entries,
+            lambda a: self.update(df, mode, _attempts=a),
+            _attempts=_attempts,
+        )
 
     def update_ignore(self, df: DataFrame) -> int:
         return self.update(df, mode="ignore")
 
-    def delete(self, df: DataFrame, mode: str = "error") -> int:
+    def delete(self, df: DataFrame, mode: str = "error", _attempts: int = 5) -> int:
         """DELETE / DELETE_IGNORE by PK (row_operations.proto:38,42):
         writes PK tombstones as delta rows with __deleted=true."""
         assert mode in ("error", "ignore")
@@ -874,14 +914,19 @@ class Table:
             ],
         ).withColumn(DEL_COL, F.lit(True))
         entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
-        return self._commit(st, "delete", entries)
+        return self._commit_revalidated(
+            st, "delete", entries,
+            lambda a: self.delete(df, mode, _attempts=a),
+            _attempts=_attempts,
+        )
 
     def delete_ignore(self, df: DataFrame) -> int:
         return self.delete(df, mode="ignore")
 
     # -- maintenance ---------------------------------------------------------------
 
-    def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4) -> int | None:
+    def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
+                _attempts: int = 5) -> int | None:
         """Fold delta files into fresh base files and bin-pack small
         base files (≈ Kudu compaction: tablet/compaction.cc, policy
         tablet/compaction_policy.h:74-129, delta fold-in
@@ -908,8 +953,14 @@ class Table:
         sub.files = rewrite
         merged = self._snapshot_df(sub)  # dedup + tombstones dropped
         entries = self._write_files(merged, st, seq_for(st.version + 1), "base")
-        return self._commit(
-            st, "compact", entries, removes=[f.path for f in rewrite]
+        # revalidate on conflict: a blind seq-restamp would rank this
+        # rewrite ABOVE any delta a concurrent writer committed in the
+        # meantime (its merged rows carry the retried, higher seq),
+        # silently shadowing newer mutations — recompute instead
+        return self._commit_revalidated(
+            st, "compact", entries,
+            lambda a: self.compact(small_file_bytes, min_small_files, _attempts=a),
+            removes=[f.path for f in rewrite], _attempts=_attempts,
         )
 
     def vacuum(self, keep_versions: int = 0) -> int:
