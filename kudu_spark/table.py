@@ -214,22 +214,31 @@ class Table:
             keep_ids = self._live_range_ids(st, filters, rs)
             if keep_ids is not None:
                 files = [f for f in files if f.partition.get("range") in keep_ids]
-        # PK min/max pruning on first PK column
-        pk0 = st.schema.pk[0]
+        # PK min/max pruning: every PK column's footer bounds prune
+        # independently (file skipped only when its recorded bounds
+        # exclude the predicate)
+        pk_pos = {c: i for i, c in enumerate(st.schema.pk)}
         for col, op, val in filters:
-            if col != pk0:
+            i = pk_pos.get(col)
+            if i is None:
                 continue
             val = _jsonable(val)
+
+            def lo(f, i=i):
+                return None if f.min_pk is None or i >= len(f.min_pk) else f.min_pk[i]
+
+            def hi(f, i=i):
+                return None if f.max_pk is None or i >= len(f.max_pk) else f.max_pk[i]
+
             if op == "=":
                 files = [
-                    f
-                    for f in files
-                    if f.min_pk is None or (f.min_pk[0] <= val <= f.max_pk[0])
+                    f for f in files
+                    if lo(f) is None or hi(f) is None or (lo(f) <= val <= hi(f))
                 ]
             elif op in ("<", "<="):
-                files = [f for f in files if f.min_pk is None or f.min_pk[0] <= val]
+                files = [f for f in files if lo(f) is None or lo(f) <= val]
             elif op in (">", ">="):
-                files = [f for f in files if f.max_pk is None or f.max_pk[0] >= val]
+                files = [f for f in files if hi(f) is None or hi(f) >= val]
         return files
 
     def _live_range_ids(self, st, filters, rs) -> set | None:
@@ -594,7 +603,7 @@ class Table:
 
         import pyarrow.parquet as pq
 
-        pk0 = st.schema.pk[0]
+        pk_cols = list(st.schema.pk)
         entries: list[FileEntry] = []
         for dirpath, _dirs, names in os.walk(staging):
             rel_dir = os.path.relpath(dirpath, staging)
@@ -610,20 +619,30 @@ class Table:
                 newname = f"{seq:012d}-{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(self.root, DATA_DIR, newname)
                 md = pq.ParquetFile(src).metadata
+                # per-PK-column footer min/max: each column's bounds are
+                # independently valid, so predicates on ANY PK column can
+                # prune whole files (>= Kudu's leading-key bounds)
                 mn = mx = None
                 sch_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                if pk0 in sch_names:
-                    ci = sch_names[pk0]
+                mins_by_col, maxs_by_col = [], []
+                for col in pk_cols:
+                    if col not in sch_names:
+                        mins_by_col.append(None)
+                        maxs_by_col.append(None)
+                        continue
+                    ci = sch_names[col]
                     mins, maxs = [], []
                     for rg in range(md.num_row_groups):
-                        s = md.row_group(rg).column(ci).statistics
-                        if s is None or not s.has_min_max:
+                        stat = md.row_group(rg).column(ci).statistics
+                        if stat is None or not stat.has_min_max:
                             mins = []
                             break
-                        mins.append(s.min)
-                        maxs.append(s.max)
-                    if mins:
-                        mn, mx = [_jsonable(min(mins))], [_jsonable(max(maxs))]
+                        mins.append(stat.min)
+                        maxs.append(stat.max)
+                    mins_by_col.append(_jsonable(min(mins)) if mins else None)
+                    maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
+                if any(v is not None for v in mins_by_col):
+                    mn, mx = mins_by_col, maxs_by_col
                 os.replace(src, dst)
                 hash_b = [pvals[f"__b{i}"] for i in range(len(st.partition_spec.hash_dims))]
                 entries.append(

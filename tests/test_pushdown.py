@@ -97,3 +97,24 @@ def test_merge_on_read_skips_clean_partitions(table, spark):
     assert len(dirty) == 1  # only the mutated bucket pays the merge
     got = {r.k: r.v for r in table.scan().collect()}
     assert got[1] == 11 and len(got) == 1000
+
+
+def test_prune_on_every_pk_column(engine, spark):
+    """Per-column PK footer stats: predicates on a NON-leading PK
+    column skip files whose bounds exclude them (stronger than Kudu's
+    leading-prefix key bounds)."""
+    t = engine.create_table(
+        "pk2", [("a", "bigint", False), ("b", "bigint", False), ("v", "int", True)],
+        pk=["a", "b"],
+    )
+    # two commits with disjoint b-ranges
+    t.insert(spark.createDataFrame([(i, i % 50, i) for i in range(500)],
+                                   "a bigint, b bigint, v int"))
+    t.insert(spark.createDataFrame([(i, 1000 + i % 50, i) for i in range(500, 1000)],
+                                   "a bigint, b bigint, v int"))
+    st = t.state()
+    pruned = t._prune(st, [("b", "=", 1010)])
+    assert 0 < len(pruned) < len(st.files)
+    got = t.scan(filters=[("b", "=", 1010)]).count()
+    assert got == spark.createDataFrame([(i, 1000 + i % 50) for i in range(500, 1000)],
+                                        "a bigint, b bigint").where("b = 1010").count()
