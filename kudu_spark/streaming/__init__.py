@@ -1,4 +1,5 @@
 from kudu_spark.streaming.sink import apply_changes, replicate, windowed_rollup, write_stream
+from kudu_spark.streaming.stateful import running_user_stats
 from kudu_spark.streaming.source import (
     ChangeFeedDataSource,
     read_changes,
@@ -12,6 +13,7 @@ __all__ = [
     "read_changes",
     "register",
     "replicate",
+    "running_user_stats",
     "windowed_rollup",
     "stream_changes",
     "write_stream",

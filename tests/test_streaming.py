@@ -212,3 +212,50 @@ def test_windowed_rollup_into_table(engine, spark, tmp_path):
         for r in t.scan().collect()
     }
     assert got == want
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-user running stats
+    with cross-batch session counting — state carries the previous
+    batch's last event time, which windowless re-aggregation can't."""
+    import datetime
+
+    from kudu_spark.streaming import running_user_stats
+
+    base = datetime.datetime(2024, 1, 1, 9, 0)
+
+    def ev(user, minutes, v):
+        return (user, base + datetime.timedelta(minutes=minutes), float(v))
+
+    ddl = "user_id bigint, ts timestamp, value double"
+    src = tmp_path / "st-in"
+    # batch 1: u1 two events 5 min apart (1 session); u2 one event
+    spark.createDataFrame([ev(1, 0, 1), ev(1, 5, 2), ev(2, 0, 10)], ddl)\
+        .coalesce(1).write.mode("append").parquet(str(src))
+    # batch 2: u1 event 10 min after its last (same session);
+    # u2 event 60 min later (NEW session — only visible via carried state)
+    spark.createDataFrame([ev(1, 15, 3), ev(2, 60, 20)], ddl)\
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    q = (
+        running_user_stats(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("st_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM st_mem").collect()
+    # latest emission per user = the one with the highest n_events
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    u1, u2 = latest[1], latest[2]
+    assert (u1.n_events, u1.sum_value, u1.n_sessions) == (3, 6.0, 1)
+    assert (u2.n_events, u2.sum_value, u2.n_sessions) == (2, 30.0, 2)
+    assert u2.last_ts.minute == 0 and u2.last_ts.hour == 10
