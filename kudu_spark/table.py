@@ -983,10 +983,16 @@ class Table:
         )
 
     def vacuum(self, keep_versions: int = 0) -> int:
-        """Physically delete data files no longer referenced by the
-        manifest at HEAD (bounds time travel; run after compact)."""
-        st = self.state()
-        live = {f.path for f in st.files}
+        """Physically delete data files referenced by no retained
+        manifest. ``keep_versions`` preserves time travel to that many
+        versions before HEAD (0 = only HEAD readable afterwards); run
+        after compact."""
+        head = self.state()
+        live = {f.path for f in head.files}
+        for v in range(max(1, head.version - keep_versions), head.version):
+            old = replay(self.name, self.root, v)
+            if old is not None:
+                live |= {f.path for f in old.files}
         removed = 0
         data_dir = os.path.join(self.root, DATA_DIR)
         for name in os.listdir(data_dir):

@@ -304,3 +304,20 @@ def test_scan_token_external_engine(engine, spark):
         total += rel.df().shape[0]
     want = t.scan(filters=[("int_val", ">=", 1000)]).count()
     assert total == want == 100
+
+
+def test_vacuum_keep_versions(engine, spark):
+    t = engine.create_table("vac", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(50)))
+    v1 = t.version
+    t.upsert(simple_rows(spark, range(50), base=1))
+    t.compact()
+    v_compact = t.version
+    # keep one version of history: pre-compaction state stays readable
+    t.vacuum(keep_versions=1)
+    assert t.scan(version=v_compact - 1).count() == 50
+    assert t.scan().count() == 50
+    # full vacuum: only HEAD survives
+    removed = t.vacuum(keep_versions=0)
+    assert removed > 0
+    assert t.scan().count() == 50
