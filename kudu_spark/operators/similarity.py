@@ -124,6 +124,58 @@ def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def brute_force_topk_arrow(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul (mapInPandas): the
+    query matrix ships inside the closure (Q x dims floats), each
+    executor scores its batches as one BLAS gemm and emits only its
+    local top-k per query; a final JVM-side window takes the global
+    top-k. For wide embeddings (>= several hundred dims) this beats
+    the codegen'd per-element fold — same results bit-for-bit on the
+    rounded output (float64 accumulation both sides).
+
+    Scale: candidates never leave executors unscored; the shuffle
+    carries at most (batches x queries x k) rows."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.where(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if m.size == 0:
+                continue
+            sims = (m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None] * qn[None, :])
+            out = {"query_id": [], "neighbor_id": [], "c": []}
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                out["query_id"].extend([q_ids[qi]] * len(top))
+                out["neighbor_id"].extend(ids[top])
+                out["c"].extend(col[top])
+            yield pd.DataFrame(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, c double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 6).alias("cosine"))
+    )
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 8, n_iters: int = 5) -> list[list[float]]:
     """Lloyd's k-means on the embedding column, Spark-native:
     assignment = broadcast-centroid argmax (one scan, no shuffle of

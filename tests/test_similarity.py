@@ -44,3 +44,14 @@ def test_ivf_kmeans_recall_vs_bruteforce(emb):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(r.cosine - exact_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_arrow_bruteforce_matches_jvm(emb):
+    """The numpy/Arrow gemm path and the codegen'd fold produce the
+    same rounded top-k (float64 accumulation both sides); ranking
+    tiebreaks identical."""
+    qids = [10, 20, 30]
+    jvm = SIM.brute_force_topk(emb, qids, k=7).collect()
+    arrow = SIM.brute_force_topk_arrow(emb, qids, k=7).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    assert key(jvm) == key(arrow)
