@@ -44,7 +44,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-MUTATION_OPS = {"insert", "upsert", "update", "delete"}
+MUTATION_OPS = {"insert", "upsert", "update", "delete", "txn"}
 VERSION_COL = "_change_version"
 DELETED_COL = "_is_deleted"
 

@@ -474,7 +474,7 @@ class Table:
         logically deleted, ids remapped) forces a full diff."""
         from kudu_spark.meta import read_log
 
-        mutation_ops = {"insert", "upsert", "update", "delete"}
+        mutation_ops = {"insert", "upsert", "update", "delete", "txn"}
         touched = set()
         for c in read_log(self.root, to_version):
             if c["version"] <= from_version:

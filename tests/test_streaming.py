@@ -259,3 +259,22 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert (u1.n_events, u1.sum_value, u1.n_sessions) == (3, 6.0, 1)
     assert (u2.n_events, u2.sum_value, u2.n_sessions) == (2, 30.0, 2)
     assert u2.last_ts.minute == 0 and u2.last_ts.hour == 10
+
+
+def test_changelog_and_diff_see_transactions(engine, spark):
+    """Transaction commits (op 'txn') are mutations: their rows must
+    appear in the CDC changelog and their partitions must be diffed."""
+    from kudu_spark.writer import Transaction
+
+    t = engine.create_table("txs", SCHEMA, pk=["k"])
+    t.insert(rows(spark, range(10)))
+    v0 = t.version
+    tx = Transaction(t)
+    tx.upsert(rows(spark, [1, 2], v=9))
+    tx.delete(spark.createDataFrame([(3,)], "k bigint"))
+    tx.commit()
+    ch = read_changes(spark, t.root, from_version=v0)
+    got = {(r.k, r._is_deleted) for r in ch.collect()}
+    assert (1, False) in got and (2, False) in got and (3, True) in got
+    d = {r.k: r._is_deleted for r in t.diff_scan(v0).collect()}
+    assert d == {1: False, 2: False, 3: True}
