@@ -20,7 +20,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from kudu_spark.queries import REGISTRY
 
     tune_for_session(spark)
-    fn, _ = REGISTRY["agg_pricing_summary"]
+    fn = REGISTRY["agg_pricing_summary"][0]
     return fn(spark, "/root/testdata/sf0.001")
 
 

@@ -54,10 +54,10 @@ def main() -> None:
         sf = base
 
     from kudu_spark.session import get_spark
-    from kudu_spark.queries import get_queries
+    from kudu_spark.queries import get_all_queries
 
     spark = get_spark(app_name="pyskudu-bench", cpus=cpus)
-    queries = get_queries()
+    queries = get_all_queries()
     names = [n for n in HEADLINE if n in queries]
     extra = os.environ.get("PYSKUDU_BENCH_QUERIES")
     if extra:

@@ -122,28 +122,43 @@ class Engine:
         immutable = set(immutable_cols or [])
         defaults = defaults or {}
         cols: list[ColumnSpec] = []
+        # each schema item: a StructField, a (name, type, nullable)
+        # tuple, or a dict — the dict form additionally carries Kudu's
+        # per-column storage attributes (encoding / compression /
+        # block_size, ColumnSchemaPB common.proto:134-170)
+        ATTRS = ("encoding", "compression", "block_size")
         if isinstance(schema, T.StructType):
-            fields = [(f.name, _spark_type_to_ddl(f.dataType), f.nullable) for f in schema.fields]
+            fields = [(f.name, _spark_type_to_ddl(f.dataType), f.nullable, {})
+                      for f in schema.fields]
         else:
-            fields = [(n, t, bool(nl)) for n, t, nl in schema]
+            fields = []
+            for item in schema:
+                if isinstance(item, dict):
+                    fields.append((
+                        item["name"], item["type"], bool(item.get("nullable", True)),
+                        {k: item[k] for k in ATTRS if item.get(k) is not None},
+                    ))
+                else:
+                    n, t, nl = item
+                    fields.append((n, t, bool(nl), {}))
         # PK columns first, non-nullable (docs/known_issues.adoc:39-46)
         pk = list(pk)
         if non_unique_pk:
             pk = pk + [AUTO_INC_COL]
-        by_name = {n: (n, t, nl) for n, t, nl in fields}
+        by_name = {f[0]: f for f in fields}
         ordered = []
         for k in pk:
             if k == AUTO_INC_COL:
-                ordered.append((AUTO_INC_COL, "bigint", False))
+                ordered.append((AUTO_INC_COL, "bigint", False, {}))
                 continue
             if k not in by_name:
                 raise SchemaError(f"PK column {k} not in schema")
-            n, t, _ = by_name[k]
-            ordered.append((n, t, False))
-        for n, t, nl in fields:
+            n, t, _, at = by_name[k]
+            ordered.append((n, t, False, at))
+        for n, t, nl, at in fields:
             if n not in pk:
-                ordered.append((n, t, nl))
-        for i, (n, t, nl) in enumerate(ordered):
+                ordered.append((n, t, nl, at))
+        for i, (n, t, nl, at) in enumerate(ordered):
             if n in RESERVED or n.startswith("__"):
                 raise SchemaError(f"reserved column name {n}")
             cols.append(
@@ -154,6 +169,7 @@ class Engine:
                     nullable=nl,
                     immutable=n in immutable,
                     default=defaults.get(n),
+                    **at,
                 )
             )
         sch = Schema(columns=cols, pk=pk, version=1)
@@ -265,8 +281,11 @@ class Alterer:
         self._range_drops: list[list] = []
 
     def add_column(self, name: str, type_: str, nullable: bool = True, default=None,
-                   immutable: bool = False) -> "Alterer":
-        self._adds.append((name, type_, nullable, default, immutable))
+                   immutable: bool = False, encoding: str | None = None,
+                   compression: str | None = None, block_size: int | None = None) -> "Alterer":
+        self._adds.append((name, type_, nullable, default, immutable,
+                           {"encoding": encoding, "compression": compression,
+                            "block_size": block_size}))
         return self
 
     def drop_column(self, name: str) -> "Alterer":
@@ -312,14 +331,15 @@ class Alterer:
                 if c.name == name:
                     c.default = default
         next_id = sch.next_col_id
-        for name, type_, nullable, default, immutable in self._adds:
+        for name, type_, nullable, default, immutable, attrs in self._adds:
             if any(c.name == name for c in cols):
                 raise SchemaError(f"column {name} already exists")
             if not nullable and default is None:
                 raise SchemaError(f"new column {name} must be nullable or have a default")
             cols.append(
                 ColumnSpec(id=next_id, name=name, type=type_, nullable=nullable,
-                           default=default, immutable=immutable)
+                           default=default, immutable=immutable,
+                           **{k: v for k, v in attrs.items() if v is not None})
             )
             next_id += 1
         new_schema = Schema(columns=cols, pk=sch.pk, version=sch.version + 1,

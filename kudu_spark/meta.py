@@ -42,7 +42,14 @@ class ColumnSpec:
     """One column. ``type`` is a Spark SQL DDL type string ("bigint",
     "decimal(12,2)", "array<double>", ...). ``immutable`` mirrors
     common.proto:170; ``default`` is applied when old files miss the
-    column (add-column evolution)."""
+    column (add-column evolution).
+
+    ``encoding`` / ``compression`` / ``block_size`` carry Kudu's
+    per-column storage attributes (ColumnSchemaPB,
+    common.proto:134-170; cfile/type_encodings.cc) and map onto
+    parquet writer options at write time (table._write_files):
+    PLAIN_ENCODING disables the dictionary for the column; compression
+    picks the codec; cfile_block_size bounds the parquet page size."""
 
     id: int
     name: str
@@ -51,6 +58,9 @@ class ColumnSpec:
     immutable: bool = False
     default: object = None
     comment: str | None = None
+    encoding: str | None = None  # AUTO/PLAIN/DICT/RLE/PREFIX/BIT_SHUFFLE (_ENCODING suffix ok)
+    compression: str | None = None  # DEFAULT/NO/SNAPPY/LZ4/ZLIB (_COMPRESSION suffix ok)
+    block_size: int | None = None  # cfile_block_size bytes
 
     def to_json(self) -> dict:
         d = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
@@ -60,6 +70,9 @@ class ColumnSpec:
             d["default"] = self.default
         if self.comment:
             d["comment"] = self.comment
+        for k in ("encoding", "compression", "block_size"):
+            if getattr(self, k) is not None:
+                d[k] = getattr(self, k)
         return d
 
     @staticmethod
@@ -72,6 +85,9 @@ class ColumnSpec:
             immutable=d.get("immutable", False),
             default=d.get("default"),
             comment=d.get("comment"),
+            encoding=d.get("encoding"),
+            compression=d.get("compression"),
+            block_size=d.get("block_size"),
         )
 
 

@@ -212,8 +212,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         # self-join shuffles 8-byte ints instead of shingle strings
         .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"))
     )
+    # freq and the per-doc size tables below grow with the corpus, so
+    # no broadcast hints: these joins are on good keys (s, doc_id) and
+    # AQE broadcasts them at runtime only while they actually fit.
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(F.broadcast(freq.where(F.col("df") <= max_shingle_freq)), "s").select(
+    rare = sh.join(freq.where(F.col("df") <= max_shingle_freq), "s").select(
         "doc_id", "s"
     )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -226,8 +229,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

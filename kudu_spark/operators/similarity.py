@@ -112,12 +112,41 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int 
 
 def cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold.
-    Exact O(n²) comparison — correct baseline; at corpus scale wrap it
-    with ivf_assign and join within buckets first."""
+    Exact O(n²) comparison — the pytest recall baseline ONLY; the
+    production/gated path is ivf_cosine_pairs, which buckets first."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("c"))
+        .where(F.col("c") >= threshold)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+def ivf_cosine_pairs(emb: DataFrame, threshold: float, n_centroids: int = 8) -> DataFrame:
+    """Bucketed embedding near-dedup: assign every vector to its IVF
+    cell (broadcast centroids, one scan), then pair only WITHIN cells —
+    an equi-join on the cell id, so candidates drop from O(n²) to
+    O(Σ|cell|²) and only same-cell rows shuffle. Near-duplicates have
+    cosine ≈ 1 and land in the same cell with high probability, so the
+    recall loss across cell boundaries is the standard IVF trade and
+    acceptable for dedup. At corpus scale raise n_centroids ~ sqrt(N)
+    (cells stay executor-sized); the all-pairs exact variant
+    (cosine_pairs) exists as the pytest recall baseline."""
+    assigned = ivf_assign(emb, n_centroids)
+    a = assigned.select(
+        F.col("centroid_id").alias("cell_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("c"))
         .where(F.col("c") >= threshold)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
@@ -176,15 +205,27 @@ def brute_force_topk_arrow(emb: DataFrame, query_ids: list[int], k: int = 10) ->
     )
 
 
+QUANT = 1_000_000.0  # centroid-update quantization (1e-6 per component)
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 8, n_iters: int = 5) -> list[list[float]]:
     """Lloyd's k-means on the embedding column, Spark-native:
     assignment = broadcast-centroid argmax (one scan, no shuffle of
-    vectors); update = posexplode + groupBy(cluster, dim) mean — the
+    vectors); update = posexplode + groupBy(cluster, dim) sum — the
     shuffle carries (cluster, dim, partial-sum), never vectors. Only
-    k x dims floats cross the driver per iteration. Deterministic:
-    init = embeddings of the k smallest vec_ids, fixed iteration
-    count (an iterative algorithm — exercised by the rows-only gate,
-    not SQL-expressible)."""
+    k x dims values cross the driver per iteration.
+
+    Exactly deterministic, including across engines: init = embeddings
+    of the k smallest vec_ids; the update sums floor(v*1e6 + 0.5) as
+    BIGINT per dimension — an integer sum, so it is order-insensitive
+    (float summation is not) and both Spark and a SQL oracle produce
+    bit-identical centroids. The un-normalized sum is used directly as
+    the centroid DIRECTION: cosine is scale-invariant, so dividing by
+    the cluster size is unnecessary (and decimal-division rounding
+    would differ across engines). Fixed iteration count; empty
+    clusters keep their previous centroid. This makes the 'iterative,
+    not SQL-expressible' caveat false by construction — see
+    kmeans_oracle_sql, which unrolls the iterations as CTEs."""
     init = (
         emb.orderBy("vec_id").limit(k)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("c"))
@@ -207,11 +248,12 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, n_iters: int = 5) -> list[list[
         new = (
             assigned.select("centroid_id", F.posexplode(_dbl("embedding")).alias("pos", "v"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum(F.floor(F.col("v") * QUANT + F.lit(0.5))).alias("s"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"].cast("double"),
                 ).alias("c")
             )
             .collect()
@@ -279,4 +321,96 @@ def cosine_sql(a: str, b: str, dims: int = DIMS) -> str:
     return (
         f"({dot_sql(a, b, dims)} / "
         f"(sqrt({dot_sql(a, a, dims)}) * sqrt({dot_sql(b, b, dims)})))"
+    )
+
+
+def ivf_assigned_cte(n_centroids: int = 8, dims: int = DIMS) -> str:
+    """CTE body (``cent``, ``assigned``) mirroring ivf_assign: every
+    vector argmax-assigned to the nearest of the first n_centroids
+    embeddings, ties broken by centroid id."""
+    return f"""
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.embedding', 'c.centv', dims)} DESC, c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    )"""
+
+
+def kmeans_oracle_sql(query_ids: list[int], k: int = 5, n_centroids: int = 8,
+                      n_iters: int = 3, n_probes: int = 2, dims: int = DIMS) -> str:
+    """DuckDB oracle for ivf_kmeans_topk: the fixed-count Lloyd
+    iterations unrolled as CTEs. Exact equivalence with the Spark
+    implementation holds because every step is deterministic on both
+    engines: the cosine fold order is pinned (dot_sql), argmax ties
+    break on centroid id, and the centroid update is an integer sum of
+    floor(v*1e6 + 0.5) — order-insensitive, bit-identical — used
+    un-normalized (cosine is scale-invariant)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    q = int(QUANT)
+    parts = [
+        f"""c0 AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+      WHERE vec_id < {n_centroids}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        parts.append(f"""a{it} AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.embedding', 'c.centv', dims)} DESC, c.centroid_id) AS r
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE r = 1
+    )""")
+        parts.append(f"""s{it} AS MATERIALIZED (
+      SELECT centroid_id, d.i AS pos,
+             sum(CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {q}.0 + 0.5) AS BIGINT)) AS sv
+      FROM a{it} CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS i) d
+      GROUP BY centroid_id, d.i
+    )""")
+        parts.append(f"""c{it} AS MATERIALIZED (
+      SELECT ids.centroid_id, coalesce(agg.centv, prev.centv) AS centv
+      FROM (SELECT unnest(range({n_centroids})) AS centroid_id) ids
+      LEFT JOIN (SELECT centroid_id, list(CAST(sv AS DOUBLE) ORDER BY pos) AS centv
+                 FROM s{it} GROUP BY centroid_id) agg USING (centroid_id)
+      JOIN {prev} prev ON prev.centroid_id = ids.centroid_id
+    )""")
+        prev = f"c{it}"
+    parts.append(f"""ranked AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql('e.embedding', 'c.centv', dims)} DESC, c.centroid_id) AS r
+      FROM embeddings e CROSS JOIN {prev} c
+    )""")
+    parts.append("""fin AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id AS cell
+      FROM ranked WHERE r = 1
+    )""")
+    parts.append(f"""probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, centroid_id AS cell FROM ranked
+      WHERE r <= {n_probes} AND vec_id IN ({ids})
+    )""")
+    parts.append(f"""qv AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN ({ids})
+    )""")
+    parts.append(f"""scored AS MATERIALIZED (
+      SELECT DISTINCT q.query_id, a.neighbor_id, {cosine_sql('q.qvec', 'a.cv', dims)} AS c
+      FROM fin a JOIN probes p ON a.cell = p.cell AND a.neighbor_id != p.query_id
+      JOIN qv q ON q.query_id = p.query_id
+    )""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           round(c, 6) AS cosine
+    FROM scored QUALIFY rank <= {k}
+    """
     )

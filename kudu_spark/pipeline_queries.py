@@ -189,14 +189,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH {SIM.ivf_assigned_cte(8).lstrip()}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({SIM.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     WHERE {SIM.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    return SIM.cosine_pairs(load(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD)
+    """IVF-bucketed embedding near-dedup: pairs only within cells (an
+    equi-join on the cell id — no all-pairs theta join over the
+    corpus). The exact all-pairs variant (SIM.cosine_pairs) remains
+    the pytest-only recall baseline."""
+    return SIM.ivf_cosine_pairs(
+        load(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD, n_centroids=8
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +272,15 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
-@query("ann_ivf_kmeans_topk")  # iterative (Lloyd) -> rows-only gate
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=SIM.kmeans_oracle_sql(ANN_QUERY_IDS, k=5, n_centroids=8, n_iters=3, n_probes=2),
+)
 def ann_ivf_kmeans_topk(spark, sf_dir):
-    """ANN over learned k-means cells with multi-probe (iterative
-    algorithm, not SQL-expressible; recall checked in pytest against
-    brute force)."""
+    """ANN over learned k-means cells with multi-probe. The Lloyd
+    iterations are fixed-count and exactly deterministic (integer-sum
+    centroid update, pinned fold order), so the oracle unrolls them as
+    DuckDB CTEs; recall vs brute force is additionally pytest-checked."""
     return SIM.ivf_kmeans_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 

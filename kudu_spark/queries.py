@@ -35,13 +35,20 @@ TABLES = [
     "embeddings",
 ]
 
-# name -> (spark_fn, oracle_sql | None)
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+# name -> (spark_fn, oracle_sql | None, gated)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None, bool]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, gated: bool = True):
+    """Register a query. ``gated=True`` entries are exported to the
+    driver's correctness gate, which caps at 50 queries — exactly 50
+    are gated so no operator family silently falls past the cap.
+    ``gated=False`` entries stay pytest-verified (same DuckDB oracle
+    comparison at sf0.001) and benchable, just not driver-gated; they
+    are redundant variants of families already gated."""
+
     def deco(fn):
-        REGISTRY[name] = (fn, oracle)
+        REGISTRY[name] = (fn, oracle, gated)
         return fn
 
     return deco
@@ -122,6 +129,7 @@ def scan_count_star(spark, sf_dir):
 @query(
     "scan_count_nonkey_pred",
     oracle="SELECT count(*) AS n_rows FROM lineitem WHERE l_quantity = 48",
+    gated=False,  # COUNT(*) family gated via scan_count_star
 )
 def scan_count_nonkey_pred(spark, sf_dir):
     """COUNT(*) with non-key predicate (whitepaper Q3, kudu.tex:980)."""
@@ -311,13 +319,19 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def join_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join, small dims broadcast, top-10 by revenue."""
+    """TPC-H Q3 shape: 3-way join, top-10 by revenue.
+
+    Scale: customer is fact-scale (~15M rows at SF100), so its
+    broadcast is planner-chosen (AQE + autoBroadcastJoinThreshold),
+    never forced — the reference's own Spark integration asserts
+    planned, not forced, BroadcastHashJoin
+    (java/kudu-spark/.../SparkSQLTest.scala:33)."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < _ts("1998-03-15"))
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1998-03-15"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "order_date")
@@ -343,7 +357,9 @@ def join_shipping_priority(spark, sf_dir):
     """,
 )
 def join_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on join keys."""
+    """TPC-H Q5 shape: 6-way join; region/nation broadcast
+    unconditionally (bounded dims), customer/supplier fact-scale at
+    SF100 so their join strategy is left to the planner."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -354,9 +370,9 @@ def join_local_supplier_volume(spark, sf_dir):
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -377,11 +393,14 @@ def join_local_supplier_volume(spark, sf_dir):
 def join_semi_bloom(spark, sf_dir):
     """Semi-join ≈ Kudu's InBloomFilter predicate pushdown
     (column_predicate.h:143-149, client.h:1763-1806): the build side
-    filters the probe scan. Spark: broadcast left-semi join."""
+    filters the probe scan. Spark: left-semi join; the planner picks
+    broadcast when the key set is small, and the runtime bloom-filter
+    rewrite (session.py) covers the large-build case — an unconditional
+    key-set broadcast would not survive ~4M filtered keys at SF100."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_size") > 40).select("p_partkey")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
@@ -432,7 +451,7 @@ def join_returned_item_customers(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -476,6 +495,7 @@ def window_user_activity(spark, sf_dir):
 
 @query(
     "window_top3_orders_per_customer",
+    gated=False,  # ranking-window family gated via window_user_activity
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice
     FROM (
@@ -532,18 +552,32 @@ def setop_except_intersect(spark, sf_dir):
     return only_open.unionAll(both)
 
 
-def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _load_registry() -> None:
     # late imports register their REGISTRY entries on first use
     from kudu_spark import pipeline_queries  # noqa: F401
     from kudu_spark import engine_queries  # noqa: F401
     from kudu_spark import tpch_queries  # noqa: F401
 
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gated queries (≤ 50, the driver's cap)."""
+    _load_registry()
+    return {name: fn for name, (fn, _, gated) in REGISTRY.items() if gated}
 
 
 def get_oracles() -> dict[str, str]:
-    from kudu_spark import pipeline_queries  # noqa: F401
-    from kudu_spark import engine_queries  # noqa: F401
-    from kudu_spark import tpch_queries  # noqa: F401
+    _load_registry()
+    return {
+        name: sql for name, (_, sql, gated) in REGISTRY.items() if sql is not None and gated
+    }
 
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+def get_all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query, gated or pytest-only (bench + tests)."""
+    _load_registry()
+    return {name: fn for name, (fn, _, _) in REGISTRY.items()}
+
+
+def get_all_oracles() -> dict[str, str]:
+    _load_registry()
+    return {name: sql for name, (_, sql, _) in REGISTRY.items() if sql is not None}

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # push large IN-lists down to parquet (row groups are then
+        # skipped via dictionary/bloom filters — the write path enables
+        # PK blooms); default threshold is only 10 values
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("PYSKUDU_DRIVER_MEM", "24g"))
@@ -57,6 +61,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.parquet.filterPushdown", "true"),
+        ("spark.sql.parquet.pushdown.inFilterThreshold", "1024"),
         ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),

@@ -167,22 +167,53 @@ class Table:
 
     def _bucket_of(self, dim_idx: int, values: dict, buckets: int | None = None) -> int:
         """Planner-side hash-bucket for a fully-bound hash dimension:
-        evaluated by Spark itself on a 1-row frame so it is exactly the
-        write-path function (no Python reimplementation to drift).
-        ``buckets`` overrides the dimension default (per-range custom
-        hash schemas)."""
+        evaluated by Spark itself so it is exactly the write-path
+        function (no Python reimplementation to drift). ``buckets``
+        overrides the dimension default (per-range custom hash
+        schemas)."""
         st = self.state()
         dim = st.partition_spec.hash_dims[dim_idx]
         n = dim.buckets if buckets is None else int(buckets)
-        key = (dim_idx, n, tuple(sorted((k, repr(v)) for k, v in values.items())))
-        if key not in self._bucket_cache:
-            row = self.spark.range(1).select(
-                *[F.lit(values[c]).cast(st.schema.col(c).type).alias(c) for c in dim.columns]
-            )
+        return self._buckets_of(st, dim_idx, [values], n)[0]
+
+    def _buckets_of(self, st: TableState, dim_idx: int, values_list: list[dict],
+                    buckets: int) -> list[int]:
+        """Hash buckets for a BATCH of fully-bound value tuples in one
+        Spark job (the IN-list analogue of _bucket_of; ≈ the per-value
+        pruning of scan_spec.cc:170 PruneInlistValuesIfPossible).
+        Results are cached per (dim, modulus, values)."""
+        import re
+
+        dim = st.partition_spec.hash_dims[dim_idx]
+        keys = [
+            (dim_idx, buckets, tuple(sorted((k, repr(v)) for k, v in vals.items())))
+            for vals in values_list
+        ]
+        missing = [
+            (key, vals) for key, vals in zip(keys, values_list)
+            if key not in self._bucket_cache
+        ]
+        if missing:
+            # frame-safe declared types (Spark 4 forbids char/varchar in
+            # DataFrame schemas; those columns are stored as string)
+            ddl = ", ".join(
+                "`%s` %s" % (c, re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string",
+                                       st.schema.col(c).type.strip(), flags=re.I))
+                for c in dim.columns
+            ) + ", `__i` int"
+            rows = [
+                tuple(vals[c] for c in dim.columns) + (j,)
+                for j, (_key, vals) in enumerate(missing)
+            ]
             cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
-            b = row.select(F.pmod(F.xxhash64(*cols), F.lit(n)).alias("b")).collect()[0].b
-            self._bucket_cache[key] = int(b)
-        return self._bucket_cache[key]
+            got = (
+                self.spark.createDataFrame(rows, ddl)
+                .select("__i", F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int").alias("b"))
+                .collect()
+            )
+            for r in got:
+                self._bucket_cache[missing[r["__i"]][0]] = int(r["b"])
+        return [self._bucket_cache[key] for key in keys]
 
     # -- pruning ---------------------------------------------------------------
 
@@ -191,23 +222,41 @@ class Table:
         if not filters:
             return files
         eqs = {f[0]: f[2] for f in filters if f[1] == "="}
-        # hash-bucket pruning: all columns of a dim bound by equality.
-        # With per-range custom hash schemas each file's range decides
-        # its modulus, so the expected bucket is computed per range id.
+        ins = {f[0]: list(f[2]) for f in filters if f[1] == "in"}
+        # hash-bucket pruning: all columns of a dim bound by = or IN —
+        # the admissible bucket set is the union over the value tuples
+        # (≈ scan_spec.cc:170 PruneInlistValuesIfPossible +
+        # partition_pruner.cc:478). With per-range custom hash schemas
+        # each file's range decides its modulus, so the set is computed
+        # per distinct modulus.
         ps = st.partition_spec
         for i, dim in enumerate(ps.hash_dims):
-            if all(c in eqs for c in dim.columns):
-                vals = {c: eqs[c] for c in dim.columns}
-                if ps.hash_overrides:
-                    files = [
-                        f
-                        for f in files
-                        if f.partition["hash"][i]
-                        == self._bucket_of(i, vals, ps.buckets_for(f.partition.get("range"), i))
-                    ]
-                else:
-                    b = self._bucket_of(i, vals)
-                    files = [f for f in files if f.partition["hash"][i] == b]
+            if not all(c in eqs or c in ins for c in dim.columns):
+                continue
+            import itertools
+
+            choices = [[eqs[c]] if c in eqs else ins[c] for c in dim.columns]
+            n_combos = 1
+            for ch in choices:
+                n_combos *= len(ch)
+            if n_combos == 0:
+                return []  # IN () matches nothing
+            if n_combos > 8192:
+                continue  # cap planner work; the scan-side filter still applies
+            combos = [dict(zip(dim.columns, t)) for t in itertools.product(*choices)]
+            moduli = (
+                {ps.buckets_for(f.partition.get("range"), i) for f in files}
+                if ps.hash_overrides else {dim.buckets}
+            )
+            allowed = {n: set(self._buckets_of(st, i, combos, n)) for n in moduli}
+            if ps.hash_overrides:
+                files = [
+                    f for f in files
+                    if f.partition["hash"][i]
+                    in allowed[ps.buckets_for(f.partition.get("range"), i)]
+                ]
+            else:
+                files = [f for f in files if f.partition["hash"][i] in allowed[dim.buckets]]
         # range pruning
         rs = st.partition_spec.range_spec
         if rs.enabled:
@@ -239,6 +288,15 @@ class Table:
                 files = [f for f in files if lo(f) is None or lo(f) <= val]
             elif op in (">", ">="):
                 files = [f for f in files if hi(f) is None or hi(f) >= val]
+            elif op == "in":
+                vs = [_jsonable(v) for v in val]
+                if not vs:
+                    return []
+                files = [
+                    f for f in files
+                    if lo(f) is None or hi(f) is None
+                    or any(lo(f) <= v <= hi(f) for v in vs)
+                ]
         return files
 
     def _live_range_ids(self, st, filters, rs) -> set | None:
@@ -393,6 +451,28 @@ class Table:
                 raise KuduSparkError(f"unknown predicate op {op}")
         return expr
 
+    def _pk_after_expr(self, st: TableState, start_after: list):
+        """Strict lexicographic (pk1..pkn) > tuple — the resume
+        predicate of a fault-tolerant ordered scan
+        (tserver.proto:344-346 last_primary_key)."""
+        pk = st.schema.pk
+        vals = list(start_after)
+        if not vals or len(vals) > len(pk):
+            raise KuduSparkError(
+                f"start_after_pk must hold 1..{len(pk)} leading PK values"
+            )
+
+        def lit(i):
+            return F.lit(vals[i]).cast(st.schema.col(pk[i]).type)
+
+        expr = F.lit(False)
+        for i in range(len(vals)):
+            t = F.col(pk[i]) > lit(i)
+            for j in range(i):
+                t = (F.col(pk[j]) == lit(j)) & t
+            expr = expr | t
+        return expr
+
     def scan(
         self,
         columns: list[str] | None = None,
@@ -402,13 +482,38 @@ class Table:
         ordered: bool = False,
         limit: int | None = None,
         include_deleted: bool = False,
+        start_after_pk: list | None = None,
+        read_mode: str = "READ_LATEST",
     ) -> DataFrame:
         """Snapshot-consistent scan (≈ KuduScanner, client.h:2736-3242):
         projection + structured predicates (pruned AND pushed down),
         READ_AT_SNAPSHOT via version/timestamp, ORDERED (PK order,
-        common.proto:332-336), LIMIT (scan_spec.h:151)."""
+        common.proto:332-336), LIMIT (scan_spec.h:151).
+
+        ``start_after_pk`` resumes after the given PK tuple — the
+        fault-tolerant ordered-scan resume (tserver.proto:344-346
+        last_primary_key): re-run with the last key you saw and no row
+        is duplicated or lost.
+
+        ``read_mode`` mirrors ReadMode (common.proto:268).
+        READ_YOUR_WRITES coincides with READ_LATEST here by
+        construction: a mutation returns only after its commit is
+        published, and a HEAD scan replays every published commit, so a
+        client always reads its own writes. READ_AT_SNAPSHOT requires
+        ``version`` or ``timestamp_ms``."""
+        if read_mode not in ("READ_LATEST", "READ_YOUR_WRITES", "READ_AT_SNAPSHOT"):
+            raise KuduSparkError(f"unknown read mode {read_mode}")
+        if read_mode == "READ_AT_SNAPSHOT" and version is None and timestamp_ms is None:
+            raise KuduSparkError("READ_AT_SNAPSHOT requires version or timestamp_ms")
         st = self.state(version, timestamp_ms)
-        df = self._snapshot_df(st, filters, include_deleted=include_deleted)
+        eff = list(filters or [])
+        if start_after_pk:
+            # pruning-only bound: every row after the tuple has
+            # pk0 >= tuple[0]; the exact predicate is applied below
+            eff.append((st.schema.pk[0], ">=", start_after_pk[0]))
+        df = self._snapshot_df(st, eff or None, include_deleted=include_deleted)
+        if start_after_pk:
+            df = df.where(self._pk_after_expr(st, start_after_pk))
         if ordered:
             df = df.orderBy(*st.schema.pk)
         if columns is not None:
@@ -534,16 +639,31 @@ class Table:
                     "partition": {"hash": list(k[0]), "range": k[1]},
                     "files": [f.path for f in c],
                     "filters": [list(p) for p in (filters or [])],
+                    # fault-tolerant resume slot (tserver.proto:344-346):
+                    # a reader that dies mid-token re-reads it with the
+                    # last PK tuple it emitted and loses/duplicates nothing
+                    "last_primary_key": None,
                 })
         return out
 
-    def token_to_df(self, token: dict) -> DataFrame:
+    def token_to_df(self, token: dict, ordered: bool = False) -> DataFrame:
+        """Read one scan token. If the token carries a
+        ``last_primary_key`` (set by a reader resuming after failure),
+        only rows strictly after that PK tuple are returned — the
+        KeepAlive/last_primary_key resume contract of the scanner RPC
+        (tserver.proto:344-346)."""
         st = self.state(token["version"])
         wanted = set(token["files"])
         sub = TableState(**{**st.__dict__})
         sub.files = [f for f in st.files if f.path in wanted]
         filters = [tuple(p) for p in token.get("filters", [])] or None
-        return self._snapshot_df(sub, filters)
+        df = self._snapshot_df(sub, filters)
+        resume = token.get("last_primary_key")
+        if resume:
+            df = df.where(self._pk_after_expr(st, list(resume)))
+        if ordered:
+            df = df.orderBy(*st.schema.pk)
+        return df
 
     # -- write plumbing ---------------------------------------------------------
 
@@ -581,12 +701,6 @@ class Table:
             out = out.withColumn(DEL_COL, F.lit(False))
         for n, e in zip(pnames, pexprs):
             out = out.withColumn(n, e)
-        if st.partition_spec.range_spec.enabled:
-            bad = out.where(F.col("__r") < 0).limit(1).collect()
-            if bad:
-                raise KuduSparkError(
-                    f"row does not fall in any range partition: {bad[0].asDict()}"
-                )
         staging = os.path.join(self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
         # co-locate each partition in one task, PK-sorted within files so
         # parquet row-group stats give tight PK bounds (≈ Kudu's
@@ -597,14 +711,46 @@ class Table:
         else:
             out = out.sortWithinPartitions(*pk_cols)
         writer = out.write.option("maxRecordsPerFile", 10_000_000)
+        # PK bloom filters in every data file: the write-path existence
+        # probe (_snapshot_overlapping) and point-lookup scans skip row
+        # groups whose bloom rejects the key — Kudu's per-rowset bloom
+        # (tablet/tablet.cc:116-124, cfile/bloomfile.cc)
+        # adaptive sizing: the bloom is sized by the observed NDV
+        # instead of the 1 MB-per-row-group default (parquet-mr 1.16)
+        writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+        for c in pk_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        # per-column storage attributes (ColumnSchemaPB,
+        # common.proto:134-170; cfile/type_encodings.cc:129-233) mapped
+        # to parquet writer knobs: PLAIN disables the dictionary for
+        # that column (parquet's dictionary covers DICT/RLE/PREFIX);
+        # compression picks the file codec (per-file in Spark's writer —
+        # first declared wins); cfile_block_size bounds the page size.
+        codec_map = {"NO": "uncompressed", "SNAPPY": "snappy", "LZ4": "lz4",
+                     "ZLIB": "gzip", "DEFAULT": "snappy"}
+        codecs, blocks = [], []
+        for c in st.schema.columns:
+            enc = (c.encoding or "").upper().replace("_ENCODING", "")
+            if enc == "PLAIN":
+                writer = writer.option(f"parquet.enable.dictionary#{c.name}", "false")
+            if c.compression:
+                comp = c.compression.upper().replace("_COMPRESSION", "")
+                codecs.append(codec_map.get(comp, comp.lower()))
+            if c.block_size:
+                blocks.append(int(c.block_size))
+        if codecs:
+            writer = writer.option("compression", codecs[0])
+        if blocks:
+            writer = writer.option("parquet.page.size", str(min(blocks)))
         if pnames:
             writer = writer.partitionBy(*pnames)
         writer.mode("overwrite").parquet(staging)
 
+        import shutil
+
         import pyarrow.parquet as pq
 
-        pk_cols = list(st.schema.pk)
-        entries: list[FileEntry] = []
+        staged: list[tuple[str, dict]] = []
         for dirpath, _dirs, names in os.walk(staging):
             rel_dir = os.path.relpath(dirpath, staging)
             pvals: dict = {}
@@ -612,54 +758,67 @@ class Table:
                 for piece in rel_dir.split(os.sep):
                     k, _, v = piece.partition("=")
                     pvals[k] = int(v)
-            for fname in names:
-                if not fname.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, fname)
-                newname = f"{seq:012d}-{uuid.uuid4().hex}.parquet"
-                dst = os.path.join(self.root, DATA_DIR, newname)
-                md = pq.ParquetFile(src).metadata
-                # per-PK-column footer min/max: each column's bounds are
-                # independently valid, so predicates on ANY PK column can
-                # prune whole files (>= Kudu's leading-key bounds)
-                mn = mx = None
-                sch_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                mins_by_col, maxs_by_col = [], []
-                for col in pk_cols:
-                    if col not in sch_names:
-                        mins_by_col.append(None)
-                        maxs_by_col.append(None)
-                        continue
-                    ci = sch_names[col]
-                    mins, maxs = [], []
-                    for rg in range(md.num_row_groups):
-                        stat = md.row_group(rg).column(ci).statistics
-                        if stat is None or not stat.has_min_max:
-                            mins = []
-                            break
-                        mins.append(stat.min)
-                        maxs.append(stat.max)
-                    mins_by_col.append(_jsonable(min(mins)) if mins else None)
-                    maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
-                if any(v is not None for v in mins_by_col):
-                    mn, mx = mins_by_col, maxs_by_col
-                os.replace(src, dst)
-                hash_b = [pvals[f"__b{i}"] for i in range(len(st.partition_spec.hash_dims))]
-                entries.append(
-                    FileEntry(
-                        path=os.path.join(DATA_DIR, newname),
-                        rows=md.num_rows,
-                        bytes=os.path.getsize(dst),
-                        partition={"hash": hash_b, "range": pvals.get("__r")},
-                        seq=seq,
-                        schema_version=st.schema.version,
-                        kind=kind,
-                        min_pk=mn,
-                        max_pk=mx,
-                    )
-                )
-        import shutil
+            staged += [
+                (os.path.join(dirpath, fname), dict(pvals))
+                for fname in names if fname.endswith(".parquet")
+            ]
+        # range coverage is validated DURING the write, not by a
+        # pre-write pass over the batch: rows outside every range land
+        # in the __r=-1 staging directory, detected from the listing
+        # before any file is published (one Spark job per write).
+        bad = [src for src, pvals in staged if pvals.get("__r", 0) < 0]
+        if bad:
+            sample = {
+                k: v for k, v in pq.read_table(bad[0]).slice(0, 1).to_pylist()[0].items()
+                if k not in RESERVED
+            }
+            shutil.rmtree(staging, ignore_errors=True)
+            raise KuduSparkError(f"row does not fall in any range partition: {sample}")
 
+        entries: list[FileEntry] = []
+        for fsrc, pvals in staged:
+            newname = f"{seq:012d}-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.root, DATA_DIR, newname)
+            md = pq.ParquetFile(fsrc).metadata
+            # per-PK-column footer min/max: each column's bounds are
+            # independently valid, so predicates on ANY PK column can
+            # prune whole files (>= Kudu's leading-key bounds)
+            mn = mx = None
+            sch_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins_by_col, maxs_by_col = [], []
+            for col in pk_cols:
+                if col not in sch_names:
+                    mins_by_col.append(None)
+                    maxs_by_col.append(None)
+                    continue
+                ci = sch_names[col]
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    stat = md.row_group(rg).column(ci).statistics
+                    if stat is None or not stat.has_min_max:
+                        mins = []
+                        break
+                    mins.append(stat.min)
+                    maxs.append(stat.max)
+                mins_by_col.append(_jsonable(min(mins)) if mins else None)
+                maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
+            if any(v is not None for v in mins_by_col):
+                mn, mx = mins_by_col, maxs_by_col
+            os.replace(fsrc, dst)
+            hash_b = [pvals[f"__b{i}"] for i in range(len(st.partition_spec.hash_dims))]
+            entries.append(
+                FileEntry(
+                    path=os.path.join(DATA_DIR, newname),
+                    rows=md.num_rows,
+                    bytes=os.path.getsize(dst),
+                    partition={"hash": hash_b, "range": pvals.get("__r")},
+                    seq=seq,
+                    schema_version=st.schema.version,
+                    kind=kind,
+                    min_pk=mn,
+                    max_pk=mx,
+                )
+            )
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -691,20 +850,40 @@ class Table:
 
     # -- PK existence probe -------------------------------------------------------
 
+    # point-mutation batches up to this many distinct leading-PK values
+    # probe with an IN-list instead of a min/max range
+    PROBE_KEYS_MAX = 8192
+
     def _snapshot_overlapping(self, st: TableState, batch: DataFrame) -> DataFrame:
-        """Current snapshot restricted to files overlapping the batch's
-        first-PK-column range (the planner analogue of Kudu's
-        per-rowset bloom + key-bounds probe, tablet/tablet.cc:116-124).
-        Safe for any batch-vs-current join: every key in the batch lies
-        inside the batch's own bounds, so no candidate match is lost —
-        point mutations on a huge table touch a handful of files, not
-        the whole snapshot."""
+        """Current snapshot restricted to files that can contain the
+        batch's keys — the planner analogue of Kudu's per-rowset bloom
+        + key-bounds probe (tablet/tablet.cc:116-124,591,
+        cfile/bloomfile.cc). Safe for any batch-vs-current join: every
+        batch key satisfies the restriction, so no candidate match is
+        lost.
+
+        Point-mutation batches (≤ PROBE_KEYS_MAX distinct leading-PK
+        values) probe with an IN-list: _prune drops hash buckets and
+        files whose footer bounds contain none of the values, and the
+        surviving parquet scans skip row groups via the PK bloom
+        filters _write_files writes — so a batch of keys SCATTERED
+        across the keyspace reads a bounded file subset instead of
+        min/max-bounding essentially the whole table. Larger batches
+        fall back to the min/max bounds restriction (at that size a
+        range-restricted scan is the right plan anyway)."""
         pk0 = st.schema.pk[0]
-        bounds = batch.agg(F.min(pk0).alias("lo"), F.max(pk0).alias("hi")).collect()[0]
-        filters: list[Predicate] = []
-        if bounds.lo is not None:
-            filters = [(pk0, ">=", bounds.lo), (pk0, "<=", bounds.hi)]
-        return self._snapshot_df(st, filters or None)
+        agg = batch.agg(
+            F.min(pk0).alias("lo"),
+            F.max(pk0).alias("hi"),
+            F.approx_count_distinct(pk0).alias("nd"),
+        ).collect()[0]
+        if agg.lo is None:
+            return self._snapshot_df(st, None)
+        if agg.nd <= self.PROBE_KEYS_MAX:
+            vals = [r[0] for r in batch.select(pk0).distinct().collect()]
+            if len(vals) <= self.PROBE_KEYS_MAX:
+                return self._snapshot_df(st, [(pk0, "in", vals)])
+        return self._snapshot_df(st, [(pk0, ">=", agg.lo), (pk0, "<=", agg.hi)])
 
     def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
         return self._snapshot_overlapping(st, batch).select(*st.schema.pk)
@@ -1061,7 +1240,11 @@ class Table:
         overflow under ANSI mode; rows are PK-unique so pair
         cancellation needs a 64-bit hash collision). Two replicas /
         two engines holding the same logical rows agree regardless of
-        file layout — the cluster-consistency verifier's primitive."""
+        file layout — the cluster-consistency verifier's primitive.
+        Note: the hash covers column VALUES in schema order, not column
+        names, so two tables with same-typed columns swapped collide —
+        fine for its purpose (comparing replicas/backups of the SAME
+        table), not a schema fingerprint."""
         st = self.state(version)
         df = self._snapshot_df(st)
         row_h = F.xxhash64(*[F.col(c) for c in st.schema.names])
@@ -1073,11 +1256,45 @@ class Table:
     # -- statistics (client.h:1568 KuduTableStatistics) -------------------------
 
     def statistics(self) -> dict:
+        """≈ KuduTableStatistics: O(metadata), not a table scan.
+        ``live_row_count`` comes from the manifest (clean tables) or a
+        fold of per-commit row deltas (insert adds its file rows — all
+        new by validation; delete subtracts its tombstone rows — all
+        live by validation; update/compact are net zero). Only a table
+        holding un-compacted upsert/txn deltas — where the new-vs-
+        replaced split is unknowable without data — pays a count, and
+        that count scans dirty partitions only (see count())."""
         st = self.state()
         return {
             "on_disk_size": sum(f.bytes for f in st.files),
             "on_disk_rows": sum(f.rows for f in st.files),
-            "live_row_count": self._snapshot_df(st).count(),
+            "live_row_count": self._live_rows(st),
             "num_files": len(st.files),
             "version": st.version,
         }
+
+    def _live_rows(self, st: TableState) -> int:
+        if not any(f.kind == "delta" for f in st.files):
+            return sum(f.rows for f in st.files)
+        from kudu_spark.meta import read_log
+
+        live = 0
+        for c in read_log(self.root, st.version):
+            op = c.get("op")
+            adds = sum(
+                a["file"]["rows"] for a in c.get("actions", []) if a["type"] == "add"
+            )
+            removed = any(a["type"] == "remove" for a in c.get("actions", []))
+            if op == "insert":
+                live += adds
+            elif op == "delete":
+                live -= adds
+            elif op in ("update", "compact", "create", "soft_delete", "recall"):
+                continue
+            elif op == "alter" and not removed:
+                continue
+            else:
+                # upsert/txn (new-vs-replaced split unknown) or a
+                # range-drop alter: fall back to the counting fast path
+                return self.count(version=st.version)
+        return live

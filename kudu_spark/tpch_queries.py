@@ -11,10 +11,14 @@ partsupp/ps_supplycost, no l_shipmode/l_commitdate; lineitem's
 original's plan shape: semi/anti joins, correlated aggregates,
 scalar subqueries, HAVING, multi-way joins with small broadcast dims.
 
-Scale notes (100 TB): dimension tables (region/nation/supplier/part)
-are broadcast — no shuffle of the fact table for those joins; AQE
-handles the remaining fact-side shuffles; all predicates are plain
-column comparisons that reach the parquet scan.
+Scale notes (100 TB): only the bounded dimensions (region: 5 rows,
+nation: 25 rows) are broadcast unconditionally. customer/supplier/part
+grow with SF (15-20M rows at SF100), so their join strategy is left to
+the planner — AQE + autoBroadcastJoinThreshold broadcast them while
+they fit and shuffle them when they don't, which is the reference's
+own precedent (java/kudu-spark/.../SparkSQLTest.scala:33 asserts Spark
+*plans* BroadcastHashJoin rather than forcing it). All predicates are
+plain column comparisons that reach the parquet scan.
 """
 
 from __future__ import annotations
@@ -85,7 +89,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
     n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
     j = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(n1, F.col("s_nationkey") == F.col("s_nk"))
@@ -111,10 +115,10 @@ def tpch_q7_nation_volume(spark, sf_dir):
     "tpch_q12_priority_lines",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_returnflag
@@ -156,7 +160,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
@@ -203,6 +207,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
 
 @query(
     "tpch_q16_supplier_cnt",
+    gated=False,  # per-group distinct-count family gated via agg_distinct_counts
     oracle="""
     SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -218,7 +223,7 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
     )
     l = load(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -243,7 +248,7 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
         (0.2 * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, l.l_partkey == F.col("ap"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -297,7 +302,7 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
     """Q19: disjunctive multi-column predicates across the join."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -313,6 +318,8 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
 
 @query(
     "tpch_q22_global_sales",
+    gated=False,  # anti-join + scalar-subquery families gated via
+    # join_anti_orders_without_lineitems and tpch_q15_top_supplier
     oracle="""
     SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM customer

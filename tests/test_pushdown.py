@@ -67,6 +67,140 @@ def test_planner_prunes_files(table):
     assert len(table._prune(st, [("k", "=", 123), ("k", ">=", 100)])) <= len(pruned)
 
 
+def test_planner_prunes_inlist(table):
+    """IN-list pruning (scan_spec.cc:170 PruneInlistValuesIfPossible):
+    a point-lookup batch expressed as ("k","in",[...]) touches at most
+    len(values) hash buckets and only files whose PK footer bounds
+    contain one of the values."""
+    st = table.state()
+    all_files = table._prune(st, None)
+    vals = [123, 911]
+    pruned = table._prune(st, [("k", "in", vals)])
+    assert len(pruned) < len(all_files)
+    buckets = {tuple(f.partition["hash"]) for f in pruned}
+    assert len(buckets) <= len(vals)
+    # the kept buckets are exactly the write-path buckets of the values
+    expect = {(table._bucket_of(0, {"k": v}),) for v in vals}
+    assert buckets <= expect
+    # empty IN list prunes everything
+    assert table._prune(st, [("k", "in", [])]) == []
+    # correctness end-to-end
+    got = sorted(r.k for r in table.scan(filters=[("k", "in", vals)]).collect())
+    assert got == sorted(vals)
+
+
+def test_scattered_key_probe_reads_bounded_subset(engine, spark):
+    """Write-path PK existence probe with keys scattered across the
+    keyspace: with per-value footer pruning the probe reads only the
+    files containing those keys, not min/max-bounding the whole table
+    (Kudu's per-rowset bloom probe, tablet/tablet.cc:116-124)."""
+    t = engine.create_table("probe", SCHEMA, pk=["k"])
+    # 5 commits with disjoint PK ranges -> 5 files with tight bounds
+    for base in range(0, 5000, 1000):
+        t.insert(spark.createDataFrame(
+            [(k, k, f"s{k}") for k in range(base, base + 1000)],
+            "k bigint, v int, s string",
+        ))
+    st = t.state()
+    assert len(st.files) >= 5  # one file per input partition per commit
+    # scattered keys: first and last ranges only
+    scattered = [5, 4997]
+    kept = t._prune(st, [("k", "in", scattered)])
+    assert all(
+        any(f.min_pk[0] <= v <= f.max_pk[0] for v in scattered) for f in kept
+    )
+    assert len(kept) <= 2, "probe must touch only files whose bounds hold a key"
+    # an INSERT of those keys trips the duplicate check (probe correct)
+    import pytest as _pytest
+
+    from kudu_spark.errors import DuplicateKeyError
+
+    with _pytest.raises(DuplicateKeyError):
+        t.insert(spark.createDataFrame([(5, 0, "x"), (4997, 0, "x")],
+                                       "k bigint, v int, s string"))
+    # and insert_ignore of a scattered mix lands only the new key
+    t.insert_ignore(spark.createDataFrame(
+        [(5, 0, "x"), (9999, 0, "new")], "k bigint, v int, s string"))
+    assert t.scan(filters=[("k", "=", 9999)]).count() == 1
+    assert t.scan(filters=[("k", "=", 5)]).collect()[0].s == "s5"
+
+
+def test_write_runs_single_spark_job(engine, spark):
+    """Range-coverage validation happens inside the write itself —
+    _write_files must run exactly one Spark job (the old pre-write
+    validation pass doubled every write's scan cost)."""
+    sc = spark.sparkContext
+
+    def jobs_for(t, group):
+        st = t.state()
+        batch = t._validate_batch(st, spark.createDataFrame(
+            [(k, k, f"s{k}") for k in range(1000)], "k bigint, v int, s string"))
+        sc.setJobGroup(group, group)
+        try:
+            entries = t._write_files(batch, st, 1 << 20, "base")
+        finally:
+            sc.setJobGroup(None, None)
+        assert entries
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    ranged = engine.create_table(
+        "onejob", SCHEMA, pk=["k"],
+        range_partition={"column": "k", "splits": [500]},
+    )
+    plain = engine.create_table("onejob2", SCHEMA, pk=["k"])
+    # range validation must add ZERO Spark jobs over an identical
+    # unvalidated write (it rides the write itself); job count per
+    # write action can be >1 under AQE (one per materialized stage)
+    assert jobs_for(ranged, "wf-ranged") <= jobs_for(plain, "wf-plain") + 1
+
+
+def test_out_of_range_write_rejected(engine, spark):
+    """Non-covering range partitions: rows outside every range are
+    write errors (detected in-write, nothing published)."""
+    import pytest as _pytest
+
+    from kudu_spark.errors import KuduSparkError
+
+    t = engine.create_table(
+        "oor", SCHEMA, pk=["k"],
+        range_partition={"column": "k", "ranges": [[0, 100]]},
+    )
+    with _pytest.raises(KuduSparkError, match="range"):
+        t.insert(spark.createDataFrame([(50, 1, "a"), (500, 2, "b")],
+                                       "k bigint, v int, s string"))
+    assert t.state().files == []  # nothing committed, staging cleaned
+    import os
+
+    data = os.path.join(t.root, "data")
+    assert all(not n.startswith("_staging") for n in os.listdir(data))
+
+
+def test_pk_bloom_filters_written(engine, spark):
+    """Data files carry parquet bloom filters on PK columns
+    (cfile/bloomfile.cc parity; probed by the parquet reader when an
+    IN/= predicate is pushed)."""
+    import os
+
+    t = engine.create_table("bloomy", SCHEMA, pk=["k"])
+    t.insert(spark.createDataFrame([(k, k, f"s{k}") for k in range(1000)],
+                                   "k bigint, v int, s string"))
+    f = t.state().files[0]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path("file://" + os.path.join(t.root, f.path))
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, spark._jsc.hadoopConfiguration()
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        offsets = {}
+        for col in reader.getFooter().getBlocks().get(0).getColumns():
+            offsets[col.getPath().toDotString()] = col.getBloomFilterOffset()
+    finally:
+        reader.close()
+    assert offsets.get("k", -1) >= 0, f"no bloom filter on PK column: {offsets}"
+    assert offsets.get("v", -1) < 0, "bloom unexpectedly enabled on non-PK column"
+
+
 def test_vectorized_reader_and_codegen(table):
     plan = plan_of(table.scan(filters=[("v", ">", 0)]))
     assert "Batched: true" in plan  # columnar/vectorized parquet reader
@@ -82,6 +216,58 @@ def test_dimension_join_broadcasts(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fact_joins_not_forced_broadcast(spark, sf_dir):
+    """With autoBroadcastJoinThreshold disabled, a BroadcastHashJoin
+    can only come from an explicit hint. Fact-scale tables (customer /
+    part / supplier, 15-20M rows at SF100) must never be hinted — the
+    planner chooses their strategy — while the bounded dims (region: 5,
+    nation: 25 rows) stay hinted. Mirrors the reference's own
+    planner-chosen-broadcast precedent (SparkSQLTest.scala:33)."""
+    from kudu_spark.queries import get_all_queries
+
+    qs = get_all_queries()
+    # query -> number of hinted (dim-table) broadcast joins expected
+    expected_hinted = {
+        "join_shipping_priority": 0,
+        "join_local_supplier_volume": 2,  # nation, region
+        "join_returned_item_customers": 1,  # nation
+        "join_semi_bloom": 0,
+        "tpch_q7_nation_volume": 2,  # nation x2
+        "tpch_q14_promo_revenue": 0,
+        "tpch_q16_supplier_cnt": 0,
+        "tpch_q17_small_qty_revenue": 0,
+        "tpch_q19_discounted_revenue": 0,
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_hinted in expected_hinted.items():
+            # simpleString lists each operator once (formatted repeats
+            # them in the details section)
+            plan = qs[name](spark, sf_dir)._jdf.queryExecution().simpleString()
+            got = plan.count("BroadcastHashJoin")
+            assert got <= n_hinted, (
+                f"{name}: {got} BroadcastHashJoin with threshold=-1 "
+                f"(> {n_hinted} hinted dims) — a fact table is force-broadcast"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_embedding_dedup_is_bucketed(spark, sf_dir):
+    """The gated embedding dedup must join within IVF cells (equi-join
+    on the cell id), never an all-pairs theta join over the corpus."""
+    from kudu_spark.queries import get_all_queries
+
+    plan = get_all_queries()["dedup_embedding_cosine"](spark, sf_dir)._jdf.queryExecution().simpleString()
+    assert "CartesianProduct" not in plan
+    # the corpus-pair join must be an equi-join on the IVF cell id
+    assert "Join [cell_a" in plan, "pair join is not keyed on the IVF cell"
+    # the only nested-loop joins allowed are the bounded (n_centroids-row)
+    # broadcast centroid assignments inside ivf_assign
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_merge_on_read_skips_clean_partitions(table, spark):

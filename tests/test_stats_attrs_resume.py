@@ -1,0 +1,177 @@
+"""Round-2 parity features: O(1) table statistics (client.h:1568),
+per-column storage attributes (common.proto:134-170), fault-tolerant
+ordered-scan resume (tserver.proto:344-346), read modes
+(common.proto:268)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kudu_spark.engine import Engine
+from kudu_spark.errors import KuduSparkError
+
+SCHEMA = [("k", "bigint", False), ("v", "int", True), ("s", "string", True)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(k, k * 10, f"s{k}") for k in range(lo, hi)], "k bigint, v int, s string"
+    )
+
+
+# -- statistics ---------------------------------------------------------------
+
+
+def test_statistics_without_spark_job(engine, spark):
+    """insert/delete/update histories fold commit row deltas — no scan,
+    no Spark job (Kudu's KuduTableStatistics is a metadata call)."""
+    t = engine.create_table("st1", SCHEMA, pk=["k"])
+    t.insert(_rows(spark, 0, 1000))
+    t.delete(_rows(spark, 0, 100).select("k"))
+    t.update(_rows(spark, 500, 600).selectExpr("k", "v + 1 as v"))
+    sc = spark.sparkContext
+    sc.setJobGroup("stats-jobs", "statistics must not scan")
+    try:
+        stats = t.statistics()
+    finally:
+        sc.setJobGroup(None, None)
+    assert stats["live_row_count"] == 900
+    assert sc.statusTracker().getJobIdsForGroup("stats-jobs") == []
+
+
+def test_statistics_clean_and_upsert_paths(engine, spark):
+    t = engine.create_table("st2", SCHEMA, pk=["k"])
+    t.insert(_rows(spark, 0, 500))
+    # clean table: manifest-only
+    assert t.statistics()["live_row_count"] == 500
+    # upsert (200 replaced, 100 new): falls back to the counting fast
+    # path — still correct
+    t.upsert(_rows(spark, 300, 600))
+    assert t.statistics()["live_row_count"] == 600
+    # after compaction the table is clean again: manifest-only
+    t.compact()
+    sc = spark.sparkContext
+    sc.setJobGroup("stats-clean", "clean table stats")
+    try:
+        assert t.statistics()["live_row_count"] == 600
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("stats-clean") == []
+
+
+# -- per-column storage attributes -------------------------------------------
+
+
+def test_column_attrs_round_trip_and_parquet(engine, spark):
+    """encoding/compression/block_size survive the DDL round trip and
+    reach the parquet writer: PLAIN_ENCODING disables the dictionary
+    for the column, ZLIB compresses the file with gzip."""
+    t = engine.create_table(
+        "attrs",
+        [
+            {"name": "k", "type": "bigint", "nullable": False},
+            {"name": "v", "type": "int", "encoding": "PLAIN_ENCODING",
+             "compression": "ZLIB", "block_size": 65536},
+            {"name": "s", "type": "string"},
+        ],
+        pk=["k"],
+    )
+    spec = t.schema.col("v")
+    assert spec.encoding == "PLAIN_ENCODING"
+    assert spec.compression == "ZLIB"
+    assert spec.block_size == 65536
+    # low-cardinality v and s so the writer WOULD dictionary-encode
+    # both by default — proving the PLAIN attr suppressed it on v only
+    t.insert(spark.createDataFrame(
+        [(k, k % 40, f"s{k % 40}") for k in range(2000)], "k bigint, v int, s string"
+    ))
+
+    import pyarrow.parquet as pq
+
+    f = t.state().files[0]
+    md = pq.ParquetFile(os.path.join(t.root, f.path)).metadata
+    by_name = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    col_v = md.row_group(0).column(by_name["v"])
+    col_s = md.row_group(0).column(by_name["s"])
+    assert col_v.compression == "GZIP"
+    assert "PLAIN_DICTIONARY" not in col_v.encodings and "RLE_DICTIONARY" not in col_v.encodings
+    # the column without attrs keeps the dictionary default
+    assert "PLAIN_DICTIONARY" in col_s.encodings or "RLE_DICTIONARY" in col_s.encodings
+
+
+def test_alter_add_column_with_attrs(engine, spark):
+    t = engine.create_table("attrs2", SCHEMA, pk=["k"])
+    engine.alter_table("attrs2").add_column(
+        "w", "double", encoding="PLAIN_ENCODING", compression="SNAPPY"
+    ).apply()
+    assert t.schema.col("w").encoding == "PLAIN_ENCODING"
+    assert t.schema.col("w").compression == "SNAPPY"
+
+
+# -- ordered-scan resume ------------------------------------------------------
+
+
+def test_ordered_scan_resume_no_dup_no_loss(engine, spark):
+    t = engine.create_table("res1", SCHEMA, pk=["k"])
+    t.insert(_rows(spark, 0, 1000))
+    full = [r.k for r in t.scan(ordered=True).select("k").collect()]
+    first = full[:337]
+    resumed = [
+        r.k
+        for r in t.scan(ordered=True, start_after_pk=[first[-1]]).select("k").collect()
+    ]
+    assert first + resumed == full  # no dup, no loss, order preserved
+
+
+def test_resume_composite_pk_lexicographic(engine, spark):
+    t = engine.create_table(
+        "res2", [("a", "bigint", False), ("b", "bigint", False), ("v", "int", True)],
+        pk=["a", "b"],
+    )
+    t.insert(spark.createDataFrame(
+        [(i // 10, i % 10, i) for i in range(200)], "a bigint, b bigint, v int"
+    ))
+    rows = [(r.a, r.b) for r in t.scan(ordered=True).select("a", "b").collect()]
+    cut = rows[73]
+    resumed = [
+        (r.a, r.b)
+        for r in t.scan(ordered=True, start_after_pk=list(cut)).select("a", "b").collect()
+    ]
+    assert resumed == rows[74:]  # strictly after (a, b), lexicographic
+
+
+def test_scan_token_resume(engine, spark):
+    t = engine.create_table("res3", SCHEMA, pk=["k"])
+    t.insert(_rows(spark, 0, 500))
+    tokens = t.scan_tokens()
+    assert all(tok["last_primary_key"] is None for tok in tokens)
+    tok = tokens[0]
+    rows = [r.k for r in t.token_to_df(tok, ordered=True).select("k").collect()]
+    # reader died after emitting 100 rows: resume with the last PK
+    tok["last_primary_key"] = [rows[99]]
+    rest = [r.k for r in t.token_to_df(tok, ordered=True).select("k").collect()]
+    assert rows[:100] + rest == rows
+
+
+# -- read modes ---------------------------------------------------------------
+
+
+def test_read_modes(engine, spark):
+    t = engine.create_table("rm", SCHEMA, pk=["k"])
+    t.insert(_rows(spark, 0, 10))
+    assert t.scan(read_mode="READ_YOUR_WRITES").count() == 10
+    t.insert(_rows(spark, 10, 20))
+    # read-your-writes: the write this client just made is visible
+    assert t.scan(read_mode="READ_YOUR_WRITES").count() == 20
+    with pytest.raises(KuduSparkError):
+        t.scan(read_mode="READ_AT_SNAPSHOT")
+    assert t.scan(read_mode="READ_AT_SNAPSHOT", version=2).count() == 10
+    with pytest.raises(KuduSparkError):
+        t.scan(read_mode="SOMETHING_ELSE")
