@@ -44,6 +44,80 @@ HEADLINE = [
 ]
 
 
+def _bench_once(df) -> float:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return _t.perf_counter() - t0
+
+
+def engine_vs_parquet(spark, sf_dir: str) -> dict:
+    """BASELINE.md's operational contract (whitepaper Table
+    fig:parquet_vs_kudu: Kudu ≈ Parquet ±31% on TPC-H scans): run the
+    same scan/agg shapes against raw parquet and against an engine
+    table holding identical rows, and report the time ratio —
+    clean (pure base files) and after mutating ~10% of rows
+    (merge-on-read cost). Targets: ≤1.3x clean, ≤2x mutated."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = tempfile.mkdtemp(prefix="pyskudu-bench-")
+    eng = Engine(spark, wh)
+    li = load(spark, sf_dir, "lineitem")
+    # the synthetic lineitem is not unique on (l_orderkey, l_linenumber),
+    # so key the engine copy on a synthetic rowid
+    cols = [(f.name, f.dataType.simpleString(), True) for f in li.schema.fields]
+    schema = [("l_rowid", "bigint", False)] + cols
+    t = eng.create_table(
+        "lineitem", schema, pk=["l_rowid"],
+        hash_partitions=[{"columns": ["l_rowid"], "buckets": 8}],
+    )
+    t.insert(li.withColumn("l_rowid", F.monotonically_increasing_id()))
+
+    def q1(df):
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            df.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+
+    def q6(df):
+        return df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("rev"))
+
+    def ratio() -> dict:
+        out = {}
+        for name, qfn in (("q1", q1), ("q6", q6)):
+            pq_t = min(_bench_once(qfn(li)) for _ in range(2))
+            en_t = min(_bench_once(qfn(t.scan())) for _ in range(2))
+            out[name] = round(en_t / pq_t, 3)
+        return out
+
+    clean = ratio()
+    # mutate ~10%: upsert touched rows (new quantities) — every hash
+    # bucket goes dirty, so the engine side pays full merge-on-read
+    tenth = t.scan().where(F.col("l_rowid") % 10 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    t.upsert(tenth)
+    mutated = ratio()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {"clean": clean, "mutated": mutated}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -74,17 +148,18 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if os.environ.get("PYSKUDU_BENCH_ENGINE_RATIO", "1") != "0":
+        # engine-vs-parquet time ratio on identical rows (BASELINE.md
+        # operational target: ≤1.3x clean, ≤2x with ~10% rows mutated)
+        result["engine_vs_parquet"] = engine_vs_parquet(spark, sf_dir)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -384,17 +384,56 @@ class Table:
         dirty = [f for f in files if pkey(f) in delta_parts]
 
         df_clean = self._read_files(st, clean, with_seq=keep_meta)
-        df_dirty = self._read_files(st, dirty)
-        if df_dirty is not None:
-            w = Window.partitionBy(*pk).orderBy(F.desc(SEQ_COL))
-            keep = F.col("__rn") == 1
-            if not include_deleted:
-                keep = keep & (~F.col(DEL_COL))
-            df_dirty = (
-                df_dirty.withColumn("__rn", F.row_number().over(w))
-                .where(keep)
-                .drop("__rn")
-            )
+
+        w = Window.partitionBy(*pk).orderBy(F.desc(SEQ_COL))
+        keep = F.col("__rn") == 1
+        if not include_deleted:
+            keep = keep & (~F.col(DEL_COL))
+
+        def merge(df):
+            return df.withColumn("__rn", F.row_number().over(w)).where(keep).drop("__rn")
+
+        dirty_base = [f for f in dirty if f.kind == "base"]
+        dirty_delta = [f for f in dirty if f.kind == "delta"]
+        base_rows = sum(f.rows for f in dirty_base)
+        delta_rows = sum(f.rows for f in dirty_delta)
+        # conservative delta-key-set size estimate for broadcastability
+        key_bytes = delta_rows * (16 * max(1, len(pk)))
+        try:
+            bcast = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        except Exception:
+            bcast = 10 << 20
+        if (dirty_base and dirty_delta and delta_rows * 4 <= base_rows
+                and 0 < key_bytes <= max(bcast, 0)):
+            # cost-based merge plan (manifest row counts decide, like
+            # Kudu's delta-relevancy checks): when deltas are small
+            # relative to base AND their key set fits a broadcast, base
+            # rows whose PK no delta touches stream STRAIGHT from
+            # parquet (broadcast anti join against the delta keys — the
+            # base side never shuffles); only contested keys pay the
+            # last-write-wins window, over ~2x the delta rows instead
+            # of the whole partition. Keys absent from every delta are
+            # unique in the base by the insert dup-check, so streaming
+            # them is exact; a reinserted key (base + tombstone + newer
+            # base) is in the delta-key set and takes the window path.
+            # When the key set exceeds the broadcast threshold the anti
+            # join would shuffle the base TWICE (anti + semi), so the
+            # single-shuffle window below wins — that regime is better
+            # served by compaction anyway.
+            df_base = self._read_files(st, dirty_base)
+            df_delta = self._read_files(st, dirty_delta)
+            # no distinct: semi/anti joins tolerate duplicate build keys,
+            # and dropping it saves a whole shuffle stage; the one
+            # broadcast exchange is reused by both joins
+            keys = df_delta.select(*pk)
+            uncontested = df_base.join(keys, on=pk, how="left_anti")
+            contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
+            df_dirty = uncontested.unionByName(merge(contested))
+        else:
+            # delta-heavy partitions (or delta-only): one global window
+            df_dirty = self._read_files(st, dirty)
+            if df_dirty is not None:
+                df_dirty = merge(df_dirty)
         if df_clean is None and df_dirty is None:
             # empty table: zero-row frame with the right schema
             ddl = st.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
