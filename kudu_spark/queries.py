@@ -357,9 +357,13 @@ def join_shipping_priority(spark, sf_dir):
     """,
 )
 def join_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join; region/nation broadcast
-    unconditionally (bounded dims), customer/supplier fact-scale at
-    SF100 so their join strategy is left to the planner."""
+    """TPC-H Q5 shape: 6-way join. Plan: the region restriction is
+    pushed through nation into SUPPLIER before any fact join (the
+    nation⋈region product is ≤25 rows, broadcast unconditionally), so
+    lineitem is cut to the region's suppliers (~20% at uniform
+    nations) in its first join instead of carrying every row through
+    the whole chain. customer/supplier are fact-scale at SF100, so
+    their own join strategy stays planner-chosen."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
@@ -368,15 +372,16 @@ def join_local_supplier_volume(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s2 = s.join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(s2, l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

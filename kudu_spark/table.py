@@ -910,6 +910,8 @@ class Table:
         min/max-bounding essentially the whole table. Larger batches
         fall back to the min/max bounds restriction (at that size a
         range-restricted scan is the right plan anyway)."""
+        if not st.files:
+            return self._snapshot_df(st, None)  # empty table: no probe job
         pk0 = st.schema.pk[0]
         agg = batch.agg(
             F.min(pk0).alias("lo"),
@@ -977,8 +979,21 @@ class Table:
             props["auto_inc_next"] = base + AUTO_INC_STRIDE
         else:
             batch = batch.persist()
-            n = batch.count()
-            nd = batch.select(*pk).distinct().count()
+            # one validation job: row count, distinct-PK count, null-PK
+            # count (PK columns are non-nullable, common.proto)
+            null_pk = None
+            for c in logical_pk:
+                cond = F.col(c).isNull()
+                null_pk = cond if null_pk is None else (null_pk | cond)
+            agg = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
+                F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls"),
+            ).collect()[0]
+            n, nd = agg.n, agg.nd
+            if agg.nulls:
+                batch.unpersist()
+                raise SchemaError(f"batch holds {agg.nulls} row(s) with NULL primary key")
             if n != nd:
                 if mode == "error":
                     batch.unpersist()
@@ -986,15 +1001,15 @@ class Table:
                         f"batch contains {n - nd} duplicate primary key(s)"
                     )
                 batch = batch.dropDuplicates(pk)
-            existing = self._existing_pks(st, batch)
-            dup = batch.join(existing, on=logical_pk, how="left_semi")
-            if mode == "error":
-                hit = dup.limit(1).collect()
-                if hit:
-                    batch.unpersist()
-                    raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
-            else:
-                batch = batch.join(existing, on=logical_pk, how="left_anti")
+            if st.files:  # empty table: nothing can collide — skip the probe
+                existing = self._existing_pks(st, batch)
+                if mode == "error":
+                    hit = batch.join(existing, on=logical_pk, how="left_semi").limit(1).collect()
+                    if hit:
+                        batch.unpersist()
+                        raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
+                else:
+                    batch = batch.join(existing, on=logical_pk, how="left_anti")
         entries = self._write_files(batch, st, seq_for(st.version + 1), "base")
         try:
             batch.unpersist()

@@ -80,20 +80,28 @@ def tpch_q4_order_priority(spark, sf_dir):
     """,
 )
 def tpch_q7_nation_volume(spark, sf_dir):
-    """Q7: 5-way join, two broadcast nation dims, year rollup."""
+    """Q7: 5-way join, year rollup. Plan: the nation pair is a
+    disjunction ACROSS tables, so Catalyst cannot push it — but each
+    side is independently bound to the two nations, so supplier and
+    customer are pre-restricted to them (broadcast nation dims) before
+    any fact join; lineitem drops to ~2/25 of its rows in its first
+    join and only the cross-pair residual is filtered at the end."""
     s = load(spark, sf_dir, "supplier")
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = ("NATION_3", "NATION_7")
+    n1 = F.broadcast(n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    s2 = s.join(n1, F.col("s_nationkey") == F.col("s_nk")).select("s_suppkey", "supp_nation")
+    c2 = c.join(n2, F.col("c_nationkey") == F.col("c_nk")).select("c_custkey", "cust_nation")
     j = (
-        l.join(s, l.l_suppkey == s.s_suppkey)
+        l.join(s2, l.l_suppkey == F.col("s_suppkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
-        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(c2, o.o_custkey == F.col("c_custkey"))
         .where(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -268,16 +276,26 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
     """,
 )
 def tpch_q18_large_volume(spark, sf_dir):
-    """Q18: HAVING over a 3-way join."""
+    """Q18: HAVING over a 3-way join.
+
+    Plan: aggregate lineitem by order key and apply the HAVING cut
+    BEFORE the joins — exact because every lineitem of an order joins
+    the same single orders/customer row (o_orderkey is in the group
+    key, the other group columns are functionally dependent on it).
+    The joins then carry the handful of qualifying orders instead of
+    the full fact table; an aggregation pushdown Catalyst does not do
+    on its own."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    qualifying = (
+        l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__sq"))
         .where(F.col("__sq") > 300)
+    )
+    return (
+        qualifying.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             F.round(F.col("__sq"), 2).alias("sum_qty"),
