@@ -153,6 +153,129 @@ def ivf_cosine_pairs(emb: DataFrame, threshold: float, n_centroids: int = 8) -> 
     )
 
 
+N_PLANES = 16
+COS_LSH_BANDS = 4
+
+
+def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived, in [-1,1))
+    shared verbatim by the Spark plan and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16) / float(1 << 31) - 1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def cosine_lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane (sign-random-projection) signature: bit p =
+    sign(v . plane_p); P(bits agree) = 1 - angle/pi, the classic LSH
+    family for cosine. One pass, pure codegen expressions — at corpus
+    scale the signature is 8 bytes per vector regardless of dims."""
+    planes = hyperplanes(n_planes)
+    v = _dbl(F.col("embedding"))
+    sig = None
+    for p, w in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return emb.select("vec_id", "embedding", sig.alias("sig"))
+
+
+def cosine_lsh_pairs(emb: DataFrame, threshold: float,
+                     n_planes: int = N_PLANES, bands: int = COS_LSH_BANDS) -> DataFrame:
+    """Embedding near-dup pairs via banded cosine LSH: vectors sharing
+    any signature band become candidates (only collisions shuffle, the
+    minhash-LSH shape), then the exact cosine filters. Recall rises
+    with cosine — near-identical vectors agree on almost every bit —
+    which is the dedup regime. Complements ivf_cosine_pairs: LSH needs
+    no centroid structure and its collision probability is
+    data-independent."""
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+    sigs = cosine_lsh_signature(emb, n_planes)
+    banded = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("sig", b * chunk).bitwiseAND(F.lit(mask)).alias("bk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.b", "band.bk")
+    a = banded.select(
+        F.col("b").alias("b_a"), F.col("bk").alias("bk_a"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+    )
+    bb = banded.select(
+        F.col("b").alias("b_b"), F.col("bk").alias("bk_b"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+    )
+    cand = (
+        a.join(bb, (F.col("b_a") == F.col("b_b")) & (F.col("bk_a") == F.col("bk_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select("vec_a", "vec_b", cosine_expr("va", "vb").alias("c"))
+        .where(F.col("c") >= threshold)
+        .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+def cosine_lsh_oracle_sql(threshold: float, n_planes: int = N_PLANES,
+                          bands: int = COS_LSH_BANDS, dims: int = DIMS) -> str:
+    """DuckDB oracle for cosine_lsh_pairs: the plane constants are
+    inlined as literals (same Python floats the Spark plan uses), the
+    dot folds left-to-right like dot_sql, so signatures are
+    bit-identical."""
+    planes = hyperplanes(n_planes, dims)
+    chunk = n_planes // bands
+    mask = (1 << chunk) - 1
+    bit_terms = []
+    for p, w in enumerate(planes):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) * ({w[i]!r}))" for i in range(dims)
+        )
+        bit_terms.append(
+            f"CASE WHEN (0.0 + {terms}) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    sig = "\n        + ".join(bit_terms)
+    return f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings
+    ), banded AS MATERIALIZED (
+      SELECT vec_id, embedding, bs.b AS b, (sig >> (bs.b * {chunk})) & {mask} AS bk
+      FROM sig CROSS JOIN (SELECT unnest(range({bands})) AS b) bs
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round({cosine_sql('ea.embedding', 'eb.embedding', dims)}, 6) AS cosine
+    FROM cand
+      JOIN embeddings ea ON ea.vec_id = vec_a
+      JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE {cosine_sql('ea.embedding', 'eb.embedding', dims)} >= {threshold}
+    """
+
+
 def brute_force_topk_arrow(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     """Exact top-k via Arrow-batched numpy matmul (mapInPandas): the
     query matrix ships inside the closure (Q x dims floats), each

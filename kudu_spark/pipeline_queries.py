@@ -207,6 +207,20 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_cosine_lsh",
+    gated=False,  # embedding-dedup family gated via dedup_embedding_cosine;
+    # pytest runs the same oracle comparison
+    oracle=SIM.cosine_lsh_oracle_sql(COSINE_DUP_THRESHOLD),
+)
+def dedup_cosine_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dedup: banded signature collisions
+    generate candidates (only collisions shuffle), exact cosine
+    filters. The structure-free alternative to the IVF-bucketed gate
+    query."""
+    return SIM.cosine_lsh_pairs(load(spark, sf_dir, "embeddings"), COSINE_DUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -89,6 +89,16 @@ def test_planner_prunes_inlist(table):
     assert got == sorted(vals)
 
 
+def test_inlist_predicate_pushed_to_parquet(table):
+    """IN-lists (well past the 10-value Spark default — session raises
+    spark.sql.parquet.pushdown.inFilterThreshold) must reach the
+    parquet scan, where row groups are skipped via dictionary/bloom
+    filters — the reader-side half of the bloom probe."""
+    df = table.scan(filters=[("v", "in", [v * 10 for v in range(50)])])
+    plan = plan_of(df)
+    assert "In(v" in plan, "IN predicate not pushed to parquet"
+
+
 def test_scattered_key_probe_reads_bounded_subset(engine, spark):
     """Write-path PK existence probe with keys scattered across the
     keyspace: with per-value footer pruning the probe reads only the
