@@ -248,16 +248,20 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
     """,
 )
 def tpch_q17_small_qty_revenue(spark, sf_dir):
-    """Q17: correlated aggregate subquery → per-key average joined
-    back (decorrelation done declaratively)."""
+    """Q17: correlated aggregate subquery, decorrelated as a window.
+
+    Plan: join lineitem to the brand-filtered parts FIRST (cuts the
+    fact to ~1/|brands| of its rows — the correlated average only ever
+    needs partkeys of that brand, and a partkey's lineitems are exactly
+    the joined rows), then one window avg per partkey replaces the
+    full-table aggregate + second join of the naive decorrelation."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
-    avg_qty = l.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_cut")
-    )
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    cut = (0.2 * F.avg("l_quantity").over(W.partitionBy("l_partkey"))).alias("qty_cut")
     return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .join(avg_qty, l.l_partkey == F.col("ap"))
+        j.select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("qty_cut", cut)
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
