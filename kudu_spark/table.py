@@ -397,8 +397,12 @@ class Table:
         dirty_delta = [f for f in dirty if f.kind == "delta"]
         base_rows = sum(f.rows for f in dirty_base)
         delta_rows = sum(f.rows for f in dirty_delta)
-        # conservative delta-key-set size estimate for broadcastability
-        key_bytes = delta_rows * (16 * max(1, len(pk)))
+        # broadcastability estimate for the delta-key set: a broadcast
+        # HashedRelation costs far more than the raw key width (~64 B
+        # per key of object + hash-table overhead), and building /
+        # shipping an over-threshold relation regresses badly — size
+        # with that realistic constant, not the 8-byte column width
+        key_bytes = delta_rows * (64 * max(1, len(pk)))
         try:
             bcast = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
         except Exception:
