@@ -12,6 +12,8 @@ src/kudu/tools/tool_action_table.cc and table_scanner.cc).
     python -m kudu_spark.cli statistics --warehouse WH TABLE
     python -m kudu_spark.cli checksum  --warehouse WH TABLE
     python -m kudu_spark.cli locate-row --warehouse WH TABLE --pk '{"k": 5}'
+    python -m kudu_spark.cli loadgen   --warehouse WH TABLE --rows 100000
+    python -m kudu_spark.cli compact   --warehouse WH TABLE [--io-budget-bytes N] [--plan-only]
 
 Predicates use the `kudu table scan` JSON grammar
 (table_scanner.cc:113-131): [op, col, value] with op in <= < = > >=,
@@ -63,6 +65,19 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("locate-row")
     sp.add_argument("table")
     sp.add_argument("--pk", required=True, help='JSON dict, e.g. {"k": 5}')
+    sp = sub.add_parser("loadgen", help="synthetic write benchmark "
+                        "(= `kudu perf loadgen`, tools/tool_action_perf.cc)")
+    sp.add_argument("table")
+    sp.add_argument("--rows", type=int, default=100_000)
+    sp.add_argument("--batches", type=int, default=1)
+    sp.add_argument("--buckets", type=int, default=8)
+    sp.add_argument("--flush-per-batch", action="store_true",
+                    help="one commit per batch (default: one commit total)")
+    sp = sub.add_parser("compact")
+    sp.add_argument("table")
+    sp.add_argument("--io-budget-bytes", type=int, default=None)
+    sp.add_argument("--plan-only", action="store_true",
+                    help="print the budgeted compaction plan, do nothing")
     args = p.parse_args(argv)
 
     eng = _engine(args)
@@ -110,6 +125,42 @@ def main(argv: list[str] | None = None) -> int:
         print(f"restored {args.table} as {t.name} ({t.scan().count()} rows)")
     elif args.cmd == "locate-row":
         print(json.dumps(eng.locate_row(args.table, json.loads(args.pk))))
+    elif args.cmd == "loadgen":
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        t = eng.create_table(
+            args.table,
+            [("key", "bigint", False), ("int_val", "int", True), ("string_val", "string", True)],
+            pk=["key"],
+            hash_partitions=[{"columns": ["key"], "buckets": args.buckets}],
+            if_not_exists=True,
+        )
+        base = t.count()
+        per = args.rows // args.batches
+        t0 = _time.perf_counter()
+        for b in range(args.batches):
+            df = eng.spark.range(base + b * per, base + (b + 1) * per).select(
+                F.col("id").alias("key"),
+                (F.col("id") % 1_000_000).cast("int").alias("int_val"),
+                F.concat(F.lit("val_"), F.col("id")).alias("string_val"),
+            )
+            t.insert(df)
+        sec = _time.perf_counter() - t0
+        print(json.dumps({
+            "table": args.table, "rows": per * args.batches, "batches": args.batches,
+            "sec": round(sec, 2), "rows_per_sec": round(per * args.batches / sec),
+        }))
+    elif args.cmd == "compact":
+        t = eng.table(args.table)
+        if args.plan_only:
+            plan = t.compaction_plan(io_budget_bytes=args.io_budget_bytes)
+            print(json.dumps([{**c, "partition": [list(c["partition"][0]), c["partition"][1]]}
+                              for c in plan]))
+        else:
+            v = t.compact(io_budget_bytes=args.io_budget_bytes)
+            print(json.dumps({"compacted": v is not None, "version": v}))
     return 0
 
 

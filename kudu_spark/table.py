@@ -1181,14 +1181,15 @@ class Table:
 
     # -- maintenance ---------------------------------------------------------------
 
-    def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
-                _attempts: int = 5) -> int | None:
-        """Fold delta files into fresh base files and bin-pack small
-        base files (≈ Kudu compaction: tablet/compaction.cc, policy
-        tablet/compaction_policy.h:74-129, delta fold-in
-        tablet/delta_compaction.cc). Only partitions that need work are
-        rewritten; time travel to pre-compaction versions still works
-        because old files are removed from the manifest, not deleted."""
+    def compaction_plan(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
+                        io_budget_bytes: int | None = None) -> list[dict]:
+        """Budgeted compaction policy (≈ the knapsack of
+        tablet/compaction_policy.h:74-129): score every partition that
+        needs work by benefit (delta bytes to fold — weighted, since
+        deltas tax every scan — plus small-file bytes to bin-pack) per
+        unit of rewrite IO, and return the best set that fits the IO
+        budget. Pure manifest arithmetic — no Spark job. Feed the
+        ``partition`` values to ``compact(partitions=...)``."""
         st = self.state()
 
         def pkey(f: FileEntry):
@@ -1197,12 +1198,54 @@ class Table:
         groups: dict = {}
         for f in st.files:
             groups.setdefault(pkey(f), []).append(f)
-        rewrite: list[FileEntry] = []
-        for _key, fs in groups.items():
-            has_delta = any(f.kind == "delta" for f in fs)
-            smalls = [f for f in fs if f.bytes < small_file_bytes]
-            if has_delta or len(smalls) >= min_small_files:
-                rewrite.extend(fs)
+        cands = []
+        for key, fs in groups.items():
+            delta_bytes = sum(f.bytes for f in fs if f.kind == "delta")
+            smalls = [f for f in fs if f.kind == "base" and f.bytes < small_file_bytes]
+            if not delta_bytes and len(smalls) < min_small_files:
+                continue
+            cost = sum(f.bytes for f in fs)  # partition is rewritten whole
+            benefit = 4 * delta_bytes + sum(f.bytes for f in smalls)
+            cands.append({
+                "partition": key,
+                "cost_bytes": cost,
+                "benefit": benefit,
+                "delta_bytes": delta_bytes,
+                "n_small_files": len(smalls),
+            })
+        cands.sort(key=lambda c: (-(c["benefit"] / max(c["cost_bytes"], 1)), c["partition"]))
+        if io_budget_bytes is None:
+            return cands
+        out, spent = [], 0
+        for c in cands:
+            if spent + c["cost_bytes"] <= io_budget_bytes or not out:
+                out.append(c)
+                spent += c["cost_bytes"]
+        return out
+
+    def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
+                io_budget_bytes: int | None = None, partitions: list | None = None,
+                _attempts: int = 5) -> int | None:
+        """Fold delta files into fresh base files and bin-pack small
+        base files (≈ Kudu compaction: tablet/compaction.cc, policy
+        tablet/compaction_policy.h:74-129, delta fold-in
+        tablet/delta_compaction.cc). Only partitions that need work are
+        rewritten — optionally capped by ``io_budget_bytes`` (the
+        policy's knapsack picks the highest benefit/IO set) or an
+        explicit ``partitions`` list. Time travel to pre-compaction
+        versions still works because old files are removed from the
+        manifest, not deleted."""
+        st = self.state()
+
+        def pkey(f: FileEntry):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        if partitions is None:
+            plan = self.compaction_plan(small_file_bytes, min_small_files, io_budget_bytes)
+            chosen = {c["partition"] for c in plan}
+        else:
+            chosen = {(tuple(p[0]), p[1]) for p in partitions}
+        rewrite: list[FileEntry] = [f for f in st.files if pkey(f) in chosen]
         if not rewrite:
             return None
         sub = TableState(**{**st.__dict__})
@@ -1215,7 +1258,8 @@ class Table:
         # silently shadowing newer mutations — recompute instead
         return self._commit_revalidated(
             st, "compact", entries,
-            lambda a: self.compact(small_file_bytes, min_small_files, _attempts=a),
+            lambda a: self.compact(small_file_bytes, min_small_files,
+                                   io_budget_bytes, partitions, _attempts=a),
             removes=[f.path for f in rewrite], _attempts=_attempts,
         )
 

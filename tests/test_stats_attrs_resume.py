@@ -160,6 +160,59 @@ def test_scan_token_resume(engine, spark):
     assert rows[:100] + rest == rows
 
 
+# -- budgeted compaction policy ----------------------------------------------
+
+
+def test_compaction_plan_budget_prefers_delta_heavy(engine, spark):
+    """The policy knapsack (compaction_policy.h:74-129 analogue) ranks
+    partitions by benefit per rewrite byte — delta-heavy partitions
+    first — and an IO budget bounds the chosen set."""
+    t = engine.create_table(
+        "cpol", SCHEMA, pk=["k"],
+        range_partition={"column": "k", "splits": [500]},
+    )
+    t.insert(_rows(spark, 0, 1000))
+    # dirty only range 0 with deltas
+    t.upsert(_rows(spark, 0, 300))
+    plan = t.compaction_plan()
+    assert plan, "dirty partition must be planned"
+    assert plan[0]["delta_bytes"] > 0
+    dirty_parts = {c["partition"] for c in plan}
+    assert all(p[1] == 0 for p in dirty_parts), "only the mutated range is planned"
+    # a budget that fits one partition picks (at least) the best one
+    budget = plan[0]["cost_bytes"]
+    capped = t.compaction_plan(io_budget_bytes=budget)
+    assert capped and capped[0]["partition"] == plan[0]["partition"]
+    # compact under budget folds the chosen partition; scan unchanged
+    before = {r.k: r.v for r in t.scan().collect()}
+    v = t.compact(io_budget_bytes=budget)
+    assert v is not None
+    after = {r.k: r.v for r in t.scan().collect()}
+    assert after == before
+    remaining = [f for f in t.state().files if f.kind == "delta"]
+    assert not any(f.partition.get("range") == capped[0]["partition"][1] for f in remaining)
+
+
+def test_cli_loadgen_and_compact(spark, tmp_path, capsys):
+    import json
+
+    from kudu_spark import cli
+
+    wh = str(tmp_path / "wh")
+    assert cli.main(["--warehouse", wh, "loadgen", "lg", "--rows", "5000",
+                     "--batches", "2", "--buckets", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5000 and out["rows_per_sec"] > 0
+    from kudu_spark.engine import Engine
+
+    assert Engine(spark, wh).table("lg").count() == 5000
+    assert cli.main(["--warehouse", wh, "compact", "lg", "--plan-only"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "compact", "lg"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "compacted" in out
+
+
 # -- read modes ---------------------------------------------------------------
 
 
