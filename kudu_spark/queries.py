@@ -173,6 +173,27 @@ def scan_like_prefix(spark, sf_dir):
 
 
 @query(
+    "scan_in_list",
+    gated=False,  # IN-predicate family gated via scan_project_predicate's isin
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (3, 271, 1927, 27137, 54021, 111222, 999999999)
+      AND o_orderstatus IN ('O', 'F')
+    """,
+)
+def scan_in_list(spark, sf_dir):
+    """Multi-key point-lookup batch via IN-lists (column_predicate.h:85
+    InList; planner-side analogue scan_spec.cc:170) — the predicate
+    shape the write-path PK probe uses; pushes to parquet as In()."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderkey").isin(3, 271, 1927, 27137, 54021, 111222, 999999999)
+        & F.col("o_orderstatus").isin("O", "F")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
     "scan_limit_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
