@@ -127,7 +127,7 @@ def test_fuzz_with_restarts_alters_batches(spark, tmp_path, seed):
     for step in range(30):
         op = rng.choice(
             ["batch_upsert", "batch_upsert", "batch_delete", "batch_insert_ignore",
-             "compact", "restart", "alter"]
+             "compact", "compact_budget", "restart", "alter", "stats"]
         )
         ks = rng.sample(list(KEYS), rng.randint(1, 5))
         if op == "batch_upsert":
@@ -148,6 +148,14 @@ def test_fuzz_with_restarts_alters_batches(spark, tmp_path, seed):
                 model.pop(k, None)
         elif op == "compact":
             t.compact()
+        elif op == "compact_budget":
+            # budgeted (partial) compaction must leave the same logical
+            # state no matter which partitions the knapsack picked
+            plan = t.compaction_plan()
+            if plan:
+                t.compact(io_budget_bytes=plan[0]["cost_bytes"])
+        elif op == "stats":
+            assert t.statistics()["live_row_count"] == len(model)
         elif op == "restart":
             t = Engine(spark, root).table("fuzz2")
         elif op == "alter":
