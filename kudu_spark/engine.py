@@ -184,16 +184,26 @@ class Engine:
                     raise SchemaError(f"hash column {c} must be part of the primary key")
         rspec = RangeSpec()
         if range_partition:
-            col = range_partition["column"]
-            if col not in pk:
-                raise SchemaError(f"range column {col} must be part of the primary key")
+            # single column ({"column": c, "splits"/"ranges"}) or a
+            # compound range key ({"columns": [...], "ranges": [[lo...,
+            # hi...], ...]} with list bounds, partition.h:273)
+            rcols = list(range_partition.get("columns") or [range_partition["column"]])
+            for col in rcols:
+                if col not in pk:
+                    raise SchemaError(f"range column {col} must be part of the primary key")
             if "ranges" in range_partition:
                 ranges = [list(r) for r in range_partition["ranges"]]
             else:
+                if len(rcols) > 1:
+                    raise SchemaError("compound range keys need explicit 'ranges'")
                 splits = sorted(range_partition.get("splits", []))
                 edges = [None] + list(splits) + [None]
                 ranges = [[edges[i], edges[i + 1]] for i in range(len(edges) - 1)]
-            rspec = RangeSpec(column=col, ranges=ranges)
+            rspec = RangeSpec(
+                column=rcols[0] if len(rcols) == 1 else None,
+                ranges=ranges,
+                columns=rcols if len(rcols) > 1 else None,
+            )
         overrides = {}
         for rid, ov in (range_partition or {}).get("hash_overrides", {}).items():
             ov = [int(ov)] * len(hash_dims) if isinstance(ov, int) else [int(x) for x in ov]
@@ -250,7 +260,7 @@ class Engine:
         rid = None
         rs = st.partition_spec.range_spec
         if rs.enabled:
-            rid = rs.range_id_of(pk_values[rs.column])
+            rid = rs.range_id_of([pk_values[c] for c in rs.cols])
             if rid < 0:
                 raise KuduSparkError("row does not fall in any range partition")
         # per-range custom hash schemas change the bucket modulus

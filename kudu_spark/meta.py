@@ -191,33 +191,76 @@ class HashDimension:
 
 @dataclass
 class RangeSpec:
-    """Single-column range component with sorted split bounds.
-    ``bounds`` = [b1, b2, ...] defines ranges (-inf,b1), [b1,b2), ...
-    [bn,+inf) when ``covering`` — or, Kudu-style non-covering ranges
-    (docs/design-docs/non-covering-range-partitions.md), an explicit
-    list of [lower, upper) pairs in ``ranges`` where rows outside all
-    ranges are write errors."""
+    """Range component over one or more PK columns (compound range
+    keys, partition.h:273). ``ranges`` is an explicit list of
+    [lower, upper) bound pairs — Kudu-style non-covering ranges
+    (docs/design-docs/non-covering-range-partitions.md); rows outside
+    all ranges are write errors. For a single column each bound is a
+    scalar (or None = unbounded); for a compound key each bound is a
+    list compared lexicographically, where a shorter bound list leaves
+    its trailing columns unbounded (Kudu's partial range bounds)."""
 
-    column: str | None = None
+    column: str | None = None  # single-column form (back-compat)
     ranges: list[list] = field(default_factory=list)  # [[lower|None, upper|None], ...]
+    columns: list[str] | None = None  # compound form; wins over `column`
 
     @property
     def enabled(self) -> bool:
-        return self.column is not None
+        return self.column is not None or bool(self.columns)
+
+    @property
+    def cols(self) -> list[str]:
+        return list(self.columns) if self.columns else ([self.column] if self.column else [])
 
     def to_json(self) -> dict:
-        return {"column": self.column, "ranges": self.ranges}
+        d = {"column": self.column, "ranges": self.ranges}
+        if self.columns:
+            d["columns"] = self.columns
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "RangeSpec":
-        return RangeSpec(d.get("column"), d.get("ranges", []))
+        return RangeSpec(d.get("column"), d.get("ranges", []), d.get("columns"))
+
+    @staticmethod
+    def _tuple(v) -> tuple:
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,)
+
+    def _ge(self, value: tuple, bound) -> bool:
+        """value >= bound, lexicographic; a short bound pads with -inf."""
+        if bound is None:
+            return True
+        b = self._tuple(bound)
+        return value[: len(b)] >= b
+
+    def _lt(self, value: tuple, bound) -> bool:
+        """value < bound, lexicographic; a short bound pads with -inf
+        (so [h1] excludes every row with leading col >= h1)."""
+        if bound is None:
+            return True
+        b = self._tuple(bound)
+        return value[: len(b)] < b
 
     def range_id_of(self, value) -> int:
-        """Python-side range lookup (planner); -1 = no covering range."""
+        """Python-side range lookup (planner); -1 = no covering range.
+        ``value`` is a scalar (single-column) or list/tuple (compound)."""
+        v = self._tuple(value)
         for i, (lo, hi) in enumerate(self.ranges):
-            if (lo is None or value >= lo) and (hi is None or value < hi):
+            if self._ge(v, lo) and self._lt(v, hi):
                 return i
         return -1
+
+    def leading_bounds(self, rid: int) -> tuple:
+        """(lo0, hi0, hi_exclusive) bounds of the range's LEADING
+        column — what single-column predicates can prune on. hi is
+        exclusive only when the upper bound binds just the leading
+        column (a longer bound admits rows at hi0)."""
+        lo, hi = self.ranges[rid]
+        lo0 = None if lo is None else self._tuple(lo)[0]
+        if hi is None:
+            return lo0, None, False
+        h = self._tuple(hi)
+        return lo0, h[0], len(h) == 1
 
 
 @dataclass

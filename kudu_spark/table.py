@@ -127,23 +127,47 @@ class Table:
 
     # -- partition expressions -------------------------------------------------
 
+    def _lex_bound_expr(self, st: TableState, cols: list[str], bound, op: str):
+        """Lexicographic (cols...) >= bound ('ge') or < bound ('lt') as
+        a Column expression; a bound shorter than cols leaves trailing
+        columns unbounded (Kudu's partial compound range bounds)."""
+        vals = list(bound) if isinstance(bound, (list, tuple)) else [bound]
+
+        def lit(i):
+            return F.lit(vals[i]).cast(st.schema.col(cols[i]).type)
+
+        expr = F.lit(False)
+        for i in range(len(vals)):
+            t = (F.col(cols[i]) < lit(i)) if op == "lt" else (F.col(cols[i]) > lit(i))
+            for j in range(i):
+                t = (F.col(cols[j]) == lit(j)) & t
+            expr = expr | t
+        if op == "ge":
+            eq = F.lit(True)
+            for i in range(len(vals)):
+                eq = eq & (F.col(cols[i]) == lit(i))
+            expr = expr | eq
+        return expr
+
     def _partition_exprs(self, st: TableState):
         """(names, exprs) of staging partition columns for a write.
         With per-range custom hash schemas (partition.h:512-517) the
-        bucket modulus switches on the row's range id."""
+        bucket modulus switches on the row's range id. The range
+        component may span multiple PK columns (compound range keys,
+        partition.h:273) — bounds compare lexicographically."""
         ps = st.partition_spec
         rs = ps.range_spec
         range_expr = None
         if rs.enabled:
-            col_type = st.schema.col(rs.column).type
+            rcols = rs.cols
             range_expr = F.lit(-1)
             for rid in range(len(rs.ranges) - 1, -1, -1):
                 lo, hi = rs.ranges[rid]
                 cond = F.lit(True)
                 if lo is not None:
-                    cond = cond & (F.col(rs.column) >= F.lit(lo).cast(col_type))
+                    cond = cond & self._lex_bound_expr(st, rcols, lo, "ge")
                 if hi is not None:
-                    cond = cond & (F.col(rs.column) < F.lit(hi).cast(col_type))
+                    cond = cond & self._lex_bound_expr(st, rcols, hi, "lt")
                 range_expr = F.when(cond, F.lit(rid)).otherwise(range_expr)
         names, exprs = [], []
         for i, dim in enumerate(ps.hash_dims):
@@ -300,19 +324,39 @@ class Table:
         return files
 
     def _live_range_ids(self, st, filters, rs) -> set | None:
+        """Range ids a predicate on the LEADING range column can touch
+        (compound ranges prune on their leading bounds; trailing
+        columns stay a scan-side filter)."""
         ids = None
+        lead = rs.cols[0]
+
+        def hits(rid, val) -> bool:
+            lo0, hi0, hi_excl = rs.leading_bounds(rid)
+            if lo0 is not None and val < lo0:
+                return False
+            if hi0 is not None and (val > hi0 or (hi_excl and val == hi0)):
+                return False
+            return True
+
         for col, op, val in filters:
-            if col != rs.column:
+            if col != lead:
                 continue
             cur = set()
-            for rid, (lo, hi) in enumerate(rs.ranges):
-                if op == "=" and rs.range_id_of(val) == rid:
+            for rid in range(len(rs.ranges)):
+                lo0, hi0, hi_excl = rs.leading_bounds(rid)
+                if op == "=" and hits(rid, val):
                     cur.add(rid)
-                elif op in ("<", "<=") and (lo is None or lo <= val):
+                elif op == "<" and (lo0 is None or lo0 < val):
                     cur.add(rid)
-                elif op in (">", ">=") and (hi is None or hi > val):
+                elif op == "<=" and (lo0 is None or lo0 <= val):
                     cur.add(rid)
-                elif op == "in" and any(rs.range_id_of(v) == rid for v in val):
+                elif op == ">" and (hi0 is None or hi0 > val):
+                    cur.add(rid)
+                elif op == ">=" and (
+                    hi0 is None or hi0 > val or (not hi_excl and hi0 == val)
+                ):
+                    cur.add(rid)
+                elif op == "in" and any(hits(rid, v) for v in val):
                     cur.add(rid)
             ids = cur if ids is None else ids & cur
         return ids

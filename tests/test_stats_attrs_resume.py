@@ -213,6 +213,74 @@ def test_cli_loadgen_and_compact(spark, tmp_path, capsys):
     assert "compacted" in out
 
 
+# -- compound (multi-column) range keys ---------------------------------------
+
+
+def test_compound_range_partitioning(engine, spark):
+    """Range component over multiple PK columns (partition.h:273):
+    lexicographic bounds route writes, reject uncovered rows, and
+    prune on the leading column."""
+    t = engine.create_table(
+        "cr", [("a", "bigint", False), ("b", "bigint", False), ("v", "int", True)],
+        pk=["a", "b"],
+        range_partition={"columns": ["a", "b"],
+                         "ranges": [[[0, 0], [5, 0]], [[5, 0], [10, 0]]]},
+    )
+    rows = [(a, b, a * 10 + b) for a in range(10) for b in range(4)]
+    t.insert(spark.createDataFrame(rows, "a bigint, b bigint, v int"))
+    st = t.state()
+    by_range = {}
+    for f in st.files:
+        by_range.setdefault(f.partition.get("range"), 0)
+        by_range[f.partition.get("range")] += f.rows
+    # rows with a<5 -> range 0 (20 rows), a in [5,10) -> range 1 (20)
+    assert by_range == {0: 20, 1: 20}
+    # leading-column pruning
+    assert {f.partition.get("range") for f in t._prune(st, [("a", "<", 5)])} == {0}
+    assert {f.partition.get("range") for f in t._prune(st, [("a", "=", 7)])} == {1}
+    # boundary: (5, b) sorts >= [5,0] -> range 1, and "=" pruning keeps
+    # range 0 alive only if the bound admits it (here hi=[5,0] binds
+    # both cols, so a=5 rows can still sit in range 0 when b<0 — none
+    # do, but the planner must keep it only when admissible)
+    got = {(r.a, r.b): r.v for r in t.scan(filters=[("a", "=", 5)]).collect()}
+    assert got == {(5, b): 50 + b for b in range(4)}
+    # uncovered row rejected in-write
+    import pytest as _pytest
+
+    from kudu_spark.errors import KuduSparkError
+
+    with _pytest.raises(KuduSparkError, match="range"):
+        t.insert(spark.createDataFrame([(10, 0, 1)], "a bigint, b bigint, v int"))
+    # locate_row evaluates the compound range + full scan stays exact
+    assert engine.locate_row("cr", {"a": 7, "b": 3})["range"] == 1
+    assert t.count() == 40
+
+
+def test_compound_range_partial_bounds_and_alter(engine, spark):
+    """Partial bounds (shorter than the column list) leave trailing
+    columns unbounded; online add_range_partition accepts compound
+    bounds."""
+    t = engine.create_table(
+        "cr2", [("a", "bigint", False), ("b", "bigint", False), ("v", "int", True)],
+        pk=["a", "b"],
+        range_partition={"columns": ["a", "b"],
+                         "ranges": [[None, [5]], [[5], [10]]]},
+    )
+    t.insert(spark.createDataFrame(
+        [(a, b, a) for a in range(10) for b in range(3)], "a bigint, b bigint, v int"
+    ))
+    st = t.state()
+    ranges = {f.partition.get("range") for f in st.files}
+    assert ranges == {0, 1}
+    # hi=[5] binds only the leading col: a=5 rows all land in range 1,
+    # and "=" pruning on the boundary value excludes range 0
+    assert {f.partition.get("range") for f in t._prune(st, [("a", "=", 5)])} == {1}
+    engine.alter_table("cr2").add_range_partition([10], [15]).apply()
+    t.insert(spark.createDataFrame([(12, 0, 12)], "a bigint, b bigint, v int"))
+    assert t.scan(filters=[("a", "=", 12)]).count() == 1
+    assert t.count() == 31
+
+
 # -- read modes ---------------------------------------------------------------
 
 
