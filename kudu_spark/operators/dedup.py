@@ -197,6 +197,68 @@ def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 
     )
 
 
+def duplicate_components(pairs: DataFrame, iters: int = 4) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: fixed-round min-label
+    propagation over the pair graph — after k rounds every doc holds
+    the minimum doc_id within graph distance k, which for near-dup
+    clusters (tiny diameters) is the connected component, i.e. the
+    canonical survivor id. The 'pick one survivor per duplicate group'
+    step a production dedup runs after LSH pair generation.
+
+    Scale: each round is one join + map-side-combinable min per node —
+    shuffles carry (doc, label) pairs only, never documents; rounds are
+    a fixed constant so the whole thing is one Catalyst plan.
+    Deterministic by construction (min is order-insensitive), so the
+    DuckDB oracle unrolls the same rounds as CTEs."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    for _ in range(iters):
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("pdoc"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        labels = (
+            labels.join(prop, labels.doc_id == F.col("pdoc"), "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+        )
+    return labels.select("doc_id", F.col("comp").alias("component_id"))
+
+
+def components_oracle_sql(pairs_sql: str, iters: int = 4) -> str:
+    """DuckDB oracle for duplicate_components over any pair-producing
+    SELECT: the propagation rounds unrolled as materialized CTEs."""
+    parts = [
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        """edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS comp FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""l{i} AS MATERIALIZED (
+      SELECT l.doc_id, least(l.comp, coalesce(p.ncomp, l.comp)) AS comp
+      FROM l{i - 1} l LEFT JOIN (
+        SELECT e.dst AS doc_id, min(l.comp) AS ncomp
+        FROM edges e JOIN l{i - 1} l ON e.src = l.doc_id GROUP BY e.dst
+      ) p USING (doc_id)
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\n    SELECT doc_id, comp AS component_id FROM l{iters}"
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         max_shingle_freq: int = 50) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from a shingle

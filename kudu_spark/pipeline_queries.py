@@ -104,9 +104,7 @@ _PERMS_VALUES = ", ".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
@@ -125,10 +123,25 @@ _PERMS_VALUES = ", ".join(
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bk a JOIN bk b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_duplicate_groups",
+    gated=False,  # dedup family heavily gated; pytest runs the same oracle
+    oracle=DD.components_oracle_sql(f"({_MINHASH_PAIRS_SQL})", iters=4),
+)
+def dedup_duplicate_groups(spark, sf_dir):
+    """Candidate pairs -> duplicate clusters: fixed-round min-label
+    propagation assigns every near-dup doc its component's canonical
+    (minimum) doc_id — the survivor-selection step after LSH."""
+    pairs = DD.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return DD.duplicate_components(pairs, iters=4)
 
 
 @query(
