@@ -234,6 +234,18 @@ class Engine:
             raise TableNotFoundError(name)
         shutil.rmtree(root)
 
+    def rename_table(self, old: str, new: str) -> None:
+        """Table rename (client.h KuduTableAlterer::RenameTo). The
+        directory move is atomic on one filesystem; readers holding the
+        old handle see TableNotFound on next state(), like Kudu clients
+        refreshing metadata after a rename."""
+        if not self.table_exists(old):
+            raise TableNotFoundError(old)
+        dst = self._table_root(new)
+        if os.path.exists(dst):
+            raise TableExistsError(new)
+        os.rename(self._table_root(old), dst)
+
     def soft_delete_table(self, name: str) -> None:
         t = self.table(name)
         t._commit(t.state(), "soft_delete", [])
@@ -287,6 +299,8 @@ class Alterer:
         self._drops: list[str] = []
         self._renames: dict[str, str] = {}
         self._defaults: dict[str, object] = {}
+        self._comments: dict[str, str | None] = {}
+        self._props: dict[str, object] = {}
         self._range_adds: list[list] = []
         self._range_drops: list[list] = []
 
@@ -308,6 +322,18 @@ class Alterer:
 
     def set_default(self, name: str, default) -> "Alterer":
         self._defaults[name] = default
+        return self
+
+    def set_column_comment(self, name: str, comment: str | None) -> "Alterer":
+        """ColumnSchemaDelta.comment (common.proto)."""
+        self._comments[name] = comment
+        return self
+
+    def set_property(self, key: str, value) -> "Alterer":
+        """Table-level extra config (AlterTable SET ..., client.h
+        KuduTableAlterer::AlterExtraConfig); stored in commit props and
+        folded into TableState.props."""
+        self._props[key] = value
         return self
 
     def add_range_partition(self, lower, upper, hash_buckets=None) -> "Alterer":
@@ -340,6 +366,10 @@ class Alterer:
             for c in cols:
                 if c.name == name:
                     c.default = default
+        for name, comment in self._comments.items():
+            for c in cols:
+                if c.name == name:
+                    c.comment = comment
         next_id = sch.next_col_id
         for name, type_, nullable, default, immutable, attrs in self._adds:
             if any(c.name == name for c in cols):
@@ -382,7 +412,8 @@ class Alterer:
         if self._range_drops:
             # dropping ranges removes their files and remaps surviving ids
             return self._apply_with_range_remap(st, new_schema, pspec)
-        return self.table._commit(st, "alter", [], schema=new_schema, partition_spec=pspec)
+        return self.table._commit(st, "alter", [], schema=new_schema,
+                                  partition_spec=pspec, props=self._props or None)
 
     def _apply_with_range_remap(self, st, new_schema, pspec) -> int:
         """Dropping range partitions removes their files AND remaps the

@@ -213,6 +213,41 @@ def test_cli_loadgen_and_compact(spark, tmp_path, capsys):
     assert "compacted" in out
 
 
+# -- catalog polish: rename / comments / table properties ---------------------
+
+
+def test_rename_comment_properties_wide_table(engine, spark):
+    """Table rename (KuduTableAlterer::RenameTo), column comments
+    (ColumnSchemaDelta.comment), table extra configs (AlterExtraConfig)
+    and a wide (50-column) schema round trip."""
+    import pytest as _pytest
+
+    from kudu_spark.errors import TableNotFoundError
+
+    wide = [("k", "bigint", False)] + [(f"c{i:02d}", "int", True) for i in range(49)]
+    t = engine.create_table("w1", wide, pk=["k"])
+    t.insert(spark.createDataFrame(
+        [tuple([k] + [k * 100 + i for i in range(49)]) for k in range(200)],
+        ", ".join(f"{n} {ty}" for n, ty, _ in wide),
+    ))
+    assert len(t.schema.columns) == 50
+    row = t.scan(filters=[("k", "=", 7)]).collect()[0]
+    assert row.c48 == 748
+
+    engine.alter_table("w1").set_column_comment("c00", "first metric") \
+        .set_property("history_max_age_sec", 3600).apply()
+    t2 = engine.table("w1")
+    assert t2.schema.col("c00").comment == "first metric"
+    assert t2.state().props["history_max_age_sec"] == 3600
+
+    engine.rename_table("w1", "w2")
+    assert engine.table("w2").count() == 200
+    with _pytest.raises(TableNotFoundError):
+        engine.table("w1")
+    with _pytest.raises(Exception):
+        engine.rename_table("w2", "w2")
+
+
 # -- compound (multi-column) range keys ---------------------------------------
 
 
