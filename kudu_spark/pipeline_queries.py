@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from kudu_spark.functions import text as TX
 from kudu_spark.operators import dedup as DD
+from kudu_spark.operators import packing as PK
 from kudu_spark.operators import similarity as SIM
 from kudu_spark.queries import load, query
 
@@ -388,6 +389,15 @@ def pipeline_clean_corpus(spark, sf_dir):
         .distinct()
     )
     return canon.join(dup_ids, "doc_id", "left_anti").select("doc_id")
+
+
+@query("pipeline_pack_sequences", gated=False, oracle=PK.pack_sql(2048))
+def pipeline_pack_sequences(spark, sf_dir):
+    """Sequence packing: each document's placement in the fixed-budget
+    packed token stream (start/end pack + offset) — the batching step
+    of a pretraining pipeline. Chunked cumulative sums (scale path)
+    against the oracle's plain global window."""
+    return PK.pack_documents(load(spark, sf_dir, "documents"), token_budget=2048)
 
 
 # ---------------------------------------------------------------------------
