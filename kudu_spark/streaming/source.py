@@ -115,16 +115,33 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, spark_schema, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingversion", 0))
+        # rate limiting (≈ scanner batch sizing / maxFilesPerTrigger):
+        # each micro-batch advances at most this many commit versions,
+        # so a backlog drains in bounded batches instead of one giant one
+        self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        # last offset this reader has seen planned; seeded here because
+        # the offset-runner may not call initialOffset on this instance
+        # (partitions() re-seeds it from the checkpointed start, so a
+        # restart recovers after at most one empty batch)
+        self._floor: int | None = self.start_version
         # driver-side: needs the JVM; executors get the pickled result
         self.arrow_schema = _arrow_schema_for(spark_schema)
 
     def initialOffset(self) -> dict:
+        self._floor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _table_state(self.root).version}
+        head = _table_state(self.root).version
+        if self.max_versions and self._floor is not None:
+            # cap the batch; never move backward past what was planned
+            head = max(min(head, self._floor + self.max_versions), self._floor)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # seed the floor from the checkpointed start on restart (the
+        # first post-restart batch is uncapped; later ones are not)
+        self._floor = max(self._floor or 0, start["version"], end["version"])
         parts = _change_files(self.root, start["version"], end["version"])
         # Spark requires a non-empty partition list per planned batch
         return parts or [ChangeFile("", end["version"])]
@@ -165,7 +182,9 @@ class ChangeFeedDataSource(DataSource):
 
     Options: ``path`` (table root, required), ``startingVersion``
     (exclusive lower bound, default 0 = since creation),
-    ``endingVersion`` (batch mode only, default HEAD).
+    ``endingVersion`` (batch mode only, default HEAD),
+    ``maxVersionsPerBatch`` (streaming rate limit: commits per
+    micro-batch, default unlimited).
     """
 
     @classmethod
@@ -202,12 +221,17 @@ def read_changes(spark, table_root: str, from_version: int = 0,
     return r.load()
 
 
-def stream_changes(spark, table_root: str, from_version: int = 0):
-    """Streaming changelog (readStream) from a version onward."""
+def stream_changes(spark, table_root: str, from_version: int = 0,
+                   max_versions_per_batch: int | None = None):
+    """Streaming changelog (readStream) from a version onward.
+    ``max_versions_per_batch`` bounds each micro-batch's commit window
+    so a backlog drains in bounded steps."""
     register(spark)
-    return (
+    r = (
         spark.readStream.format("kudu_cdc")
         .option("path", table_root)
         .option("startingVersion", from_version)
-        .load()
     )
+    if max_versions_per_batch:
+        r = r.option("maxVersionsPerBatch", max_versions_per_batch)
+    return r.load()

@@ -104,6 +104,40 @@ def test_stream_changes_to_memory_sink(engine, spark):
     assert n == 15  # 10 + 3 + 2 change rows
 
 
+def test_stream_rate_limit_bounded_batches(engine, spark):
+    """maxVersionsPerBatch (≈ scanner batch sizing /
+    maxFilesPerTrigger): a backlog of commits drains in bounded
+    micro-batches, each spanning at most that many commit versions,
+    with no change row lost or duplicated."""
+    import time
+
+    t, *_ = mutated_table(engine, spark)  # 4 commits of backlog (create + 3)
+    seen: list[set] = []
+
+    def sink(df, epoch_id):
+        seen.append({(r.k, r["_change_version"]) for r in df.collect()})
+
+    q = (
+        stream_changes(spark, t.root, max_versions_per_batch=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and sum(len(s) for s in seen) < 15:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    all_rows = set().union(*seen) if seen else set()
+    assert len(all_rows) == 15, "rows lost or duplicated across batches"
+    # each non-empty batch spans exactly one commit version (the cap)
+    nonempty = [s for s in seen if s]
+    assert len(nonempty) >= 3
+    for s in nonempty:
+        assert len({v for _, v in s}) == 1
+
+
 def test_sink_write_stream_upsert(engine, spark, tmp_path):
     t = engine.create_table("sunk", SCHEMA, pk=["k"])
     src_dir = str(tmp_path / "in")
