@@ -1,4 +1,4 @@
-from kudu_spark.sources.backup import backup, restore
+from kudu_spark.sources.backup import backup, prune_backups, restore
 from kudu_spark.sources.bulk import (
     avro_schema,
     copy_table,
@@ -16,5 +16,6 @@ __all__ = [
     "export_csv",
     "export_parquet",
     "import_csv",
+    "prune_backups",
     "restore",
 ]

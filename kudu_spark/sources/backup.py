@@ -56,7 +56,9 @@ def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
         incremental = bool(prior)
     if incremental and not prior:
         raise ValueError("incremental backup requires a prior full backup")
-    lo = prior[-1][1] if incremental else 0
+    # chain from the newest backed-up point (max TO version — the name
+    # sort puts re-baselining fulls before older incrementals)
+    lo = max(w[1] for w in prior) if incremental else 0
     hi = st.version
     if incremental and lo == hi:
         return {"skipped": "no changes", "from_version": lo, "to_version": hi}
@@ -76,17 +78,60 @@ def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
     return meta
 
 
+def _chain(wins: list[tuple[int, int, str]],
+           through_version: int | None = None) -> list[tuple[int, int, str]]:
+    """The restore chain: the latest eligible FULL backup plus the
+    contiguous incrementals after it — kudu-backup's graph walk
+    (BackupGraph.restorePath). Multiple fulls may coexist (periodic
+    re-baselining); only one seeds a restore."""
+    fulls = [w for w in wins if w[0] == 0]
+    if not fulls:
+        raise ValueError("no full backup in graph")
+    eligible = [w for w in fulls if through_version is None or w[1] <= through_version]
+    base = max(eligible or fulls[:1], key=lambda w: w[1])
+    chain = [base]
+    by_lo: dict[int, list] = {}
+    for w in wins:
+        if w[0] != 0:
+            by_lo.setdefault(w[0], []).append(w)
+    while True:
+        nxt = by_lo.get(chain[-1][1])
+        if not nxt:
+            return chain
+        chain.append(min(nxt, key=lambda w: w[1]))
+
+
+def prune_backups(backup_root: str, table_name: str) -> int:
+    """Delete backup windows no restore needs — everything outside the
+    latest full backup's chain (kudu-backup-tools' GC semantics).
+    Returns the number of windows removed."""
+    import shutil
+
+    wins = _windows(backup_root, table_name)
+    if not wins:
+        return 0
+    keep = {path for _, _, path in _chain(wins)}
+    removed = 0
+    for _lo, _hi, path in wins:
+        if path not in keep:
+            shutil.rmtree(path)
+            removed += 1
+    return removed
+
+
 def restore(engine, backup_root: str, table_name: str,
             new_name: str | None = None, through_version: int | None = None):
-    """Recreate a table from its backup graph (full + incrementals in
-    order). ``through_version`` stops early (point-in-time restore to
-    a backed-up window boundary)."""
+    """Recreate a table from its backup graph: the latest eligible full
+    backup, then its incrementals in window order. ``through_version``
+    stops early (point-in-time restore to a backed-up window boundary,
+    seeding from an older full when needed)."""
     from kudu_spark.meta import Schema
     from kudu_spark.table import AUTO_INC_COL
 
-    wins = _windows(backup_root, table_name)
-    if not wins or wins[0][0] != 0:
+    all_wins = _windows(backup_root, table_name)
+    if not all_wins or all_wins[0][0] != 0:
         raise ValueError(f"no full backup for {table_name} under {backup_root}")
+    wins = _chain(all_wins, through_version)
     spark = engine.spark
     with open(os.path.join(wins[0][2], META_NAME)) as f:
         meta = json.load(f)
@@ -99,11 +144,13 @@ def restore(engine, backup_root: str, table_name: str,
         for h in ps.get("hash", [])
     ] or None
     rng = ps.get("range") or {}
-    range_partition = (
-        {"column": rng["column"], "ranges": [list(r) for r in rng.get("ranges", [])]}
-        if rng.get("column")
-        else None
-    )
+    range_partition = None
+    if rng.get("columns"):
+        range_partition = {"columns": rng["columns"],
+                           "ranges": [list(r) for r in rng.get("ranges", [])]}
+    elif rng.get("column"):
+        range_partition = {"column": rng["column"],
+                           "ranges": [list(r) for r in rng.get("ranges", [])]}
     dst = engine.create_table(
         new_name or table_name,
         fields,

@@ -88,9 +88,12 @@ def copy_table(engine, src_name: str, dst_name: str, dst_engine=None,
     range_partition = None
     if ps.range_spec.enabled:
         range_partition = {
-            "column": ps.range_spec.column,
             "ranges": [list(r) for r in ps.range_spec.ranges],
         }
+        if ps.range_spec.columns:
+            range_partition["columns"] = list(ps.range_spec.columns)
+        else:
+            range_partition["column"] = ps.range_spec.column
     dst = dst_engine.create_table(
         dst_name,
         fields,

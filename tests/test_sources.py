@@ -108,3 +108,61 @@ def test_backup_restore_cycle(engine, spark, tmp_path):
     # no-change incremental is skipped
     m3 = backup(t, broot)
     assert "skipped" in m3
+
+
+def test_backup_rebaseline_and_prune(engine, spark, tmp_path):
+    """Periodic re-baselining: a second FULL backup starts a new chain;
+    restore seeds from the latest full, point-in-time restores still
+    reach the old chain, and prune_backups garbage-collects everything
+    the latest chain no longer needs (kudu-backup-tools GC)."""
+    from kudu_spark.sources import prune_backups
+    from kudu_spark.sources.backup import _windows
+
+    broot = str(tmp_path / "backups2")
+    t = engine.create_table("bk2", SCHEMA, pk=["k"])
+    t.insert(rows(spark, range(40)))
+    m_full1 = backup(t, broot)                                   # chain 1 full
+    t.upsert(rows(spark, [1, 2], v=5))
+    backup(t, broot)                                             # chain 1 incr
+    t.delete(spark.createDataFrame([(5,)], "k bigint"))
+    m_full2 = backup(t, broot, incremental=False)                # chain 2 full
+    t.upsert(rows(spark, [7, 41], v=9))
+    backup(t, broot)                                             # chain 2 incr
+
+    # restore uses the LATEST full's chain (replaying both fulls would
+    # double-insert)
+    r = restore(engine, broot, "bk2", new_name="bk2_r")
+    want = {(x.k, x.v, x.s) for x in t.scan().collect()}
+    assert {(x.k, x.v, x.s) for x in r.scan().collect()} == want
+    # point-in-time before the second full seeds from the FIRST chain
+    r2 = restore(engine, broot, "bk2", new_name="bk2_pit",
+                 through_version=m_full1["to_version"])
+    assert r2.scan().count() == 40
+    # prune drops the superseded chain (2 windows), keeps the live one
+    assert prune_backups(broot, "bk2") == 2
+    wins = _windows(broot, "bk2")
+    assert [w[0] == 0 for w in wins].count(True) == 1
+    assert wins[0][1] == m_full2["to_version"]
+    r3 = restore(engine, broot, "bk2", new_name="bk2_after")
+    assert {(x.k, x.v, x.s) for x in r3.scan().collect()} == want
+
+
+def test_copy_and_backup_preserve_compound_ranges(engine, spark, tmp_path):
+    """Compound range specs survive copy_table and backup/restore."""
+    t = engine.create_table(
+        "cb", [("a", "bigint", False), ("b", "bigint", False), ("v", "int", True)],
+        pk=["a", "b"],
+        range_partition={"columns": ["a", "b"],
+                         "ranges": [[None, [5]], [[5], None]]},
+    )
+    t.insert(spark.createDataFrame(
+        [(a, b, a) for a in range(10) for b in range(2)], "a bigint, b bigint, v int"
+    ))
+    c = copy_table(engine, "cb", "cb_copy")
+    assert c.state().partition_spec.range_spec.cols == ["a", "b"]
+    assert c.count() == 20
+    broot = str(tmp_path / "backups3")
+    backup(t, broot)
+    r = restore(engine, broot, "cb", new_name="cb_r")
+    assert r.state().partition_spec.range_spec.cols == ["a", "b"]
+    assert {(x.a, x.b) for x in r.scan().collect()} == {(a, b) for a in range(10) for b in range(2)}
