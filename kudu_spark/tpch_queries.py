@@ -394,7 +394,7 @@ def agg_percentiles(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
