@@ -119,11 +119,16 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # each micro-batch advances at most this many commit versions,
         # so a backlog drains in bounded batches instead of one giant one
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
-        # last offset this reader has seen planned; seeded here because
-        # the offset-runner may not call initialOffset on this instance
-        # (partitions() re-seeds it from the checkpointed start, so a
-        # restart recovers after at most one empty batch)
-        self._floor: int | None = self.start_version
+        # Floor = highest offset this reader knows was planned. It must
+        # start UNKNOWN (None), not startingVersion: on a checkpointed
+        # restart Spark calls latestOffset() before partitions(), and a
+        # floor seeded from startingVersion would cap latestOffset below
+        # the committed checkpoint — Spark would then plan a "new" batch
+        # ending below the checkpoint and replay already-delivered
+        # versions. With None, the first post-restart latestOffset is
+        # uncapped (≥ checkpoint, monotone); partitions() then seeds the
+        # floor from the real planned range and capping resumes.
+        self._floor: int | None = None
         # driver-side: needs the JVM; executors get the pickled result
         self.arrow_schema = _arrow_schema_for(spark_schema)
 
@@ -139,8 +144,8 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):
-        # seed the floor from the checkpointed start on restart (the
-        # first post-restart batch is uncapped; later ones are not)
+        # seed/advance the floor from the planned range (on restart the
+        # first batch was uncapped — see __init__; capping resumes here)
         self._floor = max(self._floor or 0, start["version"], end["version"])
         parts = _change_files(self.root, start["version"], end["version"])
         # Spark requires a non-empty partition list per planned batch

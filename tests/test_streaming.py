@@ -138,6 +138,30 @@ def test_stream_rate_limit_bounded_batches(engine, spark):
         assert len({v for _, v in s}) == 1
 
 
+def test_stream_rate_limit_restart_does_not_replay(engine, spark):
+    """Checkpointed-restart contract: Spark calls latestOffset() on a
+    fresh reader BEFORE partitions() ever runs. With a rate cap, a
+    floor seeded from startingVersion would cap latestOffset below the
+    committed checkpoint and replay delivered versions. The first
+    post-restart latestOffset must be the uncapped head."""
+    from kudu_spark.streaming.source import ChangeFeedStreamReader
+
+    t, *_ = mutated_table(engine, spark)  # head version >= 4
+    head = t.version
+    opts = {"path": t.root, "startingversion": "0", "maxversionsperbatch": "1"}
+    r = ChangeFeedStreamReader(t.scan().schema, opts)
+    # restart sequence: latestOffset first — must NOT be capped at 0+1
+    assert r.latestOffset() == {"version": head}
+    # checkpoint said we were at head-1; plan that batch, floor seeds
+    r.partitions({"version": head - 1}, {"version": head})
+    # subsequent offsets are monotone (never below the planned end)
+    assert r.latestOffset()["version"] >= head
+    # fresh-start sequence still caps: initialOffset seeds the floor
+    r2 = ChangeFeedStreamReader(t.scan().schema, opts)
+    assert r2.initialOffset() == {"version": 0}
+    assert r2.latestOffset() == {"version": 1}
+
+
 def test_sink_write_stream_upsert(engine, spark, tmp_path):
     t = engine.create_table("sunk", SCHEMA, pk=["k"])
     src_dir = str(tmp_path / "in")
