@@ -119,26 +119,36 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # each micro-batch advances at most this many commit versions,
         # so a backlog drains in bounded batches instead of one giant one
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
-        # Floor = highest offset this reader knows was planned. It must
-        # start UNKNOWN (None), not startingVersion: on a checkpointed
-        # restart Spark calls latestOffset() before partitions(), and a
-        # floor seeded from startingVersion would cap latestOffset below
-        # the committed checkpoint — Spark would then plan a "new" batch
-        # ending below the checkpoint and replay already-delivered
-        # versions. With None, the first post-restart latestOffset is
-        # uncapped (≥ checkpoint, monotone); partitions() then seeds the
-        # floor from the real planned range and capping resumes.
+        # Floor = highest offset this reader knows was planned; the cap
+        # is floor + max_versions. Probed lifecycle (one long-lived
+        # runner instance per query, pyspark 4.1):
+        #   fresh start:  latestOffset -> initialOffset -> partitions
+        #   restart:      partitions(last WAL batch) -> latestOffset
+        # So when latestOffset() finds the floor unseeded (None), the
+        # query is on a FRESH start (a restart would have seeded it via
+        # the preceding partitions() replay) and seeding from
+        # startingVersion is correct — same self-seeding pattern as
+        # pyspark's _SimpleStreamReaderWrapper.latestOffset. This keeps
+        # the cap on cold starts AND restarts with no replay: after the
+        # WAL replay seeds floor = checkpoint, latestOffset is always
+        # >= checkpoint and monotone.
         self._floor: int | None = None
         # driver-side: needs the JVM; executors get the pickled result
         self.arrow_schema = _arrow_schema_for(spark_schema)
 
     def initialOffset(self) -> dict:
-        self._floor = self.start_version
+        # never regress a floor already advanced by latestOffset/partitions
+        if self._floor is None or self._floor < self.start_version:
+            self._floor = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         head = _table_state(self.root).version
-        if self.max_versions and self._floor is not None:
+        if self.max_versions:
+            if self._floor is None:
+                # fresh start: Spark calls latestOffset() before
+                # initialOffset() (see __init__) — seed the floor now
+                self.initialOffset()
             # cap the batch; never move backward past what was planned
             head = max(min(head, self._floor + self.max_versions), self._floor)
         return {"version": head}

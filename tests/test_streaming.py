@@ -139,27 +139,31 @@ def test_stream_rate_limit_bounded_batches(engine, spark):
 
 
 def test_stream_rate_limit_restart_does_not_replay(engine, spark):
-    """Checkpointed-restart contract: Spark calls latestOffset() on a
-    fresh reader BEFORE partitions() ever runs. With a rate cap, a
-    floor seeded from startingVersion would cap latestOffset below the
-    committed checkpoint and replay delivered versions. The first
-    post-restart latestOffset must be the uncapped head."""
+    """Probed pyspark 4.1 lifecycle (one long-lived reader per query):
+    fresh start  = latestOffset -> initialOffset -> partitions;
+    restart      = partitions(last WAL batch) -> latestOffset.
+    Capping must hold in BOTH orders, and post-restart offsets must
+    never fall below the checkpointed batch (no replay)."""
     from kudu_spark.streaming.source import ChangeFeedStreamReader
 
     t, *_ = mutated_table(engine, spark)  # head version >= 4
     head = t.version
     opts = {"path": t.root, "startingversion": "0", "maxversionsperbatch": "1"}
+    # --- fresh start: the FIRST latestOffset (before initialOffset) caps
     r = ChangeFeedStreamReader(t.scan().schema, opts)
-    # restart sequence: latestOffset first — must NOT be capped at 0+1
-    assert r.latestOffset() == {"version": head}
-    # checkpoint said we were at head-1; plan that batch, floor seeds
-    r.partitions({"version": head - 1}, {"version": head})
-    # subsequent offsets are monotone (never below the planned end)
-    assert r.latestOffset()["version"] >= head
-    # fresh-start sequence still caps: initialOffset seeds the floor
+    assert r.latestOffset() == {"version": 1}
+    assert r.initialOffset() == {"version": 0}
+    r.partitions({"version": 0}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}  # advances one cap per batch
+    # --- restart: partitions(checkpointed batch) replays first, then
+    # latestOffset — monotone (never below the planned end), still capped
     r2 = ChangeFeedStreamReader(t.scan().schema, opts)
-    assert r2.initialOffset() == {"version": 0}
-    assert r2.latestOffset() == {"version": 1}
+    r2.partitions({"version": head - 1}, {"version": head})
+    v = r2.latestOffset()["version"]
+    assert head <= v <= head + 1
+    # initialOffset arriving late must not regress the floor
+    r2.initialOffset()
+    assert r2.latestOffset()["version"] >= head
 
 
 def test_sink_write_stream_upsert(engine, spark, tmp_path):
