@@ -131,12 +131,15 @@ class Transaction:
     def __init__(self, table: Table):
         self.table = table
         self._staged: list[tuple] = []  # (op, entries)
+        self._insert_entries: list = []  # base files staged by insert()
+        self._stage_version: int | None = None  # state version validations saw
         self._open = True
 
     def _stage(self, op: str, df, kind: str, prepare) -> None:
         if not self._open:
             raise KuduSparkError("transaction is closed")
         st = self.table.state()
+        self._stage_version = st.version
         batch = prepare(st, df)
         from kudu_spark.table import seq_for
 
@@ -145,12 +148,68 @@ class Transaction:
         )
         self._staged.append((op, entries))
 
+    def _staged_insert_keys(self, st):
+        import os
+
+        paths = [os.path.join(self.table.root, e.path) for e in self._insert_entries]
+        return self.table.spark.read.parquet(*paths).select(*st.schema.pk)
+
     def insert(self, df) -> None:
+        """Txn INSERT. Like Table.insert, errors on a PK that already
+        exists — in the snapshot OR staged by an earlier insert in this
+        transaction (row_operations.proto:36 semantics; Kudu txn writes
+        revalidate per row at apply, tablet/tablet.cc:836). This is
+        also the invariant the merge-on-read broadcast fast path relies
+        on: keys untouched by deltas are unique across base files."""
+        holder = {}
+
         def prep(st, d):
-            b = self.table._validate_batch(st, d)
+            from kudu_spark.errors import DuplicateKeyError, SchemaError
+
+            b = holder["b"] = self.table._validate_batch(st, d).persist()
+            pk = st.schema.pk
+            null_pk = None
+            for c in pk:
+                cond = F.col(c).isNull()
+                null_pk = cond if null_pk is None else (null_pk | cond)
+            agg = b.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
+                F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls"),
+            ).collect()[0]
+            if agg.nulls:
+                raise SchemaError(f"batch holds {agg.nulls} row(s) with NULL primary key")
+            if agg.n != agg.nd:
+                raise DuplicateKeyError(
+                    f"batch contains {agg.n - agg.nd} duplicate primary key(s)"
+                )
+            if st.files:
+                hit = (
+                    b.join(self.table._existing_pks(st, b), on=pk, how="left_semi")
+                    .limit(1).collect()
+                )
+                if hit:
+                    raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
+            if self._insert_entries:
+                hit = (
+                    b.join(self._staged_insert_keys(st), on=pk, how="left_semi")
+                    .limit(1).collect()
+                )
+                if hit:
+                    raise DuplicateKeyError(
+                        f"key already inserted in this transaction: {hit[0].asDict()}"
+                    )
             return b
 
-        self._stage("insert", df, "base", prep)
+        try:
+            self._stage("insert", df, "base", prep)
+        finally:
+            if "b" in holder:
+                try:
+                    holder["b"].unpersist()
+                except Exception:
+                    pass
+        self._insert_entries.extend(self._staged[-1][1])
 
     def upsert(self, df) -> None:
         def prep(st, d):
@@ -179,9 +238,34 @@ class Transaction:
         if not self._open:
             raise KuduSparkError("transaction is closed")
         self._open = False
-        st = self.table.state()
         entries = [e for _, es in self._staged for e in es]
-        return self.table._commit(st, "txn", entries)
+        from kudu_spark.errors import ConcurrentCommitError, DuplicateKeyError
+
+        attempts = 5
+        while True:
+            st = self.table.state()
+            # inserts were probed against the snapshot at stage time; if
+            # other writers committed since, re-probe before publishing
+            # (Kudu txns likewise fail at commit on conflicting rows)
+            if self._insert_entries and st.version != self._stage_version:
+                pk = st.schema.pk
+                keys = self._staged_insert_keys(st)
+                hit = (
+                    keys.join(self.table._existing_pks(st, keys), on=pk, how="left_semi")
+                    .limit(1).collect()
+                )
+                if hit:
+                    self.rollback()  # reclaim the staged files
+                    raise DuplicateKeyError(
+                        f"key inserted concurrently during transaction: {hit[0].asDict()}"
+                    )
+                self._stage_version = st.version
+            try:
+                return self.table._commit(st, "txn", entries, retries=1)
+            except ConcurrentCommitError:
+                attempts -= 1
+                if attempts <= 0:
+                    raise
 
     def rollback(self) -> None:
         import os

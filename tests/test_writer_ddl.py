@@ -73,6 +73,49 @@ def test_transaction_atomic_commit(t, spark):
     assert t.version == v0 + 1  # ONE commit for both ops
 
 
+def test_transaction_insert_duplicate_pk_rejected(t, spark):
+    """Txn INSERT follows row_operations.proto:36: a PK that already
+    exists — committed, or staged by an earlier insert in the same
+    txn — fails. Guards the merge fast path's base-uniqueness
+    invariant (a duplicate base row with no delta entry would stream
+    twice through the anti-join)."""
+    from kudu_spark.errors import DuplicateKeyError
+
+    ddl = "key int, int_val int, string_val string"
+    txn = Transaction(t)
+    with pytest.raises(DuplicateKeyError):  # key 0 is committed
+        txn.insert(spark.createDataFrame([(0, 9, "dup")], ddl))
+    txn.insert(spark.createDataFrame([(60, 1, "a")], ddl))
+    with pytest.raises(DuplicateKeyError):  # key 60 staged in this txn
+        txn.insert(spark.createDataFrame([(60, 2, "b")], ddl))
+    with pytest.raises(DuplicateKeyError):  # dup inside one batch
+        txn.insert(spark.createDataFrame([(61, 1, "x"), (61, 2, "y")], ddl))
+    txn.commit()  # the one valid insert still commits
+    got = snap(t)
+    assert got[60] == (1, "a")
+    # scan returns each PK exactly once (merge fast path invariant)
+    keys = [r.key for r in t.scan().select("key").collect()]
+    assert len(keys) == len(set(keys))
+
+
+def test_transaction_insert_commit_revalidates(t, spark):
+    """A key inserted by ANOTHER writer between stage and commit fails
+    the txn at commit() (Kudu txns fail on conflicting rows at commit),
+    and rollback reclaims the staged files."""
+    from kudu_spark.errors import DuplicateKeyError
+
+    ddl = "key int, int_val int, string_val string"
+    txn = Transaction(t)
+    txn.insert(spark.createDataFrame([(70, 1, "txn")], ddl))
+    t.insert(spark.createDataFrame([(70, 2, "racer")], ddl))  # concurrent writer wins
+    with pytest.raises(DuplicateKeyError):
+        txn.commit()
+    got = snap(t)
+    assert got[70] == (2, "racer")
+    keys = [r.key for r in t.scan().select("key").collect()]
+    assert len(keys) == len(set(keys))
+
+
 def test_transaction_rollback(t, spark):
     txn = Transaction(t)
     txn.insert(spark.createDataFrame([(50, 1, "a")], "key int, int_val int, string_val string"))
