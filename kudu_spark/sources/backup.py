@@ -88,7 +88,14 @@ def _chain(wins: list[tuple[int, int, str]],
     if not fulls:
         raise ValueError("no full backup in graph")
     eligible = [w for w in fulls if through_version is None or w[1] <= through_version]
-    base = max(eligible or fulls[:1], key=lambda w: w[1])
+    if not eligible:
+        # seeding from a NEWER full would silently restore data beyond
+        # the requested point in time
+        raise ValueError(
+            f"no full backup at or before version {through_version}; "
+            f"earliest full covers through {min(w[1] for w in fulls)}"
+        )
+    base = max(eligible, key=lambda w: w[1])
     chain = [base]
     by_lo: dict[int, list] = {}
     for w in wins:

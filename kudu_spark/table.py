@@ -248,20 +248,32 @@ class Table:
             if key not in self._bucket_cache
         ]
         if missing:
-            # frame-safe declared types (Spark 4 forbids char/varchar in
-            # DataFrame schemas; those columns are stored as string)
-            ddl = ", ".join(
-                "`%s` %s" % (c, re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string",
-                                       st.schema.col(c).type.strip(), flags=re.I))
-                for c in dim.columns
-            ) + ", `__i` int"
             rows = [
                 tuple(vals[c] for c in dim.columns) + (j,)
                 for j, (_key, vals) in enumerate(missing)
             ]
-            cols = [F.col(c) for c in dim.columns] + [F.lit(dim.seed)]
+            try:
+                # untyped frame + per-column write-path cast: coercible
+                # literals (a string against a date/decimal hash column)
+                # plan and prune exactly like F.lit(v).cast(t) on the
+                # write path, instead of raising in a strictly typed
+                # createDataFrame
+                probe = self.spark.createDataFrame(rows, [*dim.columns, "__i"])
+            except Exception:
+                # inference needs a non-None value per column; fall back
+                # to the declared types (frame-safe: Spark 4 forbids
+                # char/varchar in DataFrame schemas — store as string)
+                ddl = ", ".join(
+                    "`%s` %s" % (c, re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string",
+                                           st.schema.col(c).type.strip(), flags=re.I))
+                    for c in dim.columns
+                ) + ", `__i` int"
+                probe = self.spark.createDataFrame(rows, ddl)
+            cols = [
+                _write_cast(F.col(c), st.schema.col(c).type) for c in dim.columns
+            ] + [F.lit(dim.seed)]
             got = (
-                self.spark.createDataFrame(rows, ddl)
+                probe
                 .select("__i", F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int").alias("b"))
                 .collect()
             )
@@ -480,6 +492,11 @@ class Table:
             keep = keep & (~F.col(DEL_COL))
 
         def merge(df):
+            # last-write-wins window; Spark's WindowGroupLimit rewrite
+            # keeps only each key's top row BEFORE the exchange (a
+            # map-side combine), so the shuffle carries one candidate
+            # per key per map partition. (Measured faster than a
+            # max_by(struct) hash aggregate, which lacks codegen.)
             return df.withColumn("__rn", F.row_number().over(w)).where(keep).drop("__rn")
 
         dirty_base = [f for f in dirty if f.kind == "base"]
@@ -496,32 +513,49 @@ class Table:
             bcast = int(self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
         except Exception:
             bcast = 10 << 20
-        if (dirty_base and dirty_delta and delta_rows * 4 <= base_rows
-                and 0 < key_bytes <= max(bcast, 0)):
+        # do ALL deltas outrank ALL base rows (manifest seqs)? True in
+        # the steady state (bases come from inserts/compactions, deltas
+        # from later mutations); false only after a reinsert-after-
+        # delete landed a base file NEWER than some delta.
+        deltas_newer = (
+            bool(dirty_base) and bool(dirty_delta)
+            and min(f.seq for f in dirty_delta) > max(f.seq for f in dirty_base)
+        )
+        if (dirty_base and dirty_delta and 0 < key_bytes <= max(bcast, 0)
+                and (deltas_newer or delta_rows * 4 <= base_rows)):
             # cost-based merge plan (manifest row counts decide, like
-            # Kudu's delta-relevancy checks): when deltas are small
-            # relative to base AND their key set fits a broadcast, base
-            # rows whose PK no delta touches stream STRAIGHT from
-            # parquet (broadcast anti join against the delta keys — the
-            # base side never shuffles); only contested keys pay the
-            # last-write-wins window, over ~2x the delta rows instead
-            # of the whole partition. Keys absent from every delta are
-            # unique in the base by the insert dup-check, so streaming
-            # them is exact; a reinserted key (base + tombstone + newer
-            # base) is in the delta-key set and takes the window path.
-            # When the key set exceeds the broadcast threshold the anti
-            # join would shuffle the base TWICE (anti + semi), so the
-            # single-shuffle window below wins — that regime is better
-            # served by compaction anyway.
+            # Kudu's delta-relevancy checks): when the delta key set
+            # fits a broadcast, base rows whose PK no delta touches
+            # stream STRAIGHT from parquet (broadcast anti join against
+            # the delta keys — the base side never shuffles, predicates
+            # and projection push to the scan). Keys absent from every
+            # delta are unique in the base by the insert dup-check, so
+            # streaming them is exact. When the key set exceeds the
+            # broadcast threshold the anti join would shuffle the base,
+            # so the single-shuffle window below wins — that regime is
+            # better served by compaction anyway.
             df_base = self._read_files(st, dirty_base)
             df_delta = self._read_files(st, dirty_delta)
             # no distinct: semi/anti joins tolerate duplicate build keys,
-            # and dropping it saves a whole shuffle stage; the one
-            # broadcast exchange is reused by both joins
+            # and dropping it saves a whole shuffle stage
             keys = df_delta.select(*pk)
             uncontested = df_base.join(keys, on=pk, how="left_anti")
-            contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
-            df_dirty = uncontested.unionByName(merge(contested))
+            if deltas_newer:
+                # every delta outranks every base row, so a contested
+                # key's winner is simply its newest DELTA: base rows of
+                # contested keys never win and need not be read at all.
+                # The base is scanned ONCE (anti join) and the
+                # last-write-wins window runs over the deltas only —
+                # O(delta) shuffle, independent of base size (≈ Kudu
+                # skipping base data when the delta fully redacts it,
+                # tablet/delta_store.h REDO application).
+                df_dirty = uncontested.unionByName(merge(df_delta))
+            else:
+                # reinsert-after-delete present: a base row may outrank
+                # a delta, so contested keys window over base + delta
+                # (second base scan via the reused broadcast).
+                contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
+                df_dirty = uncontested.unionByName(merge(contested))
         else:
             # delta-heavy partitions (or delta-only): one global window
             df_dirty = self._read_files(st, dirty)
@@ -1183,11 +1217,13 @@ class Table:
                 ]
             )
         entries = self._write_files(batch, st, seq_for(st.version + 1), "delta")
-        return self._commit_revalidated(
+        v = self._commit_revalidated(
             st, "upsert", entries,
             lambda a: self.upsert(df, mode, handle_schema_drift, _attempts=a),
             _attempts=_attempts,
         )
+        self._maybe_auto_compact()
+        return v
 
     def upsert_ignore(self, df: DataFrame) -> int:
         return self.upsert(df, mode="ignore")
@@ -1231,11 +1267,13 @@ class Table:
             ],
         )
         entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
-        return self._commit_revalidated(
+        v = self._commit_revalidated(
             st, "update", entries,
             lambda a: self.update(df, mode, _attempts=a),
             _attempts=_attempts,
         )
+        self._maybe_auto_compact()
+        return v
 
     def update_ignore(self, df: DataFrame) -> int:
         return self.update(df, mode="ignore")
@@ -1264,11 +1302,13 @@ class Table:
             ],
         ).withColumn(DEL_COL, F.lit(True))
         entries = self._write_files(rows, st, seq_for(st.version + 1), "delta")
-        return self._commit_revalidated(
+        v = self._commit_revalidated(
             st, "delete", entries,
             lambda a: self.delete(df, mode, _attempts=a),
             _attempts=_attempts,
         )
+        self._maybe_auto_compact()
+        return v
 
     def delete_ignore(self, df: DataFrame) -> int:
         return self.delete(df, mode="ignore")
@@ -1316,6 +1356,62 @@ class Table:
                 out.append(c)
                 spent += c["cost_bytes"]
         return out
+
+    # auto-compaction defaults (overridable per table via props)
+    AUTO_COMPACT_MIN_RATIO = 0.05
+    AUTO_COMPACT_MIN_DELTA_BYTES = 1 << 20
+    AUTO_COMPACT_BUDGET_BYTES = 256 << 20
+
+    def _maybe_auto_compact(self) -> None:
+        """Inline maintenance after a mutation commit. Kudu runs the
+        same policy in background maintenance threads
+        (tablet/maintenance_manager.h, compaction_policy.h:74-129); a
+        library has no daemon, so the writer triggers it. Partitions
+        whose delta bytes exceed ``auto_compact_min_ratio`` of their
+        total (≈ --tablet_delta_store_major_compact_min_ratio=0.1;
+        lower here because our deltas are whole-row redactions,
+        costlier to merge than Kudu's columnwise REDOs) are folded into
+        fresh base files, highest delta fraction first, within
+        ``auto_compact_budget_bytes`` of IO per trigger so one write
+        never rewrites an unbounded amount — over repeated mutation
+        batches the backlog amortizes. Skipped entirely while total
+        delta bytes sit under ``auto_compact_min_delta_bytes`` (merge-
+        on-read is cheap there). ``auto_compact=false`` disables.
+        Maintenance failure never fails the (already durable)
+        mutation."""
+        try:
+            st = self.state()
+            props = st.props
+            if str(props.get("auto_compact", "true")).lower() in ("false", "0", "no"):
+                return
+            ratio = float(props.get("auto_compact_min_ratio", self.AUTO_COMPACT_MIN_RATIO))
+            floor = int(props.get("auto_compact_min_delta_bytes",
+                                  self.AUTO_COMPACT_MIN_DELTA_BYTES))
+            budget = int(props.get("auto_compact_budget_bytes",
+                                   self.AUTO_COMPACT_BUDGET_BYTES))
+            tot: dict = {}
+            dl: dict = {}
+            for f in st.files:
+                key = (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+                tot[key] = tot.get(key, 0) + f.bytes
+                if f.kind == "delta":
+                    dl[key] = dl.get(key, 0) + f.bytes
+            ranked = sorted(
+                (k for k in dl if dl[k] >= ratio * tot[k]),
+                key=lambda k: -(dl[k] / max(tot[k], 1)),
+            )
+            if sum(dl[k] for k in ranked) < floor:
+                return
+            hot, spent = [], 0
+            for k in ranked:
+                if spent + tot[k] > budget and hot:
+                    break
+                hot.append(k)
+                spent += tot[k]
+            if hot:
+                self.compact(partitions=hot)
+        except Exception:
+            pass  # the mutation committed; maintenance retries on the next write
 
     def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
                 io_budget_bytes: int | None = None, partitions: list | None = None,

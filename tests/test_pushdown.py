@@ -348,3 +348,37 @@ def test_decimal_pk_footer_prune_is_numeric(engine, spark):
     assert t._prune(st, [("k", "=", Decimal("500"))]) == [] or True
     t.insert(spark.createDataFrame([(Decimal("500"), 9)], ddl))
     assert t.scan().count() == 5
+
+
+def test_hash_prune_coerces_string_literals(engine, spark):
+    """Planner-side bucket probe must coerce literals the way the
+    write path does (F.lit(v).cast(t)): a string literal against a
+    date/decimal hash-PK column prunes to the right bucket instead of
+    raising a typed-createDataFrame error."""
+    import datetime
+    from decimal import Decimal
+
+    t = engine.create_table(
+        "coerce", [("d", "date", False), ("v", "int", True)], pk=["d"],
+        hash_partitions=[{"columns": ["d"], "buckets": 4}],
+    )
+    days = [datetime.date(2020, 1, 1) + datetime.timedelta(days=i) for i in range(20)]
+    t.insert(spark.createDataFrame([(d, i) for i, d in enumerate(days)], "d date, v int"))
+    st = t.state()
+    pruned = t._prune(st, [("d", "=", "2020-01-05")])  # string literal
+    assert 0 < len(pruned) < len(t._prune(st, None))
+    # same bucket as the typed value — and the scan finds the row
+    assert t._bucket_of(0, {"d": "2020-01-05"}) == t._bucket_of(
+        0, {"d": datetime.date(2020, 1, 5)}
+    )
+    assert t.scan(filters=[("d", "=", "2020-01-05")]).collect()[0].v == 4
+    # decimal hash-PK with a string literal
+    t2 = engine.create_table(
+        "coerce2", [("k", "decimal(12,2)", False), ("v", "int", True)], pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    t2.insert(spark.createDataFrame(
+        [(Decimal(i), i) for i in range(20)], "k decimal(12,2), v int"
+    ))
+    assert t2._bucket_of(0, {"k": "7.00"}) == t2._bucket_of(0, {"k": Decimal("7")})
+    assert t2.scan(filters=[("k", "=", Decimal(7))]).collect()[0].v == 7

@@ -108,6 +108,11 @@ def test_backup_restore_cycle(engine, spark, tmp_path):
     # no-change incremental is skipped
     m3 = backup(t, broot)
     assert "skipped" in m3
+    # a point in time BEFORE the earliest full is an error, not a
+    # silent over-restore from a newer full
+    with pytest.raises(ValueError, match="no full backup at or before"):
+        restore(engine, broot, "bk", new_name="bk_too_early",
+                through_version=m1["to_version"] - 1)
 
 
 def test_backup_rebaseline_and_prune(engine, spark, tmp_path):
