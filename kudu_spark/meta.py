@@ -367,20 +367,38 @@ def append_commit(table_root: str, expected_version: int, payload: dict) -> int:
     return expected_version
 
 
-def read_log(table_root: str, max_version: int | None = None) -> list[dict]:
+def read_log(table_root: str, max_version: int | None = None,
+             min_version: int | None = None) -> list[dict]:
+    """Commits with ``min_version < version <= max_version`` in order.
+    ``min_version`` lets checkpoint-seeded replays and change-feed
+    windows read O(window) files instead of O(history)."""
     log_dir = os.path.join(table_root, LOG_DIR)
     if not os.path.isdir(log_dir):
         return []
     commits = []
     for name in sorted(os.listdir(log_dir)):
-        if not name.endswith(".json") or ".tmp." in name:
+        if not name.endswith(".json") or ".tmp." in name or not name[:-5].isdigit():
             continue
         v = int(name[:-5])
+        if min_version is not None and v <= min_version:
+            continue
         if max_version is not None and v > max_version:
             break
         with open(os.path.join(log_dir, name)) as f:
             commits.append(json.load(f))
     return commits
+
+
+def log_versions(table_root: str) -> list[int]:
+    """Sorted commit versions present in the log — one directory
+    listing, no file reads (the cheap HEAD lookup)."""
+    log_dir = os.path.join(table_root, LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(n[:-5]) for n in os.listdir(log_dir)
+        if n.endswith(".json") and ".tmp." not in n and n[:-5].isdigit()
+    )
 
 
 @dataclass
@@ -402,53 +420,190 @@ class TableState:
         return [f for f in self.files if pred is None or pred(f)]
 
 
-def replay(name: str, root: str, max_version: int | None = None) -> TableState | None:
-    commits = read_log(root, max_version)
-    if not commits:
-        return None
-    schema: Schema | None = None
-    schemas: dict[int, Schema] = {}
-    pspec = PartitionSpec()
-    files: dict[str, FileEntry] = {}
-    props: dict = {}
-    tombstoned = False
-    ts: dict[int, int] = {}
-    for c in commits:
-        ts[c["version"]] = c.get("timestamp_ms", 0)
-        if "schema" in c:
-            schema = Schema.from_json(c["schema"])
-            schemas[schema.version] = schema
-        if "partition_spec" in c:
-            pspec = PartitionSpec.from_json(c["partition_spec"])
-        if c.get("op") == "soft_delete":
-            tombstoned = True
-        elif c.get("op") == "recall":
-            tombstoned = False
-        for a in c.get("actions", []):
-            if a["type"] == "add":
-                fe = FileEntry.from_json(a["file"])
-                files[fe.path] = fe
-            elif a["type"] == "remove":
-                files.pop(a["path"], None)
-        props.update(c.get("props", {}))
-    assert schema is not None, f"log for {name} never set a schema"
+# ---------------------------------------------------------------------------
+# Checkpoints + state cache
+#
+# Kudu keeps tablet metadata resident in the master/tserver
+# (master/catalog_manager.cc, tablet/tablet_metadata.h superblocks); the
+# file-native equivalent is (a) a serialized TableState snapshot under
+# _log/checkpoints/ every CHECKPOINT_EVERY commits, so replay reads
+# O(CHECKPOINT_EVERY) log files instead of O(history), and (b) a
+# process-local LRU keyed by (root, version) — commit files are
+# immutable once published, so a cached state can never go stale.
+# Checkpoints are self-healing: whichever reader or writer first
+# replays far enough past the newest checkpoint writes the next one.
+# ---------------------------------------------------------------------------
+
+CHECKPOINT_EVERY = 32
+CHECKPOINTS_KEPT = 4
+_STATE_CACHE: dict[tuple[str, int], "TableState"] = {}
+_STATE_CACHE_MAX = 64
+
+
+def _checkpoint_dir(table_root: str) -> str:
+    return os.path.join(table_root, LOG_DIR, "checkpoints")
+
+
+def checkpoint_versions(table_root: str) -> list[int]:
+    d = _checkpoint_dir(table_root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[:-5]) for n in os.listdir(d)
+        if n.endswith(".json") and ".tmp." not in n and n[:-5].isdigit()
+    )
+
+
+def _state_to_json(st: "TableState") -> dict:
+    return {
+        "version": st.version,
+        "schema_version": st.schema.version,
+        "schemas": {str(v): s.to_json() for v, s in st.schemas_by_version.items()},
+        "partition_spec": st.partition_spec.to_json(),
+        "files": [f.to_json() for f in st.files],
+        "props": st.props,
+        "tombstoned": st.tombstoned,
+        "timestamps_ms": {str(v): t for v, t in st.timestamps_ms.items()},
+    }
+
+
+def _state_from_json(name: str, root: str, d: dict) -> "TableState":
+    schemas = {int(v): Schema.from_json(s) for v, s in d["schemas"].items()}
     return TableState(
         name=name,
         root=root,
-        version=commits[-1]["version"],
-        schema=schema,
+        version=d["version"],
+        schema=schemas[d["schema_version"]],
         schemas_by_version=schemas,
-        partition_spec=pspec,
-        files=list(files.values()),
-        props=props,
-        tombstoned=tombstoned,
-        timestamps_ms=ts,
+        partition_spec=PartitionSpec.from_json(d["partition_spec"]),
+        files=[FileEntry.from_json(f) for f in d["files"]],
+        props=d.get("props", {}),
+        tombstoned=d.get("tombstoned", False),
+        timestamps_ms={int(v): t for v, t in d.get("timestamps_ms", {}).items()},
     )
+
+
+def write_checkpoint(st: "TableState") -> None:
+    """Atomically publish a checkpoint of ``st`` and GC old ones.
+    Contents are deterministic per version, so concurrent writers
+    racing on the same version are harmless (last rename wins)."""
+    d = _checkpoint_dir(st.root)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{st.version:020d}.json")
+    tmp = path + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(_state_to_json(st), f)
+    os.replace(tmp, path)
+    for v in checkpoint_versions(st.root)[:-CHECKPOINTS_KEPT]:
+        try:
+            os.unlink(os.path.join(d, f"{v:020d}.json"))
+        except OSError:
+            pass
+
+
+def _apply_commits(acc: dict, commits: list[dict]) -> None:
+    for c in commits:
+        acc["ts"][c["version"]] = c.get("timestamp_ms", 0)
+        if "schema" in c:
+            sch = Schema.from_json(c["schema"])
+            acc["schema"] = sch
+            acc["schemas"][sch.version] = sch
+        if "partition_spec" in c:
+            acc["pspec"] = PartitionSpec.from_json(c["partition_spec"])
+        if c.get("op") == "soft_delete":
+            acc["tombstoned"] = True
+        elif c.get("op") == "recall":
+            acc["tombstoned"] = False
+        for a in c.get("actions", []):
+            if a["type"] == "add":
+                fe = FileEntry.from_json(a["file"])
+                acc["files"][fe.path] = fe
+            elif a["type"] == "remove":
+                acc["files"].pop(a["path"], None)
+        acc["props"].update(c.get("props", {}))
+
+
+def replay(name: str, root: str, max_version: int | None = None) -> TableState | None:
+    """TableState at ``max_version`` (None = HEAD). O(1) for cached
+    versions, O(commits since last checkpoint) otherwise. Treat the
+    returned state as immutable — it is shared across callers."""
+    versions = log_versions(root)
+    live = [v for v in versions if max_version is None or v <= max_version]
+    if not live:
+        return None
+    target = live[-1]
+    # key on the commit file's identity (inode + mtime), not just the
+    # version: a table dropped and recreated at the same path restarts
+    # version numbering, and a bare (root, version) key would serve the
+    # dead table's state
+    try:
+        s = os.stat(_log_path(root, target))
+        key = (os.path.abspath(root), target, s.st_ino, s.st_mtime_ns)
+    except OSError:
+        key = None
+    hit = _STATE_CACHE.get(key) if key is not None else None
+    if hit is not None:
+        return hit
+
+    ckpts = [v for v in checkpoint_versions(root) if v <= target]
+    base: TableState | None = None
+    if ckpts:
+        try:
+            with open(os.path.join(_checkpoint_dir(root), f"{ckpts[-1]:020d}.json")) as f:
+                base = _state_from_json(name, root, json.load(f))
+        except (OSError, ValueError, KeyError):
+            base = None  # torn/old checkpoint: fall back to full replay
+
+    if base is not None:
+        acc = {
+            "schema": base.schema,
+            "schemas": dict(base.schemas_by_version),
+            "pspec": base.partition_spec,
+            "files": {f.path: f for f in base.files},
+            "props": dict(base.props),
+            "tombstoned": base.tombstoned,
+            "ts": dict(base.timestamps_ms),
+        }
+        commits = read_log(root, target, min_version=base.version)
+        replayed_from = base.version
+    else:
+        acc = {
+            "schema": None, "schemas": {}, "pspec": PartitionSpec(),
+            "files": {}, "props": {}, "tombstoned": False, "ts": {},
+        }
+        commits = read_log(root, target)
+        replayed_from = 0
+    _apply_commits(acc, commits)
+    assert acc["schema"] is not None, f"log for {name} never set a schema"
+    st = TableState(
+        name=name,
+        root=root,
+        version=target,
+        schema=acc["schema"],
+        schemas_by_version=acc["schemas"],
+        partition_spec=acc["pspec"],
+        files=list(acc["files"].values()),
+        props=acc["props"],
+        tombstoned=acc["tombstoned"],
+        timestamps_ms=acc["ts"],
+    )
+    if target - replayed_from >= CHECKPOINT_EVERY:
+        try:
+            write_checkpoint(st)
+        except OSError:
+            pass  # read-only media: checkpointing is an optimization only
+    if key is not None:
+        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+        _STATE_CACHE[key] = st
+    return st
 
 
 def version_at_timestamp(root: str, timestamp_ms: int) -> int | None:
     """Largest commit version with commit time <= timestamp_ms
     (READ_AT_SNAPSHOT by time, common.proto:268)."""
-    commits = read_log(root)
-    versions = [c["version"] for c in commits if c.get("timestamp_ms", 0) <= timestamp_ms]
+    st = replay("", root, None)
+    if st is None:
+        return None
+    versions = [v for v, t in st.timestamps_ms.items() if t <= timestamp_ms]
     return max(versions) if versions else None

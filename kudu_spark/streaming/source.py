@@ -71,8 +71,10 @@ def _change_files(root: str, start_v: int, end_v: int) -> list[ChangeFile]:
     from kudu_spark.meta import read_log
 
     out: list[ChangeFile] = []
-    for c in read_log(root, end_v):
-        if c["version"] <= start_v or c.get("op") not in MUTATION_OPS:
+    # min_version: each micro-batch reads O(window) commit files, not
+    # O(history) — a long-lived stream over a high-commit table stays flat
+    for c in read_log(root, end_v, min_version=start_v):
+        if c.get("op") not in MUTATION_OPS:
             continue
         for a in c.get("actions", []):
             if a["type"] == "add":
