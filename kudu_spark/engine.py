@@ -246,18 +246,60 @@ class Engine:
             raise TableExistsError(new)
         os.rename(self._table_root(old), dst)
 
-    def soft_delete_table(self, name: str) -> None:
+    # default recall window, matching Kudu's
+    # --default_deleted_table_reserve_seconds behavior (7 days)
+    SOFT_DELETE_RESERVE_SECONDS = 7 * 24 * 3600
+
+    def soft_delete_table(self, name: str, reserve_seconds: int | None = None) -> None:
+        """Tombstone a table but keep it recallable for
+        ``reserve_seconds`` (client.pyx:527-583 soft_delete_table;
+        master SoftDeleteTable). After the reservation expires the
+        table can no longer be recalled and ``purge_soft_deleted``
+        drops it. ``reserve_seconds=0`` is immediately purgeable."""
+        import time
+
+        if reserve_seconds is None:
+            reserve_seconds = self.SOFT_DELETE_RESERVE_SECONDS
         t = self.table(name)
-        t._commit(t.state(), "soft_delete", [])
+        expires = int(time.time() * 1000) + int(reserve_seconds) * 1000
+        t._commit(t.state(), "soft_delete", [],
+                  props={"soft_delete_expires_ms": expires})
 
     def recall_table(self, name: str) -> None:
+        """Un-delete inside the reservation window (client.pyx
+        recall_table / RecallDeletedTable); refused after it expires."""
+        import time
+
         st = self._state_or_none(name)
         if st is None:
             raise TableNotFoundError(name)
         if not st.tombstoned:
             raise KuduSparkError(f"table {name} is not soft-deleted")
+        expires = st.props.get("soft_delete_expires_ms")
+        if expires is not None and int(time.time() * 1000) > int(expires):
+            raise KuduSparkError(
+                f"table {name}'s soft-delete reservation expired; it can no longer be recalled"
+            )
         t = Table(self.spark, name, self._table_root(name))
         t._commit(st, "recall", [])
+
+    def purge_soft_deleted(self) -> list[str]:
+        """Hard-drop every soft-deleted table whose reservation has
+        expired (the master's background purge of expired tombstones).
+        Returns the dropped table names."""
+        import time
+
+        now = int(time.time() * 1000)
+        dropped = []
+        for name in self.list_tables(include_soft_deleted=True):
+            st = self._state_or_none(name)
+            if st is None or not st.tombstoned:
+                continue
+            expires = st.props.get("soft_delete_expires_ms")
+            if expires is not None and now > int(expires):
+                self.drop_table(name)
+                dropped.append(name)
+        return dropped
 
     # -- alter (client.h:1920-2099 KuduTableAlterer) ------------------------------
 

@@ -747,9 +747,7 @@ class Table:
 
         mutation_ops = {"insert", "upsert", "update", "delete", "txn"}
         touched = set()
-        for c in read_log(self.root, to_version):
-            if c["version"] <= from_version:
-                continue
+        for c in read_log(self.root, to_version, min_version=from_version):
             op = c.get("op")
             if op == "compact":
                 continue
@@ -1033,30 +1031,46 @@ class Table:
         batch key satisfies the restriction, so no candidate match is
         lost.
 
-        Point-mutation batches (≤ PROBE_KEYS_MAX distinct leading-PK
-        values) probe with an IN-list: _prune drops hash buckets and
-        files whose footer bounds contain none of the values, and the
-        surviving parquet scans skip row groups via the PK bloom
-        filters _write_files writes — so a batch of keys SCATTERED
-        across the keyspace reads a bounded file subset instead of
-        min/max-bounding essentially the whole table. Larger batches
-        fall back to the min/max bounds restriction (at that size a
-        range-restricted scan is the right plan anyway)."""
+        The probe restricts on EVERY primary-key column, not just the
+        leading one (Kudu probes the full encoded key against
+        per-rowset blooms, tablet/tablet.cc:116-124): for a composite
+        key like (tenant, id) with low-cardinality tenant, a
+        leading-column-only restriction degenerates to nearly the whole
+        table, while the id IN-list prunes to the files actually
+        holding those ids. Per column: ≤ PROBE_KEYS_MAX distinct values
+        probe with an IN-list (_prune drops hash buckets and files
+        whose footer bounds contain none of the values; surviving
+        parquet scans skip row groups via the PK bloom filters
+        _write_files writes), larger sets fall back to that column's
+        min/max range. Per-column restrictions over-approximate the
+        key set (cross product), which is safe: every batch key
+        satisfies all of them."""
         if not st.files:
             return self._snapshot_df(st, None)  # empty table: no probe job
-        pk0 = st.schema.pk[0]
-        agg = batch.agg(
-            F.min(pk0).alias("lo"),
-            F.max(pk0).alias("hi"),
-            F.approx_count_distinct(pk0).alias("nd"),
-        ).collect()[0]
-        if agg.lo is None:
-            return self._snapshot_df(st, None)
-        if agg.nd <= self.PROBE_KEYS_MAX:
-            vals = [r[0] for r in batch.select(pk0).distinct().collect()]
-            if len(vals) <= self.PROBE_KEYS_MAX:
-                return self._snapshot_df(st, [(pk0, "in", vals)])
-        return self._snapshot_df(st, [(pk0, ">=", agg.lo), (pk0, "<=", agg.hi)])
+        pk = st.schema.pk
+        aggs = []
+        for c in pk:
+            aggs += [
+                F.min(c).alias(f"lo_{c}"),
+                F.max(c).alias(f"hi_{c}"),
+                F.approx_count_distinct(c).alias(f"nd_{c}"),
+            ]
+        row = batch.agg(*aggs).collect()[0]
+        if row[f"lo_{pk[0]}"] is None:
+            return self._snapshot_df(st, None)  # empty batch
+        filters: list = []
+        for c in pk:
+            lo, hi, nd = row[f"lo_{c}"], row[f"hi_{c}"], row[f"nd_{c}"]
+            if lo is None:
+                continue
+            if nd <= self.PROBE_KEYS_MAX:
+                vals = [r[0] for r in batch.select(c).distinct().collect()]
+                if len(vals) <= self.PROBE_KEYS_MAX:
+                    filters.append((c, "in", vals))
+                    continue
+            filters.append((c, ">=", lo))
+            filters.append((c, "<=", hi))
+        return self._snapshot_df(st, filters)
 
     def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
         return self._snapshot_overlapping(st, batch).select(*st.schema.pk)
@@ -1105,6 +1119,14 @@ class Table:
         props = {}
         if any(c.name == AUTO_INC_COL for c in st.schema.columns):
             base = int(st.props.get("auto_inc_next", 1))
+            # monotonically_increasing_id allocates (partition << 33) +
+            # row, so a batch with more than STRIDE>>33 (= 128) input
+            # partitions would overflow this commit's id reservation
+            # and collide with the next commit's — bound the width
+            # (coalesce: no shuffle; per-partition row capacity 2^33)
+            max_parts = AUTO_INC_STRIDE >> 33
+            if batch.rdd.getNumPartitions() > max_parts:
+                batch = batch.coalesce(max_parts)
             batch = batch.withColumn(
                 AUTO_INC_COL, (F.lit(base) + F.monotonically_increasing_id()).cast("bigint")
             ).select(*st.schema.names)

@@ -67,6 +67,9 @@ def main() -> None:
         "lineitem", [("l_rowid", "bigint", False)] + cols, pk=["l_rowid"],
         hash_partitions=[{"columns": ["l_rowid"], "buckets": max(8, args.mult)}],
     )
+    # disable inline maintenance so the "mutated" stage measures the
+    # pure merge-on-read plan; the "auto" stage re-enables it
+    eng.alter_table("lineitem").set_property("auto_compact", "false").apply()
     t0 = time.perf_counter()
     t.insert(li)
     load_sec = round(time.perf_counter() - t0, 2)
@@ -110,6 +113,16 @@ def main() -> None:
     t.compact()
     compact_sec = round(time.perf_counter() - t0, 2)
     compacted = stage()
+    # default path: inline maintenance folds the deltas at write time
+    # (upsert cost includes the bounded compaction; scans stay clean)
+    eng.alter_table("lineitem").set_property("auto_compact", "true").apply()
+    next_tenth = t.scan().where(F.col("l_rowid") % 10 == 1).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    t0 = time.perf_counter()
+    t.upsert(next_tenth)
+    auto_upsert_sec = round(time.perf_counter() - t0, 2)
+    auto = stage()
 
     # correctness spot-checks at scale
     assert t.count() == rows, (t.count(), rows)
@@ -124,9 +137,11 @@ def main() -> None:
         "load_sec": load_sec,
         "upsert_10pct_sec": upsert_sec,
         "compact_sec": compact_sec,
+        "upsert_10pct_with_auto_compact_sec": auto_upsert_sec,
         "clean": clean,
         "mutated": mutated,
         "compacted": compacted,
+        "auto_compacted": auto,
     }))
     shutil.rmtree(wh, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)

@@ -158,6 +158,36 @@ def test_statistics_and_catalog(engine, spark):
     assert engine.table("stats").scan().count() == 25
 
 
+def test_soft_delete_reservation_window(engine, spark):
+    """soft_delete_table(reserve_seconds) (client.pyx:527-583): recall
+    honored inside the window, refused after expiry, and
+    purge_soft_deleted drops only expired tombstones."""
+    import pytest as _pytest
+
+    from kudu_spark.errors import KuduSparkError
+
+    a = engine.create_table("sd_a", SIMPLE, pk=["key"])
+    a.insert(simple_rows(spark, range(5)))
+    engine.create_table("sd_b", SIMPLE, pk=["key"])
+    # inside the window: recall works
+    engine.soft_delete_table("sd_a", reserve_seconds=3600)
+    engine.recall_table("sd_a")
+    assert engine.table("sd_a").scan().count() == 5
+    # expired window: recall refused, purge drops it
+    engine.soft_delete_table("sd_a", reserve_seconds=0)
+    import time
+
+    time.sleep(0.01)
+    with _pytest.raises(KuduSparkError, match="expired"):
+        engine.recall_table("sd_a")
+    # live tombstone within window is NOT purged
+    engine.soft_delete_table("sd_b", reserve_seconds=3600)
+    assert engine.purge_soft_deleted() == ["sd_a"]
+    assert engine.list_tables(include_soft_deleted=True) == ["sd_b"]
+    engine.recall_table("sd_b")
+    assert engine.list_tables() == ["sd_b"]
+
+
 def test_locate_row(engine, spark):
     t = engine.create_table(
         "loc",

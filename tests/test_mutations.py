@@ -148,6 +148,32 @@ def test_auto_increment_non_unique_pk(engine, spark):
     ]
 
 
+def test_auto_increment_wide_batch_no_stride_overflow(engine, spark):
+    """A batch with more input partitions than AUTO_INC_STRIDE >> 33
+    (128) must not overflow the commit's id reservation: ids stay
+    inside [base, base + STRIDE) and the NEXT commit's ids never
+    collide with them (monotonically_increasing_id allocates
+    partition << 33, so 150 raw partitions would reach past 1 << 40)."""
+    from pyspark.sql import functions as F
+
+    from kudu_spark.table import AUTO_INC_STRIDE
+
+    t = engine.create_table("auto_wide", SIMPLE, pk=["key"], non_unique_pk=True)
+    wide = spark.range(300).repartition(150).select(
+        F.col("id").cast("int").alias("key"),
+        F.col("id").cast("int").alias("int_val"),
+        F.lit("w").alias("string_val"),
+    )
+    t.insert(wide)
+    ids1 = [r.auto_incrementing_id for r in t.scan().collect()]
+    assert len(set(ids1)) == 300
+    assert max(ids1) - min(ids1) < AUTO_INC_STRIDE  # inside one reservation
+    t.insert(rows(spark, [(999, 1)]))
+    out = t.scan().collect()
+    ids = [r.auto_incrementing_id for r in out]
+    assert len(ids) == 301 and len(set(ids)) == 301  # no cross-commit collision
+
+
 def test_mutations_on_range_partitions(engine, spark):
     t = engine.create_table(
         "rm",

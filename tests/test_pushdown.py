@@ -382,3 +382,44 @@ def test_hash_prune_coerces_string_literals(engine, spark):
     ))
     assert t2._bucket_of(0, {"k": "7.00"}) == t2._bucket_of(0, {"k": Decimal("7")})
     assert t2.scan(filters=[("k", "=", Decimal(7))]).collect()[0].v == 7
+
+
+def test_composite_key_probe_restricts_all_pk_columns(engine, spark):
+    """Full-PK write probe (tablet/tablet.cc:116-124 probes the whole
+    encoded key): with a composite (tenant, id) key and 2-valued
+    tenant, a leading-column-only probe degenerates to ~the whole
+    table; the per-column IN-lists must prune to the files whose id
+    bounds hold a probed id."""
+    t = engine.create_table(
+        "comp", [("tenant", "int", False), ("id", "bigint", False), ("v", "int", True)],
+        pk=["tenant", "id"],
+    )
+    # 5 commits with disjoint id ranges; every commit holds both tenants
+    for base in range(0, 5000, 1000):
+        t.insert(spark.createDataFrame(
+            [(k % 2, k, k) for k in range(base, base + 1000)],
+            "tenant int, id bigint, v int",
+        ))
+    st = t.state()
+    n_files = len(st.files)
+    assert n_files >= 5
+    # scattered probe: ids from the first and last commit only
+    batch = spark.createDataFrame([(1, 5, 0), (1, 4997, 0)], "tenant int, id bigint, v int")
+    probed = t._snapshot_overlapping(st, batch)
+    # count files feeding the probe plan: every kept file's id bounds
+    # must contain a probed id (leading-only restriction would keep all)
+    kept = t._prune(st, [("tenant", "in", [1]), ("id", "in", [5, 4997])])
+    id_pos = st.schema.pk.index("id")
+    assert all(
+        f.min_pk[id_pos] <= v <= f.max_pk[id_pos]
+        for f in kept for v in [5, 4997] if f.min_pk[id_pos] <= v <= f.max_pk[id_pos]
+    )
+    assert len(kept) < n_files / 2, "probe must not read files outside the id bounds"
+    # correctness: the probe still finds real duplicates
+    from kudu_spark.errors import DuplicateKeyError
+
+    with pytest.raises(DuplicateKeyError):
+        t.insert(spark.createDataFrame([(1, 5, 9)], "tenant int, id bigint, v int"))
+    t.insert(spark.createDataFrame([(1, 9999, 9)], "tenant int, id bigint, v int"))
+    assert t.scan(filters=[("id", "=", 9999)]).count() == 1
+    assert probed.count() > 0
