@@ -521,19 +521,17 @@ class Table:
             bool(dirty_base) and bool(dirty_delta)
             and min(f.seq for f in dirty_delta) > max(f.seq for f in dirty_base)
         )
-        if (dirty_base and dirty_delta and 0 < key_bytes <= max(bcast, 0)
-                and (deltas_newer or delta_rows * 4 <= base_rows)):
+        if (dirty_base and dirty_delta and
+                (deltas_newer or
+                 (delta_rows * 4 <= base_rows and 0 < key_bytes <= max(bcast, 0)))):
             # cost-based merge plan (manifest row counts decide, like
-            # Kudu's delta-relevancy checks): when the delta key set
-            # fits a broadcast, base rows whose PK no delta touches
-            # stream STRAIGHT from parquet (broadcast anti join against
-            # the delta keys — the base side never shuffles, predicates
-            # and projection push to the scan). Keys absent from every
-            # delta are unique in the base by the insert dup-check, so
-            # streaming them is exact. When the key set exceeds the
-            # broadcast threshold the anti join would shuffle the base,
-            # so the single-shuffle window below wins — that regime is
-            # better served by compaction anyway.
+            # Kudu's delta-relevancy checks). Base rows whose PK no
+            # delta touches stream from parquet behind an anti join
+            # against the delta keys — predicates and projection push
+            # below the join into the scan, which the global window
+            # below can never allow. Keys absent from every delta are
+            # unique in the base by the insert dup-check, so streaming
+            # them is exact.
             df_base = self._read_files(st, dirty_base)
             df_delta = self._read_files(st, dirty_delta)
             # no distinct: semi/anti joins tolerate duplicate build keys,
@@ -544,16 +542,20 @@ class Table:
                 # every delta outranks every base row, so a contested
                 # key's winner is simply its newest DELTA: base rows of
                 # contested keys never win and need not be read at all.
-                # The base is scanned ONCE (anti join) and the
-                # last-write-wins window runs over the deltas only —
-                # O(delta) shuffle, independent of base size (≈ Kudu
-                # skipping base data when the delta fully redacts it,
-                # tablet/delta_store.h REDO application).
+                # The base feeds ONE anti join (broadcast when the key
+                # set fits, else a single pk-shuffle sort-merge join —
+                # still far cheaper than windowing base+delta, and a
+                # selective filter cuts the shuffled base to the
+                # matching rows) and the last-write-wins window runs
+                # over the deltas only — O(delta) shuffle, independent
+                # of base size (≈ Kudu skipping base data when the
+                # delta fully redacts it, tablet/delta_store.h REDOs).
                 df_dirty = uncontested.unionByName(merge(df_delta))
             else:
                 # reinsert-after-delete present: a base row may outrank
                 # a delta, so contested keys window over base + delta
-                # (second base scan via the reused broadcast).
+                # (second base scan via the reused broadcast; this arm
+                # keeps the broadcastability requirement above).
                 contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
                 df_dirty = uncontested.unionByName(merge(contested))
         else:

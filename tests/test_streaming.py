@@ -166,6 +166,54 @@ def test_stream_rate_limit_restart_does_not_replay(engine, spark):
     assert r2.latestOffset()["version"] >= head
 
 
+def test_stream_rate_limit_survives_restart_e2e(engine, spark, tmp_path):
+    """End-to-end: a checkpointed, rate-limited stream stopped
+    mid-backlog and restarted delivers every change exactly once (by
+    epoch replay semantics) with every non-empty batch still spanning
+    one commit version — the two properties the round-3 fix traded
+    against each other, now held together through real Spark
+    start/stop/restart."""
+    import time
+
+    t, *_ = mutated_table(engine, spark)  # 15 change rows over 3 commits
+    ckpt = str(tmp_path / "rl-ckpt")
+    by_epoch: dict[int, set] = {}
+
+    def sink(df, epoch_id):
+        # keyed by epoch: a replayed uncommitted batch overwrites its
+        # first delivery instead of double-counting
+        by_epoch[epoch_id] = {(r.k, r["_change_version"]) for r in df.collect()}
+
+    def run_until(target_rows, deadline_s=90):
+        q = (
+            stream_changes(spark, t.root, max_versions_per_batch=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                got = set().union(*by_epoch.values()) if by_epoch else set()
+                if len(got) >= target_rows:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    run_until(10)  # stop mid-backlog
+    assert by_epoch, "first run delivered nothing"
+    # new commits while the stream is down
+    t.upsert(rows(spark, [50, 51], v=2))
+    run_until(17)
+    got = set().union(*by_epoch.values())
+    assert len(got) == 17, "rows lost or duplicated across restart"
+    # rate cap held through both runs: every non-empty batch = 1 version
+    for rows_ in by_epoch.values():
+        assert len({v for _, v in rows_}) <= 1
+
+
 def test_sink_write_stream_upsert(engine, spark, tmp_path):
     t = engine.create_table("sunk", SCHEMA, pk=["k"])
     src_dir = str(tmp_path / "in")
