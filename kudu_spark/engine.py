@@ -301,6 +301,21 @@ class Engine:
                 dropped.append(name)
         return dropped
 
+    # -- transactions (client.h:445-545 KuduTransaction) --------------------------
+
+    def transaction(self):
+        """Cross-table transaction on this warehouse; see
+        writer.EngineTransaction for the commit/recovery protocol."""
+        from kudu_spark.writer import EngineTransaction
+
+        return EngineTransaction(self)
+
+    def recover_transactions(self) -> list[str]:
+        """Complete cross-table transactions a crash left mid-commit."""
+        from kudu_spark.writer import EngineTransaction
+
+        return EngineTransaction.recover(self)
+
     # -- alter (client.h:1920-2099 KuduTableAlterer) ------------------------------
 
     def alter_table(self, name: str) -> "Alterer":

@@ -995,7 +995,8 @@ class Table:
 
     def _commit(self, st: TableState, op: str, entries: list[FileEntry],
                 removes: list[str] | None = None, props: dict | None = None,
-                schema: Schema | None = None, partition_spec=None, retries: int = 5) -> int:
+                schema: Schema | None = None, partition_spec=None, retries: int = 5,
+                extra: dict | None = None) -> int:
         version = st.version + 1
         for _ in range(retries):
             # re-stamp manifest seqs to the attempted version so that a
@@ -1007,6 +1008,8 @@ class Table:
             actions = [{"type": "remove", "path": rp} for rp in removes or []]
             actions += [{"type": "add", "file": e.to_json()} for e in entries]
             payload: dict = {"op": op, "actions": actions}
+            if extra:
+                payload.update(extra)
             if props:
                 payload["props"] = props
             if schema is not None:

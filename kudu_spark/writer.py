@@ -238,6 +238,12 @@ class Transaction:
         if not self._open:
             raise KuduSparkError("transaction is closed")
         self._open = False
+        return self._publish()
+
+    def _publish(self, txn_id: str | None = None) -> int:
+        """Revalidate and append this table's txn commit (the
+        single-table commit body; EngineTransaction drives one call
+        per participant, tagging each with the coordinator's id)."""
         entries = [e for _, es in self._staged for e in es]
         from kudu_spark.errors import ConcurrentCommitError, DuplicateKeyError
 
@@ -261,7 +267,10 @@ class Transaction:
                     )
                 self._stage_version = st.version
             try:
-                return self.table._commit(st, "txn", entries, retries=1)
+                return self.table._commit(
+                    st, "txn", entries, retries=1,
+                    extra={"txn_id": txn_id} if txn_id else None,
+                )
             except ConcurrentCommitError:
                 attempts -= 1
                 if attempts <= 0:
@@ -278,3 +287,161 @@ class Transaction:
                 except FileNotFoundError:
                     pass
         self._staged = []
+
+
+class EngineTransaction:
+    """Cross-table transaction over one Engine's warehouse
+    (≈ KuduTransaction, client.h:445-545, which spans sessions and
+    tablets; Kudu coordinates through the TxnStatusManager —
+    transactions/txn_status_manager.h — and we coordinate through a
+    durable marker file under ``{warehouse}/_txns/``).
+
+    Usage::
+
+        txn = EngineTransaction(engine)
+        txn.insert("orders", df1)
+        txn.delete("inventory", df2)
+        txn.commit()
+
+    Commit protocol (each step durable before the next):
+      1. every participant table's files are fully staged (invisible);
+      2. the marker is written with state="committing" and each
+         participant's planned add-set;
+      3. one 'txn' commit is appended per table, tagged with the
+         marker id;
+      4. the marker is removed.
+    A crash between 3 and 4 leaves a "committing" marker:
+    ``recover(engine)`` appends the missing table commits (the staged
+    files are durable), making the transaction all-or-nothing at the
+    durability level. If a table's commit is REJECTED at publish time
+    (duplicate key raced in), already-published participants are
+    compensated with a 'txn_abort' commit that removes their added
+    files. Cross-table atomicity of VISIBILITY is per-table manifest
+    order — a reader can observe table A's commit before table B's for
+    a few milliseconds (Kudu's commit-timestamp MVCC has no file-native
+    equivalent); durability, however, is all-or-nothing."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._parts: dict[str, Transaction] = {}
+        self._open = True
+
+    def _txn(self, table_name: str) -> Transaction:
+        if not self._open:
+            raise KuduSparkError("transaction is closed")
+        if table_name not in self._parts:
+            self._parts[table_name] = Transaction(self.engine.table(table_name))
+        return self._parts[table_name]
+
+    def insert(self, table_name: str, df) -> None:
+        self._txn(table_name).insert(df)
+
+    def upsert(self, table_name: str, df) -> None:
+        self._txn(table_name).upsert(df)
+
+    def delete(self, table_name: str, df) -> None:
+        self._txn(table_name).delete(df)
+
+    def _marker_dir(self) -> str:
+        import os
+
+        return os.path.join(self.engine.root, "_txns")
+
+    def commit(self) -> dict[str, int]:
+        """Publish every participant; returns {table: commit_version}."""
+        import json
+        import os
+        import uuid
+
+        if not self._open:
+            raise KuduSparkError("transaction is closed")
+        self._open = False
+        parts = {n: t for n, t in self._parts.items() if t._staged}
+        if not parts:
+            return {}
+        txn_id = uuid.uuid4().hex
+        os.makedirs(self._marker_dir(), exist_ok=True)
+        marker = os.path.join(self._marker_dir(), f"{txn_id}.json")
+        payload = {
+            "txn_id": txn_id,
+            "state": "committing",
+            "participants": {
+                n: {
+                    "root": t.table.root,
+                    "entries": [e.to_json() for _, es in t._staged for e in es],
+                }
+                for n, t in parts.items()
+            },
+        }
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
+
+        published: dict[str, int] = {}
+        try:
+            for name, t in parts.items():
+                published[name] = t._publish(txn_id)
+        except Exception:
+            # compensate the already-published prefix, roll back the rest
+            for name, v in published.items():
+                t = parts[name]
+                tbl = t.table
+                paths = [e.path for _, es in t._staged for e in es]
+                tbl._commit(tbl.state(), "txn_abort", [], removes=paths,
+                            extra={"txn_id": txn_id})
+            for name, t in parts.items():
+                if name not in published and t._staged:
+                    t.rollback()
+            os.unlink(marker)
+            raise
+        os.unlink(marker)
+        return published
+
+    def rollback(self) -> None:
+        self._open = False
+        for t in self._parts.values():
+            t.rollback()
+
+    @staticmethod
+    def recover(engine) -> list[str]:
+        """Complete transactions a crash left in 'committing': append
+        the missing per-table commits (their files are durable), or
+        compensate if the staged files were lost. Returns recovered
+        txn ids."""
+        import json
+        import os
+
+        from kudu_spark.meta import FileEntry, read_log
+
+        d = os.path.join(engine.root, "_txns")
+        if not os.path.isdir(d):
+            return []
+        done = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".json") or name.endswith(".tmp"):
+                continue
+            path = os.path.join(d, name)
+            with open(path) as f:
+                m = json.load(f)
+            complete = True
+            for tname, part in m.get("participants", {}).items():
+                root = part["root"]
+                already = any(
+                    c.get("txn_id") == m["txn_id"] for c in read_log(root)
+                )
+                if already:
+                    continue
+                entries = [FileEntry.from_json(e) for e in part["entries"]]
+                if all(os.path.exists(os.path.join(root, e.path)) for e in entries):
+                    t = engine.table(tname)
+                    t._commit(t.state(), "txn", entries,
+                              extra={"txn_id": m["txn_id"]})
+                else:
+                    complete = False  # files lost: leave marker for inspection
+            if complete:
+                os.unlink(path)
+                done.append(m["txn_id"])
+        return done

@@ -255,3 +255,92 @@ def test_locate_row_with_custom_hash(engine, spark):
         match = [f for f in st.files
                  if f.partition["hash"] == loc["hash"] and f.partition["range"] == loc["range"]]
         assert match, f"locate_row({probe}) -> {loc} matches no file"
+
+
+def test_engine_transaction_cross_table(engine, spark):
+    """Cross-table transaction (client.h:445-545): one commit per
+    participant table, all staged invisibly until commit()."""
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("xa", SIMPLE, pk=["key"])
+    b = engine.create_table("xb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.insert("xa", spark.createDataFrame([(2, 2, "a2")], ddl))
+    txn.upsert("xb", spark.createDataFrame([(1, 99, "b99")], ddl))
+    # nothing visible before commit
+    assert a.scan().count() == 1 and b.scan().count() == 1
+    versions = txn.commit()
+    assert set(versions) == {"xa", "xb"}
+    assert {r.key for r in a.scan().collect()} == {1, 2}
+    got_b = {r.key: r.int_val for r in b.scan().collect()}
+    assert got_b == {1: 99}
+    # marker cleaned up
+    import os
+
+    assert not os.listdir(os.path.join(engine.root, "_txns"))
+
+
+def test_engine_transaction_conflict_compensates(engine, spark):
+    """If one participant's publish is rejected (duplicate key raced
+    in), already-published participants are compensated — no partial
+    transaction survives."""
+    from kudu_spark.errors import DuplicateKeyError
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("ca", SIMPLE, pk=["key"])
+    b = engine.create_table("cb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.insert("ca", spark.createDataFrame([(2, 2, "new")], ddl))
+    txn.insert("cb", spark.createDataFrame([(7, 7, "mine")], ddl))
+    # another writer takes cb's key AFTER staging, BEFORE commit
+    b.insert(spark.createDataFrame([(7, 70, "racer")], ddl))
+    with pytest.raises(DuplicateKeyError):
+        txn.commit()
+    # ca's published commit was compensated; cb untouched by the txn
+    assert {r.key for r in a.scan().collect()} == {1}
+    got_b = {r.key: r.int_val for r in b.scan().collect()}
+    assert got_b == {1: 1, 7: 70}
+
+
+def test_engine_transaction_crash_recovery(engine, spark):
+    """Hard crash after the marker is durable and one participant's
+    commit is appended, before the other's: recover_transactions
+    completes the missing commit from the marker's manifest, making
+    the transaction all-or-nothing at the durability level."""
+    import json
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("ra", SIMPLE, pk=["key"])
+    b = engine.create_table("rb", SIMPLE, pk=["key"])
+    txn = engine.transaction()
+    txn.insert("ra", spark.createDataFrame([(1, 1, "a")], ddl))
+    txn.insert("rb", spark.createDataFrame([(2, 2, "b")], ddl))
+    # reproduce commit()'s durable steps 1-3 for ONE participant, then
+    # "die" before the other — exactly the state a crash leaves behind
+    txn_id = uuid.uuid4().hex
+    os.makedirs(os.path.join(engine.root, "_txns"), exist_ok=True)
+    marker = os.path.join(engine.root, "_txns", f"{txn_id}.json")
+    with open(marker, "w") as f:
+        json.dump({
+            "txn_id": txn_id,
+            "state": "committing",
+            "participants": {
+                n: {"root": t.table.root,
+                    "entries": [e.to_json() for _, es in t._staged for e in es]}
+                for n, t in txn._parts.items()
+            },
+        }, f)
+    txn._parts["ra"]._publish(txn_id)
+
+    assert a.scan().count() == 1 and b.scan().count() == 0  # torn state
+    done = engine.recover_transactions()
+    assert done == [txn_id]
+    assert {r.key for r in a.scan().collect()} == {1}
+    assert {r.key for r in b.scan().collect()} == {2}
+    assert not os.listdir(os.path.join(engine.root, "_txns"))
+    assert engine.recover_transactions() == []  # idempotent
