@@ -201,3 +201,92 @@ def engine_partitioned_scan(spark, sf_dir):
             ("c_mktsegment", "=", "BUILDING"),
         ],
     )
+
+
+@query(
+    "engine_txn_scan",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE NOT c_custkey % 5 = 0
+    UNION ALL
+    SELECT 9100000 + r AS c_custkey, 'TXN' AS c_mktsegment
+    FROM (SELECT unnest(range(3)) AS r)
+    """,
+    gated=False,  # the driver gate is capped at exactly 50; pytest-oracled
+)
+def engine_txn_scan(spark, sf_dir):
+    """Cross-table transaction (client.h:445-545): ONE
+    EngineTransaction deletes from the customer copy and inserts into
+    a second table, coordinated through the durable marker protocol;
+    the result is the union of both tables' post-commit scans."""
+    eng = _engine(spark)
+    t = eng.create_table("cust", CUSTOMER_SCHEMA, pk=["c_custkey"])
+    c = load(spark, sf_dir, "customer")
+    t.insert(c.select(*CUSTOMER_COLS))
+    aux = eng.create_table(
+        "aux", [("c_custkey", "bigint", False), ("c_mktsegment", "string", True)],
+        pk=["c_custkey"],
+    )
+    txn = eng.transaction()
+    txn.delete("cust", c.where(F.col("c_custkey") % 5 == 0).select("c_custkey"))
+    txn.insert("aux", spark.range(3).select(
+        (F.lit(9100000) + F.col("id")).alias("c_custkey"),
+        F.lit("TXN").alias("c_mktsegment"),
+    ))
+    txn.commit()
+    return t.scan(columns=["c_custkey", "c_mktsegment"]).unionByName(aux.scan())
+
+
+@query(
+    "engine_autocompact_scan",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE NOT c_custkey % 11 = 0
+    """,
+    gated=False,  # pytest-oracled (gate capped at 50)
+)
+def engine_autocompact_scan(spark, sf_dir):
+    """Write-triggered maintenance (compaction_policy.h knapsack run
+    inline at commit): with the delta floor lowered the upsert and
+    delete fold their deltas into fresh base files at write time, and
+    the scan — now over pure base — must equal the merge-on-read
+    answer exactly."""
+    eng = _engine(spark)
+    t = eng.create_table("ac", CUSTOMER_SCHEMA, pk=["c_custkey"])
+    eng.alter_table("ac").set_property("auto_compact_min_delta_bytes", "0").apply()
+    c = load(spark, sf_dir, "customer")
+    t.insert(c.select(*CUSTOMER_COLS))
+    t.upsert(c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") * 2).alias("c_acctbal"), "c_mktsegment",
+    ))
+    t.delete(c.where(F.col("c_custkey") % 11 == 0).select("c_custkey"))
+    assert all(f.kind == "base" for f in t.state().files), "maintenance did not fold deltas"
+    return t.scan(columns=["c_custkey", "c_name", "c_acctbal"])
+
+
+@query(
+    "engine_decimal_pk_scan",
+    oracle="""
+    SELECT CAST(c_custkey AS DECIMAL(12,2)) AS k, c_acctbal
+    FROM customer WHERE c_custkey >= 100 AND c_custkey <= 300
+    """,
+    gated=False,  # pytest-oracled (gate capped at 50)
+)
+def engine_decimal_pk_scan(spark, sf_dir):
+    """DECIMAL primary key end-to-end: footer bounds decode from the
+    raw scaled-int parquet stats and prune NUMERICALLY (bounds like
+    [20, 300] must not lexicographically exclude key 100), with the
+    range filter pushed through the merge path."""
+    from decimal import Decimal
+
+    eng = _engine(spark)
+    t = eng.create_table(
+        "decpk", [("k", "decimal(12,2)", False), ("c_acctbal", "double", True)],
+        pk=["k"], hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    c = load(spark, sf_dir, "customer")
+    t.insert(c.select(
+        F.col("c_custkey").cast("decimal(12,2)").alias("k"), "c_acctbal"
+    ))
+    return t.scan(filters=[("k", ">=", Decimal("100")), ("k", "<=", Decimal("300"))])

@@ -765,13 +765,38 @@ class Table:
 
     # -- scan tokens ----------------------------------------------------------
 
+    def _file_locations(self, rel_paths: list[str]) -> list[str]:
+        """Block-location hosts for a file set via the Hadoop
+        FileSystem API — the analogue of KuduRDD attaching tablet
+        replica locations (java/kudu-spark/.../KuduRDD.scala:57-110)
+        so an external scheduler can run each token storage-local. On
+        a local FS this degenerates to localhost; on HDFS it returns
+        the DataNode hosts holding the blocks."""
+        try:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            hosts: set[str] = set()
+            for p in rel_paths:
+                jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(self.root, p))
+                fs = jpath.getFileSystem(conf)
+                stat = fs.getFileStatus(jpath)
+                for bl in fs.getFileBlockLocations(stat, 0, stat.getLen()):
+                    hosts.update(list(bl.getHosts()))
+            return sorted(hosts)
+        except Exception:
+            return []  # object stores without locality: no hint
+
     def scan_tokens(self, filters: list[Predicate] | None = None, version: int | None = None,
-                    split_size_bytes: int | None = None) -> list[dict]:
+                    split_size_bytes: int | None = None,
+                    with_locations: bool = False) -> list[dict]:
         """Serializable per-partition scan tokens (≈ KuduScanToken,
         client.h:3287, docs/design-docs/scan-tokens.md). Each token is
         independently readable via ``token_to_df``; within Spark you
         never need them (one DataFrame already parallelizes), they
-        exist for external schedulers — parity with the RPC surface."""
+        exist for external schedulers — parity with the RPC surface.
+        ``with_locations=True`` attaches block-location hosts per token
+        (KuduRDD's replica-locality hints) for locality-aware external
+        scheduling."""
         st = self.state(version)
         files = self._prune(st, filters)
         groups: dict = {}
@@ -799,7 +824,7 @@ class Table:
             else:
                 chunks = [g]
             for c in chunks:
-                out.append({
+                tok = {
                     "table": self.name,
                     "version": st.version,
                     "partition": {"hash": list(k[0]), "range": k[1]},
@@ -809,7 +834,10 @@ class Table:
                     # a reader that dies mid-token re-reads it with the
                     # last PK tuple it emitted and loses/duplicates nothing
                     "last_primary_key": None,
-                })
+                }
+                if with_locations:
+                    tok["locations"] = self._file_locations(tok["files"])
+                out.append(tok)
         return out
 
     def token_to_df(self, token: dict, ordered: bool = False) -> DataFrame:

@@ -142,6 +142,10 @@ def test_scan_tokens(engine, spark):
     assert len(tokens) == 4
     total = sum(t.token_to_df(tok).count() for tok in tokens)
     assert total == 40
+    # locality hints (KuduRDD.scala:57-110 replica locations): on a
+    # local FS every file is host-local
+    located = t.scan_tokens(with_locations=True)
+    assert all("locations" in tok and tok["locations"] for tok in located)
 
 
 def test_statistics_and_catalog(engine, spark):
