@@ -1465,8 +1465,15 @@ class Table:
                 spent += tot[k]
             if hot:
                 self.compact(partitions=hot)
-        except Exception:
-            pass  # the mutation committed; maintenance retries on the next write
+        except Exception as e:
+            # the mutation already committed durably; a maintenance
+            # failure must not fail the write — log and let the next
+            # write retry (Kudu maintenance ops likewise log-and-requeue)
+            import logging
+
+            logging.getLogger("kudu_spark.maintenance").warning(
+                "auto-compaction of %s skipped: %s", self.name, e
+            )
 
     def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
                 io_budget_bytes: int | None = None, partitions: list | None = None,

@@ -238,7 +238,12 @@ class Transaction:
         if not self._open:
             raise KuduSparkError("transaction is closed")
         self._open = False
-        return self._publish()
+        v = self._publish()
+        # inline maintenance, like the direct mutation paths (not run
+        # from EngineTransaction._publish calls: a coordinator must not
+        # stretch the window between participant commits)
+        self.table._maybe_auto_compact()
+        return v
 
     def _publish(self, txn_id: str | None = None) -> int:
         """Revalidate and append this table's txn commit (the
