@@ -217,3 +217,60 @@ def fingerprint_sql() -> str:
         f"coalesce(list_min(list_transform({shingles_sql()}, "
         f"s -> substring(md5(s), 1, 16))), substring(md5(text), 1, 16))"
     )
+
+
+# -- PII scrubbing ----------------------------------------------------------------
+
+# Portable regex subset (Java regex AND RE2/DuckDB agree): applied in
+# order email -> IPv4 -> phone, each over the previously masked text so
+# digit runs inside an already-masked token are never re-matched.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub_cols(col: str = "text") -> list[Column]:
+    """Counts per PII class + the masked text (codegen regexps — no
+    UDF; scales as a map-only stage). The count uses the ORIGINAL
+    text; the mask cascades so classes never double-match."""
+    c = F.col(col)
+    masked = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    masked = F.regexp_replace(masked, PII_IP_RE, "<IP>")
+    masked = F.regexp_replace(masked, PII_PHONE_RE, "<PHONE>")
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), F.lit(0))).alias("n_ips"),
+        F.substring(F.md5(masked), 1, 16).alias("masked_md5"),
+    ]
+
+
+def pii_scrub_sql(col: str = "text") -> str:
+    """DuckDB equivalent ('g' flag: DuckDB replaces first match only by
+    default, Spark replaces all)."""
+    masked = (
+        f"regexp_replace(regexp_replace(regexp_replace({col}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_IP_RE}', '<IP>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return (
+        f"len(regexp_extract_all({col}, '{PII_EMAIL_RE}')) AS n_emails, "
+        f"len(regexp_extract_all({col}, '{PII_IP_RE}')) AS n_ips, "
+        f"substring(md5({masked}), 1, 16) AS masked_md5"
+    )
+
+
+# -- URL normalization -------------------------------------------------------------
+
+URL_HOST_RE = r"^https?://(?:www\.)?([^/?#]+)"
+
+
+def url_host_expr(col: str = "url") -> Column:
+    """Registrable host of a URL, lowercased, www-stripped — the key
+    for host-level dedup/stats (a map-only expression; the groupBy on
+    it is one shuffle keyed by host)."""
+    return F.regexp_extract(F.lower(F.col(col)), URL_HOST_RE, 1)
+
+
+def url_host_sql(col: str = "url") -> str:
+    return f"regexp_extract(lower({col}), '{URL_HOST_RE}', 1)"

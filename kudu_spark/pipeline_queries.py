@@ -446,3 +446,74 @@ def multimodal_frame_positions(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return MM.frame_positions(docs, k=4)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id, {TX.pii_scrub_sql("__t")}
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' call +1 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '9'
+               AS __t
+      FROM documents
+    )
+    """,
+    gated=False,  # driver gate capped at 50; pytest-oracled
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing for a training corpus: mask emails / IPv4 / phone
+    numbers with portable codegen regexps (no UDF — a map-only stage
+    at any scale). The synthetic corpus carries no PII, so each doc is
+    salted with deterministic PII derived from its id; counts come
+    from the original text and the mask cascades class by class."""
+    d = load(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1 555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit("9"),
+        ).alias("__t"),
+    )
+    return salted.select("doc_id", *TX.pii_scrub_cols("__t"))
+
+
+@query(
+    "dedup_url_host",
+    oracle=f"""
+    SELECT {TX.url_host_sql("__u")} AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.example.com/p/'
+                 || CAST(doc_id % 7 AS VARCHAR) || '?utm=x' AS __u
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    gated=False,  # driver gate capped at 50; pytest-oracled
+)
+def dedup_url_host(spark, sf_dir):
+    """URL normalization + host-level dedup stats: lowercase,
+    www-strip, host-extract with a portable regexp, then one shuffle
+    keyed by host (count + canonical first doc) — the standard
+    pre-crawl-dedup rollup. URLs are synthesized from source/doc_id
+    since the corpus carries none."""
+    d = load(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("?utm=x"),
+        ).alias("__u"),
+    )
+    return (
+        with_url.groupBy(TX.url_host_expr("__u").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
