@@ -178,3 +178,60 @@ def test_fuzz_with_restarts_alters_batches(spark, tmp_path, seed):
     got = {r.key: (r.int_val, r.string_val) for r in t.scan(columns=["key", "int_val", "string_val"]).collect()}
     assert got == model
     assert t.count() == len(model)
+
+
+@pytest.mark.parametrize("seed", [2024])
+def test_fuzz_with_inline_maintenance(spark, tmp_path, seed):
+    """Model-checked mutations with the auto-compaction floor at zero:
+    every upsert/update/delete commit triggers the inline knapsack
+    maintenance, so compaction constantly interleaves with mutations,
+    reinserts-after-delete, and snapshots — and must never change
+    logical state or break time travel (old manifests keep their
+    files until vacuum)."""
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"whm{seed}"))
+    t = eng.create_table(
+        "fz3", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
+    )
+    eng.alter_table("fz3").set_property("auto_compact_min_delta_bytes", "0").apply()
+    model: dict[int, tuple] = {}
+    snapshots: list[tuple[int, dict]] = []
+
+    for step in range(30):
+        op = rng.choice(["insert", "upsert", "upsert", "update_ignore",
+                         "delete_ignore", "snapshot"])
+        k = rng.choice(KEYS)
+        v = step * 100 + k
+        if op == "insert":
+            df = df_of(spark, [(k, v, f"s{v}")])
+            if k in model:
+                with pytest.raises(DuplicateKeyError):
+                    t.insert(df)
+            else:
+                t.insert(df)
+                model[k] = (v, f"s{v}")
+        elif op == "upsert":
+            t.upsert(df_of(spark, [(k, v, f"s{v}")]))
+            model[k] = (v, f"s{v}")
+        elif op == "update_ignore":
+            t.update_ignore(df_of(spark, [(k, v)], "key int, int_val int"))
+            if k in model:
+                model[k] = (v, model[k][1])
+        elif op == "delete_ignore":
+            t.delete_ignore(df_of(spark, [(k,)], "key int"))
+            model.pop(k, None)
+        elif op == "snapshot":
+            snapshots.append((t.version, dict(model)))
+
+        if step % 6 == 5:
+            got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+            assert got == model, f"step {step} op {op}"
+            # maintenance actually runs: mutations leave no deltas behind
+            assert all(f.kind == "base" for f in t.state().files)
+
+    got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
+    assert got == model
+    for version, expected in snapshots:
+        got = {r.key: (r.int_val, r.string_val)
+               for r in t.scan(version=version).collect()}
+        assert got == expected, f"snapshot v{version} after inline maintenance"
