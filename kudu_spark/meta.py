@@ -428,15 +428,17 @@ class TableState:
 # file-native equivalent is (a) a serialized TableState snapshot under
 # _log/checkpoints/ every CHECKPOINT_EVERY commits, so replay reads
 # O(CHECKPOINT_EVERY) log files instead of O(history), and (b) a
-# process-local LRU keyed by (root, version) — commit files are
-# immutable once published, so a cached state can never go stale.
+# process-local LRU keyed by (root, version, commit-file identity) —
+# commit files are immutable once published, so a cached state can
+# never go stale, and the identity component protects against a table
+# recreated at the same path.
 # Checkpoints are self-healing: whichever reader or writer first
 # replays far enough past the newest checkpoint writes the next one.
 # ---------------------------------------------------------------------------
 
 CHECKPOINT_EVERY = 32
 CHECKPOINTS_KEPT = 4
-_STATE_CACHE: dict[tuple[str, int], "TableState"] = {}
+_STATE_CACHE: dict[tuple, "TableState"] = {}
 _STATE_CACHE_MAX = 64
 
 
