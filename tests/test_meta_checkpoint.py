@@ -24,6 +24,9 @@ def engine(spark, tmp_path):
 def test_checkpointed_replay_reads_bounded_log(engine, spark, monkeypatch):
     t = engine.create_table("ck", SCHEMA, pk=["k"])
     t.insert(spark.createDataFrame([(k, k) for k in range(10)], "k bigint, v int"))
+    # schema evolution BEFORE the checkpoint: column-ID projection must
+    # survive serialization (old files read the default via schema v1)
+    engine.alter_table("ck").add_column("w", "int", default=7).apply()
     base_version = t.version
     # 80 cheap metadata commits (no Spark jobs); state() after each is
     # the access pattern that lets whoever replays far enough write the
@@ -59,8 +62,10 @@ def test_checkpointed_replay_reads_bounded_log(engine, spark, monkeypatch):
     assert "n" not in seen
     monkeypatch.undo()
 
-    # scans and time travel still correct across the checkpoint
-    assert t.scan().count() == 10
+    # scans and time travel still correct across the checkpoint — old
+    # files project through the checkpointed per-version schemas
+    rows_ = t.scan().collect()
+    assert len(rows_) == 10 and all(r.w == 7 for r in rows_)
     old = replay(t.name, t.root, base_version)
     assert old.version == base_version and "p0" not in old.props
     # GC keeps a bounded number of checkpoints
