@@ -121,6 +121,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # each micro-batch advances at most this many commit versions,
         # so a backlog drains in bounded batches instead of one giant one
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        # bytes-based sizing (Kudu scanner batch_size_bytes; KuduRDD's
+        # batchSize): a batch stops growing once the mutation files it
+        # would read exceed this many bytes — but always advances at
+        # least one mutation commit so a single oversized commit still
+        # drains. Composes with max_versions (tighter cap wins).
+        self.max_bytes = int(options.get("maxbytesperbatch", 0)) or None
         # Floor = highest offset this reader knows was planned; the cap
         # is floor + max_versions. Probed lifecycle (one long-lived
         # runner instance per query, pyspark 4.1):
@@ -146,13 +152,31 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = _table_state(self.root).version
-        if self.max_versions:
+        if self.max_versions or self.max_bytes:
             if self._floor is None:
                 # fresh start: Spark calls latestOffset() before
                 # initialOffset() (see __init__) — seed the floor now
                 self.initialOffset()
+            cap = head
+            if self.max_versions:
+                cap = min(cap, self._floor + self.max_versions)
+            if self.max_bytes and cap > self._floor:
+                from kudu_spark.meta import read_log
+
+                spent, v = 0, self._floor
+                for c in read_log(self.root, cap, min_version=self._floor):
+                    vbytes = (
+                        sum(a["file"].get("bytes", 0)
+                            for a in c.get("actions", []) if a["type"] == "add")
+                        if c.get("op") in MUTATION_OPS else 0
+                    )
+                    if spent and spent + vbytes > self.max_bytes:
+                        break
+                    spent += vbytes
+                    v = c["version"]
+                cap = v
             # cap the batch; never move backward past what was planned
-            head = max(min(head, self._floor + self.max_versions), self._floor)
+            head = max(min(head, cap), self._floor)
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):
@@ -201,7 +225,10 @@ class ChangeFeedDataSource(DataSource):
     (exclusive lower bound, default 0 = since creation),
     ``endingVersion`` (batch mode only, default HEAD),
     ``maxVersionsPerBatch`` (streaming rate limit: commits per
-    micro-batch, default unlimited).
+    micro-batch, default unlimited), ``maxBytesPerBatch`` (streaming
+    rate limit by mutation-file bytes — Kudu scanner batch_size_bytes;
+    always advances at least one commit). Both caps hold on fresh
+    starts AND across checkpointed restarts with no replay.
     """
 
     @classmethod
@@ -239,10 +266,13 @@ def read_changes(spark, table_root: str, from_version: int = 0,
 
 
 def stream_changes(spark, table_root: str, from_version: int = 0,
-                   max_versions_per_batch: int | None = None):
+                   max_versions_per_batch: int | None = None,
+                   max_bytes_per_batch: int | None = None):
     """Streaming changelog (readStream) from a version onward.
-    ``max_versions_per_batch`` bounds each micro-batch's commit window
-    so a backlog drains in bounded steps."""
+    ``max_versions_per_batch`` bounds each micro-batch's commit window;
+    ``max_bytes_per_batch`` bounds it by mutation-file bytes (at least
+    one commit per batch) — so a backlog drains in bounded steps
+    whichever way it is lumpy. Caps hold across restarts."""
     register(spark)
     r = (
         spark.readStream.format("kudu_cdc")
@@ -251,4 +281,6 @@ def stream_changes(spark, table_root: str, from_version: int = 0,
     )
     if max_versions_per_batch:
         r = r.option("maxVersionsPerBatch", max_versions_per_batch)
+    if max_bytes_per_batch:
+        r = r.option("maxBytesPerBatch", max_bytes_per_batch)
     return r.load()

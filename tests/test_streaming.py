@@ -166,6 +166,52 @@ def test_stream_rate_limit_restart_does_not_replay(engine, spark):
     assert r2.latestOffset()["version"] >= head
 
 
+def test_stream_rate_limit_bytes(engine, spark):
+    """maxBytesPerBatch (Kudu scanner batch_size_bytes): the batch
+    window stops growing once its mutation files exceed the budget,
+    but always advances at least one mutation commit."""
+    from kudu_spark.streaming.source import ChangeFeedStreamReader
+
+    t, *_ = mutated_table(engine, spark)  # create + 3 mutation commits
+    head = t.version
+    # 1-byte budget: every batch advances exactly one mutation commit
+    # (plus any zero-byte metadata commits riding along)
+    opts = {"path": t.root, "startingversion": "0", "maxbytesperbatch": "1"}
+    r = ChangeFeedStreamReader(t.scan().schema, opts)
+    offsets = [0]
+    while offsets[-1] < head:
+        v = r.latestOffset()["version"]
+        assert v > offsets[-1], "cap must always advance"
+        r.partitions({"version": offsets[-1]}, {"version": v})
+        offsets.append(v)
+    assert len(offsets) - 1 >= 3  # one batch per mutation commit
+    # a budget bigger than everything drains in one batch
+    r2 = ChangeFeedStreamReader(
+        t.scan().schema,
+        {"path": t.root, "startingversion": "0", "maxbytesperbatch": str(1 << 40)},
+    )
+    assert r2.latestOffset() == {"version": head}
+    # e2e: rows neither lost nor duplicated under the bytes cap
+    seen = []
+    q = (
+        stream_changes(spark, t.root, max_bytes_per_batch=1)
+        .writeStream.foreachBatch(
+            lambda df, eid: seen.append({(x.k, x["_change_version"]) for x in df.collect()})
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline and sum(len(s) for s in seen) < 15:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(set().union(*seen) if seen else set()) == 15
+
+
 def test_stream_rate_limit_survives_restart_e2e(engine, spark, tmp_path):
     """End-to-end: a checkpointed, rate-limited stream stopped
     mid-backlog and restarted delivers every change exactly once (by
