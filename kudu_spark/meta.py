@@ -371,7 +371,29 @@ def read_log(table_root: str, max_version: int | None = None,
              min_version: int | None = None) -> list[dict]:
     """Commits with ``min_version < version <= max_version`` in order.
     ``min_version`` lets checkpoint-seeded replays and change-feed
-    windows read O(window) files instead of O(history)."""
+    windows read O(window) files instead of O(history).
+
+    Versions are dense (append_commit publishes HEAD+1), so the window
+    is read by constructing each commit path directly — zero directory
+    LISTs, which matters on an object store where a 100k-commit log
+    would otherwise pay many paginated LIST round-trips per replay
+    (≈ Kudu keeps its WAL segment index resident, consensus/log.h).
+    A hand-pruned (non-dense) log falls back to one full listing."""
+    if max_version is None:
+        max_version = head_version(table_root) or 0
+    lo = min_version or 0
+    commits = []
+    for v in range(lo + 1, max_version + 1):
+        try:
+            with open(_log_path(table_root, v)) as f:
+                commits.append(json.load(f))
+        except FileNotFoundError:
+            return _read_log_listed(table_root, max_version, min_version)
+    return commits
+
+
+def _read_log_listed(table_root: str, max_version, min_version) -> list[dict]:
+    """Listing-based fallback for logs with version gaps."""
     log_dir = os.path.join(table_root, LOG_DIR)
     if not os.path.isdir(log_dir):
         return []
@@ -391,7 +413,7 @@ def read_log(table_root: str, max_version: int | None = None,
 
 def log_versions(table_root: str) -> list[int]:
     """Sorted commit versions present in the log — one directory
-    listing, no file reads (the cheap HEAD lookup)."""
+    listing, no file reads."""
     log_dir = os.path.join(table_root, LOG_DIR)
     if not os.path.isdir(log_dir):
         return []
@@ -399,6 +421,32 @@ def log_versions(table_root: str) -> list[int]:
         int(n[:-5]) for n in os.listdir(log_dir)
         if n.endswith(".json") and ".tmp." not in n and n[:-5].isdigit()
     )
+
+
+# HEAD lookup cache: last known head per table root. Versions are dense,
+# so the current head is found by probing FORWARD from the cached value
+# with O(commits since last look) existence checks — no directory
+# listing at all in the steady state. Correct under concurrent writers
+# (a stale cached head only means a few extra probes); a table dropped
+# and recreated at the same path is caught because its old head file no
+# longer exists, which forces one re-listing.
+_HEAD_CACHE: dict[str, int] = {}
+
+
+def head_version(table_root: str) -> int | None:
+    """Newest commit version, O(new commits) stat calls (no LIST)."""
+    root = os.path.abspath(table_root)
+    v = _HEAD_CACHE.get(root)
+    if v is None or not os.path.exists(_log_path(table_root, v)):
+        vs = log_versions(table_root)
+        if not vs:
+            _HEAD_CACHE.pop(root, None)
+            return None
+        v = vs[-1]
+    while os.path.exists(_log_path(table_root, v + 1)):
+        v += 1
+    _HEAD_CACHE[root] = v
+    return v
 
 
 @dataclass
@@ -529,11 +577,18 @@ def replay(name: str, root: str, max_version: int | None = None) -> TableState |
     """TableState at ``max_version`` (None = HEAD). O(1) for cached
     versions, O(commits since last checkpoint) otherwise. Treat the
     returned state as immutable — it is shared across callers."""
-    versions = log_versions(root)
-    live = [v for v in versions if max_version is None or v <= max_version]
-    if not live:
+    head = head_version(root)
+    if head is None:
         return None
-    target = live[-1]
+    target = head if max_version is None else min(head, max_version)
+    if target < 1:
+        return None
+    if max_version is not None and not os.path.exists(_log_path(root, target)):
+        # non-dense log (hand-pruned): locate the newest version <= max
+        live = [v for v in log_versions(root) if v <= max_version]
+        if not live:
+            return None
+        target = live[-1]
     # key on the commit file's identity (inode + mtime), not just the
     # version: a table dropped and recreated at the same path restarts
     # version numbering, and a bare (root, version) key would serve the
@@ -543,8 +598,9 @@ def replay(name: str, root: str, max_version: int | None = None) -> TableState |
         key = (os.path.abspath(root), target, s.st_ino, s.st_mtime_ns)
     except OSError:
         key = None
-    hit = _STATE_CACHE.get(key) if key is not None else None
+    hit = _STATE_CACHE.pop(key, None) if key is not None else None
     if hit is not None:
+        _STATE_CACHE[key] = hit  # reinsert at the tail: hits refresh LRU recency
         return hit
 
     ckpts = [v for v in checkpoint_versions(root) if v <= target]

@@ -72,6 +72,55 @@ def test_checkpointed_replay_reads_bounded_log(engine, spark, monkeypatch):
     assert len(checkpoint_versions(t.root)) <= M.CHECKPOINTS_KEPT
 
 
+def test_state_listing_bounded(engine, spark, monkeypatch):
+    """Steady-state state() never LISTs _log/: HEAD is found by probing
+    forward from the cached head (versions are dense) and replay
+    windows read commits by constructed path — O(new commits) stats per
+    call, no O(history) directory listing (the object-store LIST cost a
+    100k-commit table would otherwise pay on every planner call)."""
+    import os as _os
+
+    t = engine.create_table("ls", SCHEMA, pk=["k"])
+    t.insert(spark.createDataFrame([(1, 1)], "k bigint, v int"))
+    for i in range(5):
+        append_commit(t.root, t.state().version + 1,
+                      {"op": "set_props", "props": {f"q{i}": i}})
+    t.state()  # warm the head + state caches
+
+    calls = {"n": 0}
+    real = _os.listdir
+
+    def counting(path):
+        if str(path).endswith(M.LOG_DIR):
+            calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(M.os, "listdir", counting)
+    for i in range(20):
+        append_commit(t.root, t.state().version + 1,
+                      {"op": "set_props", "props": {f"r{i}": i}})
+        st = t.state()
+    assert st.props["r19"] == 19 and st.props["q0"] == 0
+    assert calls["n"] == 0, f"{calls['n']} _log listings in the steady state"
+
+
+def test_state_cache_lru_refresh_on_hit(engine, monkeypatch):
+    """A cache hit refreshes recency (true LRU, not FIFO): a hot
+    table's state must survive eviction pressure from cold tables."""
+    import os as _os
+
+    monkeypatch.setattr(M, "_STATE_CACHE_MAX", 4)
+    M._STATE_CACHE.clear()
+    tables = [engine.create_table(f"lru{i}", SCHEMA, pk=["k"]) for i in range(5)]
+    for t in tables[:4]:
+        replay(t.name, t.root, None)
+    replay(tables[0].name, tables[0].root, None)  # hit: lru0 becomes hottest
+    replay(tables[4].name, tables[4].root, None)  # evicts lru1, NOT lru0
+    roots = {k[0] for k in M._STATE_CACHE}
+    assert _os.path.abspath(tables[0].root) in roots
+    assert _os.path.abspath(tables[1].root) not in roots
+
+
 def test_state_cache_survives_drop_and_recreate(engine, spark):
     """A table dropped and recreated at the same path restarts version
     numbering — the cache must not serve the dead table's state."""
