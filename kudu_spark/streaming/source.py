@@ -67,13 +67,22 @@ def _table_state(root: str):
 
 
 def _change_files(root: str, start_v: int, end_v: int) -> list[ChangeFile]:
-    """Files added by mutation commits in (start_v, end_v]."""
+    """Files added by mutation commits in (start_v, end_v] — plus the
+    repair files of txn_abort commits: when a cross-table transaction
+    is compensated after a participant conflict, consumers who already
+    received its rows get retraction events (restored pre-txn images or
+    tombstones, written by writer._write_cdc_repair) instead of keeping
+    phantom inserts forever."""
     from kudu_spark.meta import read_log
 
     out: list[ChangeFile] = []
     # min_version: each micro-batch reads O(window) commit files, not
     # O(history) — a long-lived stream over a high-commit table stays flat
     for c in read_log(root, end_v, min_version=start_v):
+        if c.get("op") == "txn_abort":
+            for rel in c.get("cdc_repair", []):
+                out.append(ChangeFile(os.path.join(root, rel), c["version"]))
+            continue
         if c.get("op") not in MUTATION_OPS:
             continue
         for a in c.get("actions", []):
@@ -236,8 +245,16 @@ class ChangeFeedDataSource(DataSource):
         return "kudu_cdc"
 
     def schema(self) -> str:
+        # non-PK columns are nullable in the FEED even when NOT NULL in
+        # the table: delete/retraction events carry null post-images
+        # (IS_DELETED rows project only key columns, common.proto:60)
         st = _table_state(self.options["path"])
-        return st.schema.ddl() + f", {VERSION_COL} bigint, {DELETED_COL} boolean"
+        pk = set(st.schema.pk)
+        cols = ", ".join(
+            f"`{c.name}` {c.type}" + (" NOT NULL" if c.name in pk else "")
+            for c in st.schema.columns
+        )
+        return cols + f", {VERSION_COL} bigint, {DELETED_COL} boolean"
 
     def reader(self, schema) -> DataSourceReader:
         return ChangeFeedBatchReader(schema, self.options)

@@ -14,6 +14,7 @@ last-write-wins within a batch matches Kudu's apply order exactly
 
 from __future__ import annotations
 
+import os
 from enum import Enum
 
 from pyspark.sql import functions as F
@@ -294,6 +295,103 @@ class Transaction:
         self._staged = []
 
 
+def _txn_ops(root: str, txn_id: str) -> set:
+    """Ops already recorded for this txn in a table's log ({'txn'},
+    {'txn','txn_abort'}, or empty) — the idempotency probe recovery
+    and compensation key off."""
+    from kudu_spark.meta import read_log
+
+    return {c["op"] for c in read_log(root) if c.get("txn_id") == txn_id}
+
+
+def _write_cdc_repair(table: Table, paths: list[str], txn_id: str) -> list[str]:
+    """Post-abort images for every key the aborted txn's files touch,
+    written under ``_cdc/`` for the change feed to emit as retraction
+    events (streaming/source.py): keys still present after the abort
+    re-emit their restored row (__deleted=false), keys absent emit a
+    tombstone (__deleted=true). Without these a CDC consumer keeps the
+    aborted txn's phantom rows forever. Returns table-relative repair
+    paths. Cost is O(txn keys) — the snapshot side is file-pruned by
+    the same probe as the write paths."""
+    import shutil
+    import uuid as _uuid
+
+    from kudu_spark.meta import TableState
+
+    st = table.state()
+    removed = set(paths)
+    sub = TableState(**{**st.__dict__})
+    # the txn's files are still in the manifest when this runs (the
+    # txn_abort commit lands after): exclude them = the post-abort view
+    sub.files = [f for f in st.files if f.path not in removed]
+    pk = st.schema.pk
+    abs_paths = [os.path.join(table.root, p) for p in paths]
+    abs_paths = [p for p in abs_paths if os.path.exists(p)]
+    if not abs_paths:
+        return []
+    keys = table.spark.read.parquet(*abs_paths).select(*pk).dropDuplicates(pk)
+    snap = table._snapshot_overlapping(sub, keys).select(*st.schema.names)
+    restored = snap.join(keys, on=pk, how="left_semi").withColumn(
+        "__deleted", F.lit(False)
+    )
+    gone = (
+        keys.join(snap.select(*pk), on=pk, how="left_anti")
+        .select(
+            *pk,
+            *[
+                F.lit(None).cast(st.schema.col(c).type).alias(c)
+                for c in st.schema.non_pk_names
+            ],
+        )
+        .withColumn("__deleted", F.lit(True))
+    )
+    staging = os.path.join(table.root, "_cdc", f"_staging-{_uuid.uuid4().hex}")
+    restored.unionByName(gone).write.mode("overwrite").parquet(staging)
+    rels = []
+    for fname in os.listdir(staging):
+        if fname.endswith(".parquet"):
+            rel = os.path.join("_cdc", f"abort-{txn_id}-{_uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(staging, fname), os.path.join(table.root, rel))
+            rels.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+    return rels
+
+
+def _compensate(table: Table, entry_paths: list[str], txn_id: str,
+                ops: set | None = None) -> None:
+    """Append the txn_abort commit that removes an aborted
+    participant's published files from the manifest (the files stay on
+    disk — historical versions reference them). Idempotent: no-op when
+    the participant never published or is already aborted. The CDC
+    repair attachment is best-effort — a repair failure must not block
+    the abort itself (the feed then misses retractions for this table,
+    but table state is correct)."""
+    if ops is None:
+        ops = _txn_ops(table.root, txn_id)
+    if "txn" not in ops or "txn_abort" in ops:
+        return
+    try:
+        repair = _write_cdc_repair(table, entry_paths, txn_id)
+    except Exception:
+        repair = []
+    extra: dict = {"txn_id": txn_id}
+    if repair:
+        extra["cdc_repair"] = repair
+    table._commit(table.state(), "txn_abort", [], removes=entry_paths, extra=extra)
+
+
+def _rewrite_marker(path: str, payload: dict) -> None:
+    """Durably replace a txn marker (fsync'd write + atomic rename)."""
+    import json
+
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 class EngineTransaction:
     """Cross-table transaction over one Engine's warehouse
     (≈ KuduTransaction, client.h:445-545, which spans sessions and
@@ -390,17 +488,29 @@ class EngineTransaction:
             for name, t in parts.items():
                 published[name] = t._publish(txn_id)
         except Exception:
-            # compensate the already-published prefix, roll back the rest
-            for name, v in published.items():
-                t = parts[name]
-                tbl = t.table
-                paths = [e.path for _, es in t._staged for e in es]
-                tbl._commit(tbl.state(), "txn_abort", [], removes=paths,
-                            extra={"txn_id": txn_id})
+            # Durably flip the marker to 'aborting' BEFORE compensating:
+            # a crash mid-compensation must resume as an abort — with the
+            # marker still saying 'committing', recover() would COMPLETE
+            # the remaining participants of an effectively-aborted txn
+            # (durable partial commit).
+            payload["state"] = "aborting"
+            _rewrite_marker(marker, payload)
+            # every participant's compensation is attempted even if one
+            # fails; on any failure the 'aborting' marker stays behind
+            # and recover() finishes the abort idempotently
+            ok = True
             for name, t in parts.items():
-                if name not in published and t._staged:
-                    t.rollback()
-            os.unlink(marker)
+                try:
+                    if name in published:
+                        # manifest-remove the published adds (+CDC repair)
+                        paths = [e.path for _, es in t._staged for e in es]
+                        _compensate(t.table, paths, txn_id, ops={"txn"})
+                    elif t._staged:
+                        t.rollback()  # unpublished: reclaim staged files
+                except Exception:
+                    ok = False
+            if ok:
+                os.unlink(marker)
             raise
         os.unlink(marker)
         return published
@@ -412,41 +522,102 @@ class EngineTransaction:
 
     @staticmethod
     def recover(engine) -> list[str]:
-        """Complete transactions a crash left in 'committing': append
-        the missing per-table commits (their files are durable), or
-        compensate if the staged files were lost. Returns recovered
-        txn ids."""
+        """Resolve transactions a crash left behind (≈ the
+        TxnStatusManager replaying its tablet on failover,
+        transactions/txn_status_manager.h). A 'committing' marker is
+        COMPLETED — the missing per-table commits are appended from the
+        marker's manifest — unless completion is no longer safe:
+        staged files were lost, or a staged insert key now conflicts
+        with a row another writer committed during the crash window
+        (appending blind would break the base-uniqueness invariant the
+        merge fast path relies on — Kudu txns likewise revalidate rows
+        at apply). Unsafe or 'aborting' markers are driven to a full
+        abort: published participants get a compensating txn_abort
+        (+CDC repair), unpublished staged files are reclaimed. Both
+        paths are idempotent; a participant failure leaves the marker
+        for the next recover() call. Returns resolved txn ids."""
         import json
-        import os
 
-        from kudu_spark.meta import FileEntry, read_log
+        from kudu_spark.meta import FileEntry
 
         d = os.path.join(engine.root, "_txns")
         if not os.path.isdir(d):
             return []
         done = []
         for name in sorted(os.listdir(d)):
-            if not name.endswith(".json") or name.endswith(".tmp"):
+            if not name.endswith(".json") or ".tmp" in name:
                 continue
             path = os.path.join(d, name)
             with open(path) as f:
                 m = json.load(f)
-            complete = True
-            for tname, part in m.get("participants", {}).items():
-                root = part["root"]
-                already = any(
-                    c.get("txn_id") == m["txn_id"] for c in read_log(root)
-                )
-                if already:
-                    continue
-                entries = [FileEntry.from_json(e) for e in part["entries"]]
-                if all(os.path.exists(os.path.join(root, e.path)) for e in entries):
+            txn_id = m["txn_id"]
+            parts = m.get("participants", {})
+            status = {tname: _txn_ops(part["root"], txn_id)
+                      for tname, part in parts.items()}
+            abort = m.get("state") == "aborting"
+            if not abort:
+                # completion-safety probe over the unpublished participants
+                for tname, part in parts.items():
+                    if "txn" in status[tname]:
+                        continue
+                    entries = [FileEntry.from_json(e) for e in part["entries"]]
+                    if not all(
+                        os.path.exists(os.path.join(part["root"], e.path))
+                        for e in entries
+                    ):
+                        abort = True  # staged files lost: cannot complete
+                        break
+                    bases = [e for e in entries if e.kind == "base"]
+                    if bases and EngineTransaction._insert_conflict(
+                        engine.table(tname), bases
+                    ):
+                        abort = True  # dup PK raced in during the crash window
+                        break
+                if abort:
+                    m["state"] = "aborting"
+                    _rewrite_marker(path, m)  # durable before compensating
+            if abort:
+                ok = True
+                for tname, part in parts.items():
+                    try:
+                        paths = [e["path"] for e in part["entries"]]
+                        if "txn" in status[tname]:
+                            _compensate(engine.table(tname), paths, txn_id,
+                                        ops=status[tname])
+                        else:
+                            for p in paths:  # unpublished: reclaim staged files
+                                try:
+                                    os.unlink(os.path.join(part["root"], p))
+                                except FileNotFoundError:
+                                    pass
+                    except Exception:
+                        ok = False
+                if ok:
+                    os.unlink(path)
+                    done.append(txn_id)
+            else:
+                for tname, part in parts.items():
+                    if "txn" in status[tname]:
+                        continue
+                    entries = [FileEntry.from_json(e) for e in part["entries"]]
                     t = engine.table(tname)
-                    t._commit(t.state(), "txn", entries,
-                              extra={"txn_id": m["txn_id"]})
-                else:
-                    complete = False  # files lost: leave marker for inspection
-            if complete:
+                    t._commit(t.state(), "txn", entries, extra={"txn_id": txn_id})
                 os.unlink(path)
-                done.append(m["txn_id"])
+                done.append(txn_id)
         return done
+
+    @staticmethod
+    def _insert_conflict(table: Table, base_entries) -> bool:
+        """Do the staged insert (base-kind) files hold a PK that now
+        exists in the table? The commit-time duplicate re-probe, re-run
+        at recovery because the crash window let other writers in."""
+        st = table.state()
+        if not st.files:
+            return False
+        pk = st.schema.pk
+        paths = [os.path.join(table.root, e.path) for e in base_entries]
+        keys = table.spark.read.parquet(*paths).select(*pk)
+        return bool(
+            keys.join(table._existing_pks(st, keys), on=pk, how="left_semi")
+            .limit(1).collect()
+        )
