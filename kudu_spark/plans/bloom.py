@@ -53,20 +53,23 @@ class BloomFilter:
         if expected_items is None:
             expected_items = df.select(col).distinct().count()
         m, k = cls.optimal(expected_items, fpp)
-        pos = (
+        # fold bit positions into words executor-side (bit_or is a
+        # partial-aggregating built-in): the driver receives at most
+        # m/64 (word, bits) rows — O(filter size), never O(k·items)
+        rows = (
             df.select(F.explode(F.array(*[
                 F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m)).cast("bigint")
                 for i in range(k)
             ])).alias("p"))
-            .distinct()
+            .groupBy((F.col("p") / 64).cast("int").alias("w"))
+            .agg(F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("bits"))
             .collect()
         )
         words = [0] * (m // 64)
-        for r in pos:
-            p = int(r.p)
-            words[p // 64] |= 1 << (p % 64)
-        # to signed 64-bit for Spark LongType literals
-        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        for r in rows:
+            words[int(r.w)] = int(r.bits)  # already signed 64-bit longs
         return cls(m, k, words)
 
     # -- membership expression ---------------------------------------------------

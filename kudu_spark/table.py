@@ -134,6 +134,11 @@ class Table:
         self.name = name
         self.root = root
         self._bucket_cache: dict = {}
+        self._delta_bloom_cache: dict = {}  # frozenset(delta paths) -> BloomFilter
+        import threading
+
+        self._maint_lock = threading.Lock()  # one async maintenance run per handle
+        self._maint_thread = None
 
     # -- state ---------------------------------------------------------------
 
@@ -483,6 +488,8 @@ class Table:
         delta_parts = {pkey(f) for f in files if f.kind == "delta"}
         clean = [f for f in files if pkey(f) not in delta_parts]
         dirty = [f for f in files if pkey(f) in delta_parts]
+        if delta_parts:
+            clean, dirty = self._split_disjoint_bases(st, clean, dirty)
 
         df_clean = self._read_files(st, clean, with_seq=keep_meta)
 
@@ -501,6 +508,20 @@ class Table:
 
         dirty_base = [f for f in dirty if f.kind == "base"]
         dirty_delta = [f for f in dirty if f.kind == "delta"]
+        delta_seqs = {f.seq for f in dirty_delta}
+
+        def merge_deltas(df):
+            # Last-write-wins over DELTA rows only. When every delta
+            # file shares one manifest seq (a single mutation commit —
+            # the steady state under inline compaction), keys are
+            # already unique across the set (the write path dedups each
+            # batch by PK), so dedup collapses to a tombstone filter:
+            # no window, no shuffle, and scan predicates keep pushing
+            # into the delta parquet scan (a Window blocks non-key
+            # filter pushdown).
+            if len(delta_seqs) == 1:
+                return df if include_deleted else df.where(~F.col(DEL_COL))
+            return merge(df)
         base_rows = sum(f.rows for f in dirty_base)
         delta_rows = sum(f.rows for f in dirty_delta)
         # broadcastability estimate for the delta-key set: a broadcast
@@ -537,20 +558,39 @@ class Table:
             # no distinct: semi/anti joins tolerate duplicate build keys,
             # and dropping it saves a whole shuffle stage
             keys = df_delta.select(*pk)
-            uncontested = df_base.join(keys, on=pk, how="left_anti")
+            if deltas_newer and key_bytes > max(bcast, 0):
+                # over-broadcast-threshold key set: a plain anti join
+                # would shuffle EVERY base row (all columns) for the
+                # sort-merge. Split it with a bloom over the delta keys
+                # (≈ Kudu's per-rowset bloom probe deciding delta
+                # relevancy, tablet/tablet.cc:116-124): bloom-negative
+                # rows are PROVABLY uncontested (no false negatives)
+                # and stream straight from the scan; only the ~fpp+hit
+                # fraction pays the exact anti join. O(delta) shuffle
+                # instead of O(base).
+                bf = self._delta_key_bloom(st, dirty_delta, df_delta, delta_rows)
+                if bf is not None:
+                    keyh = F.xxhash64(*[F.col(c) for c in pk], F.lit(-7))
+                    sure = df_base.where(~bf.might_contain(keyh))
+                    maybe = df_base.where(bf.might_contain(keyh))
+                    uncontested = sure.unionByName(
+                        maybe.join(keys, on=pk, how="left_anti")
+                    )
+                else:
+                    uncontested = df_base.join(keys, on=pk, how="left_anti")
+            else:
+                uncontested = df_base.join(keys, on=pk, how="left_anti")
             if deltas_newer:
                 # every delta outranks every base row, so a contested
                 # key's winner is simply its newest DELTA: base rows of
                 # contested keys never win and need not be read at all.
                 # The base feeds ONE anti join (broadcast when the key
-                # set fits, else a single pk-shuffle sort-merge join —
-                # still far cheaper than windowing base+delta, and a
-                # selective filter cuts the shuffled base to the
-                # matching rows) and the last-write-wins window runs
-                # over the deltas only — O(delta) shuffle, independent
-                # of base size (≈ Kudu skipping base data when the
-                # delta fully redacts it, tablet/delta_store.h REDOs).
-                df_dirty = uncontested.unionByName(merge(df_delta))
+                # set fits, else the bloom-split above) and the
+                # last-write-wins dedup runs over the deltas only —
+                # O(delta) shuffle, independent of base size (≈ Kudu
+                # skipping base data when the delta fully redacts it,
+                # tablet/delta_store.h REDOs).
+                df_dirty = uncontested.unionByName(merge_deltas(df_delta))
             else:
                 # reinsert-after-delete present: a base row may outrank
                 # a delta, so contested keys window over base + delta
@@ -562,7 +602,7 @@ class Table:
             # delta-heavy partitions (or delta-only): one global window
             df_dirty = self._read_files(st, dirty)
             if df_dirty is not None:
-                df_dirty = merge(df_dirty)
+                df_dirty = merge_deltas(df_dirty) if not dirty_base else merge(df_dirty)
         if df_clean is None and df_dirty is None:
             # empty table: zero-row frame with the right schema
             ddl = st.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
@@ -580,6 +620,93 @@ class Table:
         if not keep_meta:
             df = df.drop(SEQ_COL, DEL_COL)
         return df
+
+    # bloom-split anti join: key sets past this bound skip the bloom
+    # (its word-array literal would bloat every task's plan) and take
+    # the plain sort-merge anti join instead
+    DELTA_BLOOM_MAX_KEYS = 4_000_000
+
+    def _delta_key_bloom(self, st: TableState, dirty_delta: list[FileEntry],
+                         df_delta, delta_rows: int):
+        """Bloom filter over the delta key set, built once per delta
+        file set and cached (delta files are immutable, so the cache
+        can never go stale). ~8 bits/key: 1M delta keys cost a ~1 MB
+        plan literal probed in WholeStageCodegen — far cheaper than
+        shuffling the whole base for a sort-merge anti join. Returns
+        None past DELTA_BLOOM_MAX_KEYS."""
+        if not delta_rows or delta_rows > self.DELTA_BLOOM_MAX_KEYS:
+            return None
+        key = frozenset(f.path for f in dirty_delta)
+        bf = self._delta_bloom_cache.get(key)
+        if bf is None:
+            from kudu_spark.plans.bloom import BloomFilter
+
+            pk = st.schema.pk
+            keyh = F.xxhash64(*[F.col(c) for c in pk], F.lit(-7))
+            bf = BloomFilter.from_df(
+                df_delta.select(keyh.alias("__k")), "__k",
+                expected_items=delta_rows, fpp=0.02,
+            )
+            if len(self._delta_bloom_cache) > 8:  # old delta sets are dead
+                self._delta_bloom_cache.clear()
+            self._delta_bloom_cache[key] = bf
+        return bf
+
+    def _split_disjoint_bases(self, st: TableState, clean: list[FileEntry],
+                              dirty: list[FileEntry]):
+        """PK-range delta relevancy (≈ Kudu's delta relevancy checks,
+        tablet/delta_relevancy.h): a base file inside a delta-bearing
+        partition whose leading-PK interval overlaps NO delta file's
+        interval in that partition cannot hold any key a delta touches —
+        its rows stream clean, skipping the merge window/anti-join
+        entirely. Sound because disjoint leading-column intervals imply
+        no shared composite key, and untouched keys are base-unique by
+        the insert dup-check. Pure manifest arithmetic, no Spark job.
+        Pays off when mutations are key-range-localized (recent ranges
+        of a time-ordered PK, one tenant of a compound key); uniform
+        random mutations keep every file overlapping, and the cost-based
+        merge plan below carries those."""
+        lead = st.schema.pk[0]
+        is_dec = st.schema.col(lead).type.strip().lower().startswith("decimal")
+
+        def norm(v):
+            if v is None:
+                return None
+            if is_dec:
+                import decimal
+
+                return decimal.Decimal(str(v))
+            return v
+
+        def ival(f: FileEntry):
+            if not f.min_pk or not f.max_pk:
+                return None
+            lo, hi = norm(f.min_pk[0]), norm(f.max_pk[0])
+            return None if lo is None or hi is None else (lo, hi)
+
+        def pkey(f: FileEntry):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        deltas_by_part: dict = {}
+        for f in dirty:
+            if f.kind == "delta":
+                deltas_by_part.setdefault(pkey(f), []).append(ival(f))
+        still = []
+        for f in dirty:
+            if f.kind == "base":
+                iv = ival(f)
+                divs = deltas_by_part.get(pkey(f), [])
+                try:
+                    if iv is not None and all(
+                        d is not None and (iv[1] < d[0] or iv[0] > d[1])
+                        for d in divs
+                    ):
+                        clean.append(f)
+                        continue
+                except TypeError:
+                    pass  # incomparable bound encodings: assume overlap
+            still.append(f)
+        return clean, still
 
     def _filters_to_column(self, st: TableState, filters: list[Predicate]):
         expr = F.lit(True)
@@ -1418,20 +1545,22 @@ class Table:
     AUTO_COMPACT_BUDGET_BYTES = 256 << 20
 
     def _maybe_auto_compact(self) -> None:
-        """Inline maintenance after a mutation commit. Kudu runs the
-        same policy in background maintenance threads
+        """Maintenance trigger after a mutation commit. Kudu runs the
+        compaction policy in background maintenance threads
         (tablet/maintenance_manager.h, compaction_policy.h:74-129); a
-        library has no daemon, so the writer triggers it. Partitions
-        whose delta bytes exceed ``auto_compact_min_ratio`` of their
-        total (≈ --tablet_delta_store_major_compact_min_ratio=0.1;
-        lower here because our deltas are whole-row redactions,
-        costlier to merge than Kudu's columnwise REDOs) are folded into
-        fresh base files, highest delta fraction first, within
-        ``auto_compact_budget_bytes`` of IO per trigger so one write
-        never rewrites an unbounded amount — over repeated mutation
-        batches the backlog amortizes. Skipped entirely while total
-        delta bytes sit under ``auto_compact_min_delta_bytes`` (merge-
-        on-read is cheap there). ``auto_compact=false`` disables.
+        library has no daemon, so the writer triggers it — by default
+        INLINE (the write pays the bounded rewrite IO before
+        returning). ``auto_compact_mode`` changes who pays:
+
+          - ``inline`` (default): fold before the mutation returns.
+          - ``async``: fold in a daemon thread; the mutation returns
+            immediately (at most one maintenance thread per table
+            handle — an in-flight fold skips the trigger, the next
+            write re-arms it).
+          - ``deferred``: never fold from the write path; an explicit
+            ``Engine.run_maintenance()`` sweep drains the backlog
+            (closest to Kudu's MaintenanceManager operating model).
+
         Maintenance failure never fails the (already durable)
         mutation."""
         try:
@@ -1439,6 +1568,48 @@ class Table:
             props = st.props
             if str(props.get("auto_compact", "true")).lower() in ("false", "0", "no"):
                 return
+            mode = str(props.get("auto_compact_mode", "inline")).lower()
+            if mode == "deferred":
+                return
+            if mode == "async":
+                import threading
+
+                if self._maint_lock.acquire(blocking=False):
+                    def run():
+                        try:
+                            self._auto_compact_once()
+                        finally:
+                            self._maint_lock.release()
+
+                    self._maint_thread = threading.Thread(
+                        target=run, name=f"kudu-maint-{self.name}", daemon=True
+                    )
+                    self._maint_thread.start()
+                return
+            self._auto_compact_once(st)
+        except Exception as e:
+            import logging
+
+            logging.getLogger("kudu_spark.maintenance").warning(
+                "auto-compaction of %s skipped: %s", self.name, e
+            )
+
+    def _auto_compact_once(self, st: TableState | None = None) -> None:
+        """One pass of the auto-compaction policy: partitions whose
+        delta bytes exceed ``auto_compact_min_ratio`` of their total
+        (≈ --tablet_delta_store_major_compact_min_ratio=0.1; lower here
+        because our deltas are whole-row redactions, costlier to merge
+        than Kudu's columnwise REDOs) are folded into fresh base files,
+        highest delta fraction first, within
+        ``auto_compact_budget_bytes`` of IO per trigger so one pass
+        never rewrites an unbounded amount — over repeated passes the
+        backlog amortizes. Skipped entirely while total delta bytes sit
+        under ``auto_compact_min_delta_bytes`` (merge-on-read is cheap
+        there)."""
+        try:
+            if st is None:
+                st = self.state()
+            props = st.props
             ratio = float(props.get("auto_compact_min_ratio", self.AUTO_COMPACT_MIN_RATIO))
             floor = int(props.get("auto_compact_min_delta_bytes",
                                   self.AUTO_COMPACT_MIN_DELTA_BYTES))

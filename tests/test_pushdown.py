@@ -423,3 +423,70 @@ def test_composite_key_probe_restricts_all_pk_columns(engine, spark):
     t.insert(spark.createDataFrame([(1, 9999, 9)], "tenant int, id bigint, v int"))
     assert t.scan(filters=[("id", "=", 9999)]).count() == 1
     assert probed.count() > 0
+
+
+def test_single_delta_commit_scan_has_no_window(table, spark):
+    """All delta files from ONE mutation commit: keys are unique across
+    the set (the write path dedups per batch), so last-write-wins needs
+    no Window at all — a tombstone filter suffices, and non-key scan
+    predicates keep pushing into the delta parquet scan (a Window node
+    blocks that pushdown)."""
+    table.upsert(spark.createDataFrame(
+        [(k, k * 10 + 1, f"u{k}") for k in range(0, 100)],
+        "k bigint, v int, s string",
+    ))
+    df = table.scan()
+    assert "Window" not in plan_of(df)
+    got = {r.k: r.v for r in df.collect()}
+    assert len(got) == 1000 and got[5] == 51 and got[500] == 5000
+
+
+def test_pk_disjoint_base_files_stream_clean(engine, spark):
+    """Delta relevancy by PK file bounds: a base file in a dirty
+    partition whose leading-PK interval overlaps no delta interval
+    streams clean (skips the merge) — Kudu's delta_relevancy.h
+    property, key for time-ordered PKs where mutations hit recent
+    ranges only."""
+    t = engine.create_table("dj", SCHEMA, pk=["k"])
+    ddl = "k bigint, v int, s string"
+    t.insert(spark.createDataFrame([(k, k * 10, f"s{k}") for k in range(100)], ddl))
+    t.insert(spark.createDataFrame(
+        [(k, k * 10, f"s{k}") for k in range(1000, 1100)], ddl))
+    t.upsert(spark.createDataFrame(
+        [(k, k * 10 + 1, "u") for k in range(1000, 1020)], ddl))
+    st = t.state()
+
+    def pkey(f):
+        return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+    delta_parts = {pkey(f) for f in st.files if f.kind == "delta"}
+    clean0 = [f for f in st.files if pkey(f) not in delta_parts]
+    dirty0 = [f for f in st.files if pkey(f) in delta_parts]
+    assert not clean0  # one partition: everything dirty before the split
+    clean, dirty = t._split_disjoint_bases(st, list(clean0), dirty0)
+    assert any(f.max_pk and f.max_pk[0] == 99 for f in clean), "early file not rescued"
+    assert all(f.kind == "delta" or (f.min_pk and f.min_pk[0] >= 1000) for f in dirty)
+    got = {r.k: r.v for r in t.scan().collect()}
+    assert len(got) == 200 and got[5] == 50 and got[1005] == 10051 and got[1050] == 10500
+
+
+def test_bloom_split_anti_join_over_threshold(engine, spark):
+    """Delta key sets too large to broadcast must NOT shuffle the whole
+    base for a sort-merge anti join: a bloom over the delta keys lets
+    provably-uncontested base rows bypass the join (no false
+    negatives), with only bloom-positive rows paying the exact join."""
+    t = engine.create_table("bl", SCHEMA, pk=["k"])
+    ddl = "k bigint, v int, s string"
+    t.insert(spark.createDataFrame([(k, k * 10, f"s{k}") for k in range(1000)], ddl))
+    t.upsert(spark.createDataFrame(
+        [(k, k * 10 + 1, "u") for k in range(100)], ddl))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        df = t.scan()
+        plan = plan_of(df)
+        assert "getbit" in plan.lower(), "bloom probe missing from the plan"
+        got = {r.k: r.v for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(got) == 1000 and got[5] == 51 and got[999] == 9990
