@@ -78,7 +78,8 @@ class Engine:
 
     # -- SQL over engine tables ---------------------------------------------------
 
-    def sql(self, query: str, version_of: dict | None = None):
+    def sql(self, query: str, version_of: dict | None = None,
+            txn_consistent: bool = False):
         """Run Spark SQL over the warehouse's tables — the division of
         labor Kudu ships with Impala (docs/kudu_impala_integration.adoc):
         every live table is registered as a temp view of its
@@ -86,14 +87,60 @@ class Engine:
         joins/aggs/windows. ``version_of`` maps table name -> version
         for AS-OF reads inside SQL (≈ READ_AT_SNAPSHOT).
 
+        ``txn_consistent=True`` pins tables to ``consistent_versions()``
+        so a cross-table transaction mid-publish is visible NOWHERE
+        instead of in a torn subset (explicit ``version_of`` entries
+        still win).
+
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
         is materialized by registration."""
-        version_of = version_of or {}
+        version_of = dict(version_of or {})
+        if txn_consistent:
+            pins = self.consistent_versions()
+            for name, v in pins.items():
+                version_of.setdefault(name, v)
         for name in self.list_tables():
             df = self.table(name).scan(version=version_of.get(name))
             df.createOrReplaceTempView(name)
         return self.spark.sql(query)
+
+    def consistent_versions(self) -> dict[str, int]:
+        """Per-table snapshot versions that exclude every cross-table
+        transaction still mid-publish (its durable marker under
+        ``_txns/`` is unresolved): each participant that already
+        published the txn's commit is pinned just below it, so a reader
+        observes the transaction NOWHERE rather than in a torn subset —
+        the file-native stand-in for Kudu's commit-timestamp MVCC
+        (a txn becomes visible at one timestamp on every tablet,
+        transactions/txn_status_manager.h). Tables not touched by a
+        pending txn are absent from the map (read at HEAD). The window
+        where this matters is the few milliseconds between participant
+        publishes; markers are transient, so the scan below is almost
+        always a no-op directory check."""
+        import json
+
+        from kudu_spark.meta import read_log
+
+        pins: dict[str, int] = {}
+        d = os.path.join(self.root, "_txns")
+        if not os.path.isdir(d):
+            return pins
+        for mname in sorted(os.listdir(d)):
+            if not mname.endswith(".json") or ".tmp" in mname:
+                continue
+            try:
+                with open(os.path.join(d, mname)) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue  # marker being written/removed concurrently
+            for tname, part in m.get("participants", {}).items():
+                for c in read_log(part["root"]):
+                    if c.get("txn_id") == m["txn_id"] and c.get("op") == "txn":
+                        v = c["version"] - 1
+                        pins[tname] = min(pins.get(tname, v), v)
+                        break
+        return pins
 
     # -- create ------------------------------------------------------------------
 
@@ -309,6 +356,28 @@ class Engine:
         from kudu_spark.writer import EngineTransaction
 
         return EngineTransaction(self)
+
+    def run_maintenance(self) -> dict:
+        """Explicit maintenance sweep (≈ one MaintenanceManager pass,
+        tablet/maintenance_manager.h): apply each live table's
+        auto-compaction policy now, draining the delta backlog of
+        tables configured with ``auto_compact_mode='deferred'`` (or
+        ``'async'`` runs that were skipped). Tables with
+        ``auto_compact=false`` stay untouched. Returns
+        {table: did_compact}."""
+        out = {}
+        for name in self.list_tables():
+            t = self.table(name)
+            st = t.state()
+            if str(st.props.get("auto_compact", "true")).lower() in (
+                "false", "0", "no"
+            ):
+                out[name] = False
+                continue
+            before = st.version
+            t._auto_compact_once(st)
+            out[name] = t.state().version != before
+        return out
 
     def recover_transactions(self) -> list[str]:
         """Complete cross-table transactions a crash left mid-commit."""

@@ -355,3 +355,53 @@ def test_vacuum_keep_versions(engine, spark):
     removed = t.vacuum(keep_versions=0)
     assert removed > 0
     assert t.scan().count() == 50
+
+
+def test_txn_consistent_sql_sees_neither_or_both(engine, spark):
+    """A reader snapshotting mid-publish of a cross-table transaction
+    must see the txn NOWHERE (or, after the marker resolves,
+    everywhere) — never a torn subset. Engine.sql(txn_consistent=True)
+    pins each participant below its txn commit while the durable
+    marker is unresolved (≈ Kudu commit-timestamp MVCC)."""
+    import json
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("sa", SIMPLE, pk=["key"])
+    b = engine.create_table("sb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.insert("sa", spark.createDataFrame([(2, 2, "x")], ddl))
+    txn.insert("sb", spark.createDataFrame([(2, 2, "y")], ddl))
+    # mid-publish: marker durable, only sa's commit appended
+    txn_id = uuid.uuid4().hex
+    os.makedirs(os.path.join(engine.root, "_txns"), exist_ok=True)
+    marker = os.path.join(engine.root, "_txns", f"{txn_id}.json")
+    with open(marker, "w") as f:
+        json.dump({
+            "txn_id": txn_id,
+            "state": "committing",
+            "participants": {
+                n: {"root": t.table.root,
+                    "entries": [e.to_json() for _, es in t._staged for e in es]}
+                for n, t in txn._parts.items()
+            },
+        }, f)
+    txn._parts["sa"]._publish(txn_id)
+
+    # plain read sees the torn prefix; consistent read sees neither
+    assert {r.key for r in engine.sql("select * from sa").collect()} == {1, 2}
+    cons = engine.sql("select * from sa", txn_consistent=True)
+    assert {r.key for r in cons.collect()} == {1}
+    assert {r.key for r in
+            engine.sql("select * from sb", txn_consistent=True).collect()} == {1}
+
+    # marker resolves: consistent read now sees BOTH
+    txn._parts["sb"]._publish(txn_id)
+    os.unlink(marker)
+    assert {r.key for r in
+            engine.sql("select * from sa", txn_consistent=True).collect()} == {1, 2}
+    assert {r.key for r in
+            engine.sql("select * from sb", txn_consistent=True).collect()} == {1, 2}

@@ -344,3 +344,168 @@ def test_engine_transaction_crash_recovery(engine, spark):
     assert {r.key for r in b.scan().collect()} == {2}
     assert not os.listdir(os.path.join(engine.root, "_txns"))
     assert engine.recover_transactions() == []  # idempotent
+
+
+def test_engine_transaction_abort_emits_cdc_retractions(engine, spark):
+    """A compensated txn's rows are retracted from the change feed:
+    upserted keys re-emit their restored pre-txn image, inserted keys
+    emit a tombstone — consumers never keep phantom rows from a txn
+    that was aborted after a participant conflict."""
+    from kudu_spark.errors import DuplicateKeyError
+    from kudu_spark.streaming.source import read_changes
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("cca", SIMPLE, pk=["key"])
+    b = engine.create_table("ccb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "orig")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.upsert("cca", spark.createDataFrame([(1, 11, "changed")], ddl))
+    txn.insert("cca", spark.createDataFrame([(2, 2, "phantom")], ddl))
+    txn.insert("ccb", spark.createDataFrame([(7, 7, "mine")], ddl))
+    # another writer takes ccb's key AFTER staging, BEFORE commit
+    b.insert(spark.createDataFrame([(7, 70, "racer")], ddl))
+    with pytest.raises(DuplicateKeyError):
+        txn.commit()
+    feed = read_changes(spark, a.root).collect()
+    # the txn's events went out before the conflict was discovered...
+    assert any(r.key == 2 and not r._is_deleted for r in feed)
+    # ...and the abort retracted them at a later feed version
+    v_abort = max(r._change_version for r in feed)
+    retr = {r.key: r for r in feed if r._change_version == v_abort}
+    assert set(retr) == {1, 2}
+    assert retr[2]._is_deleted  # phantom insert tombstoned
+    assert not retr[1]._is_deleted  # upserted key: restored pre-txn image
+    assert (retr[1].int_val, retr[1].string_val) == (1, "orig")
+    # a consumer applying the feed in version order converges on the
+    # true table state
+    assert {r.key: (r.int_val, r.string_val) for r in a.scan().collect()} == {
+        1: (1, "orig")
+    }
+
+
+def _marker_for(engine, txn, txn_id, state):
+    import json
+    import os
+
+    os.makedirs(os.path.join(engine.root, "_txns"), exist_ok=True)
+    marker = os.path.join(engine.root, "_txns", f"{txn_id}.json")
+    with open(marker, "w") as f:
+        json.dump({
+            "txn_id": txn_id,
+            "state": state,
+            "participants": {
+                n: {"root": t.table.root,
+                    "entries": [e.to_json() for _, es in t._staged for e in es]}
+                for n, t in txn._parts.items()
+            },
+        }, f)
+    return marker
+
+
+def test_crash_mid_compensation_recovers_as_abort(engine, spark):
+    """Marker flipped to 'aborting', one participant's txn commit
+    published, then the coordinator died mid-compensation: recover()
+    must FINISH the abort (compensate the published participant,
+    reclaim the other's staged files) — never complete the commit of
+    an effectively-aborted transaction."""
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("ma", SIMPLE, pk=["key"])
+    b = engine.create_table("mb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    txn = engine.transaction()
+    txn.insert("ma", spark.createDataFrame([(2, 2, "x")], ddl))
+    txn.insert("mb", spark.createDataFrame([(3, 3, "y")], ddl))
+    txn_id = uuid.uuid4().hex
+    _marker_for(engine, txn, txn_id, "aborting")
+    txn._parts["ma"]._publish(txn_id)
+    staged_b = [e.path for _, es in txn._parts["mb"]._staged for e in es]
+    assert all(os.path.exists(os.path.join(b.root, p)) for p in staged_b)
+
+    done = engine.recover_transactions()
+    assert done == [txn_id]
+    assert {r.key for r in a.scan().collect()} == {1}  # txn rows rolled back
+    assert b.scan().count() == 0
+    assert not any(os.path.exists(os.path.join(b.root, p)) for p in staged_b)
+    assert not os.listdir(os.path.join(engine.root, "_txns"))
+    assert engine.recover_transactions() == []  # idempotent
+
+
+def test_recover_reprobes_staged_inserts(engine, spark):
+    """'committing' marker with the second participant unpublished;
+    during the crash window another writer took its staged key.
+    Blindly appending the recovered commit would put a duplicate PK in
+    the base (breaking the uniqueness invariant the merge fast path
+    relies on) — recover() must abort the WHOLE transaction instead,
+    compensating the already-published first participant."""
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("pa", SIMPLE, pk=["key"])
+    b = engine.create_table("pb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.insert("pa", spark.createDataFrame([(2, 2, "x")], ddl))
+    txn.insert("pb", spark.createDataFrame([(9, 9, "mine")], ddl))
+    txn_id = uuid.uuid4().hex
+    _marker_for(engine, txn, txn_id, "committing")
+    txn._parts["pa"]._publish(txn_id)
+    # crash window: a concurrent writer takes pb's staged key
+    b.insert(spark.createDataFrame([(9, 90, "racer")], ddl))
+
+    done = engine.recover_transactions()
+    assert done == [txn_id]
+    assert {r.key for r in a.scan().collect()} == {1}  # published part compensated
+    got_b = {r.key: r.int_val for r in b.scan().collect()}
+    assert got_b == {1: 1, 9: 90}  # racer's row intact, txn row absent
+    assert not os.listdir(os.path.join(engine.root, "_txns"))
+
+
+def test_deferred_maintenance_sweep(engine, spark):
+    """auto_compact_mode='deferred': mutations never pay rewrite IO
+    inline; Engine.run_maintenance() drains the backlog (Kudu's
+    MaintenanceManager operating model)."""
+    from kudu_spark.meta import read_log
+
+    t = engine.create_table("dm", SIMPLE, pk=["key"])
+    ddl = "key int, int_val int, string_val string"
+    t.insert(spark.createDataFrame([(k, k, "x") for k in range(500)], ddl))
+    engine.alter_table("dm").set_property("auto_compact_mode", "deferred") \
+        .set_property("auto_compact_min_delta_bytes", 1) \
+        .set_property("auto_compact_min_ratio", 0.0001).apply()
+    t.upsert(spark.createDataFrame([(k, k + 1, "y") for k in range(400)], ddl))
+    ops = [c["op"] for c in read_log(t.root)]
+    assert "compact" not in ops, "deferred table compacted inline"
+    swept = engine.run_maintenance()
+    assert swept["dm"] is True
+    ops = [c["op"] for c in read_log(t.root)]
+    assert "compact" in ops
+    got = {r.key: r.int_val for r in t.scan().collect()}
+    assert len(got) == 500 and got[3] == 4 and got[450] == 450
+
+
+def test_async_maintenance_drains_in_background(engine, spark):
+    """auto_compact_mode='async': the write returns with only its own
+    commit; the fold lands from the maintenance thread."""
+    from kudu_spark.meta import read_log
+
+    t = engine.create_table("am", SIMPLE, pk=["key"])
+    ddl = "key int, int_val int, string_val string"
+    t.insert(spark.createDataFrame([(k, k, "x") for k in range(500)], ddl))
+    engine.alter_table("am").set_property("auto_compact_mode", "async") \
+        .set_property("auto_compact_min_delta_bytes", 1) \
+        .set_property("auto_compact_min_ratio", 0.0001).apply()
+    v = t.upsert(spark.createDataFrame([(k, k + 1, "y") for k in range(400)], ddl))
+    # the mutation's own commit is the upsert, not a compaction
+    assert [c["op"] for c in read_log(t.root) if c["version"] == v] == ["upsert"]
+    if t._maint_thread is not None:
+        t._maint_thread.join(timeout=120)
+    ops = [c["op"] for c in read_log(t.root)]
+    assert "compact" in ops, "async maintenance never landed"
+    got = {r.key: r.int_val for r in t.scan().collect()}
+    assert len(got) == 500 and got[3] == 4
