@@ -1050,15 +1050,28 @@ class Table:
         codec_map = {"NO": "uncompressed", "SNAPPY": "snappy", "LZ4": "lz4",
                      "ZLIB": "gzip", "DEFAULT": "snappy"}
         codecs, blocks = [], []
+        v2 = False
         for c in st.schema.columns:
             enc = (c.encoding or "").upper().replace("_ENCODING", "")
             if enc == "PLAIN":
                 writer = writer.option(f"parquet.enable.dictionary#{c.name}", "false")
+            elif enc in ("PREFIX", "BIT_SHUFFLE", "GROUP_VARINT", "RLE"):
+                # parquet-mr exposes no per-column encoding override;
+                # the v2 writer picks the analogous encodings once the
+                # dictionary is out of the way for that column:
+                # DELTA_BYTE_ARRAY (shared-prefix compression) for
+                # strings/binary ≈ PREFIX (cfile/type_encodings.cc:214),
+                # DELTA_BINARY_PACKED (bit-packed deltas) for ints ≈
+                # BIT_SHUFFLE/GROUP_VARINT, RLE for booleans.
+                writer = writer.option(f"parquet.enable.dictionary#{c.name}", "false")
+                v2 = True
             if c.compression:
                 comp = c.compression.upper().replace("_COMPRESSION", "")
                 codecs.append(codec_map.get(comp, comp.lower()))
             if c.block_size:
                 blocks.append(int(c.block_size))
+        if v2:
+            writer = writer.option("parquet.writer.version", "PARQUET_2_0")
         if codecs:
             writer = writer.option("compression", codecs[0])
         if blocks:
