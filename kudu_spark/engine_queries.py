@@ -211,7 +211,8 @@ def engine_partitioned_scan(spark, sf_dir):
     SELECT 9100000 + r AS c_custkey, 'TXN' AS c_mktsegment
     FROM (SELECT unnest(range(3)) AS r)
     """,
-    gated=False,  # the driver gate is capped at exactly 50; pytest-oracled
+    # gated since r5 (rotated in for scan_limit_topk): the commit
+    # protocol's visible result is driver-verified, not only pytest
 )
 def engine_txn_scan(spark, sf_dir):
     """Cross-table transaction (client.h:445-545): ONE
@@ -271,7 +272,8 @@ def engine_autocompact_scan(spark, sf_dir):
     SELECT CAST(c_custkey AS DECIMAL(12,2)) AS k, c_acctbal
     FROM customer WHERE c_custkey >= 100 AND c_custkey <= 300
     """,
-    gated=False,  # pytest-oracled (gate capped at 50)
+    # gated since r5 (rotated in for agg_revenue_filter): decimal
+    # footer-stat pruning is driver-verified, not only pytest
 )
 def engine_decimal_pk_scan(spark, sf_dir):
     """DECIMAL primary key end-to-end: footer bounds decode from the

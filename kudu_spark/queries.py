@@ -199,6 +199,8 @@ def scan_in_list(spark, sf_dir):
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    gated=False,  # rotated out for engine_txn_scan (r5): redundant with
+    # the ordered-scan family; pytest-oracled + benched
 )
 def scan_limit_topk(spark, sf_dir):
     """ORDER BY + LIMIT → Spark TakeOrderedAndProject (scan_spec.h:151 LIMIT;
@@ -263,6 +265,8 @@ def agg_pricing_summary(spark, sf_dir):
       AND l_discount >= 0.05 AND l_discount <= 0.07
       AND l_quantity < 24
     """,
+    gated=False,  # rotated out for engine_decimal_pk_scan (r5): the Q6
+    # shape stays gated via tpch_q19/q14; pytest-oracled + benched
 )
 def agg_revenue_filter(spark, sf_dir):
     """TPC-H Q6 shape: tight range predicates + single global aggregate."""
