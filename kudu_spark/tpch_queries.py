@@ -369,6 +369,372 @@ def tpch_q22_global_sales(spark, sf_dir):
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    gated=False,  # scalar-correlated-min family gated via tpch_q15_top_supplier
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice) AS ps_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_cost
+    FROM part
+      JOIN supply   ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps_cost = (SELECT min(ps_cost) FROM supply s2
+                       JOIN supplier ON s_suppkey = s2.ps_suppkey
+                       JOIN nation   ON s_nationkey = n_nationkey
+                       JOIN region   ON n_regionkey = r_regionkey
+                     WHERE s2.ps_partkey = p_partkey AND r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2: min-cost supplier per part within a region. partsupp is
+    absent from the driver schema, so the supply relation is derived
+    as min(l_extendedprice) per (l_partkey, l_suppkey) — min of raw
+    doubles, no arithmetic, so both engines agree bit-exactly. The
+    correlated min subquery decorrelates to a window min over the
+    already-region-restricted supply rows (same trick as Q17: the
+    correlated min only ever ranges over rows the outer join kept)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supply = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
+    eu_supp = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    j = (
+        supply.join(p, F.col("ps_partkey") == p.p_partkey)
+        .join(eu_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = F.min("ps_cost").over(W.partitionBy("ps_partkey"))
+    return (
+        j.withColumn("__min", min_cost)
+        .where(F.col("ps_cost") == F.col("__min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_cost")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    gated=False,  # multi-way join + conditional-agg family gated via tpch_q7/tpch_q14
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8: national market share — 8-way join, share-of-total per
+    year. Plan: part is filtered before the fact join (biggest
+    selectivity), nation/region broadcast unconditionally, customer
+    restricted to the region before joining orders."""
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nk = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    c2 = c.join(asia_nk, c.c_nationkey == F.col("c_nk")).select("c_custkey")
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == F.col("c_custkey"))
+        .join(n2, s.s_nationkey == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    gated=False,  # join+year-rollup family gated via tpch_q7_nation_volume
+    oracle="""
+    SELECT n_name AS nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity
+                  AS DECIMAL(18,4)) AS amount
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9: product-type profit by supplier nation and year.
+    ps_supplycost is absent; the cost term is modeled as 10% of
+    p_retailprice per unit, preserving the plan shape (LIKE-filtered
+    part driving a 5-way join, two-level group). amount subtracts two
+    same-magnitude terms, so float summation order shifts the total
+    past the round(2) boundary between engines — both sides sum in
+    DECIMAL(18,4) for an order-independent exact total."""
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    gated=False,  # HAVING-vs-scalar-subquery family gated via tpch_q18/tpch_q15
+    oracle="""
+    WITH nation_supply AS (
+      SELECT l_partkey AS ps_partkey, l_extendedprice * l_quantity AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey, round(sum(value), 2) AS part_value
+    FROM nation_supply
+    GROUP BY ps_partkey
+    HAVING sum(value) > (SELECT sum(value) * 0.001 FROM nation_supply)
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11: parts representing a significant share of one nation's
+    supply value (availqty*supplycost modeled as extendedprice*qty).
+    The scalar-subquery threshold is a 1-row broadcast join."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
+    supply = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
+        )
+    )
+    per_part = supply.groupBy("ps_partkey").agg(F.sum("value").alias("__v"))
+    threshold = supply.agg((F.sum("value") * 0.001).alias("__cut"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .where(F.col("__v") > F.col("__cut"))
+        .select("ps_partkey", F.round(F.col("__v"), 2).alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    gated=False,  # outer-join family; distribution agg over agg
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13: customer order-count distribution — LEFT OUTER join with a
+    join-side filter (the o_comment NOT LIKE predicate adapted to
+    o_orderstatus <> 'P'), then an aggregate over an aggregate.
+    count(o_orderkey) counts only matched rows, so customers with no
+    qualifying orders land in the c_count=0 bucket."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    gated=False,  # nested-semi-join family gated via tpch_q4/join_semi_bloom
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS shipped
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+        ) sp
+        WHERE shipped > (SELECT 0.5 * avg(shipped) FROM (
+          SELECT sum(l_quantity) AS shipped
+          FROM lineitem
+          WHERE l_partkey = sp.l_partkey
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+        ) per_supp)
+      )
+    """,
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """Q20: suppliers who moved an outsized share of a part family
+    (availqty > half the shipped qty adapted to shipped > half the
+    per-part average, partsupp being absent). The correlated average
+    decorrelates to a window over the (suppkey, partkey) rollup —
+    same rows, one pass, no second scan of lineitem."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7"))
+    sp = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("shipped"))
+    )
+    cut = (0.5 * F.avg("shipped").over(W.partitionBy("l_partkey"))).alias("__cut")
+    excess = (
+        sp.withColumn("__cut", cut)
+        .where(F.col("shipped") > F.col("__cut"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    gated=False,  # exists/not-exists family gated via tpch_q4 + anti-join query
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21: suppliers who alone held up a multi-supplier order
+    (lateness adapted to shipdate > orderdate + 90 days; the original's
+    receipt/commit dates are absent). The EXISTS / NOT EXISTS pair is
+    decorrelated into one per-order aggregate: an order counts for
+    supplier s iff its late-supplier set is exactly {s} and it has
+    ≥2 distinct suppliers — one shuffle on l_orderkey instead of two
+    correlated re-scans of lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__nsupp"),
+            F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__nlate"),
+            F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+            # the oracle's count(*) counts qualifying l1 ROWS — a
+            # supplier late on two lines of one order counts twice
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__late_lines"),
+        )
+        .where((F.col("__nlate") == 1) & (F.col("__nsupp") > 1))
+    )
+    return (
+        per_order.join(s, F.col("__late_supp") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").alias("numwait"))
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
