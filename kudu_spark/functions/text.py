@@ -219,6 +219,81 @@ def fingerprint_sql() -> str:
     )
 
 
+# -- Gopher-style quality rules ----------------------------------------------------
+
+# Thresholds follow the published Gopher (Rae et al. 2021, arXiv
+# 2112.11446 §A.1.1) data-quality heuristics, adapted to the bounds
+# that are computable from the driver's plain-text corpus. All
+# rational arithmetic — both engines agree bit-for-bit pre-round.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.6
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_cols(col: str = "text") -> list[Column]:
+    """Gopher repetition-free quality signals + the accept/reject
+    verdict, all as codegen array expressions (map-only at any scale).
+    mean word length uses total chars of words / word count (split
+    already consumed the separators)."""
+    t = F.split(F.lower(F.col(col)), " ")
+    n = F.size(t)
+    word_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = word_chars.cast("double") / n.cast("double")
+    ellipsis = F.size(F.filter(t, lambda x: x.endswith("...")))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    stops = F.size(F.filter(t, lambda x: x.isin(*ALL_STOPWORDS)))
+    passed = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (ellipsis.cast("double") / n.cast("double") <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha.cast("double") / n.cast("double") >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (stops >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return [
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha.cast("double") / n.cast("double"), 4).alias("alpha_word_ratio"),
+        stops.cast("bigint").alias("stopword_hits"),
+        passed.alias("gopher_pass"),
+    ]
+
+
+def gopher_sql(col: str = "text") -> str:
+    stops = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           CAST(__n AS BIGINT) AS n_words,
+           round(__wc / __n, 4) AS mean_word_len,
+           round(__alpha / __n, 4) AS alpha_word_ratio,
+           CAST(__stops AS BIGINT) AS stopword_hits,
+           (__n >= {GOPHER_MIN_WORDS} AND __n <= {GOPHER_MAX_WORDS}
+            AND __wc / __n >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND __wc / __n <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND __ell / __n <= {GOPHER_MAX_ELLIPSIS_RATIO}
+            AND __alpha / __n >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+            AND __stops >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+    FROM (
+      SELECT doc_id,
+             CAST(len(__t) AS DOUBLE) AS __n,
+             CAST(list_sum(list_transform(__t, x -> length(x))) AS DOUBLE) AS __wc,
+             CAST(len(list_filter(__t, x -> x LIKE '%...')) AS DOUBLE) AS __ell,
+             CAST(len(list_filter(__t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS __alpha,
+             CAST(len(list_filter(__t, x -> x IN ({stops}))) AS DOUBLE) AS __stops
+      FROM (SELECT doc_id, string_split(lower({col}), ' ') AS __t FROM documents)
+    )
+    """
+
+
 # -- PII scrubbing ----------------------------------------------------------------
 
 # Portable regex subset (Java regex AND RE2/DuckDB agree): applied in

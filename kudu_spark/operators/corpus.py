@@ -1,0 +1,309 @@
+"""Corpus-level training-data operators: repetition signals,
+benchmark decontamination, stratified sampling, domain mixing, and
+vocabulary building.
+
+These complement the per-document codegen expressions in
+functions.text with the operators that need a shuffle — each is
+shaped so the shuffle is the minimal one:
+
+- repetition_stats: explode -> two-level partial aggregation keyed by
+  (doc_id, token). Map-side combine collapses each partition's token
+  runs before the exchange, so the shuffle carries O(distinct tokens
+  per doc), not O(tokens). No per-doc quadratic array scans — the
+  O(n * distinct) array-lambda alternative melts on 100 KB documents.
+- decontaminate: the benchmark side (eval sets — thousands of docs,
+  not billions) collapses to a distinct shingle set that the planner
+  broadcasts; the training corpus is probed with a semi join and never
+  shuffles on content. This is the industry-standard n-gram-overlap
+  decontamination (e.g. GPT-3 appendix C / PaLM §6) re-expressed as
+  two Catalyst joins.
+- stratified_sample / domain_mix: deterministic rank-based sampling —
+  row_number over md5(text) within each stratum. One shuffle keyed by
+  the stratum; quotas are computed from a 1-row-per-stratum aggregate
+  that broadcasts. md5 ordering gives a uniform, seedless,
+  reproducible sample (the same rows survive on every cluster size —
+  rand(seed) does NOT give that guarantee across partitionings).
+- vocabulary: the classic word-count top-k: explode -> partial-agg
+  count -> one shuffle on token -> global top-k. At 100 TB the
+  explode output is huge but the map-side combine bounds the exchange
+  by |vocab| per partition.
+
+No Python UDFs anywhere — every expression is JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kudu_spark.functions import text as TX
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A.1.1 repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals: type-token ratio complement
+    (dup_word_ratio), most-frequent-token share (top_token_ratio) and
+    most-frequent-bigram share (top_2gram_ratio).
+
+    Plan: one explode per granularity -> groupBy(doc_id, gram) with
+    map-side partial counts -> per-doc max/sum. Returns one row per
+    input doc (empty docs get 0 ratios)."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select("doc_id", t.alias("__t"))
+
+    words = base.select("doc_id", F.explode("__t").alias("g"))
+    word_stats = (
+        words.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("__n"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.max("c").alias("__top"),
+        )
+        .select(
+            "doc_id",
+            F.round(1.0 - F.col("__distinct") / F.col("__n"), 4).alias("dup_word_ratio"),
+            F.round(F.col("__top") / F.col("__n"), 4).alias("top_token_ratio"),
+        )
+    )
+
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("__n"), F.max("c").alias("__top"))
+        .select(
+            "doc_id", F.round(F.col("__top") / F.col("__n"), 4).alias("top_2gram_ratio")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(word_stats, "doc_id", "left_outer")
+        .join(bigram_stats, "doc_id", "left_outer")
+        .na.fill({"dup_word_ratio": 0.0, "top_token_ratio": 0.0, "top_2gram_ratio": 0.0})
+    )
+
+
+def repetition_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(t) AS g FROM toks
+    ), wcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM words GROUP BY doc_id, g
+    ), wstat AS (
+      SELECT doc_id,
+             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_word_ratio,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_ratio
+      FROM wcnt GROUP BY doc_id
+    ), bigrams AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1] for i in range(1, len(t))] ELSE [] END) AS g
+      FROM toks
+    ), bcnt AS (
+      SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g
+    ), bstat AS (
+      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_2gram_ratio
+      FROM bcnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(w.dup_word_ratio, 0.0) AS dup_word_ratio,
+           coalesce(w.top_token_ratio, 0.0) AS top_token_ratio,
+           coalesce(b.top_2gram_ratio, 0.0) AS top_2gram_ratio
+    FROM documents d
+      LEFT JOIN wstat w ON d.doc_id = w.doc_id
+      LEFT JOIN bstat b ON d.doc_id = b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop training documents sharing any word n-gram shingle with a
+    benchmark document. Returns surviving train rows (doc_id only).
+
+    Plan: benchmark -> distinct shingles (small side: eval sets are
+    thousands of docs; the planner broadcasts it / AQE keeps it on the
+    build side), train -> exploded shingles -> ONE semi join marks
+    contaminated ids -> anti join filters. The train corpus never
+    shuffles on shingle content beyond the exploded probe."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    bench_shingles = (
+        benchmark.select(F.explode(TX.shingles_from(t)).alias("s")).distinct()
+    )
+    train_shingles = train.select(
+        "doc_id", F.explode(TX.shingles_from(t)).alias("s")
+    )
+    contaminated = (
+        train_shingles.join(bench_shingles, "s", "left_semi").select("doc_id").distinct()
+    )
+    return train.select("doc_id").join(contaminated, "doc_id", "left_anti")
+
+
+def decontaminate_sql(bench_pred: str, shingles_list_sql: str) -> str:
+    """Oracle: train = NOT bench_pred, benchmark = bench_pred."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t, {bench_pred} AS is_bench
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_bench, unnest({shingles_list_sql}) AS s FROM toks
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE is_bench
+    ), bad AS (
+      SELECT DISTINCT doc_id FROM sh WHERE NOT is_bench AND s IN (SELECT s FROM bench)
+    )
+    SELECT doc_id FROM toks
+    WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling / domain mixing
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame, stratum_col: str, n_per_stratum: int, text_col: str = "text"
+) -> DataFrame:
+    """Exactly n rows per stratum (fewer if the stratum is smaller),
+    chosen by md5(text) rank — uniform over content, deterministic on
+    any cluster/partitioning. One shuffle keyed by the stratum."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(text_col)), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_per_stratum)
+        .select("doc_id", stratum_col)
+    )
+
+
+def stratified_sample_sql(stratum_col: str, n_per_stratum: int) -> str:
+    return f"""
+    SELECT doc_id, {stratum_col} FROM (
+      SELECT doc_id, {stratum_col},
+             row_number() OVER (PARTITION BY {stratum_col}
+                                ORDER BY md5(text), doc_id) AS __r
+      FROM documents
+    ) WHERE __r <= {n_per_stratum}
+    """
+
+
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str,
+    total_target: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-weighted domain mixing: domain d gets a quota
+    proportional to count(d)^alpha (alpha<1 upweights small domains —
+    the multilingual-sampling temperature trick), rows chosen by
+    md5(text) rank within the domain. Quotas come from a per-domain
+    aggregate (|domains| rows — broadcast); the only big shuffle is
+    the one keyed by domain.
+
+    power() is correctly rounded IEEE in both engines for these
+    magnitudes, and quota boundaries are integers, so floor() is
+    stable across engines."""
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(
+        domain_col, F.pow(F.col("__n").cast("double"), F.lit(alpha)).alias("__w")
+    )
+    total_w = weights.agg(F.sum("__w").alias("__tw"))
+    quotas = weights.join(F.broadcast(total_w)).select(
+        domain_col,
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(total_target)) * F.col("__w") / F.col("__tw")).cast("int"),
+        ).alias("__quota"),
+    )
+    w = Window.partitionBy(domain_col).orderBy(F.md5(F.col(text_col)), F.col("doc_id"))
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(quotas), domain_col)
+        .where(F.col("__r") <= F.col("__quota"))
+        .select("doc_id", domain_col)
+    )
+
+
+def domain_mix_sql(domain_col: str, total_target: int, alpha: float = 0.5) -> str:
+    return f"""
+    WITH w AS (
+      SELECT {domain_col}, pow(CAST(count(*) AS DOUBLE), {alpha}) AS wgt
+      FROM documents GROUP BY {domain_col}
+    ), q AS (
+      SELECT {domain_col},
+             greatest(1, CAST(floor({float(total_target)} * wgt
+               / (SELECT sum(wgt) FROM w)) AS INT)) AS quota
+      FROM w
+    ), ranked AS (
+      SELECT doc_id, {domain_col},
+             row_number() OVER (PARTITION BY {domain_col}
+                                ORDER BY md5(text), doc_id) AS __r
+      FROM documents
+    )
+    SELECT doc_id, {domain_col} FROM ranked JOIN q USING ({domain_col})
+    WHERE __r <= quota
+    """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (corpus word-count top-k)
+# ---------------------------------------------------------------------------
+
+
+def vocabulary_topk(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k corpus tokens by frequency (ties broken by token).
+    explode -> count (map-side combined) -> global top-k. The final
+    rank is a single-partition window over at most |vocab| rows —
+    bounded, since counts were already merged per token."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    counts = (
+        docs.select(F.explode(t).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("token", "freq", "rank")
+    )
+
+
+def vocabulary_sql(k: int) -> str:
+    return f"""
+    SELECT token, freq, rank FROM (
+      SELECT token, count(*) AS freq,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      GROUP BY token
+    ) WHERE rank <= {k}
+    """

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kudu_spark.functions import text as TX
+from kudu_spark.operators import corpus as CP
 from kudu_spark.operators import dedup as DD
 from kudu_spark.operators import packing as PK
 from kudu_spark.operators import similarity as SIM
@@ -481,6 +482,84 @@ def text_pii_scrub(spark, sf_dir):
         ).alias("__t"),
     )
     return salted.select("doc_id", *TX.pii_scrub_cols("__t"))
+
+
+@query(
+    "text_gopher_quality",
+    oracle=TX.gopher_sql(),
+    gated=False,  # quality family gated via text_quality_score
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-rule document quality: word-count bounds, mean word
+    length, alphabetic-word and ellipsis ratios, stopword presence —
+    the published pretraining heuristics as pure codegen expressions
+    plus the combined accept/reject verdict."""
+    return load(spark, sf_dir, "documents").select("doc_id", *TX.gopher_cols())
+
+
+@query(
+    "text_repetition",
+    oracle=CP.repetition_sql(),
+    gated=False,  # repetition signals; same oracle via pytest
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher repetition filters):
+    duplicate-word ratio, top-token share, top-bigram share — shaped
+    as explode + two-level partial aggregation, not per-doc quadratic
+    array scans."""
+    return CP.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=CP.decontaminate_sql("source = 'src0'", _SHINGLES_LIST_SQL),
+    gated=False,  # dedup/anti-join families gated; pytest runs the oracle
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training docs sharing any word
+    3-gram with the held-out set (source='src0' stands in for an eval
+    benchmark). Benchmark shingles broadcast; train is probed with one
+    semi join."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return CP.decontaminate(train, bench)
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=CP.stratified_sample_sql("lang", 40),
+    gated=False,  # sampling family; pytest runs the oracle
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 40 docs per language
+    ranked by md5(text) — reproducible across cluster sizes, unlike
+    rand(seed) whose draw depends on partitioning."""
+    return CP.stratified_sample(load(spark, sf_dir, "documents"), "lang", 40)
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=CP.domain_mix_sql("source", 200, alpha=0.5),
+    gated=False,  # sampling family; pytest runs the oracle
+)
+def pipeline_domain_mix(spark, sf_dir):
+    """Temperature-weighted domain mixing (quota ∝ count^0.5): the
+    multilingual/domain re-balancing step of a pretraining data mix,
+    deterministic via md5-rank selection within each domain."""
+    return CP.domain_mix(load(spark, sf_dir, "documents"), "source", 200, alpha=0.5)
+
+
+@query(
+    "corpus_vocabulary",
+    oracle=CP.vocabulary_sql(100),
+    gated=False,  # agg/top-k families gated via scan_limit_topk etc.
+)
+def corpus_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by frequency — explode +
+    map-side-combined counts; the final rank windows only |vocab|
+    already-merged rows."""
+    return CP.vocabulary_topk(load(spark, sf_dir, "documents"), 100)
 
 
 @query(
