@@ -785,6 +785,83 @@ def scan_json_props(spark, sf_dir):
 
 
 @query(
+    "join_asof_purchase",
+    gated=False,  # join family gated via join_*; pytest runs the oracle
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p0 AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), p AS (
+      SELECT * FROM p0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY purchase_id DESC) = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.purchase_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_purchase(spark, sf_dir):
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before it (operators.temporal.asof_join — the
+    union + window carry-forward sort-merge; DuckDB's native ASOF
+    JOIN is the oracle)."""
+    from kudu_spark.operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value"),
+    )
+    return asof_join(clicks, purchases, on="user_id")
+
+
+@query(
+    "join_range_open_windows",
+    gated=False,  # join family gated via join_*; pytest runs the oracle
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), iv AS (
+      SELECT user_id, ts AS iv_start, ts + INTERVAL 2 HOUR AS iv_end
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.event_id, count(*) AS n
+      FROM clicks c JOIN iv ON c.user_id = iv.user_id
+        AND iv.iv_start <= c.ts AND c.ts < iv.iv_end
+      GROUP BY 1
+    )
+    SELECT c.event_id, coalesce(m.n, 0) AS n_open
+    FROM clicks c LEFT JOIN m USING (event_id)
+    """,
+)
+def join_range_open_windows(spark, sf_dir):
+    """Point-in-interval range join: how many of the user's 2-hour
+    post-purchase windows each click falls inside
+    (operators.temporal.range_point_interval_join — interval
+    bucketization turns the inequality into an equi-join; the oracle
+    is the plain theta join, viable only at oracle scale)."""
+    from kudu_spark.operators.temporal import range_point_interval_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("iv_end"),
+    )
+    hits = range_point_interval_join(
+        clicks, iv, on="user_id", point_ts="ts",
+        start_ts="iv_start", end_ts="iv_end", bucket="1 hour",
+    )
+    counts = hits.groupBy("event_id").agg(F.count(F.lit(1)).alias("__n"))
+    return clicks.select("event_id").join(counts, "event_id", "left_outer").select(
+        "event_id", F.coalesce(F.col("__n"), F.lit(0).cast("bigint")).alias("n_open")
+    )
+
+
+@query(
     "window_session_events",
     oracle="""
     WITH ordered AS (
