@@ -35,13 +35,28 @@ def write_stream(
     available_now: bool = False,
     processing_time: str | None = None,
     query_name: str | None = None,
+    dedup_keys: list[str] | None = None,
+    dedup_ts_col: str = "ts",
+    dedup_watermark: str = "10 minutes",
 ):
     """Start a streaming write into an engine table (≈ KuduSink).
 
     ``op`` picks the mutation ( upsert default, like the connector's
-    OperationType default for streams)."""
+    OperationType default for streams).
+
+    ``dedup_keys`` inserts a watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``) before the sink: an
+    at-least-once upstream (replayed Kafka offsets, retried file
+    batches) lands effectively-once even for ``op='insert'``, which
+    would otherwise raise on the duplicate PK. State is per-key in
+    the state store and expires with the watermark — bounded by key
+    cardinality per window, not stream length."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
+    if dedup_keys:
+        stream_df = stream_df.withWatermark(
+            dedup_ts_col, dedup_watermark
+        ).dropDuplicatesWithinWatermark(dedup_keys)
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.isEmpty():

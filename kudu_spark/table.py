@@ -134,7 +134,6 @@ class Table:
         self.name = name
         self.root = root
         self._bucket_cache: dict = {}
-        self._delta_bloom_cache: dict = {}  # frozenset(delta paths) -> BloomFilter
         import threading
 
         self._maint_lock = threading.Lock()  # one async maintenance run per handle
@@ -542,62 +541,81 @@ class Table:
             bool(dirty_base) and bool(dirty_delta)
             and min(f.seq for f in dirty_delta) > max(f.seq for f in dirty_base)
         )
-        if (dirty_base and dirty_delta and
-                (deltas_newer or
-                 (delta_rows * 4 <= base_rows and 0 < key_bytes <= max(bcast, 0)))):
+        if dirty_base and dirty_delta and deltas_newer:
             # cost-based merge plan (manifest row counts decide, like
-            # Kudu's delta-relevancy checks). Base rows whose PK no
-            # delta touches stream from parquet behind an anti join
+            # Kudu's delta-relevancy checks). Every delta outranks
+            # every base row, so a contested key's winner is simply
+            # its newest DELTA: base rows of contested keys never win
+            # and need not be read at all. Base rows whose PK no delta
+            # touches stream from parquet behind a BROADCAST anti join
             # against the delta keys — predicates and projection push
-            # below the join into the scan, which the global window
-            # below can never allow. Keys absent from every delta are
-            # unique in the base by the insert dup-check, so streaming
-            # them is exact.
+            # below the join into the scan (which a global window can
+            # never allow) and the base never shuffles. Keys absent
+            # from every delta are unique in the base by the insert
+            # dup-check, so streaming them is exact.
+            #
+            # Key sets past one broadcast's budget are split by
+            # PARTITION into groups that each fit (base and delta
+            # files of a hash/range partition hold the same key space
+            # — Kudu's rowset locality): G groups = G broadcast anti
+            # joins over disjoint slices of the base, still zero base
+            # shuffle. (An earlier bloom-split variant shipped the
+            # bitset as an array literal; py4j literal construction is
+            # O(seconds) past ~100k words, so it could never scale
+            # past the broadcast threshold it was meant to relieve.)
+            groups = self._group_dirty_by_broadcast(
+                dirty_base, dirty_delta, 64 * max(1, len(pk)), max(bcast, 0)
+            )
+            if groups is not None:
+                parts = []
+                for base_g, delta_g in groups:
+                    df_delta_g = self._read_files(st, delta_g)
+                    if len({f.seq for f in delta_g}) == 1:
+                        merged_g = (
+                            df_delta_g if include_deleted
+                            else df_delta_g.where(~F.col(DEL_COL))
+                        )
+                    else:
+                        merged_g = merge(df_delta_g)
+                    df_base_g = self._read_files(st, base_g)
+                    if df_base_g is None:
+                        parts.append(merged_g)
+                        continue
+                    # no distinct: anti joins tolerate duplicate build
+                    # keys, and dropping it saves a whole shuffle stage
+                    keys_g = F.broadcast(df_delta_g.select(*pk))
+                    parts.append(
+                        df_base_g.join(keys_g, on=pk, how="left_anti")
+                        .unionByName(merged_g)
+                    )
+                df_dirty = parts[0]
+                for p in parts[1:]:
+                    df_dirty = df_dirty.unionByName(p)
+            else:
+                # delta set too large for bounded broadcasts (a big
+                # fraction of the table is dirty): plain anti join —
+                # the planner shuffles base + keys, predicates still
+                # push below the join. Compaction is the real remedy
+                # in this regime and auto-compaction is already
+                # triggering on the ratio.
+                df_base = self._read_files(st, dirty_base)
+                df_delta = self._read_files(st, dirty_delta)
+                df_dirty = (
+                    df_base.join(df_delta.select(*pk), on=pk, how="left_anti")
+                    .unionByName(merge_deltas(df_delta))
+                )
+        elif (dirty_base and dirty_delta
+              and delta_rows * 4 <= base_rows and 0 < key_bytes <= max(bcast, 0)):
+            # reinsert-after-delete present: a base row may outrank
+            # a delta, so contested keys window over base + delta
+            # (second base scan via the reused broadcast; this arm
+            # keeps the broadcastability requirement).
             df_base = self._read_files(st, dirty_base)
             df_delta = self._read_files(st, dirty_delta)
-            # no distinct: semi/anti joins tolerate duplicate build keys,
-            # and dropping it saves a whole shuffle stage
             keys = df_delta.select(*pk)
-            if deltas_newer and key_bytes > max(bcast, 0):
-                # over-broadcast-threshold key set: a plain anti join
-                # would shuffle EVERY base row (all columns) for the
-                # sort-merge. Split it with a bloom over the delta keys
-                # (≈ Kudu's per-rowset bloom probe deciding delta
-                # relevancy, tablet/tablet.cc:116-124): bloom-negative
-                # rows are PROVABLY uncontested (no false negatives)
-                # and stream straight from the scan; only the ~fpp+hit
-                # fraction pays the exact anti join. O(delta) shuffle
-                # instead of O(base).
-                bf = self._delta_key_bloom(st, dirty_delta, df_delta, delta_rows)
-                if bf is not None:
-                    keyh = F.xxhash64(*[F.col(c) for c in pk], F.lit(-7))
-                    sure = df_base.where(~bf.might_contain(keyh))
-                    maybe = df_base.where(bf.might_contain(keyh))
-                    uncontested = sure.unionByName(
-                        maybe.join(keys, on=pk, how="left_anti")
-                    )
-                else:
-                    uncontested = df_base.join(keys, on=pk, how="left_anti")
-            else:
-                uncontested = df_base.join(keys, on=pk, how="left_anti")
-            if deltas_newer:
-                # every delta outranks every base row, so a contested
-                # key's winner is simply its newest DELTA: base rows of
-                # contested keys never win and need not be read at all.
-                # The base feeds ONE anti join (broadcast when the key
-                # set fits, else the bloom-split above) and the
-                # last-write-wins dedup runs over the deltas only —
-                # O(delta) shuffle, independent of base size (≈ Kudu
-                # skipping base data when the delta fully redacts it,
-                # tablet/delta_store.h REDOs).
-                df_dirty = uncontested.unionByName(merge_deltas(df_delta))
-            else:
-                # reinsert-after-delete present: a base row may outrank
-                # a delta, so contested keys window over base + delta
-                # (second base scan via the reused broadcast; this arm
-                # keeps the broadcastability requirement above).
-                contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
-                df_dirty = uncontested.unionByName(merge(contested))
+            uncontested = df_base.join(keys, on=pk, how="left_anti")
+            contested = df_base.join(keys, on=pk, how="left_semi").unionByName(df_delta)
+            df_dirty = uncontested.unionByName(merge(contested))
         else:
             # delta-heavy partitions (or delta-only): one global window
             df_dirty = self._read_files(st, dirty)
@@ -624,33 +642,63 @@ class Table:
     # bloom-split anti join: key sets past this bound skip the bloom
     # (its word-array literal would bloat every task's plan) and take
     # the plain sort-merge anti join instead
-    DELTA_BLOOM_MAX_KEYS = 4_000_000
+    # grouped-broadcast merge knobs: a group's delta keys must fit one
+    # broadcast (>= this floor even under a tiny configured threshold);
+    # more than DELTA_MAX_GROUPS groups falls back to the shuffled anti
+    # join (that much dirty data means compaction, not plan tricks)
+    DELTA_BROADCAST_FLOOR_BYTES = 4 << 20
+    DELTA_MAX_GROUPS = 16
 
-    def _delta_key_bloom(self, st: TableState, dirty_delta: list[FileEntry],
-                         df_delta, delta_rows: int):
-        """Bloom filter over the delta key set, built once per delta
-        file set and cached (delta files are immutable, so the cache
-        can never go stale). ~8 bits/key: 1M delta keys cost a ~1 MB
-        plan literal probed in WholeStageCodegen — far cheaper than
-        shuffling the whole base for a sort-merge anti join. Returns
-        None past DELTA_BLOOM_MAX_KEYS."""
-        if not delta_rows or delta_rows > self.DELTA_BLOOM_MAX_KEYS:
+    def _group_dirty_by_broadcast(
+        self,
+        dirty_base: list["FileEntry"],
+        dirty_delta: list["FileEntry"],
+        per_key_bytes: int,
+        bcast_bytes: int,
+    ):
+        """Bin-pack dirty PARTITIONS so each group's delta-key set
+        fits one broadcast build (sized with the realistic ~64 B/key
+        HashedRelation constant). A partition is atomic — its base and
+        delta files share a key space, so grouping by partition keeps
+        each broadcast anti join exact over its slice of the base.
+        Returns a list of (base_files, delta_files) groups, or None
+        when broadcasting is disabled outright (threshold <= 0), the
+        plan would need more than DELTA_MAX_GROUPS broadcasts (delta
+        is a huge fraction of the table — compaction territory), or a
+        single partition's deltas alone overflow double the budget
+        (unbroadcastable either way)."""
+        if bcast_bytes <= 0:
             return None
-        key = frozenset(f.path for f in dirty_delta)
-        bf = self._delta_bloom_cache.get(key)
-        if bf is None:
-            from kudu_spark.plans.bloom import BloomFilter
+        target = max(bcast_bytes, self.DELTA_BROADCAST_FLOOR_BYTES)
 
-            pk = st.schema.pk
-            keyh = F.xxhash64(*[F.col(c) for c in pk], F.lit(-7))
-            bf = BloomFilter.from_df(
-                df_delta.select(keyh.alias("__k")), "__k",
-                expected_items=delta_rows, fpp=0.02,
-            )
-            if len(self._delta_bloom_cache) > 8:  # old delta sets are dead
-                self._delta_bloom_cache.clear()
-            self._delta_bloom_cache[key] = bf
-        return bf
+        def pkey(f):
+            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+        by_part: dict = {}
+        for f in dirty_delta:
+            by_part.setdefault(pkey(f), ([], []))[1].append(f)
+        for f in dirty_base:
+            by_part.setdefault(pkey(f), ([], []))[0].append(f)
+        sizes = {
+            p: sum(f.rows for f in d) * per_key_bytes for p, (_, d) in by_part.items()
+        }
+        if sizes and max(sizes.values()) > 2 * target:
+            return None
+        # first-fit decreasing
+        bins: list[list] = []  # [remaining, base_files, delta_files]
+        for p in sorted(by_part, key=lambda p: -sizes[p]):
+            b, d = by_part[p]
+            for bin_ in bins:
+                if bin_[0] >= sizes[p]:
+                    bin_[0] -= sizes[p]
+                    bin_[1] += b
+                    bin_[2] += d
+                    break
+            else:
+                bins.append([target - sizes[p], list(b), list(d)])
+        if len(bins) > self.DELTA_MAX_GROUPS:
+            return None
+        return [(b, d) for _, b, d in bins]
 
     def _split_disjoint_bases(self, st: TableState, clean: list[FileEntry],
                               dirty: list[FileEntry]):

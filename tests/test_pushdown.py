@@ -470,23 +470,55 @@ def test_pk_disjoint_base_files_stream_clean(engine, spark):
     assert len(got) == 200 and got[5] == 50 and got[1005] == 10051 and got[1050] == 10500
 
 
-def test_bloom_split_anti_join_over_threshold(engine, spark):
-    """Delta key sets too large to broadcast must NOT shuffle the whole
-    base for a sort-merge anti join: a bloom over the delta keys lets
-    provably-uncontested base rows bypass the join (no false
-    negatives), with only bloom-positive rows paying the exact join."""
-    t = engine.create_table("bl", SCHEMA, pk=["k"])
+def test_grouped_broadcast_anti_join_over_threshold(engine, spark):
+    """Delta key sets too large for ONE broadcast must NOT shuffle the
+    whole base for a sort-merge anti join: dirty partitions are
+    bin-packed into groups whose key sets each fit a broadcast, and
+    each group's base slice anti-joins its own broadcast keys — zero
+    base shuffle, G small broadcasts."""
+    t = engine.create_table("bl", SCHEMA, pk=["k"],
+                           hash_partitions=[{"columns": ["k"], "buckets": 8}])
     ddl = "k bigint, v int, s string"
     t.insert(spark.createDataFrame([(k, k * 10, f"s{k}") for k in range(1000)], ddl))
     t.upsert(spark.createDataFrame(
         [(k, k * 10 + 1, "u") for k in range(100)], ddl))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    orig_floor = type(t).DELTA_BROADCAST_FLOOR_BYTES
+    type(t).DELTA_BROADCAST_FLOOR_BYTES = 2048  # force multi-group packing
     try:
         df = t.scan()
         plan = plan_of(df)
-        assert "getbit" in plan.lower(), "bloom probe missing from the plan"
+        assert "SortMergeJoin" not in plan, "base must not shuffle for the anti join"
+        assert plan.count("BroadcastHashJoin") >= 2, (
+            "expected multiple grouped broadcast anti joins:\n" + plan
+        )
         got = {r.k: r.v for r in df.collect()}
     finally:
+        type(t).DELTA_BROADCAST_FLOOR_BYTES = orig_floor
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert len(got) == 1000 and got[5] == 51 and got[999] == 9990
+
+
+def test_grouped_broadcast_falls_back_when_everything_dirty(engine, spark):
+    """Past DELTA_MAX_GROUPS broadcast groups the plan degrades to the
+    shuffled anti join (not the global window): predicates still push
+    below the join and results stay exact."""
+    t = engine.create_table("bl2", SCHEMA, pk=["k"],
+                           hash_partitions=[{"columns": ["k"], "buckets": 8}])
+    ddl = "k bigint, v int, s string"
+    t.insert(spark.createDataFrame([(k, k * 10, f"s{k}") for k in range(400)], ddl))
+    t.upsert(spark.createDataFrame([(k, 7, "u") for k in range(0, 400, 2)], ddl))
+    orig_floor = type(t).DELTA_BROADCAST_FLOOR_BYTES
+    orig_groups = type(t).DELTA_MAX_GROUPS
+    type(t).DELTA_BROADCAST_FLOOR_BYTES = 64
+    type(t).DELTA_MAX_GROUPS = 1
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try:
+        got = {r.k: r.v for r in t.scan().collect()}
+    finally:
+        type(t).DELTA_BROADCAST_FLOOR_BYTES = orig_floor
+        type(t).DELTA_MAX_GROUPS = orig_groups
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(got) == 400 and got[2] == 7 and got[3] == 30

@@ -276,6 +276,31 @@ def test_sink_write_stream_upsert(engine, spark, tmp_path):
     assert t.version >= 2  # one commit per micro-batch
 
 
+def test_sink_write_stream_dedup_exactly_once_insert(engine, spark, tmp_path):
+    """At-least-once upstream -> effectively-once landing: the same
+    rows delivered in two micro-batches pass through the watermark
+    dedup, so op='insert' (which raises on duplicate PKs) succeeds
+    and each key lands once."""
+    t = engine.create_table("dedup_sunk", SCHEMA, pk=["k"])
+    src_dir = tmp_path / "dedup-in"
+    src_dir.mkdir()
+    # k >= 1: rows() maps k to epoch+k seconds, and k=0 would equal
+    # Spark's initial watermark (epoch) and be dropped as late
+    batch = rows(spark, range(1, 11)).coalesce(1)
+    batch.write.mode("append").parquet(str(src_dir))
+    batch.write.mode("append").parquet(str(src_dir))  # redelivery
+    stream = spark.readStream.schema(
+        "k bigint, v int, ts timestamp, s string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+    q = write_stream(
+        stream, t, op="insert",
+        checkpoint=str(tmp_path / "dedup-ckpt"), available_now=True,
+        dedup_keys=["k"], dedup_ts_col="ts", dedup_watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    assert t.scan().count() == 10
+
+
 def test_apply_changes_from_diff_scan(engine, spark):
     t, v_ins, _, _ = mutated_table(engine, spark)
     dst = engine.create_table("restored", SCHEMA, pk=["k"])
