@@ -90,25 +90,49 @@ def minhash_signatures(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame
     )
 
 
+def minhash_signature_row(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """One row per doc with mh0..mh{seeds-1} columns: the seed
+    "fan-out" is `seeds` independent min-aggregates over the SAME
+    materialized h attribute — no row duplication at all. One
+    groupBy(doc_id) with map-side partial mins; the shuffle carries
+    one (doc, seeds-wide) row per doc per map partition, an 8x row
+    reduction over the crossJoin + (doc, seed) rollup it replaces
+    (and `h` flows through the explode boundary as an attribute, so
+    each shingle is still hashed exactly once — the CollapseProject
+    re-evaluation trap documented above only bites same-projection
+    aliases)."""
+    sh = (
+        _spread(docs)
+        .withColumn("__t", tokens_expr())
+        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h"))
+    )
+    return sh.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{s}")
+        for s, (a, b) in enumerate(minhash_perms(seeds))
+    ])
+
+
 def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = LSH_BANDS) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band.
-    Downstream shuffles are keyed on (doc, band) and md5(band slice)
-    — collision buckets only, never document content."""
+    Downstream shuffles are keyed on md5(band slice) — collision
+    buckets only, never document content. Band keys come straight off
+    the wide signature row (seed order = column order, identical
+    strings to the former sorted collect_list formulation)."""
     r = seeds // bands
-    sig = minhash_signatures(docs, seeds).withColumn(
-        "band", (F.col("seed") / r).cast("int")
-    )
-    band_key = sig.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                ",",
-            )
-        ).alias("bkey")
-    )
+    sig = minhash_signature_row(docs, seeds)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * r + i}").cast("string") for i in range(r)
+            ])).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    band_key = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("__bk")
+    ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.bkey").alias("bkey"))
     a = band_key.alias("a")
     b = band_key.alias("b")
     return (

@@ -372,16 +372,21 @@ def pipeline_clean_corpus(spark, sf_dir):
     each candidate pair). Every stage composes as DataFrames, so
     Catalyst sees one plan end-to-end — the shape a 100 TB corpus
     clean actually runs."""
+    from pyspark.sql import Window as _W
+
     docs = load(spark, sf_dir, "documents")
     q = TX.quality_cols()[2]  # quality_score
     good = docs.select("doc_id", "text", q).where(
         F.col("quality_score") >= QUALITY_CUT
     )
+    # exact dedup inline (keep min doc_id per content hash) — one
+    # window carrying text forward, instead of exact_duplicates() plus
+    # a join back to `good` that re-scans and re-scores the corpus
     canon = (
-        DD.exact_duplicates(good)
-        .where(~F.col("is_dup"))
-        .select("doc_id")
-        .join(good, "doc_id")
+        good.withColumn(
+            "__c", F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("__c"))
         .select("doc_id", "text")
     )
     dup_ids = (
