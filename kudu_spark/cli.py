@@ -14,6 +14,7 @@ src/kudu/tools/tool_action_table.cc and table_scanner.cc).
     python -m kudu_spark.cli locate-row --warehouse WH TABLE --pk '{"k": 5}'
     python -m kudu_spark.cli loadgen   --warehouse WH TABLE --rows 100000
     python -m kudu_spark.cli compact   --warehouse WH TABLE [--io-budget-bytes N] [--plan-only]
+    python -m kudu_spark.cli maintenance --warehouse WH [--max-sweeps N]
 
 Predicates use the `kudu table scan` JSON grammar
 (table_scanner.cc:113-131): [op, col, value] with op in <= < = > >=,
@@ -78,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--io-budget-bytes", type=int, default=None)
     sp.add_argument("--plan-only", action="store_true",
                     help="print the budgeted compaction plan, do nothing")
+    sp = sub.add_parser(
+        "maintenance",
+        help="run budget-bounded maintenance sweeps until the delta "
+             "backlog drains (MaintenanceManager model); each sweep "
+             "applies every table's auto-compaction policy once",
+    )
+    sp.add_argument("--max-sweeps", type=int, default=64)
     args = p.parse_args(argv)
 
     eng = _engine(args)
@@ -152,6 +160,14 @@ def main(argv: list[str] | None = None) -> int:
             "table": args.table, "rows": per * args.batches, "batches": args.batches,
             "sec": round(sec, 2), "rows_per_sec": round(per * args.batches / sec),
         }))
+    elif args.cmd == "maintenance":
+        sweeps = 0
+        while sweeps < args.max_sweeps:
+            did = eng.run_maintenance()
+            sweeps += 1
+            if not any(did.values()):
+                break
+        print(json.dumps({"sweeps": sweeps}))
     elif args.cmd == "compact":
         t = eng.table(args.table)
         if args.plan_only:

@@ -54,6 +54,25 @@ STOPWORDS = {
 ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 
+# -- deterministic cross-engine rounding --------------------------------------
+
+# Spark's round(double, n) ties via BigDecimal HALF_UP of the double's
+# exact binary expansion; DuckDB's rounds the scaled double. On values
+# that land within an ulp of a .xxxx5 boundary the two disagree by a
+# full 1e-4 — one row in a few thousand for per-row rational ratios.
+# floor(x*10^n + 0.5)/10^n is the same IEEE op sequence in both
+# engines, so identical inputs give identical outputs (all our rounded
+# ratios are non-negative).
+
+
+def round4(c: Column) -> Column:
+    return F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+
+
+def round4_sql(x: str) -> str:
+    return f"floor(({x}) * 10000.0 + 0.5) / 10000.0"
+
+
 # -- tokenization -------------------------------------------------------------
 
 def tokens_expr(col: str = "text") -> Column:
@@ -171,9 +190,9 @@ def quality_cols() -> list[Column]:
         + (1.0 - F.least(F.lit(1.0), F.abs(avg_len - 5.0) / 10.0)) * 0.2
     )
     return [
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(score, 4).alias("quality_score"),
+        round4(stop_ratio).alias("stopword_ratio"),
+        round4(avg_len).alias("avg_token_len"),
+        round4(score).alias("quality_score"),
     ]
 
 
@@ -181,10 +200,10 @@ def quality_sql() -> str:
     stops = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
     return f"""
     SELECT doc_id,
-           round(__stop / __n, 4) AS stopword_ratio,
-           round(__chars / __n, 4) AS avg_token_len,
-           round(least(1.0, __n / 500.0) * 0.4 + (__stop / __n) * 0.4
-                 + (1.0 - least(1.0, abs(__chars / __n - 5.0) / 10.0)) * 0.2, 4)
+           {round4_sql('__stop / __n')} AS stopword_ratio,
+           {round4_sql('__chars / __n')} AS avg_token_len,
+           {round4_sql('least(1.0, __n / 500.0) * 0.4 + (__stop / __n) * 0.4'
+                       ' + (1.0 - least(1.0, abs(__chars / __n - 5.0) / 10.0)) * 0.2')}
              AS quality_score
     FROM (
       SELECT doc_id,
@@ -261,8 +280,8 @@ def gopher_cols(col: str = "text") -> list[Column]:
     )
     return [
         n.cast("bigint").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha.cast("double") / n.cast("double"), 4).alias("alpha_word_ratio"),
+        round4(mean_len).alias("mean_word_len"),
+        round4(alpha.cast("double") / n.cast("double")).alias("alpha_word_ratio"),
         stops.cast("bigint").alias("stopword_hits"),
         passed.alias("gopher_pass"),
     ]
@@ -273,8 +292,8 @@ def gopher_sql(col: str = "text") -> str:
     return f"""
     SELECT doc_id,
            CAST(__n AS BIGINT) AS n_words,
-           round(__wc / __n, 4) AS mean_word_len,
-           round(__alpha / __n, 4) AS alpha_word_ratio,
+           {round4_sql('__wc / __n')} AS mean_word_len,
+           {round4_sql('__alpha / __n')} AS alpha_word_ratio,
            CAST(__stops AS BIGINT) AS stopword_hits,
            (__n >= {GOPHER_MIN_WORDS} AND __n <= {GOPHER_MAX_WORDS}
             AND __wc / __n >= {GOPHER_MIN_MEAN_WORD_LEN}

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kudu_spark.functions import text as TX
+from kudu_spark.functions.text import round4, round4_sql
 
 
 # ---------------------------------------------------------------------------
@@ -67,8 +68,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select(
             "doc_id",
-            F.round(1.0 - F.col("__distinct") / F.col("__n"), 4).alias("dup_word_ratio"),
-            F.round(F.col("__top") / F.col("__n"), 4).alias("top_token_ratio"),
+            round4(1.0 - F.col("__distinct") / F.col("__n")).alias("dup_word_ratio"),
+            round4(F.col("__top") / F.col("__n")).alias("top_token_ratio"),
         )
     )
 
@@ -92,7 +93,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").alias("__n"), F.max("c").alias("__top"))
         .select(
-            "doc_id", F.round(F.col("__top") / F.col("__n"), 4).alias("top_2gram_ratio")
+            "doc_id", round4(F.col("__top") / F.col("__n")).alias("top_2gram_ratio")
         )
     )
     return (
@@ -113,8 +114,8 @@ def repetition_sql() -> str:
       SELECT doc_id, g, count(*) AS c FROM words GROUP BY doc_id, g
     ), wstat AS (
       SELECT doc_id,
-             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_word_ratio,
-             round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_ratio
+             floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup_word_ratio,
+             floor((max(c) / CAST(sum(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_token_ratio
       FROM wcnt GROUP BY doc_id
     ), bigrams AS (
       SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
@@ -123,7 +124,7 @@ def repetition_sql() -> str:
     ), bcnt AS (
       SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g
     ), bstat AS (
-      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_2gram_ratio
+      SELECT doc_id, floor((max(c) / CAST(sum(c) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS top_2gram_ratio
       FROM bcnt GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -241,7 +242,7 @@ def domain_mix(
         domain_col,
         F.greatest(
             F.lit(1),
-            F.floor(F.lit(float(total_target)) * F.col("__w") / F.col("__tw")).cast("int"),
+            F.floor(F.lit(float(total_target)) * F.col("__w") / F.col("__tw") + F.lit(1e-9)).cast("int"),
         ).alias("__quota"),
     )
     w = Window.partitionBy(domain_col).orderBy(F.md5(F.col(text_col)), F.col("doc_id"))
@@ -261,7 +262,7 @@ def domain_mix_sql(domain_col: str, total_target: int, alpha: float = 0.5) -> st
     ), q AS (
       SELECT {domain_col},
              greatest(1, CAST(floor({float(total_target)} * wgt
-               / (SELECT sum(wgt) FROM w)) AS INT)) AS quota
+               / (SELECT sum(wgt) FROM w) + 1e-9) AS INT)) AS quota
       FROM w
     ), ranked AS (
       SELECT doc_id, {domain_col},

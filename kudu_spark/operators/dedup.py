@@ -319,9 +319,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
+            # floor-based round: identical IEEE ops to the oracle (see
+            # functions.text.round4 on tie-rounding divergence)
+            F.floor(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+                * 10000.0 + F.lit(0.5)
+            ) / 10000.0,
         )
         .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= threshold)
         .select("doc_a", "doc_b", "jaccard")

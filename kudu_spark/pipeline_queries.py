@@ -190,7 +190,7 @@ def dedup_simhash(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+           floor(inter / (sa.n + sb.n - inter) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
@@ -321,13 +321,13 @@ QUALITY_CUT = 0.25  # ~median of the synthetic corpus: filter is selective, not 
 
 _STOPS_SQL = ", ".join("'" + w + "'" for w in TX.ALL_STOPWORDS)
 _QUALITY_SCORE_SQL = f"""
-    round(least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 500.0) * 0.4
+    floor((least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 500.0) * 0.4
           + (CAST(len(list_filter(string_split(lower(text), ' '),
                     x -> x IN ({_STOPS_SQL}))) AS DOUBLE)
              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.4
           + (1.0 - least(1.0, abs(CAST(length(text) AS DOUBLE)
                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) - 5.0)
-                    / 10.0)) * 0.2, 4)
+                    / 10.0)) * 0.2) * 10000.0 + 0.5) / 10000.0
 """
 
 

@@ -125,3 +125,24 @@ def test_cli_roundtrip(engine, spark, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["schema"]["pk"] == ["k"]
     assert cli.main(["--warehouse", wh, "locate-row", "c1", "--pk", '{"k": 5}']) == 0
     assert "hash" in capsys.readouterr().out
+
+
+def test_cli_maintenance_drains_deferred_backlog(engine, spark, capsys):
+    """`cli maintenance` sweeps every table's auto-compaction policy
+    until nothing compacts — the MaintenanceManager operating loop for
+    auto_compact_mode='deferred' deployments."""
+    from kudu_spark import cli
+
+    t = engine.create_table("m1", SCHEMA, pk=["k"])
+    engine.alter_table("m1").set_property("auto_compact_mode", "deferred") \
+        .set_property("auto_compact_min_delta_bytes", "1").apply()
+    t.insert(rows(spark, range(500)))
+    t.upsert(rows(spark, range(0, 500, 2), v=5))
+    deltas_before = sum(1 for f in t.state().files if f.kind == "delta")
+    assert deltas_before > 0
+    assert cli.main(["--warehouse", engine.root, "maintenance"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sweeps"] >= 1
+    t2 = Engine(t.spark, engine.root).table("m1")
+    assert sum(1 for f in t2.state().files if f.kind == "delta") == 0
+    assert {r.k: r.v for r in t2.scan().collect()}[2] == 25

@@ -405,3 +405,29 @@ def test_txn_consistent_sql_sees_neither_or_both(engine, spark):
             engine.sql("select * from sa", txn_consistent=True).collect()} == {1, 2}
     assert {r.key for r in
             engine.sql("select * from sb", txn_consistent=True).collect()} == {1, 2}
+
+
+def test_wide_schema_300_columns(engine, spark):
+    """Kudu's default max_column_count is 300 (master.cc
+    --max_column_count); the engine must handle that width through
+    create/insert/scan/alter, and projection must prune the parquet
+    read to the requested columns only."""
+    from pyspark.sql import functions as F
+
+    ncols = 299
+    schema = [("k", "bigint", False)] + [(f"c{i}", "int", True) for i in range(ncols)]
+    t = engine.create_table("wide", schema, pk=["k"])
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") * i % 97).cast("int").alias(f"c{i}") for i in range(ncols)],
+    )
+    t.insert(df)
+    got = t.scan(columns=["k", "c7", "c298"], filters=[("k", "=", 13)]).collect()
+    assert len(got) == 1 and got[0]["c7"] == 13 * 7 % 97
+    plan = t.scan(columns=["k", "c7"])._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "c8" not in read_schema[0]
+    # schema evolution at width: add column 301, old rows read default
+    engine.alter_table("wide").add_column("c299", "int", default=-1).apply()
+    t2 = engine.table("wide")
+    assert t2.scan(filters=[("k", "=", 13)]).collect()[0]["c299"] == -1
