@@ -113,12 +113,11 @@ def minhash_signature_row(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFr
     ])
 
 
-def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any LSH band.
-    Downstream shuffles are keyed on md5(band slice) — collision
-    buckets only, never document content. Band keys come straight off
-    the wide signature row (seed order = column order, identical
-    strings to the former sorted collect_list formulation)."""
+def minhash_band_keys(docs: DataFrame, seeds: int = MINHASH_SEEDS,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys straight off the wide
+    signature row (seed order = column order, identical strings to
+    the former sorted collect_list formulation)."""
     r = seeds // bands
     sig = minhash_signature_row(docs, seeds)
     band_structs = [
@@ -130,9 +129,16 @@ def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = 
         )
         for b in range(bands)
     ]
-    band_key = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("__bk")
     ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.bkey").alias("bkey"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band.
+    Downstream shuffles are keyed on md5(band slice) — collision
+    buckets only, never document content."""
+    band_key = minhash_band_keys(docs, seeds, bands)
     a = band_key.alias("a")
     b = band_key.alias("b")
     return (
@@ -145,6 +151,29 @@ def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = 
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def incremental_dedup_survivors(new_docs: DataFrame, corpus: DataFrame,
+                                seeds: int = MINHASH_SEEDS,
+                                bands: int = LSH_BANDS) -> DataFrame:
+    """Continuous-crawl dedup: new-batch documents that near-duplicate
+    NOTHING already in the corpus (LSH band collision against the
+    existing side only — an asymmetric band join, not the quadratic
+    self-join). Returns surviving new doc_ids.
+
+    Scale shape: the corpus side's band keys are a (doc-free)
+    distinct (band, bkey) set — at 100 TB that's the thing you
+    precompute once and keep partitioned by band; each incoming batch
+    joins its own (small) band keys against it, so per-batch cost is
+    O(batch), not O(corpus)."""
+    new_keys = minhash_band_keys(new_docs, seeds, bands)
+    corpus_keys = minhash_band_keys(corpus, seeds, bands).select("band", "bkey").distinct()
+    collided = (
+        new_keys.join(corpus_keys, ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new_docs.select("doc_id").join(collided, "doc_id", "left_anti")
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -489,6 +489,90 @@ def text_pii_scrub(spark, sf_dir):
     return salted.select("doc_id", *TX.pii_scrub_cols("__t"))
 
 
+_INCR_DEDUP_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             source IN ('src0', 'src1') AS is_new
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_new, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), h AS (
+      SELECT doc_id, is_new, ('0x' || substring(md5(s), 1, 8))::BIGINT AS h FROM sh
+    ), mh AS (
+      SELECT doc_id, is_new, seed, min((h * a + b) % {TX.MINHASH_P}) AS mh
+      FROM h CROSS JOIN (VALUES {_PERMS_VALUES}) seeds(seed, a, b)
+      GROUP BY doc_id, is_new, seed
+    ), bk AS (
+      SELECT doc_id, is_new,
+             CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bkey
+      FROM mh GROUP BY doc_id, is_new,
+            CAST(seed // {TX.MINHASH_SEEDS // TX.LSH_BANDS} AS INT)
+    ), hit AS (
+      SELECT DISTINCT n.doc_id
+      FROM bk n JOIN bk c ON n.band = c.band AND n.bkey = c.bkey
+      WHERE n.is_new AND NOT c.is_new
+    )
+    SELECT doc_id FROM toks
+    WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM hit)
+    """
+
+
+@query(
+    "dedup_incremental",
+    oracle=_INCR_DEDUP_SQL,
+    gated=False,  # dedup family gated via dedup_minhash_lsh
+)
+def dedup_incremental(spark, sf_dir):
+    """Continuous-crawl dedup: an incoming batch (sources src0/src1)
+    checked against the existing corpus with an ASYMMETRIC band join
+    — per-batch cost O(batch), never the quadratic self-join. Returns
+    surviving new doc_ids."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src0", "src1")
+    return DD.incremental_dedup_survivors(docs.where(is_new), docs.where(~is_new))
+
+
+@query(
+    "pipeline_semantic_decontaminate",
+    oracle=f"""
+    WITH {SIM.ivf_assigned_cte(8).lstrip()}
+    , hit AS (
+      SELECT DISTINCT t.vec_id
+      FROM assigned t JOIN assigned b
+        ON t.centroid_id = b.centroid_id AND b.vec_id < 50 AND t.vec_id >= 50
+      WHERE {SIM.cosine_sql('t.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id >= 50 AND vec_id NOT IN (SELECT vec_id FROM hit)
+    """,
+    gated=False,  # embedding family gated via dedup_embedding_cosine
+)
+def pipeline_semantic_decontaminate(spark, sf_dir):
+    """Semantic decontamination: drop training items whose embedding
+    is near-identical (cosine >= threshold) to any held-out item
+    (vec_id < 50 stands in for the benchmark set). IVF-bucketed —
+    candidates meet only inside their cell, an equi-join on the cell
+    id, so the comparison never goes all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = SIM.ivf_assign(emb, n_centroids=8)
+    bench = assigned.where(F.col("vec_id") < 50).select(
+        F.col("centroid_id").alias("bc"), F.col("embedding").alias("bv")
+    )
+    train = assigned.where(F.col("vec_id") >= 50)
+    hit = (
+        train.join(bench, train.centroid_id == F.col("bc"))
+        .where(SIM.cosine_expr("embedding", "bv") >= COSINE_DUP_THRESHOLD)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        emb.where(F.col("vec_id") >= 50)
+        .select("vec_id")
+        .join(hit, "vec_id", "left_anti")
+    )
+
+
 @query(
     "text_gopher_quality",
     oracle=TX.gopher_sql(),
