@@ -57,50 +57,19 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, seed, mh) — permutation minima via a universal hash
-    family: ONE md5 per distinct shingle (h = first 32 md5 bits as an
-    attribute), then min((a_i*h + b_i) mod P) per seed. The seed
-    fan-out is a broadcast crossJoin of multiply-adds over the
-    materialized h — not one digest per (shingle, seed) — and the
-    (doc, seed) min is map-side combinable, so the shuffle carries one
-    row per (doc, seed), independent of document length.
-
-    (An arrays-only formulation — per-doc hash array + 'seeds'
-    array_mins in one projection — benchmarked 8x SLOWER: Catalyst's
-    CollapseProject inlines the hash-array alias into every array_min,
-    re-hashing all shingles per permutation. Attributes flowing
-    through explode/agg boundaries are evaluated exactly once.)"""
-    sh = (
-        _spread(docs)
-        .withColumn("__t", tokens_expr())
-        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
-        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h"))
-    )
-    perms = docs.sparkSession.createDataFrame(
-        [(s, a, b) for s, (a, b) in enumerate(minhash_perms(seeds))],
-        "seed int, a bigint, b bigint",
-    )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min((F.col("h") * F.col("a") + F.col("b")) % F.lit(MINHASH_P)).alias("mh")
-        )
-    )
-
-
 def minhash_signature_row(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
     """One row per doc with mh0..mh{seeds-1} columns: the seed
     "fan-out" is `seeds` independent min-aggregates over the SAME
     materialized h attribute — no row duplication at all. One
     groupBy(doc_id) with map-side partial mins; the shuffle carries
     one (doc, seeds-wide) row per doc per map partition, an 8x row
-    reduction over the crossJoin + (doc, seed) rollup it replaces
-    (and `h` flows through the explode boundary as an attribute, so
-    each shingle is still hashed exactly once — the CollapseProject
-    re-evaluation trap documented above only bites same-projection
-    aliases)."""
+    reduction over a seed-crossJoin + (doc, seed) rollup. `h` flows
+    through the explode boundary as an attribute, so each shingle is
+    hashed exactly once; beware the alternative arrays-only form
+    (per-doc hash array + `seeds` array_mins in one projection) —
+    Catalyst's CollapseProject inlines the array alias into every
+    array_min and re-hashes all shingles per permutation (~8x
+    slower). Attributes crossing explode/agg boundaries are safe."""
     sh = (
         _spread(docs)
         .withColumn("__t", tokens_expr())
