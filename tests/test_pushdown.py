@@ -522,3 +522,49 @@ def test_grouped_broadcast_falls_back_when_everything_dirty(engine, spark):
         type(t).DELTA_MAX_GROUPS = orig_groups
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert len(got) == 400 and got[2] == 7 and got[3] == 30
+
+
+def test_group_dirty_bin_packing_unit(engine, spark):
+    """Pure-manifest unit checks of the broadcast bin packer:
+    partition atomicity, capacity packing, and both bail-out rules."""
+    t = engine.create_table("bp", SCHEMA, pk=["k"])
+
+    class _F:
+        def __init__(self, part, rows, kind):
+            self.partition = part
+            self.rows = rows
+            self.kind = kind
+            self.path = f"{part}/{kind}/{rows}"
+
+    def part(i):
+        return {"hash": [i], "range": None}
+
+    deltas = [_F(part(i), 10, "delta") for i in range(4)]
+    bases = [_F(part(i), 100, "base") for i in range(4)]
+    # per-partition key bytes = 10 rows * 64 = 640; target 1280 -> 2 per bin
+    groups = t._group_dirty_by_broadcast(bases, deltas, 64, 1280)
+    orig_floor = type(t).DELTA_BROADCAST_FLOOR_BYTES
+    type(t).DELTA_BROADCAST_FLOOR_BYTES = 0
+    try:
+        groups = t._group_dirty_by_broadcast(bases, deltas, 64, 1280)
+        assert groups is not None and len(groups) == 2
+        for base_g, delta_g in groups:
+            # a partition's base and delta files travel together
+            dparts = {tuple(f.partition["hash"]) for f in delta_g}
+            bparts = {tuple(f.partition["hash"]) for f in base_g}
+            assert bparts <= dparts
+            assert sum(f.rows for f in delta_g) * 64 <= 1280
+        # single partition overflowing 2x the budget -> unbroadcastable
+        fat = [_F(part(0), 1000, "delta")]
+        assert t._group_dirty_by_broadcast(bases[:1], fat, 64, 1280) is None
+        # more bins than DELTA_MAX_GROUPS -> None
+        orig = type(t).DELTA_MAX_GROUPS
+        type(t).DELTA_MAX_GROUPS = 1
+        try:
+            assert t._group_dirty_by_broadcast(bases, deltas, 64, 640) is None
+        finally:
+            type(t).DELTA_MAX_GROUPS = orig
+        # broadcasting disabled -> None
+        assert t._group_dirty_by_broadcast(bases, deltas, 64, 0) is None
+    finally:
+        type(t).DELTA_BROADCAST_FLOOR_BYTES = orig_floor
