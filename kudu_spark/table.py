@@ -1073,13 +1073,37 @@ class Table:
         staging = os.path.join(self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
         # co-locate each partition in one task, PK-sorted within files so
         # parquet row-group stats give tight PK bounds (≈ Kudu's
-        # PK-sorted DiskRowSets + B-tree index, cfile/index_btree.cc)
+        # PK-sorted DiskRowSets + B-tree index, cfile/index_btree.cc).
+        # A `cluster_by` table property re-orders files by analytic
+        # columns instead (PK demoted to minor sort key): footer stats
+        # turn tight on the cluster columns — selective scans prune row
+        # groups like the date-clustered parquet they compete with —
+        # while PK point probes keep their exactness through the
+        # per-file PK bloom filters (footer PK bounds merely widen, so
+        # file pruning gets conservative, never wrong). The knob Kudu
+        # lacks (its DiskRowSets are always PK-ordered); equivalent to
+        # a clustering-columns/ZORDER-lite declaration.
         pk_cols = list(st.schema.pk)
+        cluster = [c.strip() for c in str(st.props.get("cluster_by", "")).split(",")
+                   if c.strip()]
+        for c in cluster:
+            st.schema.col(c)  # raises SchemaError on an unknown column
+        sort_cols = cluster + [c for c in pk_cols if c not in cluster]
         if pnames:
-            out = out.repartition(*pnames).sortWithinPartitions(*pnames, *pk_cols)
+            out = out.repartition(*pnames).sortWithinPartitions(*pnames, *sort_cols)
         else:
-            out = out.sortWithinPartitions(*pk_cols)
+            out = out.sortWithinPartitions(*sort_cols)
         writer = out.write.option("maxRecordsPerFile", 10_000_000)
+        # row-group size: clustering is only as good as the pruning
+        # granularity — a 600k-row file is 1-2 default (128 MB) row
+        # groups and footer stats can't skip anything, so cluster_by
+        # tables default to 16 MB row groups (~Kudu's much finer cfile
+        # blocks); `parquet_block_bytes` overrides either way
+        block = st.props.get("parquet_block_bytes")
+        if block is None and cluster:
+            block = 16 << 20
+        if block is not None:
+            writer = writer.option("parquet.block.size", int(block))
         # PK bloom filters in every data file: the write-path existence
         # probe (_snapshot_overlapping) and point-lookup scans skip row
         # groups whose bloom rejects the key — Kudu's per-rowset bloom

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                        "/root/testdata/sf0.1"))
+    ap.add_argument("--cluster-by", default=None,
+                    help="set the cluster_by table property before load "
+                         "(e.g. l_shipdate) to measure the clustered layout")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -70,6 +73,8 @@ def main() -> None:
     # disable inline maintenance so the "mutated" stage measures the
     # pure merge-on-read plan; the "auto" stage re-enables it
     eng.alter_table("lineitem").set_property("auto_compact", "false").apply()
+    if args.cluster_by:
+        eng.alter_table("lineitem").set_property("cluster_by", args.cluster_by).apply()
     t0 = time.perf_counter()
     t.insert(li)
     load_sec = round(time.perf_counter() - t0, 2)
@@ -142,6 +147,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "scale_smoke",
         "mult": args.mult,
+        "cluster_by": args.cluster_by,
         "rows": rows,
         "unit_rows": unit,
         "load_sec": load_sec,

@@ -568,3 +568,72 @@ def test_group_dirty_bin_packing_unit(engine, spark):
         assert t._group_dirty_by_broadcast(bases, deltas, 64, 0) is None
     finally:
         type(t).DELTA_BROADCAST_FLOOR_BYTES = orig_floor
+
+
+def test_cluster_by_reorders_files_probes_stay_exact(engine, spark, tmp_path):
+    """`cluster_by` trades PK footer tightness for analytic-column
+    clustering: per-file stats on the cluster column turn tight
+    (selective scans prune row groups), PK bounds widen (file pruning
+    goes conservative), and PK probes stay exact via the parquet
+    blooms."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    t = engine.create_table(
+        "clus", [("k", "bigint", False), ("ts", "bigint", True), ("v", "int", True),
+                 ("pad", "string", True)],
+        pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 2}],
+    )
+    engine.alter_table("clus").set_property("cluster_by", "ts") \
+        .set_property("parquet_block_bytes", str(64 << 10)).apply()
+    # k scattered w.r.t. ts: the hash shuffle deals every bucket rows
+    # from the WHOLE ts range, so tight per-row-group ts spans can only
+    # come from the cluster_by sort (the SCALE.md caveat shape)
+    from pyspark.sql import functions as _G
+
+    n = 40_000
+    df_in = spark.range(n).select(
+        ((_G.col("id") * 7919) % n).alias("k"),
+        _G.floor(_G.col("id") / (n // 100)).alias("ts"),
+        _G.col("id").cast("int").alias("v"),
+        _G.md5(_G.col("id").cast("string")).alias("pad"),
+    )
+    t.insert(df_in)
+
+    data_files = []
+    for root, _, names in _os.walk(_os.path.join(t.root, "data")):
+        data_files += [_os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    spans, per_file_rgs = [], []
+    for p in data_files:
+        md = pq.ParquetFile(p).metadata
+        per_file_rgs.append(md.num_row_groups)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            cols = {g.column(i).path_in_schema: g.column(i).statistics
+                    for i in range(g.num_columns)}
+            spans.append(cols["ts"].max - cols["ts"].min)
+    # parquet_block_bytes splits each file into several row groups...
+    assert max(per_file_rgs) >= 3, per_file_rgs
+    # ...and the global ts span is 100; sorted row groups are tight
+    assert spans and max(spans) < 50, spans
+
+    # PK probe exactness on the clustered layout
+    got = t.scan(filters=[("k", "=", 7919 % n)]).collect()
+    assert len(got) == 1
+    from kudu_spark.errors import DuplicateKeyError
+
+    with pytest.raises(DuplicateKeyError):
+        t.insert(spark.createDataFrame([(7919 % n, 0, 0, "x")],
+                                       "k bigint, ts bigint, v int, pad string"))
+    # selective cluster-column scan correct
+    assert t.scan(filters=[("ts", "=", 5)]).count() == n // 100
+    # unknown cluster column -> write-time error
+    engine.alter_table("clus").set_property("cluster_by", "nope").apply()
+    from kudu_spark.meta import SchemaError
+
+    t2 = engine.table("clus")
+    with pytest.raises(SchemaError):
+        t2.insert(spark.createDataFrame([(n * 2, 1, 1, "x")],
+                                        "k bigint, ts bigint, v int, pad string"))
