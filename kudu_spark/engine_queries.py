@@ -292,3 +292,39 @@ def engine_decimal_pk_scan(spark, sf_dir):
         F.col("c_custkey").cast("decimal(12,2)").alias("k"), "c_acctbal"
     ))
     return t.scan(filters=[("k", ">=", Decimal("100")), ("k", "<=", Decimal("300"))])
+
+
+@query(
+    "engine_clustered_scan",
+    gated=False,  # layout variant of gated engine_* scans; pytest-oracled
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer WHERE c_nationkey = 7
+    """,
+)
+def engine_clustered_scan(spark, sf_dir):
+    """`cluster_by` layout end-to-end: files sorted by the analytic
+    column (c_nationkey) instead of the PK, fine row groups, selective
+    scan on the cluster column plus an upsert proving PK probes stay
+    exact on the re-sorted layout."""
+    eng = _engine(spark)
+    t = eng.create_table(
+        "clus", CUSTOMER_SCHEMA, pk=["c_custkey"],
+        hash_partitions=[{"columns": ["c_custkey"], "buckets": 4}],
+    )
+    eng.alter_table("clus").set_property("cluster_by", "c_nationkey") \
+        .set_property("parquet_block_bytes", str(256 << 10)).apply()
+    t = eng.table("clus")
+    t.insert(load(spark, sf_dir, "customer").select(*CUSTOMER_COLS))
+    # PK probe on the clustered layout: duplicate insert must still trip
+    from kudu_spark.errors import DuplicateKeyError
+
+    try:
+        t.insert(load(spark, sf_dir, "customer").limit(1).select(*CUSTOMER_COLS))
+        raise AssertionError("duplicate PK not detected on clustered layout")
+    except DuplicateKeyError:
+        pass
+    return t.scan(
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filters=[("c_nationkey", "=", 7)],
+    )
