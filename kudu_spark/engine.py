@@ -113,14 +113,20 @@ class Engine:
         observes the transaction NOWHERE rather than in a torn subset —
         the file-native stand-in for Kudu's commit-timestamp MVCC
         (a txn becomes visible at one timestamp on every tablet,
-        transactions/txn_status_manager.h). Tables not touched by a
-        pending txn are absent from the map (read at HEAD). The window
-        where this matters is the few milliseconds between participant
-        publishes; markers are transient, so the scan below is almost
-        always a no-op directory check."""
+        transactions/txn_status_manager.h). EVERY participant of a
+        pending txn gets a pin — published participants just below the
+        txn commit, not-yet-published ones at their head AS OF THIS
+        PROBE (so a publish racing in after the probe is still
+        excluded; without that pin the reader could observe the txn in
+        a late-publishing table while an early participant is pinned
+        below it — the exact torn read this exists to prevent). The
+        commit search reads only (staged_at, head] of each
+        participant's log — O(commits since the txn staged), never
+        O(history). Markers are transient, so this is almost always a
+        no-op directory check."""
         import json
 
-        from kudu_spark.meta import read_log
+        from kudu_spark.meta import head_version, read_log
 
         pins: dict[str, int] = {}
         d = os.path.join(self.root, "_txns")
@@ -135,11 +141,14 @@ class Engine:
             except (OSError, ValueError):
                 continue  # marker being written/removed concurrently
             for tname, part in m.get("participants", {}).items():
-                for c in read_log(part["root"]):
+                head = head_version(part["root"]) or 0
+                pin = head  # unpublished as of the probe: freeze here
+                lo = int(part.get("staged_at", 0))
+                for c in read_log(part["root"], max_version=head, min_version=lo):
                     if c.get("txn_id") == m["txn_id"] and c.get("op") == "txn":
-                        v = c["version"] - 1
-                        pins[tname] = min(pins.get(tname, v), v)
+                        pin = c["version"] - 1
                         break
+                pins[tname] = min(pins.get(tname, pin), pin)
         return pins
 
     # -- create ------------------------------------------------------------------

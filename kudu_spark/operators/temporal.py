@@ -46,8 +46,17 @@ def asof_join(
     right_cols order), so results never depend on partitioning.
 
     Output: all left columns + right_ts aliased `asof_ts` + right_cols.
+    Right payload columns must not collide with left column names
+    (rejected up front — a silent duplicate output column breaks every
+    downstream reference with AMBIGUOUS_REFERENCE).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    clash = sorted(set(right_cols) & set(left.columns) | ({"asof_ts"} & set(left.columns)))
+    if clash:
+        raise ValueError(
+            f"asof_join right columns collide with left columns: {clash} — "
+            "alias the right side before joining"
+        )
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
@@ -102,26 +111,36 @@ def range_point_interval_join(
     same `on` key and start_ts <= point_ts < end_ts. Returns all
     point columns + all non-key interval columns.
 
-    The interval side explodes into its covered time buckets
-    (sequence of date_trunc'd steps), turning the inequality into an
-    equi-join on (key, bucket) + a cheap exact residual filter."""
-    unit = bucket.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    The interval side explodes into its covered time buckets, turning
+    the inequality into an equi-join on (key, bucket) + a cheap exact
+    residual filter. Buckets are ARITHMETIC — epoch_micros // width —
+    computed identically on both sides, so any fixed width ('2 hours',
+    '90 minutes', …) is exact; a date_trunc formulation would be wrong
+    for every multiplier other than 1 (points truncate to the unit,
+    interval steps stride the full width, and the grids misalign).
+    Calendar-length widths (months/years) are rejected."""
+    n_s, unit = bucket.split()
+    per_us = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+              "day": 86_400_000_000, "week": 604_800_000_000}
+    u = unit.rstrip("s").lower()
+    if u not in per_us:
+        raise ValueError(f"bucket must use a fixed-length unit {sorted(per_us)}: {bucket}")
+    width = int(n_s) * per_us[u]
     icols = [c for c in intervals.columns if c != on]
     i = intervals.select(
         F.col(on).alias("__k"),
         *icols,
         F.explode(
             F.sequence(
-                F.date_trunc(unit, F.col(start_ts)),
-                F.date_trunc(unit, F.col(end_ts)),
-                F.expr(f"INTERVAL {bucket}"),
+                F.floor(F.unix_micros(F.col(start_ts)) / width),
+                F.floor(F.unix_micros(F.col(end_ts)) / width),
             )
         ).alias("__b"),
     )
     p = points.select(
         "*",
         F.col(on).alias("__k"),
-        F.date_trunc(unit, F.col(point_ts)).alias("__b"),
+        F.floor(F.unix_micros(F.col(point_ts)) / width).alias("__b"),
     )
     return (
         p.join(i, ["__k", "__b"])

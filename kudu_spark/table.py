@@ -128,6 +128,21 @@ def _jsonable(v):
     return v
 
 
+import threading as _threading
+
+_MAINT_LOCKS: dict = {}  # abs table root -> Lock (async-maintenance mutex)
+_MAINT_LOCKS_GUARD = _threading.Lock()
+
+
+def partition_key(f: "FileEntry"):
+    """Partition identity of a manifest entry — THE grouping key for
+    merge planning, delta relevancy, broadcast bin packing and
+    compaction. One definition so a future change to the partition
+    shape (e.g. per-range hash overrides entering the identity) cannot
+    silently diverge the planners."""
+    return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+
+
 class Table:
     def __init__(self, spark: SparkSession, name: str, root: str):
         self.spark = spark
@@ -136,7 +151,14 @@ class Table:
         self._bucket_cache: dict = {}
         import threading
 
-        self._maint_lock = threading.Lock()  # one async maintenance run per handle
+        # one async maintenance run per TABLE (process-wide, keyed by
+        # root): Engine.table() hands out a fresh handle per call, so a
+        # per-handle lock would let every write spawn its own
+        # concurrent maintenance thread
+        with _MAINT_LOCKS_GUARD:
+            self._maint_lock = _MAINT_LOCKS.setdefault(
+                os.path.abspath(root), threading.Lock()
+            )
         self._maint_thread = None
 
     # -- state ---------------------------------------------------------------
@@ -480,10 +502,7 @@ class Table:
         virtual column (common.proto:60, generic_iterators.h:42-51)."""
         files = self._prune(st, filters)
         pk = st.schema.pk
-
-        def pkey(f: FileEntry):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
-
+        pkey = partition_key
         delta_parts = {pkey(f) for f in files if f.kind == "delta"}
         clean = [f for f in files if pkey(f) not in delta_parts]
         dirty = [f for f in files if pkey(f) in delta_parts]
@@ -509,7 +528,7 @@ class Table:
         dirty_delta = [f for f in dirty if f.kind == "delta"]
         delta_seqs = {f.seq for f in dirty_delta}
 
-        def merge_deltas(df):
+        def merge_deltas(df, seqs=None):
             # Last-write-wins over DELTA rows only. When every delta
             # file shares one manifest seq (a single mutation commit —
             # the steady state under inline compaction), keys are
@@ -517,8 +536,9 @@ class Table:
             # batch by PK), so dedup collapses to a tombstone filter:
             # no window, no shuffle, and scan predicates keep pushing
             # into the delta parquet scan (a Window blocks non-key
-            # filter pushdown).
-            if len(delta_seqs) == 1:
+            # filter pushdown). ``seqs`` narrows the check to a
+            # bin-packed group's own delta files.
+            if len(delta_seqs if seqs is None else seqs) == 1:
                 return df if include_deleted else df.where(~F.col(DEL_COL))
             return merge(df)
         base_rows = sum(f.rows for f in dirty_base)
@@ -570,13 +590,7 @@ class Table:
                 parts = []
                 for base_g, delta_g in groups:
                     df_delta_g = self._read_files(st, delta_g)
-                    if len({f.seq for f in delta_g}) == 1:
-                        merged_g = (
-                            df_delta_g if include_deleted
-                            else df_delta_g.where(~F.col(DEL_COL))
-                        )
-                    else:
-                        merged_g = merge(df_delta_g)
+                    merged_g = merge_deltas(df_delta_g, {f.seq for f in delta_g})
                     df_base_g = self._read_files(st, base_g)
                     if df_base_g is None:
                         parts.append(merged_g)
@@ -670,10 +684,7 @@ class Table:
         if bcast_bytes <= 0:
             return None
         target = max(bcast_bytes, self.DELTA_BROADCAST_FLOOR_BYTES)
-
-        def pkey(f):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
-
+        pkey = partition_key
         by_part: dict = {}
         for f in dirty_delta:
             by_part.setdefault(pkey(f), ([], []))[1].append(f)
@@ -732,8 +743,7 @@ class Table:
             lo, hi = norm(f.min_pk[0]), norm(f.max_pk[0])
             return None if lo is None or hi is None else (lo, hi)
 
-        def pkey(f: FileEntry):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+        pkey = partition_key
 
         deltas_by_part: dict = {}
         for f in dirty:
@@ -1593,8 +1603,7 @@ class Table:
         ``partition`` values to ``compact(partitions=...)``."""
         st = self.state()
 
-        def pkey(f: FileEntry):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+        pkey = partition_key
 
         groups: dict = {}
         for f in st.files:
@@ -1666,10 +1675,16 @@ class Table:
                         finally:
                             self._maint_lock.release()
 
-                    self._maint_thread = threading.Thread(
-                        target=run, name=f"kudu-maint-{self.name}", daemon=True
-                    )
-                    self._maint_thread.start()
+                    try:
+                        self._maint_thread = threading.Thread(
+                            target=run, name=f"kudu-maint-{self.name}", daemon=True
+                        )
+                        self._maint_thread.start()
+                    except BaseException:
+                        # a failed start must not leave the table-wide
+                        # mutex held forever
+                        self._maint_lock.release()
+                        raise
                 return
             self._auto_compact_once(st)
         except Exception as e:
@@ -1745,8 +1760,7 @@ class Table:
         manifest, not deleted."""
         st = self.state()
 
-        def pkey(f: FileEntry):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+        pkey = partition_key
 
         if partitions is None:
             plan = self.compaction_plan(small_file_bytes, min_small_files, io_budget_bytes)
@@ -1797,8 +1811,7 @@ class Table:
         all); only delta-bearing partitions pay a merge + count."""
         st = self.state(version)
 
-        def pkey(f):
-            return (tuple(f.partition.get("hash", [])), f.partition.get("range"))
+        pkey = partition_key
 
         delta_parts = {pkey(f) for f in st.files if f.kind == "delta"}
         clean_rows = sum(f.rows for f in st.files if pkey(f) not in delta_parts)

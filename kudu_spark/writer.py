@@ -20,6 +20,7 @@ from enum import Enum
 from pyspark.sql import functions as F
 
 from kudu_spark.errors import KuduSparkError
+from kudu_spark.meta import head_version as _head_version
 from kudu_spark.table import Table
 
 
@@ -471,6 +472,10 @@ class EngineTransaction:
             "participants": {
                 n: {
                     "root": t.table.root,
+                    # head at staging time: bounds any later scan for
+                    # this txn's commit to (staged_at, head] — O(new
+                    # commits), never O(history)
+                    "staged_at": _head_version(t.table.root) or 0,
                     "entries": [e.to_json() for _, es in t._staged for e in es],
                 }
                 for n, t in parts.items()
@@ -596,14 +601,24 @@ class EngineTransaction:
                     os.unlink(path)
                     done.append(txn_id)
             else:
+                # per-participant containment (mirrors the abort arm):
+                # one failing publish — e.g. commit retries exhausted
+                # against live writers — must not abort the whole
+                # sweep; the marker stays for the next recover() call
+                # and other markers still get processed
+                ok = True
                 for tname, part in parts.items():
                     if "txn" in status[tname]:
                         continue
-                    entries = [FileEntry.from_json(e) for e in part["entries"]]
-                    t = engine.table(tname)
-                    t._commit(t.state(), "txn", entries, extra={"txn_id": txn_id})
-                os.unlink(path)
-                done.append(txn_id)
+                    try:
+                        entries = [FileEntry.from_json(e) for e in part["entries"]]
+                        t = engine.table(tname)
+                        t._commit(t.state(), "txn", entries, extra={"txn_id": txn_id})
+                    except Exception:
+                        ok = False
+                if ok:
+                    os.unlink(path)
+                    done.append(txn_id)
         return done
 
     @staticmethod

@@ -431,3 +431,47 @@ def test_wide_schema_300_columns(engine, spark):
     engine.alter_table("wide").add_column("c299", "int", default=-1).apply()
     t2 = engine.table("wide")
     assert t2.scan(filters=[("k", "=", 13)]).collect()[0]["c299"] == -1
+
+
+def test_consistent_versions_pins_unpublished_at_probe_head(engine, spark):
+    """Participants that have NOT yet published their txn commit must
+    be pinned at their head AS OF THE PROBE — a publish racing in
+    after consistent_versions() returns is then excluded, closing the
+    probe-to-read torn-read window."""
+    import json
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    a = engine.create_table("pa", SIMPLE, pk=["key"])
+    b = engine.create_table("pb", SIMPLE, pk=["key"])
+    a.insert(spark.createDataFrame([(1, 1, "a")], ddl))
+    b.insert(spark.createDataFrame([(1, 1, "b")], ddl))
+    txn = engine.transaction()
+    txn.insert("pa", spark.createDataFrame([(2, 2, "x")], ddl))
+    txn.insert("pb", spark.createDataFrame([(2, 2, "y")], ddl))
+    txn_id = uuid.uuid4().hex
+    os.makedirs(os.path.join(engine.root, "_txns"), exist_ok=True)
+    with open(os.path.join(engine.root, "_txns", f"{txn_id}.json"), "w") as f:
+        json.dump({
+            "txn_id": txn_id,
+            "state": "committing",
+            "participants": {
+                n: {"root": t.table.root,
+                    "staged_at": t.table.state().version,
+                    "entries": [e.to_json() for _, es in t._staged for e in es]}
+                for n, t in txn._parts.items()
+            },
+        }, f)
+    head_a, head_b = a.state().version, b.state().version
+    pins = engine.consistent_versions()
+    # NEITHER side has published: both pinned at their probe-time head
+    assert pins == {"pa": head_a, "pb": head_b}
+    # a publish that lands after the probe is excluded by those pins
+    txn._parts["pb"]._publish(txn_id)
+    t_b = engine.table("pb")
+    assert {r.key for r in t_b.scan(version=pins["pb"]).collect()} == {1}
+    # re-probe: pb now pins just below its txn commit, pa at head still
+    pins2 = engine.consistent_versions()
+    assert pins2["pb"] == t_b.state().version - 1
+    assert pins2["pa"] == head_a

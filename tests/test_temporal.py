@@ -105,3 +105,44 @@ def test_asof_single_shuffle_plan(spark):
     plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_range_join_multi_unit_bucket_exact(spark):
+    """Arithmetic bucketing must be exact for widths with multiplier
+    > 1 (a date_trunc formulation drops matches here: a 00:30-03:30
+    interval strides to {00:00, 02:00} while a 01:15 point truncates
+    to 01:00 and misses)."""
+    points = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1, 1, 15))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 0, 30), dt.datetime(2024, 1, 1, 3, 30))],
+        "user_id bigint, iv_start timestamp, iv_end timestamp",
+    )
+    for bucket in ("2 hours", "30 minutes", "90 minutes"):
+        got = range_point_interval_join(
+            points, iv, on="user_id", point_ts="ts",
+            start_ts="iv_start", end_ts="iv_end", bucket=bucket,
+        ).collect()
+        assert len(got) == 1, bucket
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fixed-length"):
+        range_point_interval_join(
+            points, iv, on="user_id", point_ts="ts",
+            start_ts="iv_start", end_ts="iv_end", bucket="1 month",
+        )
+
+
+def test_asof_right_column_collision_rejected(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _t(5), 1.0)], "event_id bigint, user_id bigint, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(10, _t(1), 2.0)], "user_id bigint, ts timestamp, v double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="user_id")
