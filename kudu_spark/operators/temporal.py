@@ -126,21 +126,25 @@ def range_point_interval_join(
     if u not in per_us:
         raise ValueError(f"bucket must use a fixed-length unit {sorted(per_us)}: {bucket}")
     width = int(n_s) * per_us[u]
+
+    def us(col: str):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast normalizes both
+        # flavors (applied identically to both sides, so the bucket
+        # grids stay aligned whatever the session timezone)
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
     icols = [c for c in intervals.columns if c != on]
     i = intervals.select(
         F.col(on).alias("__k"),
         *icols,
         F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / width),
-                F.floor(F.unix_micros(F.col(end_ts)) / width),
-            )
+            F.sequence(F.floor(us(start_ts) / width), F.floor(us(end_ts) / width))
         ).alias("__b"),
     )
     p = points.select(
         "*",
         F.col(on).alias("__k"),
-        F.floor(F.unix_micros(F.col(point_ts)) / width).alias("__b"),
+        F.floor(us(point_ts) / width).alias("__b"),
     )
     return (
         p.join(i, ["__k", "__b"])

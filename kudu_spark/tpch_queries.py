@@ -862,6 +862,35 @@ def join_range_open_windows(spark, sf_dir):
 
 
 @query(
+    "join_salted_volume",
+    gated=False,  # skew-handling variant of the gated join family
+    oracle="""
+    SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS volume,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_salted_volume(spark, sf_dir):
+    """Skew-salted equi-join (operators.skew.salted_join): lineitem
+    joined to orders with the key salted 16 ways — the manual remedy
+    for a hot key AQE's sort-merge skew split can't reach. Result must
+    be row-identical to the plain join."""
+    from kudu_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = salted_join(
+        l.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"),
+        o, on="o_orderkey", salt=16,
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
     "window_session_events",
     oracle="""
     WITH ordered AS (
