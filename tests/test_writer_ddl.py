@@ -509,3 +509,61 @@ def test_async_maintenance_drains_in_background(engine, spark):
     assert "compact" in ops, "async maintenance never landed"
     got = {r.key: r.int_val for r in t.scan().collect()}
     assert len(got) == 500 and got[3] == 4
+
+
+def test_recover_contains_per_marker_completion_failures(engine, spark):
+    """One marker whose staged files were corrupted (completion path
+    fails mid-commit) must not abort the recovery sweep: the healthy
+    marker still completes, the broken one aborts cleanly on the same
+    pass (its files probe as lost), and nothing raises."""
+    import json
+    import os
+    import uuid
+
+    ddl = "key int, int_val int, string_val string"
+    engine.create_table("ga", SIMPLE, pk=["key"])
+    engine.create_table("gb", SIMPLE, pk=["key"])
+
+    def make_marker(txn, txn_id):
+        os.makedirs(os.path.join(engine.root, "_txns"), exist_ok=True)
+        with open(os.path.join(engine.root, "_txns", f"{txn_id}.json"), "w") as f:
+            json.dump({
+                "txn_id": txn_id,
+                "state": "committing",
+                "participants": {
+                    n: {"root": t.table.root,
+                        "staged_at": t.table.state().version,
+                        "entries": [e.to_json() for _, es in t._staged for e in es]}
+                    for n, t in txn._parts.items()
+                },
+            }, f)
+
+    # marker 1: staged files deleted -> completion impossible -> abort
+    t1 = engine.transaction()
+    t1.insert("ga", spark.createDataFrame([(1, 1, "x")], ddl))
+    id1 = "0" + uuid.uuid4().hex[1:]
+    make_marker(t1, id1)
+    for _, es in t1._parts["ga"]._staged:
+        for e in es:
+            os.unlink(os.path.join(t1._parts["ga"].table.root, e.path))
+    # marker 2: healthy, unpublished -> must complete despite marker 1
+    t2 = engine.transaction()
+    t2.insert("gb", spark.createDataFrame([(2, 2, "y")], ddl))
+    id2 = "z" + uuid.uuid4().hex[1:]  # sorts after marker 1
+    make_marker(t2, id2)
+
+    done = engine.recover_transactions()
+    assert set(done) == {id1, id2}  # both resolved: one aborted, one completed
+    assert engine.table("ga").scan().count() == 0
+    assert {r.key for r in engine.table("gb").scan().collect()} == {2}
+
+
+def test_maintenance_lock_shared_across_handles(engine, spark):
+    """The async-maintenance mutex is per TABLE (process-wide, keyed
+    by root), not per handle — Engine.table() hands out fresh handles
+    per call, and each must share the same lock."""
+    engine.create_table("ml", SIMPLE, pk=["key"])
+    h1 = engine.table("ml")
+    h2 = engine.table("ml")
+    assert h1 is not h2
+    assert h1._maint_lock is h2._maint_lock
