@@ -79,7 +79,7 @@ class Engine:
     # -- SQL over engine tables ---------------------------------------------------
 
     def sql(self, query: str, version_of: dict | None = None,
-            txn_consistent: bool = False):
+            txn_consistent: bool = True):
         """Run Spark SQL over the warehouse's tables — the division of
         labor Kudu ships with Impala (docs/kudu_impala_integration.adoc):
         every live table is registered as a temp view of its
@@ -87,10 +87,15 @@ class Engine:
         joins/aggs/windows. ``version_of`` maps table name -> version
         for AS-OF reads inside SQL (≈ READ_AT_SNAPSHOT).
 
-        ``txn_consistent=True`` pins tables to ``consistent_versions()``
-        so a cross-table transaction mid-publish is visible NOWHERE
-        instead of in a torn subset (explicit ``version_of`` entries
-        still win).
+        ``txn_consistent`` (DEFAULT ON since round 6) pins tables to
+        ``consistent_versions()`` so a cross-table transaction
+        mid-publish is visible NOWHERE instead of in a torn subset
+        (explicit ``version_of`` entries still win) — matching Kudu's
+        commit-timestamp MVCC, where a txn becomes visible at one
+        timestamp on every tablet (transactions/, client.h:445-545).
+        The probe is one ``_txns/`` directory check, a no-op unless a
+        transaction is actually mid-publish; ``txn_consistent=False``
+        opts out for single-table workloads that want zero probes.
 
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
@@ -289,6 +294,9 @@ class Engine:
         if not os.path.isdir(root):
             raise TableNotFoundError(name)
         shutil.rmtree(root)
+        from kudu_spark.table import _evict_maint_lock
+
+        _evict_maint_lock(root)
 
     def rename_table(self, old: str, new: str) -> None:
         """Table rename (client.h KuduTableAlterer::RenameTo). The
@@ -541,7 +549,13 @@ class Alterer:
                 overrides = added_overrides  # old ids remapped below
             else:
                 overrides = dict(st.partition_spec.hash_overrides) | added_overrides
-            pspec = PartitionSpec(st.partition_spec.hash_dims, RangeSpec(rs.column, ranges),
+            # preserve the compound-range column list: rebuilding with
+            # only `rs.column` (None for compound keys) silently turned
+            # the spec's `enabled` off, disabling range enforcement —
+            # Kudu's online range ops keep the partition schema intact
+            # (client.h:2006-2099, partition.h:273)
+            pspec = PartitionSpec(st.partition_spec.hash_dims,
+                                  RangeSpec(rs.column, ranges, rs.columns),
                                   overrides)
 
         if self._range_drops:
@@ -578,8 +592,11 @@ class Alterer:
                 entries.append(nf)
         # range-drop remaps every file's range id against the state read
         # above; a blind retry after a concurrent mutation would remap a
-        # stale file list — fail fast and let the caller re-apply
+        # stale file list — fail fast and let the caller re-apply.
+        # restamp_seq=False: the re-added entries are EXISTING files
+        # whose manifest seq must survive (it orders base vs delta in
+        # the merge window; re-stamping resurrected deleted rows)
         return self.table._commit(
             st, "alter", entries, removes=removes, schema=new_schema,
-            partition_spec=pspec, retries=1
+            partition_spec=pspec, retries=1, restamp_seq=False
         )

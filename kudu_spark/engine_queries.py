@@ -269,7 +269,7 @@ def engine_autocompact_scan(spark, sf_dir):
 @query(
     "engine_decimal_pk_scan",
     oracle="""
-    SELECT CAST(c_custkey AS DECIMAL(12,2)) AS k, c_acctbal
+    SELECT CAST(CAST(c_custkey AS DECIMAL(12,2)) AS DOUBLE) AS k, c_acctbal
     FROM customer WHERE c_custkey >= 100 AND c_custkey <= 300
     """,
     # gated since r5 (rotated in for agg_revenue_filter): decimal
@@ -279,7 +279,13 @@ def engine_decimal_pk_scan(spark, sf_dir):
     """DECIMAL primary key end-to-end: footer bounds decode from the
     raw scaled-int parquet stats and prune NUMERICALLY (bounds like
     [20, 300] must not lexicographically exclude key 100), with the
-    range filter pushed through the merge path."""
+    range filter pushed through the merge path.
+
+    The scan and all pruning run on the DECIMAL(12,2) key; only the
+    OUTPUT casts to DOUBLE on both sides, because the driver's
+    value-hash compares representations (Spark returns Decimal
+    objects, DuckDB's pandas bridge float64 — numerically equal,
+    representationally different; r5 gate red for exactly this)."""
     from decimal import Decimal
 
     eng = _engine(spark)
@@ -291,7 +297,9 @@ def engine_decimal_pk_scan(spark, sf_dir):
     t.insert(c.select(
         F.col("c_custkey").cast("decimal(12,2)").alias("k"), "c_acctbal"
     ))
-    return t.scan(filters=[("k", ">=", Decimal("100")), ("k", "<=", Decimal("300"))])
+    return t.scan(
+        filters=[("k", ">=", Decimal("100")), ("k", "<=", Decimal("300"))]
+    ).select(F.col("k").cast("double").alias("k"), "c_acctbal")
 
 
 @query(

@@ -317,9 +317,16 @@ class FileEntry:
     kind: str = "base"  # "base" | "delta"
     min_pk: list | None = None  # min/max of first PK column (JSON-able)
     max_pk: list | None = None
+    # delta-key bloom sidecar (kind == "delta" only): path of a
+    # serialized bloom filter over the FULL delta key set of the commit
+    # that wrote this file, built once at flush like Kudu's bloomfiles
+    # (cfile/bloomfile.cc, tablet/deltafile.cc) so scans filter base
+    # rows without rebuilding O(delta) state per query. Shared by every
+    # delta file of the commit; GC'd by vacuum when unreferenced.
+    bloom: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
@@ -330,12 +337,16 @@ class FileEntry:
             "min_pk": self.min_pk,
             "max_pk": self.max_pk,
         }
+        if self.bloom:
+            d["bloom"] = self.bloom
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
         return FileEntry(
             d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
             d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
+            d.get("bloom"),
         )
 
 

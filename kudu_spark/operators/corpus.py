@@ -282,19 +282,22 @@ def domain_mix_sql(domain_col: str, total_target: int, alpha: float = 0.5) -> st
 
 def vocabulary_topk(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """Top-k corpus tokens by frequency (ties broken by token).
-    explode -> count (map-side combined) -> global top-k. The final
-    rank is a single-partition window over at most |vocab| rows —
-    bounded, since counts were already merged per token."""
+    explode -> count (map-side combined) -> global top-k via
+    orderBy().limit(k), which Spark plans as TakeOrderedAndProject:
+    each partition keeps a k-row heap and the driver merges k rows per
+    partition. (A global row_number window would funnel every distinct
+    token — billions at web scale: typos, URLs — through ONE task; the
+    rank column is reattached over the k survivors only.)"""
     t = F.split(F.lower(F.col(text_col)), " ")
     counts = (
         docs.select(F.explode(t).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("token", "freq", "rank")
     )
 

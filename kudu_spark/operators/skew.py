@@ -42,11 +42,24 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
                    "leftsemi", "left_anti", "leftanti"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        # mirrors asof_join's reserved-name check: silently overwriting
+        # (and then dropping) a user column would corrupt data
+        raise ValueError("salted_join reserves the column name '__salt'")
     keys = [on] if isinstance(on, str) else list(on)
-    # deterministic spread: hash of the whole big row modulo salt —
-    # rows of one hot key land on all salt values uniformly
+    # deterministic-per-run spread: hash of the row CONTENT mixed with
+    # the row's physical position (partition id + per-partition
+    # counter) modulo salt. Content alone is not enough — the
+    # motivating workload (a hot default/empty-string key) often
+    # carries fully identical payloads, and identical rows would all
+    # hash to ONE salt value, re-concentrating the straggler.
     bigs = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns],
+                       F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     smalls = small.crossJoin(
         F.broadcast(

@@ -119,6 +119,22 @@ def range_point_interval_join(
     for every multiplier other than 1 (points truncate to the unit,
     interval steps stride the full width, and the grids misalign).
     Calendar-length widths (months/years) are rejected."""
+    # column-collision guard (mirrors asof_join): interval payload
+    # columns landing in the output must not shadow point columns, and
+    # the internal key/bucket names must be free on both inputs —
+    # otherwise the join emits duplicate names and every downstream
+    # reference dies with AMBIGUOUS_REFERENCE
+    clash = (set(intervals.columns) - {on}) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval columns collide with point columns: {sorted(clash)}; "
+            "rename one side before joining"
+        )
+    reserved = {"__k", "__b"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"range_point_interval_join reserves column names {sorted(reserved)}"
+        )
     n_s, unit = bucket.split()
     per_us = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
               "day": 86_400_000_000, "week": 604_800_000_000}

@@ -130,8 +130,26 @@ def _jsonable(v):
 
 import threading as _threading
 
-_MAINT_LOCKS: dict = {}  # abs table root -> Lock (async-maintenance mutex)
+_MAINT_LOCKS: dict = {}  # canonical table root -> Lock (async-maintenance mutex)
 _MAINT_LOCKS_GUARD = _threading.Lock()
+
+
+def _canonical_root(root: str) -> str:
+    """Lock/cache key for a table root. URI-like roots (s3://, hdfs://)
+    pass through verbatim — os.path.abspath on those is cwd-dependent,
+    so two handles opened from different working directories would get
+    DIFFERENT locks for the same table; filesystem paths canonicalize
+    through abspath as before."""
+    if "://" in root:
+        return root
+    return os.path.abspath(root)
+
+
+def _evict_maint_lock(root: str) -> None:
+    """Drop a dropped table's maintenance-mutex entry so the
+    process-global registry stays bounded by LIVE tables."""
+    with _MAINT_LOCKS_GUARD:
+        _MAINT_LOCKS.pop(_canonical_root(root), None)
 
 
 def partition_key(f: "FileEntry"):
@@ -157,7 +175,7 @@ class Table:
         # concurrent maintenance thread
         with _MAINT_LOCKS_GUARD:
             self._maint_lock = _MAINT_LOCKS.setdefault(
-                os.path.abspath(root), threading.Lock()
+                _canonical_root(root), threading.Lock()
             )
         self._maint_thread = None
 
@@ -583,8 +601,12 @@ class Table:
             # bitset as an array literal; py4j literal construction is
             # O(seconds) past ~100k words, so it could never scale
             # past the broadcast threshold it was meant to relieve.)
-            groups = self._group_dirty_by_broadcast(
-                dirty_base, dirty_delta, 64 * max(1, len(pk)), max(bcast, 0)
+            plan_pref = str(st.props.get("delta_scan_plan", "auto")).lower()
+            groups = (
+                None if plan_pref == "bloom"
+                else self._group_dirty_by_broadcast(
+                    dirty_base, dirty_delta, 64 * max(1, len(pk)), max(bcast, 0)
+                )
             )
             if groups is not None:
                 parts = []
@@ -606,18 +628,29 @@ class Table:
                 for p in parts[1:]:
                     df_dirty = df_dirty.unionByName(p)
             else:
-                # delta set too large for bounded broadcasts (a big
-                # fraction of the table is dirty): plain anti join —
-                # the planner shuffles base + keys, predicates still
-                # push below the join. Compaction is the real remedy
-                # in this regime and auto-compaction is already
-                # triggering on the ratio.
-                df_base = self._read_files(st, dirty_base)
-                df_delta = self._read_files(st, dirty_delta)
-                df_dirty = (
-                    df_base.join(df_delta.select(*pk), on=pk, how="left_anti")
-                    .unionByName(merge_deltas(df_delta))
-                )
+                # past the broadcast budget: bloom-split on the
+                # commit-time sidecar (plans/delta_bloom.py). Base rows
+                # failing the native membership probe are PROVABLY
+                # untouched and stream straight from parquet; only the
+                # ~|delta|-sized positive slice pays an exact anti
+                # join. Base is never shuffled at ANY delta size —
+                # the structural fix for the 6.5-9x shuffled-anti
+                # regime of SCALE.md x400.
+                df_dirty = self._bloom_split_plan(st, dirty_base, dirty_delta,
+                                                  merge_deltas, pk)
+                if df_dirty is None:
+                    # no sidecars (pre-round-6 data / tiny commits /
+                    # internals unavailable): plain anti join — the
+                    # planner shuffles base + keys, predicates still
+                    # push below the join. Compaction is the real
+                    # remedy here and auto-compaction triggers on the
+                    # ratio.
+                    df_base = self._read_files(st, dirty_base)
+                    df_delta = self._read_files(st, dirty_delta)
+                    df_dirty = (
+                        df_base.join(df_delta.select(*pk), on=pk, how="left_anti")
+                        .unionByName(merge_deltas(df_delta))
+                    )
         elif (dirty_base and dirty_delta
               and delta_rows * 4 <= base_rows and 0 < key_bytes <= max(bcast, 0)):
             # reinsert-after-delete present: a base row may outrank
@@ -710,6 +743,56 @@ class Table:
         if len(bins) > self.DELTA_MAX_GROUPS:
             return None
         return [(b, d) for _, b, d in bins]
+
+    # more distinct per-commit blooms than this and the probe
+    # expression (k hashes each) stops being cheap — maintenance keeps
+    # the live delta-commit count far below it in steady state
+    DELTA_BLOOM_MAX_EXPRS = 6
+
+    def _bloom_split_plan(self, st: TableState, dirty_base: list["FileEntry"],
+                          dirty_delta: list["FileEntry"], merge_deltas, pk):
+        """Merge plan over the commit-time delta-key bloom sidecars
+        (plans/delta_bloom.py; ≈ Kudu consulting rowset bloomfiles,
+        tablet/tablet.cc:116-124):
+
+            clean     = base WHERE NOT might_contain(xxhash64(pk))
+            contested = base WHERE might_contain ANTI JOIN delta keys
+            out       = clean UNION contested UNION dedup(deltas)
+
+        No false negatives -> `clean` is exact; false positives ride
+        the anti join, both of whose sides are O(delta). The base
+        parquet is read twice (once per split side) but shuffled
+        NEVER — 2x scan IO on dirty partitions beats a full sort-merge
+        shuffle by a widening margin as the base grows. Requires every
+        delta file to carry a sidecar and few distinct commits (ORed
+        probes); returns None otherwise — callers fall back."""
+        from functools import reduce
+        from operator import or_
+
+        from kudu_spark.plans import delta_bloom
+
+        paths = {f.bloom for f in dirty_delta}
+        if None in paths or len(paths) > self.DELTA_BLOOM_MAX_EXPRS:
+            return None
+        h = F.xxhash64(*[F.col(c) for c in pk])
+        probes = []
+        for rel in sorted(paths):
+            data = delta_bloom.load_sidecar(self.root, rel)
+            if data is None:
+                return None
+            c = delta_bloom.might_contain(self.spark, data, h)
+            if c is None:
+                return None
+            probes.append(c)
+        contested = reduce(or_, probes)
+        df_base = self._read_files(st, dirty_base)
+        df_delta = self._read_files(st, dirty_delta)
+        keys = df_delta.select(*pk)
+        return (
+            df_base.where(~contested)
+            .unionByName(df_base.where(contested).join(keys, on=pk, how="left_anti"))
+            .unionByName(merge_deltas(df_delta))
+        )
 
     def _split_disjoint_bases(self, st: TableState, clean: list[FileEntry],
                               dirty: list[FileEntry]):
@@ -1241,18 +1324,67 @@ class Table:
                 )
             )
         shutil.rmtree(staging, ignore_errors=True)
+        if kind == "delta":
+            self._attach_delta_bloom(st, entries)
         return entries
+
+    # deltas below this many rows skip the sidecar: the grouped
+    # broadcast plan handles small key sets in one 64 MB build, and
+    # the sidecar's extra Spark job (~0.3 s) would tax every tiny
+    # mutation commit for nothing
+    DELTA_BLOOM_MIN_ROWS = 65536
+
+    def _attach_delta_bloom(self, st: TableState, entries: list[FileEntry]) -> None:
+        """Build + persist the commit's delta-key bloom sidecar
+        (plans/delta_bloom.py; ≈ Kudu building bloomfiles once at
+        delta flush, cfile/bloomfile.cc). One bloom covers the FULL
+        key set of this commit across partitions — scans OR together
+        the (few, maintenance-bounded) per-commit blooms. Failure is
+        never fatal: scans without a sidecar take the broadcast or
+        shuffled plan."""
+        from kudu_spark.plans import delta_bloom
+
+        total = sum(e.rows for e in entries)
+        floor = int(st.props.get("delta_bloom_min_rows", self.DELTA_BLOOM_MIN_ROWS))
+        if not entries or total < floor:
+            return
+        if str(st.props.get("delta_bloom", "true")).lower() in ("false", "0", "no"):
+            return
+        try:
+            pk = st.schema.pk
+            keys = self.spark.read.parquet(
+                *[os.path.join(self.root, e.path) for e in entries]
+            ).select(F.xxhash64(*[F.col(c) for c in pk]).alias("h"))
+            fpp = float(st.props.get("delta_bloom_fpp", delta_bloom.DEFAULT_FPP))
+            data = delta_bloom.build_bloom(keys, total, fpp)
+            if data is None:
+                return
+            rel = delta_bloom.write_sidecar(self.root, DATA_DIR, entries[0].seq, data)
+            for e in entries:
+                e.bloom = rel
+        except Exception as ex:
+            import logging
+
+            logging.getLogger("kudu_spark.bloom").warning(
+                "delta bloom sidecar for %s skipped: %s", self.name, ex
+            )
 
     def _commit(self, st: TableState, op: str, entries: list[FileEntry],
                 removes: list[str] | None = None, props: dict | None = None,
                 schema: Schema | None = None, partition_spec=None, retries: int = 5,
-                extra: dict | None = None) -> int:
+                extra: dict | None = None, restamp_seq: bool = True) -> int:
         version = st.version + 1
         for _ in range(retries):
             # re-stamp manifest seqs to the attempted version so that a
-            # retry after losing the race still orders after the winner
-            for e in entries:
-                e.seq = seq_for(version, e.seq & ((1 << SEQ_SHIFT) - 1))
+            # retry after losing the race still orders after the winner.
+            # ``restamp_seq=False`` is for commits that RE-ADD existing
+            # files (range-drop id remap): those entries must keep their
+            # original seq — collapsing base and delta files onto one
+            # commit version destroys the last-write-wins order and can
+            # resurrect deleted rows (caught by test_fuzz_ddl_alters)
+            if restamp_seq:
+                for e in entries:
+                    e.seq = seq_for(version, e.seq & ((1 << SEQ_SHIFT) - 1))
             # removes first: a commit may remove and re-add the same path
             # (range-id remap), and replay applies actions in order
             actions = [{"type": "remove", "path": rp} for rp in removes or []]
@@ -1333,9 +1465,9 @@ class Table:
     def _discard(self, entries: list[FileEntry]) -> None:
         """Unlink files written for a commit attempt that lost the
         optimistic-concurrency race (never referenced by any commit)."""
-        for e in entries:
+        for p in {e.path for e in entries} | {e.bloom for e in entries if e.bloom}:
             try:
-                os.unlink(os.path.join(self.root, e.path))
+                os.unlink(os.path.join(self.root, p))
             except OSError:
                 pass
 
@@ -1499,7 +1631,7 @@ class Table:
             lambda a: self.upsert(df, mode, handle_schema_drift, _attempts=a),
             _attempts=_attempts,
         )
-        self._maybe_auto_compact()
+        self._maybe_auto_compact(sum(e.bytes for e in entries))
         return v
 
     def upsert_ignore(self, df: DataFrame) -> int:
@@ -1549,7 +1681,7 @@ class Table:
             lambda a: self.update(df, mode, _attempts=a),
             _attempts=_attempts,
         )
-        self._maybe_auto_compact()
+        self._maybe_auto_compact(sum(e.bytes for e in entries))
         return v
 
     def update_ignore(self, df: DataFrame) -> int:
@@ -1584,7 +1716,7 @@ class Table:
             lambda a: self.delete(df, mode, _attempts=a),
             _attempts=_attempts,
         )
-        self._maybe_auto_compact()
+        self._maybe_auto_compact(sum(e.bytes for e in entries))
         return v
 
     def delete_ignore(self, df: DataFrame) -> int:
@@ -1637,8 +1769,17 @@ class Table:
     AUTO_COMPACT_MIN_RATIO = 0.05
     AUTO_COMPACT_MIN_DELTA_BYTES = 1 << 20
     AUTO_COMPACT_BUDGET_BYTES = 256 << 20
+    # write-proportional budget: an inline/async fold may spend up to
+    # this many bytes of rewrite IO per byte of delta the triggering
+    # commit wrote (≈ the fold amplification of a ~10%-dirty uniform
+    # mutation, with headroom), so maintenance keeps pace with the
+    # write rate instead of draining a large backlog 256 MB per write
+    # across dozens of sweeps (×400 in SCALE.md needed 23). Kudu's
+    # MaintenanceManager achieves the same by prioritizing ops by
+    # perf-improvement score as writes land (tablet/maintenance_manager.h).
+    AUTO_COMPACT_WRITE_FACTOR = 16
 
-    def _maybe_auto_compact(self) -> None:
+    def _maybe_auto_compact(self, commit_delta_bytes: int = 0) -> None:
         """Maintenance trigger after a mutation commit. Kudu runs the
         compaction policy in background maintenance threads
         (tablet/maintenance_manager.h, compaction_policy.h:74-129); a
@@ -1671,7 +1812,9 @@ class Table:
                 if self._maint_lock.acquire(blocking=False):
                     def run():
                         try:
-                            self._auto_compact_once()
+                            self._auto_compact_once(
+                                commit_delta_bytes=commit_delta_bytes
+                            )
                         finally:
                             self._maint_lock.release()
 
@@ -1686,7 +1829,7 @@ class Table:
                         self._maint_lock.release()
                         raise
                 return
-            self._auto_compact_once(st)
+            self._auto_compact_once(st, commit_delta_bytes=commit_delta_bytes)
         except Exception as e:
             import logging
 
@@ -1694,7 +1837,8 @@ class Table:
                 "auto-compaction of %s skipped: %s", self.name, e
             )
 
-    def _auto_compact_once(self, st: TableState | None = None) -> None:
+    def _auto_compact_once(self, st: TableState | None = None,
+                           commit_delta_bytes: int = 0) -> None:
         """One pass of the auto-compaction policy: partitions whose
         delta bytes exceed ``auto_compact_min_ratio`` of their total
         (≈ --tablet_delta_store_major_compact_min_ratio=0.1; lower here
@@ -1715,6 +1859,12 @@ class Table:
                                   self.AUTO_COMPACT_MIN_DELTA_BYTES))
             budget = int(props.get("auto_compact_budget_bytes",
                                    self.AUTO_COMPACT_BUDGET_BYTES))
+            # write-proportional: a commit that wrote W delta bytes may
+            # fold up to factor*W — big writes drain their own backlog
+            # instead of leaving dozens of fixed-budget sweeps behind
+            factor = int(props.get("auto_compact_write_factor",
+                                   self.AUTO_COMPACT_WRITE_FACTOR))
+            budget = max(budget, factor * int(commit_delta_bytes))
             tot: dict = {}
             dl: dict = {}
             for f in st.files:
@@ -1785,22 +1935,59 @@ class Table:
             removes=[f.path for f in rewrite], _attempts=_attempts,
         )
 
-    def vacuum(self, keep_versions: int = 0) -> int:
+    # files referenced only by manifests older than this stay on disk
+    # through a default vacuum (≈ Kudu's ancient history mark,
+    # --tablet_history_max_age_sec=900: snapshots younger than the mark
+    # remain readable; older ones are out of the read contract)
+    VACUUM_RETENTION_SECONDS = 900
+
+    def vacuum(self, keep_versions: int = 0,
+               retention_seconds: int | None = None,
+               force: bool = False) -> int:
         """Physically delete data files referenced by no retained
         manifest. ``keep_versions`` preserves time travel to that many
         versions before HEAD (0 = only HEAD readable afterwards); run
-        after compact."""
+        after compact.
+
+        Guard against live time-travel readers: a DataFrame built
+        against an older version executes lazily and may read its
+        files long after vacuum runs, so by default files referenced
+        by any manifest committed within ``retention_seconds`` (table
+        prop ``vacuum_retention_seconds``, else 900 s — Kudu's tablet
+        history GC default) are retained. ``force=True`` (or
+        ``retention_seconds=0``) skips the guard — only HEAD (+
+        ``keep_versions``) is safe to read afterwards."""
         head = self.state()
         live = {f.path for f in head.files}
-        for v in range(max(1, head.version - keep_versions), head.version):
+        blooms = {f.bloom for f in head.files if f.bloom}
+        retained = set(range(max(1, head.version - keep_versions), head.version))
+        if not force:
+            import time
+
+            if retention_seconds is None:
+                retention_seconds = int(
+                    head.props.get("vacuum_retention_seconds",
+                                   self.VACUUM_RETENTION_SECONDS)
+                )
+            cutoff = int(time.time() * 1000) - retention_seconds * 1000
+            retained |= {
+                v for v, ts in head.timestamps_ms.items()
+                if ts >= cutoff and v < head.version
+            }
+        for v in retained:
             old = replay(self.name, self.root, v)
             if old is not None:
                 live |= {f.path for f in old.files}
+                blooms |= {f.bloom for f in old.files if f.bloom}
         removed = 0
         data_dir = os.path.join(self.root, DATA_DIR)
         for name in os.listdir(data_dir):
             rel = os.path.join(DATA_DIR, name)
             if name.endswith(".parquet") and rel not in live:
+                os.unlink(os.path.join(data_dir, name))
+                removed += 1
+            elif name.endswith(".bloom") and rel not in blooms:
+                # delta-key sidecars GC with their manifests
                 os.unlink(os.path.join(data_dir, name))
                 removed += 1
         return removed

@@ -556,12 +556,13 @@ def tpch_q9_product_profit(spark, sf_dir):
     gated=False,  # HAVING-vs-scalar-subquery family gated via tpch_q18/tpch_q15
     oracle="""
     WITH nation_supply AS (
-      SELECT l_partkey AS ps_partkey, l_extendedprice * l_quantity AS value
+      SELECT l_partkey AS ps_partkey,
+             CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)) AS value
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
     )
-    SELECT ps_partkey, round(sum(value), 2) AS part_value
+    SELECT ps_partkey, CAST(round(sum(value), 2) AS DOUBLE) AS part_value
     FROM nation_supply
     GROUP BY ps_partkey
     HAVING sum(value) > (SELECT sum(value) * 0.001 FROM nation_supply)
@@ -570,7 +571,11 @@ def tpch_q9_product_profit(spark, sf_dir):
 def tpch_q11_important_stock(spark, sf_dir):
     """Q11: parts representing a significant share of one nation's
     supply value (availqty*supplycost modeled as extendedprice*qty).
-    The scalar-subquery threshold is a 1-row broadcast join."""
+    The scalar-subquery threshold is a 1-row broadcast join. Sums run
+    in DECIMAL(18,4) (as Q9 does) so the HAVING threshold compare is
+    order-independent — double summation order differs between Spark
+    and DuckDB, and a part within accumulation error of the 0.1% cut
+    could flip in/out of the result."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = F.broadcast(load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3"))
@@ -579,15 +584,18 @@ def tpch_q11_important_stock(spark, sf_dir):
         .join(n, s.s_nationkey == n.n_nationkey)
         .select(
             F.col("l_partkey").alias("ps_partkey"),
-            (F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
+            (F.col("l_extendedprice") * F.col("l_quantity"))
+            .cast("decimal(18,4)").alias("value"),
         )
     )
     per_part = supply.groupBy("ps_partkey").agg(F.sum("value").alias("__v"))
-    threshold = supply.agg((F.sum("value") * 0.001).alias("__cut"))
+    threshold = supply.agg((F.sum("value") * F.lit("0.001").cast("decimal(5,4)"))
+                           .alias("__cut"))
     return (
         per_part.join(F.broadcast(threshold))
         .where(F.col("__v") > F.col("__cut"))
-        .select("ps_partkey", F.round(F.col("__v"), 2).alias("part_value"))
+        .select("ps_partkey",
+                F.round(F.col("__v"), 2).cast("double").alias("part_value"))
     )
 
 

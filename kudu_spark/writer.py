@@ -244,7 +244,9 @@ class Transaction:
         # inline maintenance, like the direct mutation paths (not run
         # from EngineTransaction._publish calls: a coordinator must not
         # stretch the window between participant commits)
-        self.table._maybe_auto_compact()
+        self.table._maybe_auto_compact(
+            sum(e.bytes for _, es in self._staged for e in es if e.kind == "delta")
+        )
         return v
 
     def _publish(self, txn_id: str | None = None) -> int:
@@ -284,15 +286,9 @@ class Transaction:
                     raise
 
     def rollback(self) -> None:
-        import os
-
         self._open = False
         for _, entries in self._staged:
-            for e in entries:
-                try:
-                    os.unlink(os.path.join(self.table.root, e.path))
-                except FileNotFoundError:
-                    pass
+            self.table._discard(entries)  # data files + bloom sidecars
         self._staged = []
 
 

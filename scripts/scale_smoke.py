@@ -114,6 +114,13 @@ def main() -> None:
     t.upsert(tenth)
     upsert_sec = round(time.perf_counter() - t0, 2)
     mutated = stage()
+    # same dirty state through the commit-time bloom sidecar plan
+    # (plans/delta_bloom.py): base filtered by the native
+    # might_contain probe, never shuffled, no per-query broadcast
+    # builds — the regime-independent alternative measured side by side
+    eng.alter_table("lineitem").set_property("delta_scan_plan", "bloom").apply()
+    mutated_bloom = stage()
+    eng.alter_table("lineitem").set_property("delta_scan_plan", "auto").apply()
     t0 = time.perf_counter()
     t.compact()
     compact_sec = round(time.perf_counter() - t0, 2)
@@ -158,6 +165,7 @@ def main() -> None:
         "maintenance_drain_sec": maintenance_drain_sec,
         "clean": clean,
         "mutated": mutated,
+        "mutated_bloom": mutated_bloom,
         "compacted": compacted,
         "auto_compacted": auto,
         "maintenance_drained": drained,

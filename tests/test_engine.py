@@ -348,11 +348,18 @@ def test_vacuum_keep_versions(engine, spark):
     t.compact()
     v_compact = t.version
     # keep one version of history: pre-compaction state stays readable
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, force=True)
     assert t.scan(version=v_compact - 1).count() == 50
     assert t.scan().count() == 50
-    # full vacuum: only HEAD survives
-    removed = t.vacuum(keep_versions=0)
+    # a DEFAULT vacuum retains files of recent manifests (the live
+    # time-travel reader guard, ≈ Kudu's ancient history mark): a
+    # DataFrame built against an old version BEFORE the vacuum still
+    # executes AFTER it
+    pre = t.scan(version=v1)
+    assert t.vacuum(keep_versions=0) == 0
+    assert pre.count() == 50
+    # full vacuum with force: only HEAD survives
+    removed = t.vacuum(keep_versions=0, force=True)
     assert removed > 0
     assert t.scan().count() == 50
 
@@ -391,8 +398,12 @@ def test_txn_consistent_sql_sees_neither_or_both(engine, spark):
         }, f)
     txn._parts["sa"]._publish(txn_id)
 
-    # plain read sees the torn prefix; consistent read sees neither
-    assert {r.key for r in engine.sql("select * from sa").collect()} == {1, 2}
+    # a PLAIN sql() read is txn-consistent by default (round 6): the
+    # mid-publish txn is visible NOWHERE; the explicit opt-out exposes
+    # the torn prefix
+    assert {r.key for r in engine.sql("select * from sa").collect()} == {1}
+    assert {r.key for r in
+            engine.sql("select * from sa", txn_consistent=False).collect()} == {1, 2}
     cons = engine.sql("select * from sa", txn_consistent=True)
     assert {r.key for r in cons.collect()} == {1}
     assert {r.key for r in

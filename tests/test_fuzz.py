@@ -237,6 +237,122 @@ def test_fuzz_with_inline_maintenance(spark, tmp_path, seed):
         assert got == expected, f"snapshot v{version} after inline maintenance"
 
 
+@pytest.mark.parametrize("seed", [11, 96])
+def test_fuzz_ddl_alters_vs_model(spark, tmp_path, seed):
+    """Randomized DDL fuzz (≈ alter_table-randomized-test.cc): random
+    column add/drop/rename and range add/drop on a COMPOUND-range-key
+    table, interleaved with mutations and restarts, checked against a
+    model. After EVERY alter the partition invariants are re-asserted:
+    the compound range spec stays enabled with its column list, an
+    out-of-range insert still raises, and new files carry real range
+    ids — the exact invariants the round-5 ALTER bug silently broke."""
+    from kudu_spark.errors import KuduSparkError
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"whd{seed}")
+    eng = Engine(spark, root)
+    t = eng.create_table(
+        "fd", [("a", "int", False), ("b", "int", False), ("v", "int", True)],
+        pk=["a", "b"],
+        hash_partitions=[{"columns": ["b"], "buckets": 2}],
+        range_partition={"columns": ["a", "b"],
+                         "ranges": [[[0], [10]], [[10], [20]]]},
+    )
+    # model: rows keyed by (a, b); ranges as a list of [lo, hi) over a;
+    # extra columns as {live name: default}
+    model: dict[tuple, int] = {}
+    ranges: list[list[int]] = [[0, 10], [10, 20]]
+    extras: dict[str, int] = {}
+    n_extra = 0
+
+    def covered(a):
+        return any(lo <= a < hi for lo, hi in ranges)
+
+    def some_uncovered_a():
+        for cand in range(0, 60, 10):
+            if not covered(cand):
+                return cand
+        return None
+
+    for step in range(30):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "add_range", "drop_range",
+             "add_col", "drop_col", "rename_col", "restart", "compact"]
+        )
+        if op == "upsert":
+            ks = [(rng.choice([lo for lo, _ in ranges]) + rng.randrange(10) % 10,
+                   rng.randrange(4)) for _ in range(rng.randint(1, 4))]
+            ks = [(a, b) for a, b in ks if covered(a)]
+            if ks:
+                rows = [(a, b, step * 100 + a + b) for a, b in ks]
+                t.upsert(df_of(spark, rows, "a int, b int, v int"))
+                for a, b in ks:
+                    model[(a, b)] = step * 100 + a + b
+        elif op == "delete":
+            if model:
+                a, b = rng.choice(sorted(model))
+                t.delete(df_of(spark, [(a, b)], "a int, b int"))
+                del model[(a, b)]
+        elif op == "add_range":
+            a0 = some_uncovered_a()
+            if a0 is not None:
+                eng.alter_table("fd").add_range_partition([a0], [a0 + 10]).apply()
+                ranges.append([a0, a0 + 10])
+        elif op == "drop_range":
+            if len(ranges) > 1:
+                lo, hi = rng.choice(ranges)
+                eng.alter_table("fd").drop_range_partition([lo], [hi]).apply()
+                ranges.remove([lo, hi])
+                for a, b in [k for k in model if lo <= k[0] < hi]:
+                    del model[(a, b)]
+        elif op == "add_col":
+            name = f"e{n_extra}"
+            n_extra += 1
+            eng.alter_table("fd").add_column(name, "int", default=-n_extra).apply()
+            extras[name] = -n_extra
+        elif op == "drop_col":
+            if extras:
+                name = rng.choice(sorted(extras))
+                eng.alter_table("fd").drop_column(name).apply()
+                del extras[name]
+        elif op == "rename_col":
+            if extras:
+                name = rng.choice(sorted(extras))
+                eng.alter_table("fd").rename_column(name, name + "r").apply()
+                extras[name + "r"] = extras.pop(name)
+        elif op == "restart":
+            t = Engine(spark, root).table("fd")
+        elif op == "compact":
+            t.compact()
+        t = eng.table("fd")
+
+        if op in ("add_range", "drop_range", "add_col", "drop_col", "rename_col"):
+            # partition invariants after EVERY alter
+            st = t.state()
+            rs = st.partition_spec.range_spec
+            assert rs.enabled and rs.cols == ["a", "b"], f"step {step}: spec lost"
+            assert [list(r[0]) for r in rs.ranges] == [[lo] for lo, _ in ranges] or \
+                   sorted(tuple(r[0]) for r in rs.ranges) == sorted((lo,) for lo, _ in ranges)
+            bad_a = some_uncovered_a()
+            if bad_a is not None:
+                with pytest.raises(KuduSparkError, match="range"):
+                    t.insert(df_of(spark, [(bad_a, 0, 1)], "a int, b int, v int"))
+            assert all(
+                f.partition.get("range") is not None for f in st.files
+            ), f"step {step}: file lost its range id"
+
+        if step % 6 == 5 or step == 29:
+            got = {(r.a, r.b): r.v for r in t.scan(columns=["a", "b", "v"]).collect()}
+            assert got == model, f"step {step} op {op}"
+            # extra columns: schema agrees and defaults materialize
+            st = t.state()
+            assert set(st.schema.non_pk_names) == {"v", *extras}
+            if extras and model:
+                row = t.scan().limit(1).collect()[0]
+                for name in extras:
+                    assert row[name] is not None or extras[name] is None
+
+
 def _concurrent_worker(args):
     """OS-process worker for test_concurrent_writers: own JVM, own
     SparkSession, racing mutations on a shared table root."""

@@ -311,9 +311,29 @@ def test_compound_range_partial_bounds_and_alter(engine, spark):
     # and "=" pruning on the boundary value excludes range 0
     assert {f.partition.get("range") for f in t._prune(st, [("a", "=", 5)])} == {1}
     engine.alter_table("cr2").add_range_partition([10], [15]).apply()
+    # the alter must PRESERVE the compound range spec (r5 regression:
+    # the rebuilt RangeSpec dropped `columns`, silently disabling the
+    # range component — client.h:2006-2099 keeps the schema intact)
+    st2 = t.state()
+    rs = st2.partition_spec.range_spec
+    assert rs.enabled and rs.cols == ["a", "b"]
     t.insert(spark.createDataFrame([(12, 0, 12)], "a bigint, b bigint, v int"))
     assert t.scan(filters=[("a", "=", 12)]).count() == 1
     assert t.count() == 31
+    # new files carry real range ids, not None
+    assert all(f.partition.get("range") is not None for f in t.state().files)
+    # an out-of-range row still raises post-alter
+    from kudu_spark.errors import KuduSparkError as _KSE
+
+    with pytest.raises(_KSE, match="range"):
+        t.insert(spark.createDataFrame([(99, 0, 1)], "a bigint, b bigint, v int"))
+    # drop-range variant: enforcement + compound spec survive the remap
+    engine.alter_table("cr2").drop_range_partition([10], [15]).apply()
+    rs3 = t.state().partition_spec.range_spec
+    assert rs3.enabled and rs3.cols == ["a", "b"] and len(rs3.ranges) == 2
+    assert t.scan(filters=[("a", "=", 12)]).count() == 0  # dropped rows gone
+    with pytest.raises(_KSE, match="range"):
+        t.insert(spark.createDataFrame([(12, 0, 12)], "a bigint, b bigint, v int"))
 
 
 # -- read modes ---------------------------------------------------------------
