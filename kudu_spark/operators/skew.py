@@ -27,6 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(df: DataFrame, salt: int):
+    """Deterministic-per-run salt for a row of ``df``: content hash
+    mixed with the row's physical position (partition id + counter),
+    so even FULLY IDENTICAL rows of a hot key spread over all salt
+    values instead of re-concentrating on one."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns],
+                   F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salt),
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -47,20 +59,10 @@ def salted_join(
         # (and then dropping) a user column would corrupt data
         raise ValueError("salted_join reserves the column name '__salt'")
     keys = [on] if isinstance(on, str) else list(on)
-    # deterministic-per-run spread: hash of the row CONTENT mixed with
-    # the row's physical position (partition id + per-partition
-    # counter) modulo salt. Content alone is not enough — the
-    # motivating workload (a hot default/empty-string key) often
-    # carries fully identical payloads, and identical rows would all
-    # hash to ONE salt value, re-concentrating the straggler.
-    bigs = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns],
-                       F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(salt),
-        ).cast("int"),
-    )
+    # content alone is not enough for the spread — the motivating
+    # workload (a hot default/empty-string key) often carries fully
+    # identical payloads, so _salt_expr mixes in physical position
+    bigs = big.withColumn("__salt", _salt_expr(big, salt))
     smalls = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))

@@ -65,3 +65,20 @@ def test_vocabulary_rank_ties_deterministic(spark):
     out = [(r["token"], r["freq"], r["rank"]) for r in
            CP.vocabulary_topk(docs, 3).orderBy("rank").collect()]
     assert out == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
+
+
+def test_vocabulary_topk_plans_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-
+    partition k-row heaps, k-row driver merge) — NOT a row_number
+    window with no partition key, which funnels every distinct token
+    (billions at web scale) through one task. The residual rank window
+    runs over the k survivors only."""
+    docs = _docs(spark, [(i, f"tok{i} common word", "en") for i in range(50)])
+    df = CP.vocabulary_topk(docs, 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # no single-partition exchange BEFORE the top-k cut: the only
+    # SinglePartition may feed the k-row rank window, never the full
+    # token count stream
+    pre_topk = plan.split("TakeOrderedAndProject", 1)[1]
+    assert "Exchange SinglePartition" not in pre_topk

@@ -22,12 +22,38 @@ def test_salted_join_row_identical_to_plain(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
+    from kudu_spark.operators.skew import _salt_expr
+
     big = spark.createDataFrame([(0, i) for i in range(64)], "k bigint, v bigint")
-    salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)).cast("int")
-    )
+    salted = big.withColumn("__salt", _salt_expr(big, 8))
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts >= 6  # one hot key fans out over nearly all salt values
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """The motivating workload: a hot key whose rows are FULLY
+    identical (default/empty payloads). A content-only hash would land
+    them all on one salt; the position mix must spread them."""
+    from kudu_spark.operators.skew import _salt_expr
+
+    big = spark.createDataFrame([(0, 0)] * 256, "k bigint, v bigint").repartition(8)
+    n_salts = big.withColumn("__salt", _salt_expr(big, 8)) \
+        .select("__salt").distinct().count()
+    assert n_salts >= 6
+    # and the join result is still row-identical to the plain join
+    small = spark.createDataFrame([(0, "d")], "k bigint, d string")
+    got = salted_join(big, small, "k", salt=8)
+    assert got.count() == 256
+    assert got.columns == ["k", "v", "d"]
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    big = spark.createDataFrame([(1, 0)], "k bigint, __salt int")
+    small = spark.createDataFrame([(1, "d")], "k bigint, d string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big, small, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(small, big, "k")
 
 
 def test_salted_join_rejects_right_joins(spark):

@@ -135,6 +135,29 @@ def test_range_join_multi_unit_bucket_exact(spark):
         )
 
 
+def test_range_join_column_collision_rejected(spark):
+    """Shared non-key column names (or reserved __k/__b) would emit
+    duplicate columns and AMBIGUOUS_REFERENCE downstream — rejected up
+    front like asof_join."""
+    import pytest as _pytest
+
+    points = spark.createDataFrame(
+        [(10, _t(5), 1.0)], "user_id bigint, ts timestamp, v double"
+    )
+    iv = spark.createDataFrame(
+        [(10, _t(0), _t(10), 2.0)],
+        "user_id bigint, iv_start timestamp, iv_end timestamp, v double"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        range_point_interval_join(points, iv, on="user_id", point_ts="ts",
+                                  start_ts="iv_start", end_ts="iv_end")
+    bad = points.withColumnRenamed("v", "__k")
+    iv_ok = iv.withColumnRenamed("v", "w")
+    with _pytest.raises(ValueError, match="reserve"):
+        range_point_interval_join(bad, iv_ok, on="user_id", point_ts="ts",
+                                  start_ts="iv_start", end_ts="iv_end")
+
+
 def test_asof_right_column_collision_rejected(spark):
     left = spark.createDataFrame(
         [(1, 10, _t(5), 1.0)], "event_id bigint, user_id bigint, ts timestamp, v double"
