@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 _BYTES_CACHE: dict[str, bytes] = {}
 _BYTES_CACHE_MAX_TOTAL = 512 << 20
 
+# constructed probe Columns per (sidecar path, app id, key expr): the
+# binary literal's py4j transfer is O(sidecar bytes) per construction
+# (~0.4 s at 24M keys), so repeated scans reuse the immutable
+# expression tree; keyed by applicationId so a restarted session never
+# sees stale JVM references
+_PROBE_CACHE: dict[tuple, "Column"] = {}
+_PROBE_CACHE_MAX = 64
+
 DEFAULT_FPP = 0.01
 
 
@@ -121,6 +129,31 @@ def load_sidecar(table_root: str, rel_path: str) -> bytes | None:
         _BYTES_CACHE.pop(next(iter(_BYTES_CACHE)))
     _BYTES_CACHE[path] = data
     return data
+
+
+def might_contain_sidecar(spark, table_root: str, rel_path: str,
+                          value: Column, value_key: tuple) -> Column | None:
+    """Cached probe over a sidecar file: loads the bytes (byte-cached)
+    and reuses the constructed expression across queries of this
+    session. ``value_key`` identifies the value expression (e.g. the
+    PK column tuple) since the Column tree binds it."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None
+    key = (os.path.join(table_root, rel_path), app, value_key)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    data = load_sidecar(table_root, rel_path)
+    if data is None:
+        return None
+    col = might_contain(spark, data, value)
+    if col is not None and app is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[key] = col
+    return col
 
 
 def might_contain(spark, data: bytes, value: Column) -> Column | None:

@@ -601,9 +601,11 @@ class Table:
             # bitset as an array literal; py4j literal construction is
             # O(seconds) past ~100k words, so it could never scale
             # past the broadcast threshold it was meant to relieve.)
+            # delta_scan_plan: "auto" (groups -> bloom -> shuffle),
+            # "bloom" / "shuffle" force the respective past-cap plan
             plan_pref = str(st.props.get("delta_scan_plan", "auto")).lower()
             groups = (
-                None if plan_pref == "bloom"
+                None if plan_pref in ("bloom", "shuffle")
                 else self._group_dirty_by_broadcast(
                     dirty_base, dirty_delta, 64 * max(1, len(pk)), max(bcast, 0)
                 )
@@ -628,27 +630,39 @@ class Table:
                 for p in parts[1:]:
                     df_dirty = df_dirty.unionByName(p)
             else:
-                # past the broadcast budget: bloom-split on the
-                # commit-time sidecar (plans/delta_bloom.py). Base rows
-                # failing the native membership probe are PROVABLY
-                # untouched and stream straight from parquet; only the
-                # ~|delta|-sized positive slice pays an exact anti
-                # join. Base is never shuffled at ANY delta size —
-                # the structural fix for the 6.5-9x shuffled-anti
-                # regime of SCALE.md x400.
-                df_dirty = self._bloom_split_plan(st, dirty_base, dirty_delta,
-                                                  merge_deltas, pk)
+                # past the broadcast budget. `delta_scan_plan=bloom`
+                # opts into the commit-time sidecar split
+                # (plans/delta_bloom.py): base rows failing the native
+                # membership probe are PROVABLY untouched and stream
+                # straight from parquet; only the ~|delta|-sized
+                # positive slice pays an exact anti join, and the base
+                # is never shuffled at any delta size — the right
+                # SHAPE for a multi-executor cluster, where base
+                # shuffle means network. It is NOT the local default:
+                # the round-6 ×400 A/B (SCALE.md) measured its
+                # fixed costs (probe-literal deserialization per task,
+                # two base scans) above the shuffled anti's on one
+                # shared JVM.
+                df_dirty = (
+                    self._bloom_split_plan(st, dirty_base, dirty_delta,
+                                           merge_deltas, pk)
+                    if plan_pref == "bloom" else None
+                )
                 if df_dirty is None:
-                    # no sidecars (pre-round-6 data / tiny commits /
-                    # internals unavailable): plain anti join — the
-                    # planner shuffles base + keys, predicates still
-                    # push below the join. Compaction is the real
-                    # remedy here and auto-compaction triggers on the
-                    # ratio.
+                    # default past-cap plan (measured fastest locally):
+                    # plain anti join — the planner shuffles base +
+                    # keys, predicates still push below the join.
+                    # Write-proportional maintenance is the real remedy
+                    # in this regime; this plan only serves tables
+                    # that disabled it.
                     df_base = self._read_files(st, dirty_base)
                     df_delta = self._read_files(st, dirty_delta)
+                    # SHUFFLE_HASH on the key (build) side: hashing the
+                    # O(delta) keys beats sort-merge, which would also
+                    # SORT the full base stream
+                    keys = df_delta.select(*pk).hint("SHUFFLE_HASH")
                     df_dirty = (
-                        df_base.join(df_delta.select(*pk), on=pk, how="left_anti")
+                        df_base.join(keys, on=pk, how="left_anti")
                         .unionByName(merge_deltas(df_delta))
                     )
         elif (dirty_base and dirty_delta
@@ -691,8 +705,13 @@ class Table:
     # the plain sort-merge anti join instead
     # grouped-broadcast merge knobs: a group's delta keys must fit one
     # broadcast (>= this floor even under a tiny configured threshold);
-    # more than DELTA_MAX_GROUPS groups falls back to the shuffled anti
-    # join (that much dirty data means compaction, not plan tricks)
+    # past DELTA_MAX_GROUPS the plan falls back to the shuffled anti
+    # join. The cap is MEASURED, not a memory guess: a round-6 A/B at
+    # 24M delta keys (SCALE.md ×400) put ~24 broadcast groups at
+    # 14.5/10.3 s (q1/q6) vs the shuffled anti's 10.8/2.2 s — the
+    # grouped plan degrades superlinearly past ~16 groups (resident
+    # HashedRelations + sequential builds), so that much dirty data
+    # belongs to maintenance (now write-proportional), not plan tricks.
     DELTA_BROADCAST_FLOOR_BYTES = 4 << 20
     DELTA_MAX_GROUPS = 16
 
@@ -777,10 +796,9 @@ class Table:
         h = F.xxhash64(*[F.col(c) for c in pk])
         probes = []
         for rel in sorted(paths):
-            data = delta_bloom.load_sidecar(self.root, rel)
-            if data is None:
-                return None
-            c = delta_bloom.might_contain(self.spark, data, h)
+            c = delta_bloom.might_contain_sidecar(
+                self.spark, self.root, rel, h, tuple(pk)
+            )
             if c is None:
                 return None
             probes.append(c)
@@ -1352,7 +1370,16 @@ class Table:
         floor = int(st.props.get("delta_bloom_min_rows", self.DELTA_BLOOM_MIN_ROWS))
         if not entries or total < floor:
             return
-        if str(st.props.get("delta_bloom", "true")).lower() in ("false", "0", "no"):
+        # build only for tables that will USE the bloom plan
+        # (delta_scan_plan=bloom, or delta_bloom=true explicitly):
+        # the build is a real per-commit Spark job, wasted on tables
+        # whose scans take the broadcast/shuffle plans
+        pref = str(st.props.get("delta_bloom", "auto")).lower()
+        if pref in ("false", "0", "no"):
+            return
+        if pref == "auto" and str(
+            st.props.get("delta_scan_plan", "auto")
+        ).lower() != "bloom":
             return
         try:
             pk = st.schema.pk

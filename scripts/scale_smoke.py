@@ -71,8 +71,12 @@ def main() -> None:
         hash_partitions=[{"columns": ["l_rowid"], "buckets": max(8, args.mult)}],
     )
     # disable inline maintenance so the "mutated" stage measures the
-    # pure merge-on-read plan; the "auto" stage re-enables it
-    eng.alter_table("lineitem").set_property("auto_compact", "false").apply()
+    # pure merge-on-read plan; the "auto" stage re-enables it.
+    # delta_bloom=true builds the sidecar at upsert time (its cost is
+    # inside upsert_10pct_sec) so the mutated_bloom stage measures the
+    # real bloom plan, not a silent fallback
+    eng.alter_table("lineitem").set_property("auto_compact", "false") \
+        .set_property("delta_bloom", "true").apply()
     if args.cluster_by:
         eng.alter_table("lineitem").set_property("cluster_by", args.cluster_by).apply()
     t0 = time.perf_counter()

@@ -37,7 +37,7 @@ def _table(engine, spark, n=50_000, buckets=8, **props):
 
 
 def test_sidecar_attached_and_gcd(engine, spark):
-    t = _table(engine, spark)
+    t = _table(engine, spark, delta_bloom="true")
     t.upsert(spark.range(0, 50_000, 10).select(
         F.col("id").alias("k"), F.lit(-1.0).alias("v"), F.lit("u").alias("s")))
     st = t.state()
@@ -57,7 +57,16 @@ def test_sidecar_attached_and_gcd(engine, spark):
 
 
 def test_small_deltas_skip_sidecar(engine, spark):
-    t = _table(engine, spark, delta_bloom_min_rows=100_000)
+    t = _table(engine, spark, delta_bloom="true", delta_bloom_min_rows=100_000)
+
+
+def test_auto_tables_skip_sidecar(engine, spark):
+    """delta_bloom defaults to auto: tables on the broadcast/shuffle
+    scan plans never pay the per-commit sidecar build job."""
+    t = _table(engine, spark, n=5_000)
+    t.upsert(spark.range(0, 5_000).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("u").alias("s")))
+    assert all(f.bloom is None for f in t.state().files if f.kind == "delta")
     t.upsert(spark.range(0, 1000).select(
         F.col("id").alias("k"), F.lit(0.0).alias("v"), F.lit("u").alias("s")))
     assert all(f.bloom is None for f in t.state().files if f.kind == "delta")
