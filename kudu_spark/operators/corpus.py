@@ -276,6 +276,71 @@ def domain_mix_sql(domain_col: str, total_target: int, alpha: float = 0.5) -> st
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (C4 / RefinedWeb / Dolma boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_len: int = 0, delimiter: str = "\n") -> DataFrame:
+    """Remove repeated lines ACROSS the corpus, keeping each distinct
+    line's first occurrence (ordered by (id, position)) — the
+    line/span-level exact dedup of C4 ("discard all but one of any
+    three-sentence span occurring more than once") and RefinedWeb/
+    Dolma's boilerplate line removal. Lines shorter than ``min_len``
+    characters bypass dedup (navigation crumbs, blank lines — real
+    pipelines only dedup substantial lines). Docs whose every line is
+    dropped disappear from the output.
+
+    Returns (id_col, text_col) with each doc's surviving lines
+    rejoined in original order.
+
+    Scale: one shuffle keyed on LINE CONTENT — Spark's
+    WindowGroupLimit rewrite keeps only each line's first candidate
+    per map partition before the exchange, so a boilerplate line
+    repeated 100M times ships one candidate per map task, not 100M
+    rows — then one doc-keyed shuffle to reassemble. No driver state,
+    no UDFs."""
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy("__line").orderBy(id_col, "__pos")
+    kept = (
+        parts.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) | (F.length("__line") < min_len))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delimiter,
+        ).alias(text_col)
+    )
+
+
+def line_dedup_sql(min_len: int = 0) -> str:
+    """DuckDB oracle for line_dedup over a ``documents(doc_id, text)``
+    view (newline-delimited)."""
+    return f"""
+    WITH split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ), lines AS (
+      SELECT doc_id, pos, ls[pos] AS line
+      FROM split, LATERAL UNNEST(generate_series(1, len(ls))) AS g(pos)
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM ranked WHERE rn = 1 OR length(line) < {int(min_len)}
+    GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary building (corpus word-count top-k)
 # ---------------------------------------------------------------------------
 

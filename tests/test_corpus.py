@@ -67,6 +67,55 @@ def test_vocabulary_rank_ties_deterministic(spark):
     assert out == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
 
 
+def test_line_dedup_first_occurrence_and_min_len(spark):
+    """Corpus-wide line dedup: first (doc_id, pos) occurrence wins,
+    short lines bypass, fully-deduped docs drop out, surviving lines
+    keep their original order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared boilerplate line\nbeta"),
+            (2, "shared boilerplate line\ngamma\nshared boilerplate line"),
+            (3, "shared boilerplate line"),
+            (4, "x\ny"),  # short lines: always kept
+            (5, "x\nalpha"),  # "alpha" duplicates doc 1's — dropped; "x" kept (short)
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.text for r in CP.line_dedup(docs, min_len=3).collect()}
+    assert got == {
+        1: "alpha\nshared boilerplate line\nbeta",
+        2: "gamma",
+        4: "x\ny",
+        5: "x",
+    }  # doc 3 lost its only line and disappears
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """Value-level DuckDB comparison on multi-line constructed docs
+    (the driver corpus is single-line, so the oracle runs here)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(5)
+    vocab = ["the quick fox", "lorem ipsum dolor", "shared line",
+             "boilerplate footer text", "abc", ""]
+    rows = []
+    for d in range(40):
+        lines = [rng.choice(vocab) + (f" {rng.randrange(4)}" if rng.random() < 0.5 else "")
+                 for _ in range(rng.randint(1, 6))]
+        rows.append((d, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.text) for r in CP.line_dedup(docs, min_len=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(CP.line_dedup_sql(min_len=4)).fetchall()))
+    assert got == want
+
+
 def test_vocabulary_topk_plans_take_ordered(spark):
     """The global top-k must plan as TakeOrderedAndProject (per-
     partition k-row heaps, k-row driver merge) — NOT a row_number
