@@ -320,12 +320,12 @@ def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def line_dedup_sql(min_len: int = 0) -> str:
-    """DuckDB oracle for line_dedup over a ``documents(doc_id, text)``
-    view (newline-delimited)."""
+def line_dedup_sql(min_len: int = 0, source: str = "documents") -> str:
+    """DuckDB oracle for line_dedup over a ``(doc_id, text)`` relation
+    (newline-delimited); ``source`` may be a subquery."""
     return f"""
     WITH split AS (
-      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM {source} AS __src
     ), lines AS (
       SELECT doc_id, pos, ls[pos] AS line
       FROM split, LATERAL UNNEST(generate_series(1, len(ls))) AS g(pos)

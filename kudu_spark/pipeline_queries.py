@@ -652,6 +652,41 @@ def corpus_vocabulary(spark, sf_dir):
 
 
 @query(
+    "pipeline_line_dedup",
+    oracle=CP.line_dedup_sql(
+        3,
+        source="""(
+          SELECT doc_id,
+                 substr(text, 1, 60) || chr(10) || 'boilerplate footer line'
+                   || chr(10) || 'ok' || chr(10) || substr(text, 61, 40) AS text
+          FROM documents
+        )""",
+    ),
+    gated=False,  # dedup family gated via dedup_exact etc.; pytest-oracled
+)
+def pipeline_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup (C4/RefinedWeb boilerplate
+    removal): every doc carries the same injected footer line, so
+    exactly the first (doc, position) occurrence survives corpus-wide
+    while the short 'ok' line bypasses via min_len; unique content
+    lines pass through untouched. Lines are synthesized from the
+    single-line corpus identically on both sides (the dedup_url_host
+    pattern)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.lit("boilerplate footer line"),
+            F.lit("ok"),
+            F.substring("text", 61, 40),
+        ).alias("text"),
+    )
+    return CP.line_dedup(docs, min_len=3)
+
+
+@query(
     "dedup_url_host",
     oracle=f"""
     SELECT {TX.url_host_sql("__u")} AS host,
