@@ -100,15 +100,47 @@ class Engine:
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
         is materialized by registration."""
+        import re
+
         version_of = dict(version_of or {})
         if txn_consistent:
             pins = self.consistent_versions()
             for name, v in pins.items():
                 version_of.setdefault(name, v)
-        for name in self.list_tables():
+        # register only tables the query text references (word match):
+        # building a merge-on-read view costs a state replay + plan per
+        # table, so a 1000-table warehouse must not pay it for a
+        # 2-table query (Impala likewise resolves only referenced
+        # catalog entries). A word match can only over-approximate —
+        # table names are plain identifiers, so any real reference
+        # matches; extra registrations are harmless. If analysis still
+        # misses a table (e.g. a name arriving via a variable in a
+        # future SQL extension), fall back to registering everything.
+        names = self.list_tables()
+        wanted = [n for n in names
+                  if re.search(rf"\b{re.escape(n)}\b", query, re.IGNORECASE)]
+        for name in names:
+            if name not in wanted:
+                # a stale temp view from an earlier sql() must not
+                # silently serve an old snapshot to a query the word
+                # match failed to associate with it
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+        for name in wanted:
             df = self.table(name).scan(version=version_of.get(name))
             df.createOrReplaceTempView(name)
-        return self.spark.sql(query)
+        try:
+            return self.spark.sql(query)
+        except Exception:
+            rest = [n for n in names if n not in wanted]
+            if not rest:
+                raise
+            for name in rest:
+                df = self.table(name).scan(version=version_of.get(name))
+                df.createOrReplaceTempView(name)
+            return self.spark.sql(query)
 
     def consistent_versions(self) -> dict[str, int]:
         """Per-table snapshot versions that exclude every cross-table
@@ -490,7 +522,25 @@ class Alterer:
         self._range_drops.append([lower, upper])
         return self
 
-    def apply(self) -> int:
+    def apply(self, _attempts: int = 5) -> int:
+        """One atomic alter commit. On a lost commit race the WHOLE
+        alter rebuilds against fresh state and retries: a blind
+        version-bump retry would republish a schema/spec computed from
+        the stale snapshot, silently undoing whatever the concurrent
+        winner changed (lost update — Kudu avoids this class by
+        serializing DDL through the master's catalog lock;
+        optimistic-concurrency's equivalent is revalidate-and-rebuild,
+        the same discipline as _commit_revalidated on the write path)."""
+        from kudu_spark.errors import ConcurrentCommitError
+
+        try:
+            return self._apply_once()
+        except ConcurrentCommitError:
+            if _attempts <= 1:
+                raise
+            return self.apply(_attempts - 1)
+
+    def _apply_once(self) -> int:
         st = self.table.state()
         sch = st.schema
         cols = [ColumnSpec(**c.__dict__) for c in sch.columns]
@@ -562,7 +612,8 @@ class Alterer:
             # dropping ranges removes their files and remaps surviving ids
             return self._apply_with_range_remap(st, new_schema, pspec)
         return self.table._commit(st, "alter", [], schema=new_schema,
-                                  partition_spec=pspec, props=self._props or None)
+                                  partition_spec=pspec, props=self._props or None,
+                                  retries=1)
 
     def _apply_with_range_remap(self, st, new_schema, pspec) -> int:
         """Dropping range partitions removes their files AND remaps the
@@ -591,11 +642,12 @@ class Alterer:
                 nf.partition = {**f.partition, "range": id_map[rid]}
                 entries.append(nf)
         # range-drop remaps every file's range id against the state read
-        # above; a blind retry after a concurrent mutation would remap a
-        # stale file list — fail fast and let the caller re-apply.
-        # restamp_seq=False: the re-added entries are EXISTING files
-        # whose manifest seq must survive (it orders base vs delta in
-        # the merge window; re-stamping resurrected deleted rows)
+        # above; retries=1 because a blind retry would remap a stale
+        # file list — apply()'s outer loop rebuilds from fresh state
+        # instead. restamp_seq=False: the re-added entries are EXISTING
+        # files whose manifest seq must survive (it orders base vs
+        # delta in the merge window; re-stamping resurrected deleted
+        # rows)
         return self.table._commit(
             st, "alter", entries, removes=removes, schema=new_schema,
             partition_spec=pspec, retries=1, restamp_seq=False

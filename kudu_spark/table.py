@@ -2042,9 +2042,12 @@ class Table:
 
     # -- schema drift on write (KuduWriteOptions.scala:37-46) --------------------
 
-    def _auto_add_columns(self, df: DataFrame) -> TableState:
+    def _auto_add_columns(self, df: DataFrame, _attempts: int = 5) -> TableState:
         """handleSchemaDrift: unknown batch columns become nullable
-        table columns via an automatic ALTER before the write."""
+        table columns via an automatic ALTER before the write. Rebuilds
+        from fresh state on a lost commit race — a blind retry would
+        republish a schema computed from the stale snapshot and undo a
+        concurrent alter (same discipline as Alterer.apply)."""
         from kudu_spark.engine import _spark_type_to_ddl
         from kudu_spark.meta import ColumnSpec
 
@@ -2070,7 +2073,12 @@ class Table:
             )
             sch.next_col_id += 1
         sch.version += 1
-        self._commit(st, "alter", [], schema=sch)
+        try:
+            self._commit(st, "alter", [], schema=sch, retries=1)
+        except ConcurrentCommitError:
+            if _attempts <= 1:
+                raise
+            return self._auto_add_columns(df, _attempts - 1)
         return self.state()
 
     # -- checksum scan (tablet_service.cc:2561 Checksum RPC, ksck_checksum) ------

@@ -314,6 +314,54 @@ def test_engine_sql_over_tables(engine, spark):
     assert n == 20
 
 
+def test_concurrent_alter_rebuilds_not_blind_retry(engine, spark):
+    """Two racing alters must BOTH survive: the loser rebuilds its
+    schema from fresh state instead of republishing the stale one (a
+    blind version-bump retry would silently undo the winner's column —
+    the lost-update Kudu prevents with the master's catalog lock)."""
+    t = engine.create_table("ca", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(3)))
+
+    alt = engine.alter_table("ca")
+    alt.add_column("mine", "int", default=1)
+    orig_commit = alt.table._commit
+    fired = {"n": 0}
+
+    def racing_commit(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another client's alter lands in the window between this
+            # alter's state read and its commit attempt
+            engine.alter_table("ca").add_column("theirs", "int", default=2).apply()
+        return orig_commit(*a, **kw)
+
+    alt.table._commit = racing_commit
+    alt.apply()
+    cols = set(engine.table("ca").state().schema.names)
+    assert {"mine", "theirs"} <= cols  # neither alter lost
+    row = engine.table("ca").scan(filters=[("key", "=", 1)]).collect()[0]
+    assert (row["mine"], row["theirs"]) == (1, 2)
+
+
+def test_engine_sql_registers_only_referenced_tables(engine, spark):
+    """sql() builds merge-on-read views only for tables the query
+    references (word match, case-insensitive): a wide warehouse must
+    not pay a state replay + plan per table for a 2-table query. An
+    unreferenced table's temp view is absent afterwards, and a stale
+    view from an earlier call never serves an old snapshot."""
+    for name in ("tref", "tother", "tthird"):
+        t = engine.create_table(name, SIMPLE, pk=["key"])
+        t.insert(simple_rows(spark, range(3)))
+    assert engine.sql("SELECT count(*) AS n FROM TREF").collect()[0].n == 3
+    assert not spark.catalog.tableExists("tother")
+    assert not spark.catalog.tableExists("tthird")
+    # freshness across calls: a later query sees later data, and a
+    # table registered by call 1 but unreferenced in call 2 is dropped
+    engine.table("tother").insert(simple_rows(spark, range(3, 10)))
+    assert engine.sql("SELECT count(*) AS n FROM tother").collect()[0].n == 10
+    assert not spark.catalog.tableExists("tref")
+
+
 def test_scan_token_external_engine(engine, spark):
     """Scan tokens exist for EXTERNAL compute frameworks
     (docs/design-docs/scan-tokens.md) — a token's file list plus its

@@ -399,6 +399,124 @@ def _concurrent_worker(args):
         spark.stop()
 
 
+def _ddl_race_worker(args):
+    """OS-process worker racing mutations AND schema/partition alters
+    on one range-partitioned table."""
+    wid, root, seed, n_ops = args
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"ddl-race-{wid}")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from kudu_spark.engine import Engine
+        from kudu_spark.errors import ConcurrentCommitError, KuduSparkError, SchemaError
+
+        rng = random.Random(seed)
+        eng = Engine(spark, root)
+        ddl = "key int, int_val int, string_val string"
+        done, failed = 0, 0
+        for i in range(n_ops):
+            op = rng.choice(["upsert", "upsert", "delete_ignore",
+                             "add_range", "drop_range", "add_col", "drop_col"])
+            try:
+                t = eng.table("dr")
+                if op == "upsert":
+                    # write into whatever range currently covers key%8
+                    k = rng.randrange(8)
+                    t.upsert(spark.createDataFrame([(k, wid * 1000 + i, f"w{wid}")], ddl))
+                elif op == "delete_ignore":
+                    t.delete_ignore(spark.createDataFrame([(rng.randrange(8),)], "key int"))
+                elif op == "add_range":
+                    lo = rng.choice([100, 200, 300]) + wid * 1000
+                    eng.alter_table("dr").add_range_partition(lo, lo + 50).apply()
+                elif op == "drop_range":
+                    st = eng.table("dr").state()
+                    extra = [r for r in st.partition_spec.range_spec.ranges
+                             if r[0] not in (None, 0)]
+                    if extra:
+                        lo, hi = rng.choice(extra)
+                        eng.alter_table("dr").drop_range_partition(lo, hi).apply()
+                elif op == "add_col":
+                    eng.alter_table("dr").add_column(
+                        f"c{wid}_{i}", "int", default=0).apply()
+                elif op == "drop_col":
+                    st = eng.table("dr").state()
+                    mine = [c.name for c in st.schema.columns
+                            if c.name.startswith(f"c{wid}_")]
+                    if mine:
+                        eng.alter_table("dr").drop_column(rng.choice(mine)).apply()
+                done += 1
+            except (ConcurrentCommitError, KuduSparkError, SchemaError):
+                failed += 1  # losing a race (or range vanished) is allowed
+        return {"wid": wid, "done": done, "failed": failed}
+    finally:
+        spark.stop()
+
+
+def test_concurrent_writers_with_ddl(spark, tmp_path):
+    """Writers and DDL racing across OS processes (the
+    alter_table-randomized regime under concurrency): afterwards the
+    log must be linearizable (unique dense versions), the surviving
+    schema/partition spec internally consistent, range enforcement
+    still active, and the snapshot identical whether read whole, via
+    scan tokens, or through the COUNT fast path."""
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    from kudu_spark.errors import KuduSparkError
+    from kudu_spark.meta import log_versions
+
+    wh = str(tmp_path / "whddl")
+    eng = Engine(spark, wh)
+    t = eng.create_table(
+        "dr", SIMPLE, pk=["key"],
+        hash_partitions=[{"columns": ["key"], "buckets": 2}],
+        range_partition={"column": "key", "ranges": [[0, 8]]},
+    )
+    t.insert(df_of(spark, [(k, k, "seed") for k in range(0, 8, 2)]))
+
+    n_workers, n_ops = 3, 5
+    ctx = mp.get_context("spawn")
+    with cf.ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx) as ex:
+        results = list(ex.map(
+            _ddl_race_worker,
+            [(w, wh, 500 + w, n_ops) for w in range(n_workers)],
+        ))
+    assert sum(r["done"] for r in results) > 0
+
+    t = Engine(spark, wh).table("dr")
+    st = t.state()
+    # log is dense and every version unique (O_EXCL linearization)
+    vs = log_versions(t.root)
+    assert vs == list(range(1, len(vs) + 1))
+    # schema internally consistent: unique names, PK first
+    st.schema.validate()
+    # range spec survived every alter; all live files carry a valid id
+    rs = st.partition_spec.range_spec
+    assert rs.enabled and rs.cols == ["key"]
+    for f in st.files:
+        assert f.partition.get("range") is not None
+        assert 0 <= f.partition["range"] < len(rs.ranges)
+    # enforcement still active for an uncovered key
+    uncovered = 50  # never covered by [0,8) or the 100+ worker ranges
+    with pytest.raises(KuduSparkError, match="range"):
+        t.insert(df_of(spark, [(uncovered, 0, "x")]))
+    # one snapshot, three readers agree: full scan, tokens, count()
+    full = {(r.key, r.int_val) for r in t.scan(columns=["key", "int_val"]).collect()}
+    via_tokens = set()
+    for tok in t.scan_tokens(version=st.version):
+        via_tokens |= {(r.key, r.int_val)
+                       for r in t.token_to_df(tok).select("key", "int_val").collect()}
+    assert via_tokens == full
+    assert t.count(version=st.version) == len(full)
+
+
 def test_concurrent_writers(spark, tmp_path):
     """2+ OS processes race inserts/upserts/deletes/compactions on one
     table (fuzz-itest.cc:122-141's multi-writer regime; the optimistic
