@@ -97,28 +97,60 @@ class Engine:
         transaction is actually mid-publish; ``txn_consistent=False``
         opts out for single-table workloads that want zero probes.
 
+        DML statements (INSERT / UPSERT / UPDATE / DELETE, incl.
+        IGNORE variants — the surface Impala routes to the Kudu write
+        API, docs/kudu_impala_integration.adoc:665-731) are detected by
+        their leading keyword and executed through the table write
+        paths; they return a one-row summary DataFrame (see
+        ``kudu_spark.sql_dml``). Their read side (SELECT sources, WHERE
+        predicates, SET expressions) is planned by Spark SQL over the
+        same snapshot views, so subqueries and joins work in DML too.
+
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
         is materialized by registration."""
-        import re
+        from kudu_spark.sql_ddl import is_ddl, is_show, run_ddl, run_show
+        from kudu_spark.sql_dml import is_dml, run_dml
 
+        if is_ddl(query):
+            return run_ddl(self, query)
+        if is_show(query):
+            return run_show(self, query)
         version_of = dict(version_of or {})
         if txn_consistent:
             pins = self.consistent_versions()
             for name, v in pins.items():
                 version_of.setdefault(name, v)
-        # register only tables the query text references (word match):
-        # building a merge-on-read view costs a state replay + plan per
-        # table, so a 1000-table warehouse must not pay it for a
-        # 2-table query (Impala likewise resolves only referenced
-        # catalog entries). A word match can only over-approximate —
-        # table names are plain identifiers, so any real reference
-        # matches; extra registrations are harmless. If analysis still
-        # misses a table (e.g. a name arriving via a variable in a
-        # future SQL extension), fall back to registering everything.
+        if is_dml(query):
+            return run_dml(self, query)
+        names, wanted = self._register_views(query, version_of)
+        try:
+            return self.spark.sql(query)
+        except Exception:
+            rest = [n for n in names if n not in wanted]
+            if not rest:
+                raise
+            for name in rest:
+                df = self.table(name).scan(version=version_of.get(name))
+                df.createOrReplaceTempView(name)
+            return self.spark.sql(query)
+
+    def _register_views(self, text: str, version_of: dict | None = None):
+        """Register temp views for engine tables the statement text
+        references (word match): building a merge-on-read view costs a
+        state replay + plan per table, so a 1000-table warehouse must
+        not pay it for a 2-table query (Impala likewise resolves only
+        referenced catalog entries). A word match can only
+        over-approximate — table names are plain identifiers, so any
+        real reference matches; extra registrations are harmless.
+        Returns (all_names, registered_names) so ``sql`` can fall back
+        to registering everything if analysis still misses a table."""
+        import re
+
+        version_of = version_of or {}
         names = self.list_tables()
         wanted = [n for n in names
-                  if re.search(rf"\b{re.escape(n)}\b", query, re.IGNORECASE)]
+                  if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)]
         for name in names:
             if name not in wanted:
                 # a stale temp view from an earlier sql() must not
@@ -131,16 +163,7 @@ class Engine:
         for name in wanted:
             df = self.table(name).scan(version=version_of.get(name))
             df.createOrReplaceTempView(name)
-        try:
-            return self.spark.sql(query)
-        except Exception:
-            rest = [n for n in names if n not in wanted]
-            if not rest:
-                raise
-            for name in rest:
-                df = self.table(name).scan(version=version_of.get(name))
-                df.createOrReplaceTempView(name)
-            return self.spark.sql(query)
+        return names, wanted
 
     def consistent_versions(self) -> dict[str, int]:
         """Per-table snapshot versions that exclude every cross-table

@@ -375,3 +375,89 @@ def engine_clustered_scan(spark, sf_dir):
         columns=["c_custkey", "c_nationkey", "c_acctbal"],
         filters=[("c_nationkey", "=", 7)],
     )
+
+
+@query(
+    "engine_sql_dml_scan",
+    gated=False,  # SQL front-end over the gated mutation paths; pytest-oracled
+    oracle="""
+    WITH after_upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'SQLUPD' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    ), after_del AS (
+      SELECT * FROM after_upd WHERE c_custkey % 11 <> 0
+    ), with_new AS (
+      SELECT * FROM after_del
+      UNION ALL SELECT 9100001, 'sql-row', 1, 10.5, 'SQLNEW'
+      UNION ALL SELECT 9100002, 'sql-row2', 2, 20.5, 'SQLNEW'
+    )
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 13 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 13 = 0 THEN 'ZERO' ELSE c_mktsegment END AS c_mktsegment
+    FROM with_new
+    """,
+)
+def engine_sql_dml_scan(spark, sf_dir):
+    """The Impala-on-Kudu SQL write surface end-to-end
+    (docs/kudu_impala_integration.adoc:665-731): UPDATE ... WHERE,
+    DELETE ... WHERE, INSERT VALUES, and UPSERT with a SELECT source
+    reading the table's own merged state — all through ``Engine.sql``
+    strings, then one merge-on-read scan compared against the SQL
+    algebra of the same statements."""
+    import os
+
+    from kudu_spark.engine import Engine
+
+    t = _customer_table(spark, sf_dir, name="sqldml")
+    eng = Engine(spark, os.path.dirname(t.root))
+    eng.sql("UPDATE sqldml SET c_acctbal = c_acctbal + 100.0, "
+            "c_mktsegment = 'SQLUPD' WHERE c_custkey % 7 = 0")
+    eng.sql("DELETE FROM sqldml WHERE c_custkey % 11 = 0")
+    eng.sql("INSERT INTO sqldml VALUES "
+            "(9100001, 'sql-row', 1, 10.5, 'SQLNEW'), "
+            "(9100002, 'sql-row2', 2, 20.5, 'SQLNEW')")
+    eng.sql("UPSERT INTO sqldml SELECT c_custkey, c_name, c_nationkey, 0.0, 'ZERO' "
+            "FROM sqldml WHERE c_custkey % 13 = 0")
+    return eng.table("sqldml").scan()
+
+
+@query(
+    "engine_merge_scan",
+    gated=False,  # SQL front-end variant of the gated mutation scans; pytest-oracled
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 5 = 0 THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE NOT (c_custkey % 5 = 0 AND c_acctbal < 0)
+    UNION ALL
+    SELECT 9200001, 'mrg', 0, 77.0, 'NEWM'
+    """,
+)
+def engine_merge_scan(spark, sf_dir):
+    """MERGE INTO end-to-end (the Impala-4.x-on-Kudu statement /
+    standard lakehouse upsert): one statement deleting matched
+    negative-balance rows, updating the rest of the matched set from
+    OLD source values, and inserting the conditioned not-matched rows
+    — committed as ONE atomic transaction, then scanned and compared
+    against the SQL algebra of the same clauses."""
+    import os
+
+    from kudu_spark.engine import Engine
+
+    t = _customer_table(spark, sf_dir, name="mrgtgt")
+    eng = Engine(spark, os.path.dirname(t.root))
+    eng.sql("""
+        MERGE INTO mrgtgt USING (
+          SELECT c_custkey AS k, c_acctbal AS b FROM mrgtgt WHERE c_custkey % 5 = 0
+          UNION ALL SELECT 9200001, 77.0
+          UNION ALL SELECT 9200002, -5.0
+        ) m ON mrgtgt.c_custkey = m.k
+        WHEN MATCHED AND m.b < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = m.b + 50.0, c_mktsegment = 'MERGED'
+        WHEN NOT MATCHED AND m.b > 0 THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+          VALUES (m.k, 'mrg', 0, m.b, 'NEWM')
+    """)
+    return eng.table("mrgtgt").scan()

@@ -1,0 +1,556 @@
+"""SQL DML over engine tables — the Impala-on-Kudu write surface.
+
+Kudu users mutate tables through SQL (INSERT / UPSERT / UPDATE /
+DELETE routed by Impala to the client write API,
+docs/kudu_impala_integration.adoc:665-731); this module gives
+``Engine.sql`` the same statements so a reference user's DML scripts
+run unchanged:
+
+    INSERT [IGNORE] INTO t [(cols)] VALUES (...), (...)
+    INSERT [IGNORE] INTO t [(cols)] SELECT ...
+    UPSERT INTO t [(cols)] VALUES ... | SELECT ...
+    UPDATE [IGNORE] t SET col = expr [, ...] [WHERE pred]
+    DELETE [IGNORE] FROM t [WHERE pred]
+    MERGE INTO t [AS a] USING src|(subquery) [AS b] ON cond
+      WHEN [NOT] MATCHED [AND c] THEN UPDATE SET ... | DELETE | INSERT ...
+
+Execution model: the statement's read side (a SELECT source, a WHERE
+predicate, SET right-hand sides) is planned by Spark SQL over the
+merge-on-read snapshot views — so subqueries, joins and every builtin
+work, predicates push down to parquet, and SET expressions see the OLD
+row values (standard SQL UPDATE semantics). The computed batch then
+feeds the same ``Table.insert/upsert/update/delete`` paths the Python
+API uses (row_operations.proto:36-43), so PK probes, immutable-column
+checks, partition routing and commit revalidation are identical.
+
+IGNORE maps to Kudu's *_IGNORE ops: INSERT IGNORE skips present keys,
+UPDATE IGNORE skips absent keys and immutable-column sets, DELETE
+IGNORE skips absent keys (row_operations.proto:40-43). Like Impala,
+UPDATE/DELETE never error on rows that simply don't match the WHERE.
+
+Each statement returns a one-row DataFrame
+``(operation, table, rows_affected, version)`` — the programmatic
+form of Impala's "Modified N row(s)" summary.
+
+Scale: nothing here collects data rows to the driver. VALUES literals
+are parsed by Spark as an inline relation; SELECT sources and WHERE
+scans stay distributed; ``rows_affected`` is one aggregate job over
+the already-computed batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from kudu_spark.errors import KuduSparkError, SchemaError
+from kudu_spark.table import AUTO_INC_COL
+
+if TYPE_CHECKING:  # pragma: no cover
+    from kudu_spark.engine import Engine
+
+_DML_HEAD = re.compile(r"^\s*(INSERT|UPSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def strip_comments(sql: str) -> str:
+    """Remove -- line and /* */ block comments outside string literals."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+        elif ch == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif ch == "/" and sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _skip_string(s: str, i: int) -> int:
+    """Index just past the string literal opening at s[i] (handles
+    backslash escapes and doubled-quote escapes, as Spark SQL does)."""
+    q = s[i]
+    i += 1
+    n = len(s)
+    while i < n:
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] == q:
+            if i + 1 < n and s[i + 1] == q:  # '' / "" escape
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n  # unterminated: let Spark's parser produce the error
+
+
+def _find_top_level_keyword(s: str, keyword: str) -> int:
+    """Index of ``keyword`` as a word at paren depth 0 outside strings,
+    or -1. Used to split UPDATE ... SET ... WHERE without being fooled
+    by 'WHERE' inside a string literal or subquery."""
+    depth = 0
+    i, n = 0, len(s)
+    kl = len(keyword)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_string(s, i)
+        elif ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+        elif depth == 0 and s[i:i + kl].upper() == keyword:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = i + kl
+            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+            if before_ok and after_ok:
+                return i
+            i += 1
+        else:
+            i += 1
+    return -1
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 outside strings."""
+    parts, buf = [], []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            j = _skip_string(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def is_dml(sql: str) -> bool:
+    return _DML_HEAD.match(strip_comments(sql)) is not None
+
+
+def run_dml(engine: "Engine", sql: str) -> DataFrame:
+    text = strip_comments(sql).strip().rstrip(";").strip()
+    head = _DML_HEAD.match(text).group(1).upper()
+    if head in ("INSERT", "UPSERT"):
+        op, table, n, v = _run_insert(engine, text, head)
+    elif head == "UPDATE":
+        op, table, n, v = _run_update(engine, text)
+    elif head == "MERGE":
+        op, table, n, v = _run_merge(engine, text)
+    else:
+        op, table, n, v = _run_delete(engine, text)
+    return engine.spark.createDataFrame(
+        [(op, table, n, v)],
+        "operation string, table string, rows_affected bigint, version bigint",
+    )
+
+
+def _writable_columns(t) -> list[str]:
+    """Positional column order for an INSERT without a column list —
+    the visible schema minus the hidden auto-increment key (Impala
+    likewise hides it from positional inserts)."""
+    return [c for c in t.state().schema.names if c != AUTO_INC_COL]
+
+
+def _parse_column_list(rest: str) -> tuple[list[str] | None, str]:
+    if not rest.startswith("("):
+        return None, rest
+    # a column list is a flat ident list; a parenthesized SELECT is not
+    end = rest.find(")")
+    if end < 0:
+        raise KuduSparkError("unterminated column list in INSERT")
+    inner = rest[1:end]
+    cols = [c.strip() for c in inner.split(",")]
+    if not all(_IDENT.match(c) for c in cols):
+        return None, rest  # e.g. INSERT INTO t (SELECT ...) — not a column list
+    return cols, rest[end + 1:].lstrip()
+
+
+def _run_insert(engine: "Engine", text: str, op: str):
+    m = re.match(
+        r"(INSERT|UPSERT)(\s+IGNORE)?\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*(.*)$",
+        text, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KuduSparkError(f"cannot parse {op} statement")
+    ignore = bool(m.group(2))
+    name = m.group(3)
+    cols, rest = _parse_column_list(m.group(4).strip())
+    t = engine.table(name)
+
+    head = rest[:6].upper()
+    if head.startswith("VALUES"):
+        src = engine.spark.sql("SELECT * FROM " + rest)
+    elif head.startswith(("SELECT", "WITH")) or rest.startswith("("):
+        engine._register_views(rest)
+        src = engine.spark.sql(rest)
+    else:
+        raise KuduSparkError(f"{op} source must be VALUES or SELECT, got: {rest[:40]!r}")
+
+    target = cols if cols is not None else _writable_columns(t)
+    if len(src.columns) != len(target):
+        raise SchemaError(
+            f"{op} INTO {name}: source has {len(src.columns)} column(s), "
+            f"target list has {len(target)}"
+        )
+    batch = src.toDF(*target)
+
+    if op == "UPSERT":
+        n = batch.count()
+        v = t.upsert(batch, mode="ignore" if ignore else "error")
+        return "UPSERT", name, n, v
+    if ignore:
+        before = t.count()
+        v = t.insert_ignore(batch)
+        return "INSERT", name, t.count() - before, v
+    n = batch.count()
+    v = t.insert(batch)
+    return "INSERT", name, n, v
+
+
+def _parse_assignments(set_part: str, pk: list[str], schema_names: list[str]):
+    out = []
+    for raw in _split_top_level(set_part):
+        # LHS is a bare identifier, so the first '=' is the assignment
+        eq = raw.find("=")
+        if eq < 0:
+            raise KuduSparkError(f"malformed SET assignment: {raw.strip()!r}")
+        col = raw[:eq].strip()
+        rhs = raw[eq + 1:].strip()
+        if not _IDENT.match(col):
+            raise KuduSparkError(f"SET target must be a column name: {col!r}")
+        if col not in schema_names:
+            raise SchemaError(f"unknown column {col}")
+        if col in pk:
+            raise SchemaError(
+                f"UPDATE of primary key column {col} (Kudu: key columns "
+                "cannot be updated; delete + insert instead)"
+            )
+        if not rhs:
+            raise KuduSparkError(f"empty SET expression for {col}")
+        out.append((col, rhs))
+    seen = set()
+    for col, _ in out:
+        if col in seen:
+            raise KuduSparkError(f"column {col} assigned twice in SET")
+        seen.add(col)
+    return out
+
+
+def _run_update(engine: "Engine", text: str):
+    m = re.match(
+        r"UPDATE(\s+IGNORE)?\s+([A-Za-z_]\w*)\s+SET\b(.*)$",
+        text, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KuduSparkError("cannot parse UPDATE statement")
+    ignore = bool(m.group(1))
+    name = m.group(2)
+    body = m.group(3)
+    wi = _find_top_level_keyword(body, "WHERE")
+    set_part = body[:wi] if wi >= 0 else body
+    where = body[wi + 5:].strip() if wi >= 0 else None
+
+    t = engine.table(name)
+    st = t.state()
+    pk = st.schema.pk
+    assigns = _parse_assignments(set_part, pk, st.schema.names)
+
+    engine._register_views(text)
+    sel = ", ".join([*pk, *[f"({rhs}) AS {col}" for col, rhs in assigns]])
+    stmt = f"SELECT {sel} FROM {name}" + (f" WHERE {where}" if where else "")
+    batch = engine.spark.sql(stmt)
+    n = batch.count()
+    if n:
+        # rows come from the snapshot, so error-mode missing-key checks
+        # can only fire on a concurrent delete (a real write-write
+        # conflict, surfaced as RowNotFoundError unless IGNORE)
+        v = t.update(batch, mode="ignore" if ignore else "error")
+    else:
+        v = t.version
+    return "UPDATE", name, n, v
+
+
+def _run_delete(engine: "Engine", text: str):
+    m = re.match(
+        r"DELETE(\s+IGNORE)?\s+FROM\s+([A-Za-z_]\w*)(.*)$",
+        text, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KuduSparkError("cannot parse DELETE statement")
+    ignore = bool(m.group(1))
+    name = m.group(2)
+    rest = m.group(3).strip()
+    where = None
+    if rest:
+        wi = _find_top_level_keyword(rest, "WHERE")
+        if wi != 0:
+            raise KuduSparkError(f"unexpected tokens after DELETE FROM {name}: {rest[:40]!r}")
+        where = rest[5:].strip()
+
+    t = engine.table(name)
+    pk = t.state().schema.pk
+    engine._register_views(text)
+    stmt = f"SELECT {', '.join(pk)} FROM {name}" + (f" WHERE {where}" if where else "")
+    keys = engine.spark.sql(stmt)
+    n = keys.count()
+    if n:
+        v = t.delete(keys, mode="ignore" if ignore else "error")
+    else:
+        v = t.version
+    return "DELETE", name, n, v
+
+
+# -- MERGE INTO ------------------------------------------------------------
+#
+# MERGE INTO t [AS a] USING src|(subquery) [AS b] ON cond
+#   WHEN MATCHED [AND c] THEN UPDATE SET col = expr [, ...]
+#   WHEN MATCHED [AND c] THEN DELETE
+#   WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (exprs)
+#
+# The statement Impala 4.x routes to Kudu write ops and the standard
+# lakehouse upsert pattern. Per-row semantics: the FIRST matching WHEN
+# clause applies (implemented as NOT(prior conditions) chains); a
+# source matching one target row more than once is a cardinality
+# violation (SQL standard; checked with one aggregate probe). All
+# clause batches are computed against the pre-merge snapshot views,
+# then staged into ONE Table Transaction — atomic visibility, same
+# revalidating commit as the Python API.
+
+
+def _parse_alias(s: str) -> tuple[str, str | None, str]:
+    """Parse `ident [AS] [alias]` prefix; returns (ident, alias, rest)."""
+    m = re.match(r"([A-Za-z_]\w*)\s*(.*)$", s, re.DOTALL)
+    if not m:
+        raise KuduSparkError(f"expected identifier at: {s[:40]!r}")
+    ident, rest = m.group(1), m.group(2)
+    am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)\s*(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if am and am.group(1).upper() not in ("ON", "USING", "WHEN"):
+        return ident, am.group(1), am.group(2)
+    return ident, None, rest
+
+
+def _matching_paren(s: str, start: int) -> int:
+    """Index of the ')' closing the '(' at s[start] (string-aware)."""
+    depth = 0
+    i, n = start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_string(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise KuduSparkError("unbalanced parentheses in MERGE source")
+
+
+def _split_when_clauses(s: str) -> tuple[str, list[str]]:
+    """Split `<on_cond> WHEN ... WHEN ...` on top-level WHEN keywords."""
+    bounds = []
+    i = 0
+    while True:
+        j = _find_top_level_keyword(s[i:], "WHEN")
+        if j < 0:
+            break
+        bounds.append(i + j)
+        i = i + j + 4
+    if not bounds:
+        raise KuduSparkError("MERGE requires at least one WHEN clause")
+    on_cond = s[:bounds[0]].strip()
+    clauses = [
+        s[b:e].strip() for b, e in zip(bounds, bounds[1:] + [len(s)])
+    ]
+    return on_cond, clauses
+
+
+def _parse_when(clause: str) -> dict:
+    m = re.match(r"WHEN\s+(NOT\s+)?MATCHED\b(.*)$", clause, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KuduSparkError(f"cannot parse WHEN clause: {clause[:60]!r}")
+    matched = not m.group(1)
+    rest = m.group(2).strip()
+    cond = None
+    if rest[:3].upper() == "AND":
+        ti = _find_top_level_keyword(rest, "THEN")
+        if ti < 0:
+            raise KuduSparkError(f"WHEN clause missing THEN: {clause[:60]!r}")
+        cond = rest[3:ti].strip()
+        rest = rest[ti:]
+    if rest[:4].upper() != "THEN":
+        raise KuduSparkError(f"WHEN clause missing THEN: {clause[:60]!r}")
+    action = rest[4:].strip()
+    au = action.upper()
+    if matched and au.startswith("UPDATE"):
+        sm = re.match(r"UPDATE\s+SET\b(.*)$", action, re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise KuduSparkError(f"malformed UPDATE action: {action[:60]!r}")
+        return {"matched": True, "cond": cond, "action": "update",
+                "set": sm.group(1).strip()}
+    if matched and au == "DELETE":
+        return {"matched": True, "cond": cond, "action": "delete"}
+    if not matched and au.startswith("INSERT"):
+        rest2 = action[6:].strip()
+        cols = None
+        if rest2.startswith("("):
+            end = _matching_paren(rest2, 0)
+            inner = [c.strip() for c in rest2[1:end].split(",")]
+            if all(_IDENT.match(c) for c in inner):
+                cols = inner
+                rest2 = rest2[end + 1:].strip()
+        vm = re.match(r"VALUES\s*\((.*)\)\s*$", rest2, re.IGNORECASE | re.DOTALL)
+        if not vm:
+            raise KuduSparkError(
+                f"NOT MATCHED action must be INSERT [(cols)] VALUES (...): {action[:60]!r}")
+        exprs = [e.strip() for e in _split_top_level(vm.group(1))]
+        return {"matched": False, "cond": cond, "action": "insert",
+                "cols": cols, "exprs": exprs}
+    raise KuduSparkError(
+        "WHEN MATCHED allows UPDATE SET/DELETE; WHEN NOT MATCHED allows INSERT "
+        f"— got: {action[:60]!r}")
+
+
+def _run_merge(engine: "Engine", text: str):
+    from kudu_spark.writer import Transaction
+
+    m = re.match(r"MERGE\s+INTO\s+(.*)$", text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KuduSparkError("cannot parse MERGE statement")
+    name, t_alias, rest = _parse_alias(m.group(1).strip())
+    um = re.match(r"USING\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if not um:
+        raise KuduSparkError("MERGE requires USING <source>")
+    rest = um.group(1).strip()
+    if rest.startswith("("):
+        end = _matching_paren(rest, 0)
+        src_rel = rest[:end + 1]
+        rest = rest[end + 1:].strip()
+        am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)\s*(.*)$", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if not am or am.group(1).upper() == "ON":
+            raise KuduSparkError("a subquery MERGE source needs an alias")
+        s_alias, rest = am.group(1), am.group(2)
+    else:
+        src_name, s_alias, rest = _parse_alias(rest)
+        src_rel = src_name
+        s_alias = s_alias or src_name
+    om = re.match(r"ON\b(.*)$", rest.strip(), re.IGNORECASE | re.DOTALL)
+    if not om:
+        raise KuduSparkError("MERGE requires ON <condition>")
+    on_cond, when_parts = _split_when_clauses(om.group(1).strip())
+    clauses = [_parse_when(c) for c in when_parts]
+
+    t = engine.table(name)
+    st = t.state()
+    pk = st.schema.pk
+    ta = t_alias or name
+    engine._register_views(text)
+    spark = engine.spark
+
+    def prior_not(idx: int, matched: bool) -> str:
+        terms = []
+        for c in clauses[:idx]:
+            if c["matched"] is not matched:
+                continue
+            terms.append(f"NOT ({c['cond']})" if c["cond"] else "FALSE")
+        return " AND ".join(terms)
+
+    def where_of(idx: int) -> str:
+        c = clauses[idx]
+        parts = [p for p in (c["cond"], prior_not(idx, c["matched"])) if p]
+        return " AND ".join(f"({p})" if " AND " in p or " OR " in p else p
+                            for p in parts)
+
+    join_from = f"FROM {name} {ta} JOIN {src_rel} {s_alias} ON {on_cond}"
+
+    if any(c["matched"] for c in clauses):
+        pks = ", ".join(f"{ta}.{c}" for c in pk)
+        dup = spark.sql(
+            f"SELECT 1 {join_from} GROUP BY {pks} HAVING count(*) > 1 LIMIT 1"
+        ).collect()
+        if dup:
+            raise KuduSparkError(
+                "MERGE cardinality violation: a target row matches more than "
+                "one source row (SQL:2003 14.9 GR 6; Kudu applies row ops "
+                "once, so the result would be nondeterministic)")
+
+    txn = Transaction(t)
+    total = 0
+    try:
+        for i, c in enumerate(clauses):
+            w = where_of(i)
+            if c["action"] == "update":
+                assigns = _parse_assignments(c["set"], pk, st.schema.names)
+                amap = dict(assigns)
+                sel = ", ".join(
+                    [f"{ta}.{k}" for k in pk]
+                    + [f"({amap[col]}) AS {col}" if col in amap else f"{ta}.{col} AS {col}"
+                       for col in st.schema.non_pk_names]
+                )
+                batch = spark.sql(f"SELECT {sel} {join_from}"
+                                  + (f" WHERE {w}" if w else ""))
+                n = batch.count()
+                if n:
+                    txn.upsert(batch)
+            elif c["action"] == "delete":
+                sel = ", ".join(f"{ta}.{k} AS {k}" for k in pk)
+                batch = spark.sql(f"SELECT {sel} {join_from}"
+                                  + (f" WHERE {w}" if w else ""))
+                n = batch.count()
+                if n:
+                    txn.delete(batch)
+            else:  # insert (not matched)
+                target = c["cols"] if c["cols"] is not None else _writable_columns(t)
+                if len(c["exprs"]) != len(target):
+                    raise SchemaError(
+                        f"MERGE INSERT: {len(c['exprs'])} value(s) for "
+                        f"{len(target)} column(s)")
+                sel = ", ".join(f"({e}) AS {col}" for e, col in zip(c["exprs"], target))
+                anti = (f"SELECT {sel} FROM {src_rel} {s_alias} WHERE NOT EXISTS "
+                        f"(SELECT 1 FROM {name} {ta} WHERE {on_cond})")
+                batch = spark.sql(anti + (f" AND ({w})" if w else ""))
+                n = batch.count()
+                if n:
+                    txn.insert(batch)
+            total += n
+        if txn._staged:
+            v = txn.commit()
+        else:
+            txn.rollback()
+            v = t.version
+    except Exception:
+        if txn._open:
+            txn.rollback()
+        raise
+    return "MERGE", name, total, v

@@ -574,3 +574,94 @@ def test_concurrent_writers(spark, tmp_path):
     got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
     assert got == model
     assert t.count() == len(model)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_fuzz_sql_statements_vs_model(spark, tmp_path, seed):
+    """The SQL statement surface (sql_dml/sql_ddl) fuzzed against the
+    same in-memory model discipline as the Python-API arms: every
+    mutation goes through Engine.sql strings — INSERT/UPSERT/UPDATE/
+    DELETE (+IGNORE), MERGE, ADD COLUMNS/DROP COLUMN — and scans via
+    SQL SELECT must match the dict exactly, including rows_affected."""
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"sqlwh{seed}"))
+    eng.sql("CREATE TABLE f (key BIGINT PRIMARY KEY, v BIGINT, s STRING) "
+            "PARTITION BY HASH PARTITIONS 2 STORED AS KUDU")
+    model: dict[int, tuple] = {}
+    extras: list[tuple[str, int]] = []  # (name, default) — defaults fill
+    # both old rows (schema evolution) and new rows (write-path fill)
+
+    for step in range(40):
+        op = rng.choice(
+            ["insert", "insert_ignore", "upsert", "update", "delete",
+             "delete_ignore", "merge", "add_col", "drop_col"]
+        )
+        k = rng.choice(range(12))
+        v = step * 100 + k
+        pad = tuple(d for _, d in extras)
+        if op == "insert":
+            stmt = f"INSERT INTO f (key, v, s) VALUES ({k}, {v}, 's{v}')"
+            if k in model:
+                with pytest.raises(DuplicateKeyError):
+                    eng.sql(stmt)
+            else:
+                assert eng.sql(stmt).collect()[0].rows_affected == 1
+                model[k] = (v, f"s{v}") + pad
+        elif op == "insert_ignore":
+            n = eng.sql(f"INSERT IGNORE INTO f (key, v, s) VALUES ({k}, {v}, 's{v}')"
+                        ).collect()[0].rows_affected
+            assert n == (0 if k in model else 1)
+            model.setdefault(k, (v, f"s{v}") + pad)
+        elif op == "upsert":
+            eng.sql(f"UPSERT INTO f (key, v, s) VALUES ({k}, {v}, 's{v}')")
+            model[k] = (v, f"s{v}") + pad
+        elif op == "update":
+            n = eng.sql(f"UPDATE f SET v = v + 1, s = concat(s, 'u') "
+                        f"WHERE key = {k}").collect()[0].rows_affected
+            assert n == (1 if k in model else 0)
+            if k in model:
+                old = model[k]
+                model[k] = (old[0] + 1, old[1] + "u") + old[2:]
+        elif op == "delete":
+            n = eng.sql(f"DELETE FROM f WHERE key = {k}").collect()[0].rows_affected
+            assert n == (1 if k in model else 0)
+            model.pop(k, None)
+        elif op == "delete_ignore":
+            eng.sql(f"DELETE IGNORE FROM f WHERE key >= {k} AND key < {k + 2}")
+            for kk in (k, k + 1):
+                model.pop(kk, None)
+        elif op == "merge":
+            n = eng.sql(f"""
+                MERGE INTO f USING (
+                  SELECT {k} AS mk, {v} AS mv
+                ) m ON f.key = m.mk
+                WHEN MATCHED AND f.v % 2 = 1 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET v = m.mv
+                WHEN NOT MATCHED THEN INSERT (key, v, s) VALUES (m.mk, m.mv, 'mrg')
+            """).collect()[0].rows_affected
+            assert n == 1
+            if k in model:
+                old = model[k]
+                if old[0] % 2 == 1:
+                    del model[k]
+                else:
+                    model[k] = (v,) + old[1:]
+            else:
+                model[k] = (v, "mrg") + pad
+        elif op == "add_col" and len(extras) < 3:
+            name = f"ec{step}"
+            eng.sql(f"ALTER TABLE f ADD COLUMNS ({name} BIGINT DEFAULT {step})")
+            extras.append((name, step))
+            model = {kk: vv + (step,) for kk, vv in model.items()}
+        elif op == "drop_col" and extras:
+            idx = rng.randrange(len(extras))
+            eng.sql(f"ALTER TABLE f DROP COLUMN {extras[idx][0]}")
+            extras.pop(idx)
+            model = {kk: vv[:2 + idx] + vv[3 + idx:] for kk, vv in model.items()}
+
+        if step % 8 == 7:
+            got = {r[0]: tuple(r)[1:]
+                   for r in eng.sql("SELECT * FROM f").collect()}
+            assert got == model, f"seed {seed} step {step} op {op}"
+    got = {r[0]: tuple(r)[1:] for r in eng.sql("SELECT * FROM f").collect()}
+    assert got == model
