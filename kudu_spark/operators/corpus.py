@@ -376,3 +376,66 @@ def vocabulary_sql(k: int) -> str:
       GROUP BY token
     ) WHERE rank <= {k}
     """
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents until a TOKEN budget is filled (per stratum if
+    ``stratum_col`` given, else corpus-wide) — how real training mixes
+    are specified ("200B tokens of web, 30B of code"), vs the
+    row-count quotas of stratified_sample/domain_mix.
+
+    Docs are ranked by md5(text) (uniform over content, deterministic
+    across partitionings, same trick as stratified_sample) and taken
+    while the RUNNING token total up to and including the doc stays
+    within budget — so the selection is a prefix of a deterministic
+    permutation and refilling with a larger budget is a superset
+    (monotone: budget B1 <= B2 implies selection(B1) ⊆ selection(B2)).
+
+    Token counts use the single-space tokenizer (functions.text
+    parity, identical in DuckDB as ``string_split(text, ' ')``).
+
+    Scale: one shuffle keyed by the stratum for the running-sum window
+    (corpus-wide mode: the window is over ONE partition of doc-count
+    rows — fine to ~100M docs of metadata; shard by stratum for more).
+    Only (doc_id, stratum, tokens) flow through the window, never text.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))  # functions.text tokenizer
+    key = F.col(stratum_col) if stratum_col else F.lit(0)
+    out = (
+        docs.select(
+            id_col,
+            *([stratum_col] if stratum_col else []),
+            toks.alias("tokens"),
+            F.md5(F.col(text_col)).alias("__rk"),
+        )
+        .withColumn("running_tokens", F.sum("tokens").over(
+            Window.partitionBy(key).orderBy(F.col("__rk"), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(F.col("running_tokens") <= budget_tokens)
+        .drop("__rk")
+    )
+    return out
+
+
+def token_budget_sample_sql(budget_tokens: int, stratum_col: str | None = None) -> str:
+    part = f"PARTITION BY {stratum_col}" if stratum_col else ""
+    sel = f", {stratum_col}" if stratum_col else ""
+    return f"""
+    SELECT doc_id{sel}, tokens, running_tokens FROM (
+      SELECT doc_id{sel}, tokens,
+             sum(tokens) OVER ({part} ORDER BY rk, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS running_tokens
+      FROM (
+        SELECT doc_id{sel},
+               len(string_split(text, ' ')) AS tokens,
+               md5(text) AS rk
+        FROM documents
+      )
+    ) WHERE running_tokens <= {budget_tokens}
+    """

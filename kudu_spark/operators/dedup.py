@@ -327,3 +327,148 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         .where(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-substring span removal — the exact-substring dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", suffix-array based), re-expressed for Spark as a
+    shingle-cover: any substring of >= ``min_tokens`` tokens that
+    occurs more than once in the corpus is covered at every offset by
+    a duplicated ``min_tokens``-shingle, so marking non-first
+    occurrences of duplicated shingles and merging the marked offsets
+    into intervals recovers the duplicated spans. The globally FIRST
+    occurrence (by (doc_id, position)) of each duplicated shingle
+    survives, so exactly one copy of repeated boilerplate remains in
+    the corpus — the within-document sibling of line_dedup, catching
+    spans that cross line boundaries.
+
+    Returns (doc_id, clean_text, removed_tokens, n_spans, n_tokens):
+    the text with duplicated spans cut, plus audit counts.
+
+    Plan shape (all codegen, no UDFs): one shuffle keyed by the
+    32-byte shingle hash (only positions + hashes flow, never text),
+    a window over each shingle's occurrences for first-pick, one gaps-
+    and-islands window per doc to merge intervals, and one join back
+    to the documents to rebuild text with a higher-order-function
+    filter (token index not inside any span). Shingle count is
+    O(total tokens); the hot-key risk of ubiquitous boilerplate
+    shingles is bounded because only (doc_id, pos) pairs group, not
+    content."""
+    k = min_tokens
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        id_col, text_col, toks.alias("__t"), F.size(toks).alias("n_tokens")
+    )
+    sh = (
+        base.where(F.col("n_tokens") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))),
+                )
+            ).alias("pos", "__h"),
+        )
+    )
+    w = Window.partitionBy("__h")
+    occ = sh.select(
+        id_col, "pos", "__h",
+        F.count(F.lit(1)).over(w).alias("__c"),
+        F.row_number().over(
+            Window.partitionBy("__h").orderBy(id_col, "pos")
+        ).alias("__rn"),
+    )
+    covered = occ.where((F.col("__c") > 1) & (F.col("__rn") > 1)) \
+                 .select(id_col, "pos")
+    # gaps-and-islands: same-length intervals sorted by pos merge iff
+    # the gap to the previous start is <= k (touching spans merge too)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        covered.withColumn("__prev", F.lag("pos").over(wd))
+        .withColumn(
+            "__new", (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k))
+            .cast("int"))
+        .withColumn("__g", F.sum("__new").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(id_col, "__g")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    joined = base.join(spans, on=id_col, how="left")
+    no_spans = F.col("__spans").isNull()
+    kept = F.filter(
+        F.transform("__t", lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+        lambda p: ~F.exists(
+            "__spans", lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"])
+        ),
+    )
+    removed = F.aggregate(
+        "__spans", F.lit(0), lambda acc, sp: acc + (sp["e"] - sp["s"])
+    )
+    return joined.select(
+        id_col,
+        F.when(no_spans, F.col(text_col))
+         .otherwise(F.concat_ws(" ", F.transform(kept, lambda p: p["x"])))
+         .alias("clean_text"),
+        F.when(no_spans, F.lit(0)).otherwise(
+            F.least(removed, F.col("n_tokens"))).cast("bigint").alias("removed_tokens"),
+        F.when(no_spans, F.lit(0)).otherwise(F.size("__spans"))
+         .cast("bigint").alias("n_spans"),
+        F.col("n_tokens").cast("bigint"),
+    )
+
+
+def substring_dedup_sql(min_tokens: int = 20, source: str = "documents") -> str:
+    """DuckDB oracle for the audit columns of substring_dedup (the
+    clean_text rebuild is verified by unit test; comparing the span
+    algebra here pins the dedup decisions themselves)."""
+    k = min_tokens
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM {source}
+    ), sh AS (
+      SELECT doc_id, r AS pos,
+             md5(array_to_string(t[r + 1 : r + {k}], ' ')) AS h
+      FROM base, UNNEST(range(n_tokens - {k} + 1)) AS u(r)
+      WHERE n_tokens >= {k}
+    ), occ AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS c,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sh
+    ), covered AS (
+      SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {k} OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL THEN 1 ELSE 0 END AS new_span
+      FROM covered
+    ), grouped AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, g, min(pos) AS s, max(pos) + {k} AS e
+      FROM grouped GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, sum(e - s) AS removed, count(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(least(coalesce(p.removed, 0), b.n_tokens) AS BIGINT) AS removed_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    """

@@ -720,3 +720,32 @@ def dedup_url_host(spark, sf_dir):
         with_url.groupBy(TX.url_host_expr("__u").alias("host"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )
+
+
+@query(
+    "pipeline_token_budget",
+    oracle=CP.token_budget_sample_sql(5000, "lang"),
+    gated=False,  # sampling family; pytest runs the oracle
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Token-budget sampling: fill a 5000-token budget per language in
+    deterministic md5-rank order — how training mixes are actually
+    specified ("N tokens of domain d"), monotone in the budget so a
+    refill with a larger budget is a strict superset."""
+    return CP.token_budget_sample(
+        load(spark, sf_dir, "documents"), 5000, stratum_col="lang")
+
+
+@query(
+    "pipeline_substring_dedup",
+    oracle=DD.substring_dedup_sql(20),
+    gated=False,  # dedup family gated via dedup_exact/minhash; pytest-oracled
+)
+def pipeline_substring_dedup(spark, sf_dir):
+    """Repeated-substring span removal (Lee et al. 2022 exact-substring
+    dedup as a shingle cover): non-first occurrences of any >=20-token
+    substring repeated across the corpus are cut from the text. The
+    oracle pins the span algebra (which tokens of which docs get
+    removed); the text rebuild itself is unit-tested."""
+    return DD.substring_dedup(load(spark, sf_dir, "documents"), min_tokens=20) \
+        .select("doc_id", "removed_tokens", "n_spans", "n_tokens")

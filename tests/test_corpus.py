@@ -131,3 +131,58 @@ def test_vocabulary_topk_plans_take_ordered(spark):
     # token count stream
     pre_topk = plan.split("TakeOrderedAndProject", 1)[1]
     assert "Exchange SinglePartition" not in pre_topk
+
+
+def test_token_budget_sample_monotone_and_exact(spark):
+    from kudu_spark.operators.corpus import token_budget_sample
+
+    docs = _docs(spark, [(i, " ".join(f"w{i}_{j}" for j in range(10)), "en")
+                         for i in range(20)])  # 10 tokens each
+    small = {r.doc_id for r in token_budget_sample(docs, 35).collect()}
+    big = {r.doc_id for r in token_budget_sample(docs, 85).collect()}
+    # budget 35 with 10-token docs: exactly 3 docs fit (30 <= 35 < 40)
+    assert len(small) == 3 and len(big) == 8
+    assert small <= big  # monotone: larger budget is a superset
+    # per-stratum budgets are independent
+    mixed = _docs(spark, [(i, " ".join(["x"] * 10), "en" if i % 2 else "de")
+                          for i in range(10)])
+    per = token_budget_sample(mixed, 25, stratum_col="lang").collect()
+    by_lang = {}
+    for r in per:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert {len(v) for v in by_lang.values()} == {2}  # 2 docs of 10 per lang
+
+
+def test_substring_dedup_keeps_first_cuts_rest(spark):
+    from kudu_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame([
+        ("d1", "a b c d e f g h i j"),
+        ("d2", "a b c d e f g h i j"),          # exact dup: fully cut
+        ("d3", "x y z q w e r t y u"),          # unique: untouched
+        ("d4", "z1 z2 a b c d e f g h i j z3"),  # embedded dup span cut
+        ("d5", "s t"),                           # shorter than k: untouched
+    ], "doc_id string, text string")
+    out = {r.doc_id: (r.clean_text, r.removed_tokens, r.n_spans)
+           for r in substring_dedup(docs, min_tokens=3).collect()}
+    assert out["d1"] == ("a b c d e f g h i j", 0, 0)  # first occurrence survives
+    assert out["d2"] == ("", 10, 1)
+    assert out["d3"][1] == 0
+    assert out["d4"] == ("z1 z2 z3", 10, 1)
+    assert out["d5"] == ("s t", 0, 0)
+
+
+def test_substring_dedup_merges_adjacent_spans(spark):
+    from kudu_spark.operators.dedup import substring_dedup
+
+    # two duplicated regions separated by a unique token: two spans;
+    # back-to-back duplicated regions: one merged span
+    docs = spark.createDataFrame([
+        ("a1", "p q r s"), ("a2", "t u v w"),
+        ("b", "p q r s GAP t u v w"),
+        ("c", "p q r s t u v w"),
+    ], "doc_id string, text string")
+    out = {r.doc_id: (r.clean_text, r.n_spans)
+           for r in substring_dedup(docs, min_tokens=4).collect()}
+    assert out["b"] == ("GAP", 2)
+    assert out["c"] == ("", 1)  # contiguous cover merges into one span
