@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
              "applies every table's auto-compaction policy once",
     )
     sp.add_argument("--max-sweeps", type=int, default=64)
+    sp = sub.add_parser(
+        "sql",
+        help="run SQL statement(s) over the warehouse (SELECT + the "
+             "Impala-on-Kudu DML/DDL surface; ';'-separated scripts ok)",
+    )
+    sp.add_argument("statement", nargs="?", default=None)
+    sp.add_argument("--file", default=None, help="read the script from a file")
+    sp.add_argument("--limit", type=int, default=None,
+                    help="cap printed rows per statement")
     args = p.parse_args(argv)
 
     eng = _engine(args)
@@ -177,6 +186,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             v = t.compact(io_budget_bytes=args.io_budget_bytes)
             print(json.dumps({"compacted": v is not None, "version": v}))
+    elif args.cmd == "sql":
+        if args.file:
+            with open(args.file) as f:
+                script = f.read()
+        elif args.statement:
+            script = args.statement
+        else:
+            p.error("sql needs a statement or --file")
+        for df in eng.sql_script(script):
+            it = df.toLocalIterator()
+            for i, row in enumerate(it):
+                if args.limit is not None and i >= args.limit:
+                    break
+                print(json.dumps(row.asDict(), default=str))
     return 0
 
 

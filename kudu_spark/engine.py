@@ -165,6 +165,21 @@ class Engine:
             df.createOrReplaceTempView(name)
         return names, wanted
 
+    def sql_script(self, script: str, txn_consistent: bool = True) -> list:
+        """Run a multi-statement SQL script (statements separated by
+        top-level semicolons — semicolons inside string literals are
+        handled) in order; returns the per-statement result DataFrames.
+        Lets a reference user run their Impala .sql files verbatim:
+        DDL + DML + SELECT mix freely, each statement seeing the
+        effects of the previous ones."""
+        from kudu_spark.sql_dml import _split_top_level, strip_comments
+
+        out = []
+        for stmt in _split_top_level(strip_comments(script), ";"):
+            if stmt.strip():
+                out.append(self.sql(stmt, txn_consistent=txn_consistent))
+        return out
+
     def consistent_versions(self) -> dict[str, int]:
         """Per-table snapshot versions that exclude every cross-table
         transaction still mid-publish (its durable marker under

@@ -214,3 +214,34 @@ def test_show_create_table_round_trips(eng):
     assert [h.buckets for h in a.partition_spec.hash_dims] == \
            [h.buckets for h in b.partition_spec.hash_dims]
     assert a.props.get("auto_compact") == b.props.get("auto_compact")
+
+
+def test_sql_script_multi_statement(eng):
+    results = eng.sql_script("""
+        -- a whole Impala session in one script
+        CREATE TABLE s1 (id BIGINT PRIMARY KEY, v STRING)
+          PARTITION BY HASH PARTITIONS 2 STORED AS KUDU;
+        INSERT INTO s1 VALUES (1, 'a; b'), (2, 'c');
+        UPDATE s1 SET v = concat(v, '!') WHERE id = 2;
+        SELECT * FROM s1 ORDER BY id
+    """)
+    assert len(results) == 4
+    assert [tuple(r) for r in results[-1].collect()] == [(1, "a; b"), (2, "c!")]
+
+
+def test_cli_sql_command(eng, capsys, tmp_path):
+    import json
+
+    from kudu_spark.cli import main
+
+    wh = eng.root
+    assert main(["--warehouse", wh, "sql",
+                 "CREATE TABLE c1 (id BIGINT PRIMARY KEY, v INT) STORED AS KUDU; "
+                 "INSERT INTO c1 VALUES (1, 10), (2, 20); "
+                 "SELECT * FROM c1 ORDER BY id"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-2:] == [{"id": 1, "v": 10}, {"id": 2, "v": 20}]
+    script = tmp_path / "q.sql"
+    script.write_text("SELECT count(*) AS n FROM c1")
+    assert main(["--warehouse", wh, "sql", "--file", str(script)]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {"n": 2}
