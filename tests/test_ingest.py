@@ -1,0 +1,95 @@
+"""Streaming corpus ingestion with incremental dedup
+(streaming/ingest.py): the continuous-crawl pipeline — quality gate →
+exact dedup → near-dup rejection against the corpus-so-far band-key
+table → one cross-table transaction per batch."""
+
+from __future__ import annotations
+
+import pytest
+
+from kudu_spark.engine import Engine
+from kudu_spark.streaming.ingest import (
+    create_corpus_tables,
+    ingest_batch,
+    ingest_corpus_stream,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+
+
+LOREM = ("the quick brown fox jumps over the lazy dog and then runs far "
+         "away into the deep green forest to find some tasty food there")
+OTHER = ("completely different content about databases and distributed "
+         "systems with columnar storage engines and consensus protocols "
+         "running on large clusters of commodity hardware in datacenters")
+
+
+def test_ingest_batch_dedup_and_state(engine, spark):
+    docs, bands = create_corpus_tables(engine)
+    r1 = ingest_batch(engine, docs_df(spark, [
+        (1, LOREM, "en", "crawl"),
+        (2, LOREM, "en", "crawl"),          # exact dup within batch
+        (3, OTHER, "en", "crawl"),
+    ]))
+    assert r1["arrived"] == 3 and r1["accepted"] == 2  # doc 2 dropped
+    assert sorted(r.doc_id for r in docs.scan(columns=["doc_id"]).collect()) == [1, 3]
+    assert bands.scan().count() > 0  # band keys materialized
+
+    # second batch: near-dup of doc 1 (one word changed) rejected via
+    # the band-key table, fresh content accepted, replayed doc_id ignored
+    near = LOREM.replace("tasty", "nasty")
+    r2 = ingest_batch(engine, docs_df(spark, [
+        (10, near, "en", "crawl"),
+        (11, "tiny but genuinely novel text " * 5, "en", "crawl"),
+        (1, LOREM, "en", "crawl"),          # replay
+    ]))
+    assert r2["accepted"] == 1
+    got = sorted(r.doc_id for r in docs.scan(columns=["doc_id"]).collect())
+    assert got == [1, 3, 11]
+    # both tables advanced atomically in one txn
+    assert set(r2["versions"]) == {"corpus", "corpus_bands"}
+
+
+def test_ingest_quality_gate(engine, spark):
+    create_corpus_tables(engine)
+    r = ingest_batch(engine, docs_df(spark, [
+        (1, OTHER, "en", "crawl"),
+        (2, "!!! ??? !!! ??? !!!", "en", "crawl"),  # junk: punct-only
+    ]), quality_min=0.2)
+    assert r["accepted"] == 1
+    got = [x.doc_id for x in engine.table("corpus").scan(columns=["doc_id"]).collect()]
+    assert got == [1]
+
+
+def test_ingest_stream_end_to_end(engine, spark, tmp_path):
+    docs, bands = create_corpus_tables(engine, buckets=2)
+    src = tmp_path / "in"
+    src.mkdir()
+    # three files -> three micro-batches; file 2 replays file 1's
+    # content under new ids, file 3 is fresh
+    docs_df(spark, [(1, LOREM, "en", "s"), (2, OTHER, "en", "s")]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    docs_df(spark, [(21, LOREM, "en", "s")]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    docs_df(spark, [(31, "unique third wave of totally new words " * 4, "en", "s")]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    q = ingest_corpus_stream(
+        engine, stream, checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in docs.scan(columns=["doc_id"]).collect())
+    assert got == [1, 2, 31]  # 21 rejected as near-dup of 1
+    # band-key state covers exactly the accepted docs
+    state_docs = sorted(set(
+        r.doc_id for r in bands.scan(columns=["doc_id"]).collect()))
+    assert state_docs == [1, 2, 31]
