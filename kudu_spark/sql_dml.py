@@ -194,6 +194,10 @@ def _parse_column_list(rest: str) -> tuple[list[str] | None, str]:
 
 
 def _run_insert(engine: "Engine", text: str, op: str):
+    if re.match(r"INSERT\s+OVERWRITE\b", text, re.IGNORECASE):
+        raise KuduSparkError(
+            "Kudu tables do not support INSERT OVERWRITE (Impala rejects it "
+            "too); use DELETE + INSERT, or UPSERT")
     m = re.match(
         r"(INSERT|UPSERT)(\s+IGNORE)?\s+INTO\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*(.*)$",
         text, re.IGNORECASE | re.DOTALL,

@@ -263,3 +263,8 @@ def test_merge_update_pk_rejected(merge_tables):
     with pytest.raises(SchemaError, match="primary key"):
         eng.sql("MERGE INTO tgt USING src ON tgt.id = src.id "
                 "WHEN MATCHED THEN UPDATE SET id = src.id + 100")
+
+
+def test_insert_overwrite_rejected(eng, t):
+    with pytest.raises(KuduSparkError, match="INSERT OVERWRITE"):
+        eng.sql("INSERT OVERWRITE people VALUES (1,'x',1,'y')")
