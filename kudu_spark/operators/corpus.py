@@ -439,3 +439,61 @@ def token_budget_sample_sql(budget_tokens: int, stratum_col: str | None = None) 
       )
     ) WHERE running_tokens <= {budget_tokens}
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the chunking step in front of embedding / context-window
+    training. Returns (doc_id, chunk_id, chunk_text, n_tokens) where
+    chunk_id is the 0-based window index and windows start every
+    ``chunk_tokens - overlap_tokens`` tokens (the final, possibly
+    short, tail window is kept).
+
+    Pure codegen: tokens split once, window starts generated with
+    sequence(), slices rebuilt with slice + concat_ws — no UDFs, no
+    shuffle at all (a per-row flatMap the optimizer pipelines into
+    the scan)."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(overlap_tokens)) / step) - 1, F.lit(0)) * step,
+        F.lit(step),
+    )
+    return (
+        docs.select(id_col, toks.alias("__t"), starts.alias("__s"))
+        .select(id_col, F.posexplode("__s").alias("chunk_id", "__start"), "__t")
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("__t", F.col("__start") + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.size("__t") - F.col("__start"), F.lit(chunk_tokens))
+            .cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 256, overlap_tokens: int = 0,
+                        source: str = "documents") -> str:
+    step = chunk_tokens - overlap_tokens
+    return f"""
+    SELECT doc_id, CAST(w AS BIGINT) AS chunk_id,
+           array_to_string(t[w * {step} + 1 : w * {step} + {chunk_tokens}], ' ')
+             AS chunk_text,
+           CAST(least(len(t) - w * {step}, {chunk_tokens}) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {source}
+    ), UNNEST(range(CAST(greatest(ceil((len(t) - {overlap_tokens}) /
+                                        CAST({step} AS DOUBLE)), 1) AS BIGINT)))
+       AS u(w)
+    """

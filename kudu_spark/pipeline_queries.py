@@ -749,3 +749,16 @@ def pipeline_substring_dedup(spark, sf_dir):
     removed); the text rebuild itself is unit-tested."""
     return DD.substring_dedup(load(spark, sf_dir, "documents"), min_tokens=20) \
         .select("doc_id", "removed_tokens", "n_spans", "n_tokens")
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle=CP.chunk_documents_sql(64, 16),
+    gated=False,  # per-row reshaping family; pytest runs the oracle
+)
+def pipeline_chunk_documents(spark, sf_dir):
+    """Token-window chunking (64-token chunks, 16-token overlap) — the
+    reshaping step in front of embedding or fixed-context training.
+    Zero-shuffle: a codegen flatMap pipelined into the scan."""
+    return CP.chunk_documents(load(spark, sf_dir, "documents"),
+                              chunk_tokens=64, overlap_tokens=16)

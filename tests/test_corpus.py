@@ -186,3 +186,24 @@ def test_substring_dedup_merges_adjacent_spans(spark):
            for r in substring_dedup(docs, min_tokens=4).collect()}
     assert out["b"] == ("GAP", 2)
     assert out["c"] == ("", 1)  # contiguous cover merges into one span
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from kudu_spark.operators.corpus import chunk_documents
+
+    docs = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en"),
+                         (2, "a b", "en")])
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(docs, chunk_tokens=4).collect()}
+    assert got[(1, 0)] == ("t1 t2 t3 t4", 4)
+    assert got[(1, 1)] == ("t5 t6 t7 t8", 4)
+    assert got[(1, 2)] == ("t9 t10", 2)  # short tail kept
+    assert got[(2, 0)] == ("a b", 2)     # doc shorter than a chunk
+    assert len(got) == 4
+    # overlap: windows start every (chunk - overlap) tokens
+    ov = {(r.doc_id, r.chunk_id): r.chunk_text
+          for r in chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()}
+    assert ov[(1, 0)] == "t1 t2 t3 t4"
+    assert ov[(1, 1)] == "t4 t5 t6 t7"
+    assert ov[(1, 2)] == "t7 t8 t9 t10"
+    assert (1, 3) not in ov  # no redundant fully-contained tail
