@@ -379,7 +379,8 @@ def engine_clustered_scan(spark, sf_dir):
 
 @query(
     "engine_sql_dml_scan",
-    gated=False,  # SQL front-end over the gated mutation paths; pytest-oracled
+    # gated since r6 (rotated in for text_fingerprint): the SQL DML
+    # surface is new this round and deserves driver verification
     oracle="""
     WITH after_upd AS (
       SELECT c_custkey, c_name, c_nationkey,

@@ -73,6 +73,9 @@ def text_quality_score(spark, sf_dir):
     SELECT doc_id, {TX.fingerprint_sql()} AS fingerprint
     FROM documents
     """,
+    gated=False,  # rotated out for engine_sql_dml_scan (r6): the per-doc
+    # codegen family stays gated ×3 (token_count/language_id/quality);
+    # pytest-oracled + driver-verified through pipeline_clean_corpus
 )
 def text_fingerprint(spark, sf_dir):
     """Winnowing-lite fingerprint: min shingle-hash per document."""
