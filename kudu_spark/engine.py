@@ -85,7 +85,11 @@ class Engine:
         every live table is registered as a temp view of its
         merge-on-read snapshot, then the query planner owns
         joins/aggs/windows. ``version_of`` maps table name -> version
-        for AS-OF reads inside SQL (≈ READ_AT_SNAPSHOT).
+        for AS-OF reads inside SQL (≈ READ_AT_SNAPSHOT); the same pin
+        can be written inline as ``t VERSION AS OF n`` or
+        ``t TIMESTAMP AS OF '<iso>'`` (the Delta/Iceberg SQL time
+        travel spelling), which wins over both this argument and the
+        txn-consistency pins. Read-only: DML always runs at head.
 
         ``txn_consistent`` (DEFAULT ON since round 6) pins tables to
         ``consistent_versions()`` so a cross-table transaction
@@ -109,14 +113,31 @@ class Engine:
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
         is materialized by registration."""
+        from kudu_spark.sql_dml import extract_as_of, is_dml, run_dml
         from kudu_spark.sql_ddl import is_ddl, is_show, run_ddl, run_show
-        from kudu_spark.sql_dml import is_dml, run_dml
 
         if is_ddl(query):
             return run_ddl(self, query)
         if is_show(query):
             return run_show(self, query)
+        # SQL-level time travel: `t VERSION AS OF n` / `t TIMESTAMP AS
+        # OF '<iso>'` (the Delta/Iceberg spelling of READ_AT_SNAPSHOT);
+        # inline pins are the most local intent, so they win over both
+        # the version_of argument and the txn-consistency pins
+        query, as_of = extract_as_of(query)
         version_of = dict(version_of or {})
+        if as_of:
+            if is_dml(query):
+                raise KuduSparkError(
+                    "AS OF pins are read-only; DML always runs at head")
+            from kudu_spark.meta import version_at_timestamp
+
+            for name, pin in as_of.items():
+                version_of[name] = (
+                    pin["version"] if "version" in pin
+                    else version_at_timestamp(self._table_root(name),
+                                              pin["timestamp_ms"])
+                )
         if txn_consistent:
             pins = self.consistent_versions()
             for name, v in pins.items():

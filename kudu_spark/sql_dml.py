@@ -558,3 +558,69 @@ def _run_merge(engine: "Engine", text: str):
             txn.rollback()
         raise
     return "MERGE", name, total, v
+
+
+# -- AS-OF clause extraction (SQL-level time travel) ------------------------
+
+
+def _string_spans(s: str) -> list[tuple[int, int]]:
+    spans, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] in ("'", '"'):
+            j = _skip_string(s, i)
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def extract_as_of(text: str) -> tuple[str, dict]:
+    """Strip ``<table> VERSION AS OF <n>`` / ``<table> TIMESTAMP AS OF
+    '<iso>'`` clauses (any nesting depth, never inside string
+    literals) and return (clean_text, pins) where pins maps table ->
+    {"version": n} or {"timestamp_ms": ms} — the SQL spelling of
+    READ_AT_SNAPSHOT (common.proto:268; same syntax as Delta/Iceberg
+    SQL time travel so lakehouse queries port verbatim). Two different
+    pins for the same table in one statement raise."""
+    import datetime
+
+    pat = re.compile(
+        r"([A-Za-z_]\w*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(\d+|'[^']*'|\"[^\"]*\")",
+        re.IGNORECASE)
+    spans = _string_spans(text)
+    pins: dict = {}
+    out = []
+    last = 0
+    for m in pat.finditer(text):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        if kind == "VERSION":
+            if not val.isdigit():
+                raise KuduSparkError(f"VERSION AS OF needs an integer, got {val}")
+            pin = {"version": int(val)}
+        else:
+            raw = val[1:-1] if val[:1] in "'\"" else val
+            if raw.isdigit():
+                ms = int(raw)
+            else:
+                try:
+                    dt = datetime.datetime.fromisoformat(raw)
+                except ValueError:
+                    raise KuduSparkError(
+                        f"TIMESTAMP AS OF needs an ISO datetime or epoch-ms, got {val}")
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                ms = int(dt.timestamp() * 1000)
+            pin = {"timestamp_ms": ms}
+        if name in pins and pins[name] != pin:
+            raise KuduSparkError(
+                f"conflicting AS OF pins for table {name} in one statement")
+        pins[name] = pin
+        out.append(text[last:m.start()])
+        out.append(m.group(1))  # keep the table reference itself
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out), pins

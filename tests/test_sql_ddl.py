@@ -245,3 +245,44 @@ def test_cli_sql_command(eng, capsys, tmp_path):
     script.write_text("SELECT count(*) AS n FROM c1")
     assert main(["--warehouse", wh, "sql", "--file", str(script)]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {"n": 2}
+
+
+def test_sql_version_as_of(eng):
+    eng.sql("CREATE TABLE tv (id BIGINT PRIMARY KEY, v INT) STORED AS KUDU")
+    eng.sql("INSERT INTO tv VALUES (1, 10)")
+    v1 = eng.table("tv").version
+    eng.sql("UPDATE tv SET v = 99 WHERE id = 1")
+    eng.sql("INSERT INTO tv VALUES (2, 20)")
+    got = [tuple(r) for r in
+           eng.sql(f"SELECT * FROM tv VERSION AS OF {v1} ORDER BY id").collect()]
+    assert got == [(1, 10)]
+    assert sorted(tuple(r) for r in eng.sql("SELECT * FROM tv").collect()) == [
+        (1, 99), (2, 20)]
+    # pinned and head reads of the SAME table in one statement need two
+    # different snapshots — not supported by name-level pins, but a
+    # self-join of past vs past works; and AS OF inside DML is rejected
+    joined = eng.sql(
+        f"SELECT a.id, a.v AS old_v FROM tv VERSION AS OF {v1} a").collect()
+    assert [tuple(r) for r in joined] == [(1, 10)]
+    import pytest as _pytest
+
+    from kudu_spark.errors import KuduSparkError as _E
+    with _pytest.raises(_E, match="read-only"):
+        eng.sql(f"DELETE FROM tv WHERE id IN (SELECT id FROM tv VERSION AS OF {v1})")
+
+
+def test_sql_timestamp_as_of(eng):
+    import time
+
+    eng.sql("CREATE TABLE ts1 (id BIGINT PRIMARY KEY) STORED AS KUDU")
+    eng.sql("INSERT INTO ts1 VALUES (1)")
+    time.sleep(1.1)
+    mid_ms = int(time.time() * 1000)
+    time.sleep(1.1)
+    eng.sql("INSERT INTO ts1 VALUES (2)")
+    got = [r.id for r in eng.sql(
+        f"SELECT id FROM ts1 TIMESTAMP AS OF '{mid_ms}'").collect()]
+    assert got == [1]
+    # a string inside a literal must not be parsed as a pin
+    r = eng.sql("SELECT 'x VERSION AS OF 1' AS s").collect()[0].s
+    assert r == "x VERSION AS OF 1"
