@@ -10,7 +10,9 @@ run unchanged:
     INSERT [IGNORE] INTO t [(cols)] SELECT ...
     UPSERT INTO t [(cols)] VALUES ... | SELECT ...
     UPDATE [IGNORE] t SET col = expr [, ...] [WHERE pred]
+    UPDATE [IGNORE] a SET col = expr FROM t a, s [b] WHERE pred   -- join form
     DELETE [IGNORE] FROM t [WHERE pred]
+    DELETE [IGNORE] a FROM t a, s [b] WHERE pred                  -- join form
     MERGE INTO t [AS a] USING src|(subquery) [AS b] ON cond
       WHEN [NOT] MATCHED [AND c] THEN UPDATE SET ... | DELETE | INSERT ...
 
@@ -268,6 +270,25 @@ def _parse_assignments(set_part: str, pk: list[str], schema_names: list[str]):
     return out
 
 
+def _alias_of(from_clause: str, alias: str) -> str | None:
+    """Resolve ``alias`` to its table name inside a FROM clause of
+    comma- and/or JOIN-separated ``table [AS] alias`` items. Returns
+    None if the alias isn't found (it may BE a bare table name)."""
+    segs: list[str] = []
+    for part in _split_top_level(from_clause):
+        segs.extend(re.split(
+            r"\b(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?|"
+            r"FULL\s+(?:OUTER\s+)?|CROSS\s+)?JOIN\b",
+            part, flags=re.IGNORECASE))
+    for seg in segs:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s+(?:AS\s+)?([A-Za-z_]\w*)",
+                     seg, re.IGNORECASE)
+        if m and m.group(2).upper() not in ("ON", "WHERE") \
+                and m.group(2) == alias:
+            return m.group(1)
+    return None
+
+
 def _run_update(engine: "Engine", text: str):
     m = re.match(
         r"UPDATE(\s+IGNORE)?\s+([A-Za-z_]\w*)\s+SET\b(.*)$",
@@ -276,21 +297,36 @@ def _run_update(engine: "Engine", text: str):
     if not m:
         raise KuduSparkError("cannot parse UPDATE statement")
     ignore = bool(m.group(1))
-    name = m.group(2)
+    target = m.group(2)
     body = m.group(3)
+    fi = _find_top_level_keyword(body, "FROM")
     wi = _find_top_level_keyword(body, "WHERE")
-    set_part = body[:wi] if wi >= 0 else body
+    set_end = min(x for x in (fi, wi, len(body)) if x >= 0)
+    set_part = body[:set_end]
+    from_clause = body[fi + 4:wi if wi > fi else len(body)].strip() if fi >= 0 else None
     where = body[wi + 5:].strip() if wi >= 0 else None
 
+    # Impala's join form: UPDATE <alias> SET ... FROM t <alias>, s ...
+    # (kudu_impala_integration.adoc:695-715 shows the DELETE twin);
+    # the UPDATE target may be an alias defined in the FROM clause
+    name, ta = target, target
+    if from_clause:
+        resolved = _alias_of(from_clause, target)
+        if resolved:
+            name = resolved
     t = engine.table(name)
     st = t.state()
     pk = st.schema.pk
     assigns = _parse_assignments(set_part, pk, st.schema.names)
 
     engine._register_views(text)
-    sel = ", ".join([*pk, *[f"({rhs}) AS {col}" for col, rhs in assigns]])
-    stmt = f"SELECT {sel} FROM {name}" + (f" WHERE {where}" if where else "")
-    batch = engine.spark.sql(stmt)
+    sel = ", ".join([*[f"{ta}.{k}" for k in pk],
+                     *[f"({rhs}) AS {col}" for col, rhs in assigns]])
+    rel = from_clause if from_clause else f"{name} {ta}"
+    stmt = f"SELECT {sel} FROM {rel}" + (f" WHERE {where}" if where else "")
+    # a join may match a target row more than once; Kudu applies one
+    # update per key (Impala: result undefined on conflict) — dedupe
+    batch = engine.spark.sql(stmt).dropDuplicates(pk)
     n = batch.count()
     if n:
         # rows come from the snapshot, so error-mode missing-key checks
@@ -304,25 +340,38 @@ def _run_update(engine: "Engine", text: str):
 
 def _run_delete(engine: "Engine", text: str):
     m = re.match(
-        r"DELETE(\s+IGNORE)?\s+FROM\s+([A-Za-z_]\w*)(.*)$",
+        r"DELETE(\s+IGNORE)?\s+(?:([A-Za-z_]\w*)\s+)?FROM\s+(.*)$",
         text, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise KuduSparkError("cannot parse DELETE statement")
     ignore = bool(m.group(1))
-    name = m.group(2)
+    target_alias = m.group(2)
     rest = m.group(3).strip()
-    where = None
-    if rest:
-        wi = _find_top_level_keyword(rest, "WHERE")
-        if wi != 0:
-            raise KuduSparkError(f"unexpected tokens after DELETE FROM {name}: {rest[:40]!r}")
-        where = rest[5:].strip()
+    wi = _find_top_level_keyword(rest, "WHERE")
+    from_clause = rest[:wi].strip() if wi >= 0 else rest
+    where = rest[wi + 5:].strip() if wi >= 0 else None
+
+    if target_alias:
+        # Impala's join form: DELETE c FROM t c, s WHERE c.x = s.y
+        # (kudu_impala_integration.adoc:713-715)
+        name = _alias_of(from_clause, target_alias) or target_alias
+        ta = target_alias
+        rel = from_clause
+    else:
+        nm = re.match(r"([A-Za-z_]\w*)\s*$", from_clause)
+        if not nm:
+            raise KuduSparkError(
+                f"DELETE without a target alias takes one table, got: "
+                f"{from_clause[:40]!r} (use DELETE <alias> FROM ... for joins)")
+        name = ta = nm.group(1)
+        rel = f"{name} {ta}"
 
     t = engine.table(name)
     pk = t.state().schema.pk
     engine._register_views(text)
-    stmt = f"SELECT {', '.join(pk)} FROM {name}" + (f" WHERE {where}" if where else "")
+    sel = ", ".join(f"{ta}.{k} AS {k}" for k in pk)
+    stmt = f"SELECT DISTINCT {sel} FROM {rel}" + (f" WHERE {where}" if where else "")
     keys = engine.spark.sql(stmt)
     n = keys.count()
     if n:

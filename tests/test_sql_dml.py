@@ -268,3 +268,35 @@ def test_merge_update_pk_rejected(merge_tables):
 def test_insert_overwrite_rejected(eng, t):
     with pytest.raises(KuduSparkError, match="INSERT OVERWRITE"):
         eng.sql("INSERT OVERWRITE people VALUES (1,'x',1,'y')")
+
+
+def test_delete_join_form(eng, t):
+    """The integration doc's own join-DELETE shape
+    (kudu_impala_integration.adoc:713): DELETE c FROM t c, s WHERE."""
+    eng.create_table("stock_symbols", [("symbol", "string", False)], pk=["symbol"])
+    eng.sql("INSERT INTO stock_symbols VALUES ('alice'), ('carol')")
+    op, n = summary(eng.sql(
+        "DELETE c FROM people c, stock_symbols s WHERE c.name = s.symbol"))
+    assert (op, n) == ("DELETE", 2)
+    assert [r[0] for r in rows(eng, "SELECT id FROM people ORDER BY id")] == [2]
+
+
+def test_delete_join_form_explicit_join(eng, t):
+    eng.create_table("doomed", [("id", "bigint", False)], pk=["id"])
+    eng.sql("INSERT INTO doomed VALUES (1), (3)")
+    op, n = summary(eng.sql(
+        "DELETE p FROM people p JOIN doomed d ON p.id = d.id WHERE p.age > 20"))
+    assert (op, n) == ("DELETE", 2)
+    assert [r[0] for r in rows(eng, "SELECT id FROM people")] == [2]
+
+
+def test_update_join_form(eng, t):
+    eng.create_table("raises", [("id", "bigint", False), ("amt", "int", True)],
+                     pk=["id"])
+    eng.sql("INSERT INTO raises VALUES (1, 5), (3, 7)")
+    op, n = summary(eng.sql(
+        "UPDATE p SET age = p.age + r.amt FROM people p JOIN raises r "
+        "ON p.id = r.id WHERE r.amt > 0"))
+    assert (op, n) == ("UPDATE", 2)
+    assert rows(eng, "SELECT id, age FROM people ORDER BY id") == [
+        (1, 35), (2, 25), (3, 48)]
