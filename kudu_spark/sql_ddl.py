@@ -48,6 +48,8 @@ from __future__ import annotations
 import re
 from typing import TYPE_CHECKING
 
+from pyspark.sql import functions as F
+
 from kudu_spark.errors import KuduSparkError, SchemaError
 from kudu_spark.sql_dml import (
     _find_top_level_keyword,
@@ -551,7 +553,8 @@ def _run_alter(engine: "Engine", text: str):
 # -- introspection (Impala's SHOW / DESCRIBE for Kudu tables) ---------------
 
 _SHOW_HEAD = re.compile(
-    r"^\s*(SHOW\s+TABLES|SHOW\s+CREATE\s+TABLE|SHOW\s+RANGE\s+PARTITIONS|DESCRIBE)\b",
+    r"^\s*(SHOW\s+TABLES|SHOW\s+CREATE\s+TABLE|SHOW\s+RANGE\s+PARTITIONS|"
+    r"SHOW\s+TABLE\s+STATS|SHOW\s+COLUMN\s+STATS|COMPUTE\s+STATS|DESCRIBE)\b",
     re.IGNORECASE)
 
 
@@ -603,6 +606,44 @@ def run_show(engine: "Engine", sql: str):
             raise KuduSparkError(f"table {m.group(1)} is not range-partitioned")
         return spark.createDataFrame(
             [(_fmt_range(lo, hi),) for lo, hi in rs.ranges], "range_partition string")
+
+    m = re.match(r"(?:COMPUTE\s+STATS|SHOW\s+TABLE\s+STATS)\s+([A-Za-z_]\w*)$",
+                 text, re.IGNORECASE)
+    if m:
+        # Impala's COMPUTE STATS / SHOW TABLE STATS on a Kudu table:
+        # O(metadata) via KuduTableStatistics (client.h:1568), no scan
+        # except dirty partitions (Table.statistics)
+        s = engine.table(m.group(1)).statistics()
+        return spark.createDataFrame(
+            [(s["live_row_count"], s["on_disk_size"], s["num_files"],
+              s["version"])],
+            "num_rows bigint, on_disk_size bigint, num_files bigint, "
+            "version bigint")
+
+    m = re.match(r"SHOW\s+COLUMN\s+STATS\s+([A-Za-z_]\w*)$", text, re.IGNORECASE)
+    if m:
+        # per-column min/max/null-count/ndv from the footer-stat
+        # manifest where present, one aggregate scan otherwise — here
+        # the aggregate (Impala computes these with a scan too)
+        t = engine.table(m.group(1))
+        st = t.state()
+        df = t.scan()
+        aggs = []
+        for c in st.schema.columns:
+            aggs += [
+                F.min(c.name).cast("string").alias(f"__min_{c.name}"),
+                F.max(c.name).cast("string").alias(f"__max_{c.name}"),
+                F.sum(F.when(F.col(c.name).isNull(), 1).otherwise(0))
+                 .alias(f"__nulls_{c.name}"),
+                F.approx_count_distinct(c.name).alias(f"__ndv_{c.name}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        out = [(c.name, c.type, row[f"__min_{c.name}"], row[f"__max_{c.name}"],
+                int(row[f"__nulls_{c.name}"] or 0), int(row[f"__ndv_{c.name}"]))
+               for c in st.schema.columns]
+        return spark.createDataFrame(
+            out, "column string, type string, min string, max string, "
+                 "nulls bigint, ndv bigint")
 
     m = re.match(r"DESCRIBE\s+(?:FORMATTED\s+|EXTENDED\s+)?([A-Za-z_]\w*)$",
                  text, re.IGNORECASE)

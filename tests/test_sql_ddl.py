@@ -286,3 +286,15 @@ def test_sql_timestamp_as_of(eng):
     # a string inside a literal must not be parsed as a pin
     r = eng.sql("SELECT 'x VERSION AS OF 1' AS s").collect()[0].s
     assert r == "x VERSION AS OF 1"
+
+
+def test_stats_statements(eng):
+    eng.sql("CREATE TABLE st (id BIGINT PRIMARY KEY, v INT) STORED AS KUDU")
+    eng.sql("INSERT INTO st VALUES (1, 10), (2, NULL), (3, 10)")
+    r = eng.sql("COMPUTE STATS st").collect()[0]
+    assert r.num_rows == 3 and r.num_files >= 1
+    r2 = eng.sql("SHOW TABLE STATS st").collect()[0]
+    assert r2.num_rows == 3
+    cols = {c.column: c for c in eng.sql("SHOW COLUMN STATS st").collect()}
+    assert cols["id"].min == "1" and cols["id"].max == "3" and cols["id"].nulls == 0
+    assert cols["v"].nulls == 1 and cols["v"].ndv == 1
