@@ -411,12 +411,13 @@ def token_budget_sample(
         docs.select(
             id_col,
             *([stratum_col] if stratum_col else []),
-            toks.alias("tokens"),
+            toks.cast("bigint").alias("tokens"),
             F.md5(F.col(text_col)).alias("__rk"),
         )
         .withColumn("running_tokens", F.sum("tokens").over(
             Window.partitionBy(key).orderBy(F.col("__rk"), F.col(id_col))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"))
         .where(F.col("running_tokens") <= budget_tokens)
         .drop("__rk")
     )
@@ -429,11 +430,12 @@ def token_budget_sample_sql(budget_tokens: int, stratum_col: str | None = None) 
     return f"""
     SELECT doc_id{sel}, tokens, running_tokens FROM (
       SELECT doc_id{sel}, tokens,
-             sum(tokens) OVER ({part} ORDER BY rk, doc_id
-                               ROWS UNBOUNDED PRECEDING) AS running_tokens
+             CAST(sum(tokens) OVER ({part} ORDER BY rk, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_tokens
       FROM (
         SELECT doc_id{sel},
-               len(string_split(text, ' ')) AS tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
                md5(text) AS rk
         FROM documents
       )
