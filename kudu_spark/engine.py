@@ -192,13 +192,74 @@ class Engine:
         handled) in order; returns the per-statement result DataFrames.
         Lets a reference user run their Impala .sql files verbatim:
         DDL + DML + SELECT mix freely, each statement seeing the
-        effects of the previous ones."""
-        from kudu_spark.sql_dml import _split_top_level, strip_comments
+        effects of the previous ones.
+
+        ``BEGIN [TRANSACTION]`` ... ``COMMIT`` / ``ROLLBACK`` blocks
+        expose Kudu's multi-row cross-table transactions
+        (client.h:445-545; writer.EngineTransaction) at the SQL level:
+        every INSERT/UPSERT/UPDATE/DELETE inside the block is STAGED
+        and becomes visible atomically at COMMIT — across tables —
+        or vanishes at ROLLBACK. Statements inside the block read the
+        PRE-transaction snapshot (no read-your-writes, matching Kudu
+        transactions); their summary rows carry version=-1 until the
+        COMMIT row reports the publish. DDL inside a block errors; a
+        block left open at script end is rolled back and raised."""
+        import re as _re
+
+        from kudu_spark.sql_ddl import is_ddl, is_show
+        from kudu_spark.sql_dml import _split_top_level, is_dml, run_dml, strip_comments
+        from kudu_spark.writer import EngineTransaction
 
         out = []
-        for stmt in _split_top_level(strip_comments(script), ";"):
-            if stmt.strip():
-                out.append(self.sql(stmt, txn_consistent=txn_consistent))
+        txn = None
+        try:
+            for stmt in _split_top_level(strip_comments(script), ";"):
+                s = stmt.strip()
+                if not s:
+                    continue
+                if _re.match(r"BEGIN(\s+(TRANSACTION|WORK))?$", s, _re.IGNORECASE):
+                    if txn is not None:
+                        raise KuduSparkError("nested BEGIN")
+                    txn = EngineTransaction(self)
+                    continue
+                if _re.match(r"COMMIT(\s+(TRANSACTION|WORK))?$", s, _re.IGNORECASE):
+                    if txn is None:
+                        raise KuduSparkError("COMMIT without BEGIN")
+                    versions = txn.commit()
+                    txn = None
+                    out.append(self.spark.createDataFrame(
+                        [("COMMIT", ",".join(sorted(versions)), 0,
+                          max(versions.values(), default=0))],
+                        "operation string, table string, rows_affected bigint, "
+                        "version bigint"))
+                    continue
+                if _re.match(r"ROLLBACK(\s+(TRANSACTION|WORK))?$", s, _re.IGNORECASE):
+                    if txn is None:
+                        raise KuduSparkError("ROLLBACK without BEGIN")
+                    txn.rollback()
+                    txn = None
+                    continue
+                if txn is not None:
+                    if is_ddl(s) or is_show(s):
+                        raise KuduSparkError(
+                            "DDL inside a BEGIN block is not supported "
+                            "(Kudu transactions cover row operations only)")
+                    if is_dml(s):
+                        out.append(run_dml(self, s, txn=txn))
+                        continue
+                out.append(self.sql(s, txn_consistent=txn_consistent))
+        except Exception:
+            if txn is not None:
+                try:
+                    txn.rollback()
+                except Exception:
+                    pass
+            raise
+        if txn is not None:
+            txn.rollback()
+            raise KuduSparkError(
+                "script ended with an open transaction (no COMMIT/ROLLBACK); "
+                "staged writes were rolled back")
         return out
 
     def consistent_versions(self) -> dict[str, int]:

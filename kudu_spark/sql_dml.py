@@ -157,17 +157,27 @@ def is_dml(sql: str) -> bool:
     return _DML_HEAD.match(strip_comments(sql)) is not None
 
 
-def run_dml(engine: "Engine", sql: str) -> DataFrame:
+def run_dml(engine: "Engine", sql: str, txn=None) -> DataFrame:
+    """Execute one DML statement. With ``txn`` (an EngineTransaction,
+    from a ``BEGIN``/``COMMIT`` block in ``Engine.sql_script``) the
+    computed batch is STAGED instead of committed — all statements of
+    the block read the pre-transaction snapshot (Kudu transactions
+    likewise give no read-your-writes) and publish atomically at
+    COMMIT; the summary's version is -1 until then."""
     text = strip_comments(sql).strip().rstrip(";").strip()
     head = _DML_HEAD.match(text).group(1).upper()
     if head in ("INSERT", "UPSERT"):
-        op, table, n, v = _run_insert(engine, text, head)
+        op, table, n, v = _run_insert(engine, text, head, txn)
     elif head == "UPDATE":
-        op, table, n, v = _run_update(engine, text)
+        op, table, n, v = _run_update(engine, text, txn)
     elif head == "MERGE":
+        if txn is not None:
+            raise KuduSparkError(
+                "MERGE inside a BEGIN block is not supported — MERGE is "
+                "already one atomic transaction; run it standalone")
         op, table, n, v = _run_merge(engine, text)
     else:
-        op, table, n, v = _run_delete(engine, text)
+        op, table, n, v = _run_delete(engine, text, txn)
     return engine.spark.createDataFrame(
         [(op, table, n, v)],
         "operation string, table string, rows_affected bigint, version bigint",
@@ -195,7 +205,7 @@ def _parse_column_list(rest: str) -> tuple[list[str] | None, str]:
     return cols, rest[end + 1:].lstrip()
 
 
-def _run_insert(engine: "Engine", text: str, op: str):
+def _run_insert(engine: "Engine", text: str, op: str, txn=None):
     if re.match(r"INSERT\s+OVERWRITE\b", text, re.IGNORECASE):
         raise KuduSparkError(
             "Kudu tables do not support INSERT OVERWRITE (Impala rejects it "
@@ -228,6 +238,13 @@ def _run_insert(engine: "Engine", text: str, op: str):
         )
     batch = src.toDF(*target)
 
+    if txn is not None:
+        if ignore:
+            raise KuduSparkError(
+                "IGNORE variants are not supported inside BEGIN blocks")
+        n = batch.count()
+        getattr(txn, op.lower())(name, batch)
+        return op, name, n, -1
     if op == "UPSERT":
         n = batch.count()
         v = t.upsert(batch, mode="ignore" if ignore else "error")
@@ -289,7 +306,7 @@ def _alias_of(from_clause: str, alias: str) -> str | None:
     return None
 
 
-def _run_update(engine: "Engine", text: str):
+def _run_update(engine: "Engine", text: str, txn=None):
     m = re.match(
         r"UPDATE(\s+IGNORE)?\s+([A-Za-z_]\w*)\s+SET\b(.*)$",
         text, re.IGNORECASE | re.DOTALL,
@@ -320,14 +337,31 @@ def _run_update(engine: "Engine", text: str):
     assigns = _parse_assignments(set_part, pk, st.schema.names)
 
     engine._register_views(text)
-    sel = ", ".join([*[f"{ta}.{k}" for k in pk],
-                     *[f"({rhs}) AS {col}" for col, rhs in assigns]])
+    amap = dict(assigns)
+    if txn is not None:
+        # Transaction has no per-column update op: stage a FULL-ROW
+        # upsert (unassigned columns carry their old values) — the
+        # same equivalence MERGE's matched-update uses
+        sel = ", ".join(
+            [f"{ta}.{k}" for k in pk]
+            + [f"({amap[c]}) AS {c}" if c in amap else f"{ta}.{c} AS {c}"
+               for c in st.schema.non_pk_names])
+    else:
+        sel = ", ".join([*[f"{ta}.{k}" for k in pk],
+                         *[f"({rhs}) AS {col}" for col, rhs in assigns]])
     rel = from_clause if from_clause else f"{name} {ta}"
     stmt = f"SELECT {sel} FROM {rel}" + (f" WHERE {where}" if where else "")
     # a join may match a target row more than once; Kudu applies one
     # update per key (Impala: result undefined on conflict) — dedupe
     batch = engine.spark.sql(stmt).dropDuplicates(pk)
     n = batch.count()
+    if txn is not None:
+        if ignore:
+            raise KuduSparkError(
+                "IGNORE variants are not supported inside BEGIN blocks")
+        if n:
+            txn.upsert(name, batch)
+        return "UPDATE", name, n, -1
     if n:
         # rows come from the snapshot, so error-mode missing-key checks
         # can only fire on a concurrent delete (a real write-write
@@ -338,7 +372,7 @@ def _run_update(engine: "Engine", text: str):
     return "UPDATE", name, n, v
 
 
-def _run_delete(engine: "Engine", text: str):
+def _run_delete(engine: "Engine", text: str, txn=None):
     m = re.match(
         r"DELETE(\s+IGNORE)?\s+(?:([A-Za-z_]\w*)\s+)?FROM\s+(.*)$",
         text, re.IGNORECASE | re.DOTALL,
@@ -374,6 +408,10 @@ def _run_delete(engine: "Engine", text: str):
     stmt = f"SELECT DISTINCT {sel} FROM {rel}" + (f" WHERE {where}" if where else "")
     keys = engine.spark.sql(stmt)
     n = keys.count()
+    if txn is not None:
+        if n:
+            txn.delete(name, keys)
+        return "DELETE", name, n, -1
     if n:
         v = t.delete(keys, mode="ignore" if ignore else "error")
     else:

@@ -298,3 +298,66 @@ def test_stats_statements(eng):
     cols = {c.column: c for c in eng.sql("SHOW COLUMN STATS st").collect()}
     assert cols["id"].min == "1" and cols["id"].max == "3" and cols["id"].nulls == 0
     assert cols["v"].nulls == 1 and cols["v"].ndv == 1
+
+
+def test_sql_transaction_block_atomic_commit(eng):
+    eng.sql_script("""
+        CREATE TABLE acct (id BIGINT PRIMARY KEY, bal BIGINT) STORED AS KUDU;
+        CREATE TABLE audit (op_id BIGINT PRIMARY KEY, delta BIGINT) STORED AS KUDU;
+        INSERT INTO acct VALUES (1, 100), (2, 50)
+    """)
+    v_acct = eng.table("acct").version
+    results = eng.sql_script("""
+        BEGIN;
+        UPDATE acct SET bal = bal - 30 WHERE id = 1;
+        UPDATE acct SET bal = bal + 30 WHERE id = 2;
+        INSERT INTO audit VALUES (1, 30);
+        COMMIT
+    """)
+    # staged rows report version -1; COMMIT reports the publish
+    assert [r.collect()[0].version for r in results[:-1]] == [-1, -1, -1]
+    commit_row = results[-1].collect()[0]
+    assert commit_row.operation == "COMMIT" and "acct" in commit_row.table
+    got = {r.id: r.bal for r in eng.sql("SELECT * FROM acct").collect()}
+    assert got == {1: 70, 2: 80}
+    assert eng.table("acct").version == v_acct + 1  # ONE atomic commit
+    assert [tuple(r) for r in eng.sql("SELECT * FROM audit").collect()] == [(1, 30)]
+
+
+def test_sql_transaction_rollback_and_no_read_your_writes(eng):
+    eng.sql_script(
+        "CREATE TABLE rb (id BIGINT PRIMARY KEY, v BIGINT) STORED AS KUDU;"
+        "INSERT INTO rb VALUES (1, 10)")
+    v0 = eng.table("rb").version
+    results = eng.sql_script("""
+        BEGIN;
+        UPDATE rb SET v = 99 WHERE id = 1;
+        SELECT v FROM rb WHERE id = 1;
+        ROLLBACK;
+        SELECT v FROM rb WHERE id = 1
+    """)
+    # the in-txn SELECT reads the pre-transaction snapshot
+    assert results[1].collect()[0].v == 10
+    assert results[2].collect()[0].v == 10
+    assert eng.table("rb").version == v0  # nothing committed
+
+
+def test_sql_transaction_open_block_rolls_back(eng):
+    import pytest as _p
+
+    eng.sql_script("CREATE TABLE ob (id BIGINT PRIMARY KEY) STORED AS KUDU")
+    with _p.raises(KuduSparkError, match="open transaction"):
+        eng.sql_script("BEGIN; INSERT INTO ob VALUES (1)")
+    assert eng.sql("SELECT count(*) AS n FROM ob").collect()[0].n == 0
+
+
+def test_sql_transaction_rejects_ddl_and_merge(eng):
+    import pytest as _p
+
+    eng.sql_script("CREATE TABLE tx1 (id BIGINT PRIMARY KEY) STORED AS KUDU")
+    with _p.raises(KuduSparkError, match="DDL inside"):
+        eng.sql_script("BEGIN; CREATE TABLE nope (id BIGINT PRIMARY KEY) "
+                       "STORED AS KUDU; COMMIT")
+    with _p.raises(KuduSparkError, match="MERGE inside"):
+        eng.sql_script("BEGIN; MERGE INTO tx1 USING tx1 b ON tx1.id = b.id "
+                       "WHEN MATCHED THEN DELETE; COMMIT")
