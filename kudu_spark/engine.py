@@ -120,6 +120,12 @@ class Engine:
             return run_ddl(self, query)
         if is_show(query):
             return run_show(self, query)
+        import re as _re
+
+        if _re.match(r"\s*(BEGIN|COMMIT|ROLLBACK)\b", query, _re.IGNORECASE):
+            raise KuduSparkError(
+                "transaction control statements need a statement sequence — "
+                "use Engine.sql_script('BEGIN; ...; COMMIT')")
         # SQL-level time travel: `t VERSION AS OF n` / `t TIMESTAMP AS
         # OF '<iso>'` (the Delta/Iceberg spelling of READ_AT_SNAPSHOT);
         # inline pins are the most local intent, so they win over both
