@@ -499,3 +499,61 @@ def chunk_documents_sql(chunk_tokens: int = 256, overlap_tokens: int = 0,
                                         CAST({step} AS DOUBLE)), 1) AS BIGINT)))
        AS u(w)
     """
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each document
+    lands in exactly one named split with probability proportional to
+    its weight, decided by a content hash — so the assignment is
+    reproducible across runs, cluster sizes and partitionings (the
+    property rand(seed) does NOT give), stable under corpus growth
+    (adding documents never moves existing ones between splits), and
+    duplicate documents land in the SAME split (no near-identical
+    train/test leakage from exact dups). ``salt`` derives independent
+    re-splits from the same corpus.
+
+    Returns (doc_id, split). Zero shuffle: a codegen projection.
+    """
+    cutoffs = _split_cutoffs(weights)
+    h = F.substring(F.md5(F.concat(F.col(text_col), F.lit(salt))), 1, 15)
+    expr = None
+    for name, cut in cutoffs[:-1]:
+        cond = h < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = cutoffs[-1][0]
+    expr = (F.lit(last) if expr is None else expr.otherwise(last))
+    return docs.select(id_col, expr.alias("split"))
+
+
+def _split_cutoffs(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, 15-hex-char upper cutoff) per split: lowercase hex
+    string order is isomorphic to the 60-bit integer order, so BOTH
+    engines decide the split with one identical string comparison —
+    no float parsing, bit-exact across Spark and DuckDB."""
+    if not weights or any(w < 0 for w in weights.values()) \
+            or sum(weights.values()) <= 0:
+        raise ValueError("weights must be a non-empty map of non-negative "
+                         "shares with a positive sum")
+    total = float(sum(weights.values()))
+    out = []
+    acc = 0.0
+    for name in sorted(weights):
+        acc += weights[name] / total
+        out.append((name, format(min(int(acc * 16 ** 15), 16 ** 15 - 1), "015x")))
+    return out
+
+
+def split_assign_sql(weights: dict[str, float], salt: str = "") -> str:
+    cutoffs = _split_cutoffs(weights)
+    h = f"substring(md5(text || '{salt}'), 1, 15)"
+    cases = " ".join(f"WHEN {h} < '{cut}' THEN '{name}'"
+                     for name, cut in cutoffs[:-1])
+    case_sql = (f"CASE {cases} ELSE '{cutoffs[-1][0]}' END"
+                if cases else f"'{cutoffs[-1][0]}'")
+    return f"SELECT doc_id, {case_sql} AS split FROM documents"

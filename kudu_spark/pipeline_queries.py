@@ -765,3 +765,17 @@ def pipeline_chunk_documents(spark, sf_dir):
     Zero-shuffle: a codegen flatMap pipelined into the scan."""
     return CP.chunk_documents(load(spark, sf_dir, "documents"),
                               chunk_tokens=64, overlap_tokens=16)
+
+
+@query(
+    "pipeline_split_assign",
+    oracle=CP.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
+    gated=False,  # sampling/assignment family; pytest runs the oracle
+)
+def pipeline_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content
+    hash: reproducible across runs and partitionings, stable under
+    corpus growth, exact duplicates land in the same split (no
+    exact-dup train/test leakage). Zero shuffle."""
+    return CP.split_assign(load(spark, sf_dir, "documents"),
+                           {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -207,3 +207,31 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert ov[(1, 1)] == "t4 t5 t6 t7"
     assert ov[(1, 2)] == "t7 t8 t9 t10"
     assert (1, 3) not in ov  # no redundant fully-contained tail
+
+
+def test_split_assign_properties(spark):
+    from kudu_spark.operators.corpus import split_assign
+
+    docs = _docs(spark, [(i, f"document body {i} with words", "en")
+                         for i in range(500)] + [(900, "document body 7 with words", "en")])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a1 = {r.doc_id: r.split for r in split_assign(docs, w).collect()}
+    a2 = {r.doc_id: r.split for r in
+          split_assign(docs.repartition(7), w).collect()}
+    assert a1 == a2  # partitioning-independent
+    # exact duplicate content -> same split (doc 900 duplicates doc 7)
+    assert a1[900] == a1[7]
+    # rough proportions at n=501
+    from collections import Counter
+
+    c = Counter(a1.values())
+    assert c["train"] > 300 and c["val"] > 10 and c["test"] > 10
+    # growth stability: assignments of the original docs are unchanged
+    # when new docs arrive
+    more = _docs(spark, [(1000 + i, f"fresh doc {i}", "en") for i in range(50)])
+    a3 = {r.doc_id: r.split
+          for r in split_assign(docs.unionByName(more), w).collect()}
+    assert all(a3[k] == v for k, v in a1.items())
+    # salt derives an independent re-split
+    a4 = {r.doc_id: r.split for r in split_assign(docs, w, salt="v2").collect()}
+    assert a4 != a1
