@@ -665,3 +665,65 @@ def test_fuzz_sql_statements_vs_model(spark, tmp_path, seed):
             assert got == model, f"seed {seed} step {step} op {op}"
     got = {r[0]: tuple(r)[1:] for r in eng.sql("SELECT * FROM f").collect()}
     assert got == model
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_fuzz_sql_txn_blocks_vs_model(spark, tmp_path, seed):
+    """BEGIN/COMMIT/ROLLBACK blocks fuzzed against the model: staged
+    statements read the PRE-transaction snapshot and apply in staged
+    order at COMMIT (an in-block UPDATE of a key the same block
+    upserted computes from pre-state and, staged later, wins);
+    ROLLBACK leaves no trace. Mirrors /tmp-tier 3-seed x 60-step
+    sweeps run each round."""
+    rng = random.Random(seed)
+    eng = Engine(spark, str(tmp_path / f"txnf{seed}"))
+    eng.sql("CREATE TABLE a (k BIGINT PRIMARY KEY, v BIGINT) "
+            "PARTITION BY HASH PARTITIONS 2 STORED AS KUDU")
+    eng.sql("CREATE TABLE b (k BIGINT PRIMARY KEY, v BIGINT) STORED AS KUDU")
+    model = {"a": {}, "b": {}}
+    for step in range(40):
+        op = rng.choice(["upsert", "delete", "update", "txn_commit",
+                         "txn_rollback", "check"])
+        tbl = rng.choice(["a", "b"])
+        k = rng.randrange(8)
+        v = step * 10 + k
+        if op == "upsert":
+            eng.sql(f"UPSERT INTO {tbl} VALUES ({k}, {v})")
+            model[tbl][k] = v
+        elif op == "delete":
+            eng.sql(f"DELETE FROM {tbl} WHERE k = {k}")
+            model[tbl].pop(k, None)
+        elif op == "update":
+            eng.sql(f"UPDATE {tbl} SET v = v + 1 WHERE k = {k}")
+            if k in model[tbl]:
+                model[tbl][k] += 1
+        elif op == "txn_commit":
+            k2 = rng.randrange(8)
+            eng.sql_script(f"""
+                BEGIN;
+                UPSERT INTO a VALUES ({k}, {v});
+                DELETE FROM b WHERE k = {k2};
+                UPDATE a SET v = v * 2 WHERE k = {k2};
+                COMMIT
+            """)
+            pre_a = dict(model["a"])
+            model["a"][k] = v
+            model["b"].pop(k2, None)
+            if k2 in pre_a:
+                model["a"][k2] = pre_a[k2] * 2
+            if k == k2:
+                model["a"][k] = v if k not in pre_a else pre_a[k] * 2
+        elif op == "txn_rollback":
+            eng.sql_script(f"""
+                BEGIN;
+                UPSERT INTO a VALUES ({k}, -1);
+                DELETE FROM b WHERE k = {k};
+                ROLLBACK
+            """)
+        else:
+            for t in ("a", "b"):
+                got = {r.k: r.v for r in eng.sql(f"SELECT * FROM {t}").collect()}
+                assert got == model[t], f"seed {seed} step {step} {t}"
+    for t in ("a", "b"):
+        got = {r.k: r.v for r in eng.sql(f"SELECT * FROM {t}").collect()}
+        assert got == model[t]
