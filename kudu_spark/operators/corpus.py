@@ -540,6 +540,11 @@ def _split_cutoffs(weights: dict[str, float]) -> list[tuple[str, str]]:
             or sum(weights.values()) <= 0:
         raise ValueError("weights must be a non-empty map of non-negative "
                          "shares with a positive sum")
+    import re as _re
+
+    bad = [n for n in weights if not _re.fullmatch(r"[A-Za-z0-9_.-]+", n)]
+    if bad:
+        raise ValueError(f"split names must be simple identifiers: {bad}")
     total = float(sum(weights.values()))
     out = []
     acc = 0.0
