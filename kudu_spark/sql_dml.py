@@ -578,10 +578,11 @@ def _run_merge(engine: "Engine", text: str):
         return " AND ".join(terms)
 
     def where_of(idx: int) -> str:
+        # always parenthesize: a clause condition like `a = 1 or b = 2`
+        # must not re-associate against the NOT(prior) chain
         c = clauses[idx]
         parts = [p for p in (c["cond"], prior_not(idx, c["matched"])) if p]
-        return " AND ".join(f"({p})" if " AND " in p or " OR " in p else p
-                            for p in parts)
+        return " AND ".join(f"({p})" for p in parts)
 
     join_from = f"FROM {name} {ta} JOIN {src_rel} {s_alias} ON {on_cond}"
 

@@ -300,3 +300,17 @@ def test_update_join_form(eng, t):
     assert (op, n) == ("UPDATE", 2)
     assert rows(eng, "SELECT id, age FROM people ORDER BY id") == [
         (1, 35), (2, 25), (3, 48)]
+
+
+def test_merge_clause_condition_with_lowercase_or(merge_tables):
+    """A disjunctive clause condition must stay parenthesized against
+    the NOT(prior-clause) precedence chain regardless of keyword case."""
+    eng = merge_tables
+    eng.sql("""
+        MERGE INTO tgt USING src ON tgt.id = src.id
+        WHEN MATCHED AND src.nv < 0 or src.nv > 500 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = src.nv
+    """)
+    got = sorted(tuple(x) for x in eng.sql("SELECT * FROM tgt").collect())
+    # id 3 (nv=-1) deleted via the disjunction; id 2 (nv=200) updated
+    assert got == [(1, 10, "a"), (2, 200, "b"), (4, 40, "d")]
