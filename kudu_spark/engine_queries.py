@@ -462,3 +462,40 @@ def engine_merge_scan(spark, sf_dir):
           VALUES (m.k, 'mrg', 0, m.b, 'NEWM')
     """)
     return eng.table("mrgtgt").scan()
+
+
+@query(
+    "engine_sql_txn_scan",
+    gated=False,  # SQL front-end over the gated txn paths; pytest-oracled
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 6 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 6 = 0 THEN 'TXNZERO' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    WHERE c_custkey % 17 <> 0
+    UNION ALL
+    SELECT 9300001, 'txn-row', 7, 42.0, 'TXNNEW'
+    """,
+)
+def engine_sql_txn_scan(spark, sf_dir):
+    """SQL BEGIN/COMMIT block end-to-end: an UPDATE, a DELETE and an
+    INSERT staged in one statement script publish as ONE atomic
+    commit (version advances exactly once), then the merge-on-read
+    scan is compared against the SQL algebra of the block."""
+    import os
+
+    from kudu_spark.engine import Engine
+
+    t = _customer_table(spark, sf_dir, name="sqltxn")
+    eng = Engine(spark, os.path.dirname(t.root))
+    v0 = eng.table("sqltxn").version
+    eng.sql_script("""
+        BEGIN;
+        UPDATE sqltxn SET c_acctbal = 0.0, c_mktsegment = 'TXNZERO'
+          WHERE c_custkey % 6 = 0;
+        DELETE FROM sqltxn WHERE c_custkey % 17 = 0;
+        INSERT INTO sqltxn VALUES (9300001, 'txn-row', 7, 42.0, 'TXNNEW');
+        COMMIT
+    """)
+    assert eng.table("sqltxn").version == v0 + 1, "txn must be ONE commit"
+    return eng.table("sqltxn").scan()
