@@ -436,8 +436,17 @@ def _run_create(engine: "Engine", text: str):
         t = engine.table(name)
     n = 0
     if src is not None:
-        n = src.count()
-        t.insert(src)
+        # one evaluation of the CTAS SELECT serves both the summary
+        # count and the insert (a large SELECT must not re-run)
+        src = src.persist()
+        try:
+            n = src.count()
+            t.insert(src)
+        finally:
+            try:
+                src.unpersist()
+            except Exception:
+                pass
         t = engine.table(name)
     return "CREATE TABLE", name, n, t.version
 
