@@ -351,18 +351,25 @@ def substring_dedup(
     Returns (doc_id, clean_text, removed_tokens, n_spans, n_tokens):
     the text with duplicated spans cut, plus audit counts.
 
-    Plan shape (all codegen, no UDFs): one shuffle keyed by the
-    8-byte xxhash64 of each shingle (only positions + hashes flow,
-    never text — the hash is purely a grouping key, so any collision-
-    negligible function yields the identical span algebra; measured
-    16% faster than md5 strings locally and ~8x less shuffle-key
-    bytes for the cluster case), a window over each shingle's
-    occurrences for first-pick, one gaps-and-islands window per doc
-    to merge intervals, and one join back to the documents to rebuild
-    text with a higher-order-function filter (token index not inside
-    any span). Shingle count is O(total tokens); the hot-key risk of
-    ubiquitous boilerplate shingles is bounded because only
-    (doc_id, pos) pairs group, not content."""
+    Plan shape (all codegen, no UDFs): first-pick per shingle is an
+    AGGREGATION — ``groupBy(__h).agg(count, min(struct(doc_id,
+    pos)))`` — not a window. A window over ``partitionBy(__h)`` must
+    buffer and sort EVERY occurrence of one shingle inside a single
+    task, so a boilerplate shingle occurring 100M times serializes
+    ~2.4 GB through one straggler; the aggregate is map-side combined
+    (each map task contributes one (count, min) pair per hash) and no
+    task ever holds a shingle's full occurrence list. Non-first
+    occurrences are then marked by joining occurrences back to the
+    per-hash min — a streaming sort-merge join that AQE's skew-join
+    rewrite can further split across tasks, which a window partition
+    never can. Only positions + 8-byte xxhash64 keys flow, never text
+    (the hash is purely a grouping key, so any collision-negligible
+    function yields the identical span algebra; measured 16% faster
+    than md5 strings and ~8x less shuffle-key bytes). Downstream: one
+    gaps-and-islands window per doc (keyed by doc_id — bounded by
+    document length) merges intervals, and one join back to the
+    documents rebuilds text with a higher-order-function filter
+    (token index not inside any span)."""
     k = min_tokens
     toks = F.split(F.col(text_col), " ")
     base = docs.select(
@@ -380,16 +387,20 @@ def substring_dedup(
             ).alias("pos", "__h"),
         )
     )
-    w = Window.partitionBy("__h")
-    occ = sh.select(
-        id_col, "pos", "__h",
-        F.count(F.lit(1)).over(w).alias("__c"),
-        F.row_number().over(
-            Window.partitionBy("__h").orderBy(id_col, "pos")
-        ).alias("__rn"),
+    firsts = (
+        sh.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__f"),
+        )
+        .where(F.col("__c") > 1)
+        .select("__h", "__f")
     )
-    covered = occ.where((F.col("__c") > 1) & (F.col("__rn") > 1)) \
-                 .select(id_col, "pos")
+    covered = (
+        sh.join(firsts, "__h")
+        .where(~((F.col(id_col) == F.col("__f.d")) & (F.col("pos") == F.col("__f.p"))))
+        .select(id_col, "pos")
+    )
     # gaps-and-islands: same-length intervals sorted by pos merge iff
     # the gap to the previous start is <= k (touching spans merge too)
     wd = Window.partitionBy(id_col).orderBy("pos")
