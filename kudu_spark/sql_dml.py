@@ -46,6 +46,7 @@ import re
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kudu_spark.errors import KuduSparkError, SchemaError
 from kudu_spark.table import AUTO_INC_COL
@@ -171,11 +172,7 @@ def run_dml(engine: "Engine", sql: str, txn=None) -> DataFrame:
     elif head == "UPDATE":
         op, table, n, v = _run_update(engine, text, txn)
     elif head == "MERGE":
-        if txn is not None:
-            raise KuduSparkError(
-                "MERGE inside a BEGIN block is not supported — MERGE is "
-                "already one atomic transaction; run it standalone")
-        op, table, n, v = _run_merge(engine, text)
+        op, table, n, v = _run_merge(engine, text, txn)
     else:
         op, table, n, v = _run_delete(engine, text, txn)
     return engine.spark.createDataFrame(
@@ -203,6 +200,44 @@ def _parse_column_list(rest: str) -> tuple[list[str] | None, str]:
     if not all(_IDENT.match(c) for c in cols):
         return None, rest  # e.g. INSERT INTO t (SELECT ...) — not a column list
     return cols, rest[end + 1:].lstrip()
+
+
+def _upsert_fill_unset(t, batch: DataFrame, target: list[str]) -> DataFrame:
+    """Partial-column UPSERT parity: Kudu's upsert leaves UNSET columns
+    of an existing row untouched (tablet.cc ApplyUpsertAsUpdate turns
+    an upsert of a present key into a per-column update), while
+    Table.upsert writes whole rows — so a partial column list must
+    rebuild full rows here, or existing rows' other columns are
+    silently clobbered to defaults/NULL. Unmentioned columns take the
+    CURRENT row's value when the key exists, else the column default
+    (the insert arm's behavior). One file-pruned snapshot probe
+    (``_snapshot_overlapping`` — bounded by the batch's keys, like the
+    write paths), never a full scan."""
+    st = t.state()
+    pk = st.schema.pk
+    if AUTO_INC_COL in pk:
+        return batch  # non-unique-PK tables: every upsert row is new
+    unset = [c for c in st.schema.names if c not in target]
+    if not unset:
+        return batch
+    missing_keys = [k for k in pk if k not in target]
+    if missing_keys:
+        raise SchemaError(
+            f"UPSERT column list must include every primary key column; "
+            f"missing {missing_keys}")
+    cur = t._snapshot_overlapping(st, batch.select(*pk)).select(
+        *pk, *[F.col(c).alias(f"__cur_{c}") for c in unset]
+    ).withColumn("__exists", F.lit(True))
+    joined = batch.join(cur, on=pk, how="left")
+    return joined.select(
+        *[
+            F.when(F.col("__exists").isNotNull(), F.col(f"__cur_{c}"))
+            .otherwise(F.lit(st.schema.col(c).default)
+                       .cast(st.schema.col(c).type)).alias(c)
+            if c in unset else F.col(c)
+            for c in st.schema.names
+        ]
+    )
 
 
 def _run_insert(engine: "Engine", text: str, op: str, txn=None):
@@ -237,6 +272,8 @@ def _run_insert(engine: "Engine", text: str, op: str, txn=None):
             f"target list has {len(target)}"
         )
     batch = src.toDF(*target)
+    if op == "UPSERT" and cols is not None:
+        batch = _upsert_fill_unset(t, batch, target)
 
     if txn is not None:
         if ignore:
@@ -250,9 +287,22 @@ def _run_insert(engine: "Engine", text: str, op: str, txn=None):
         v = t.upsert(batch, mode="ignore" if ignore else "error")
         return "UPSERT", name, n, v
     if ignore:
-        before = t.count()
+        # rows_affected = batch keys not already present, against ONE
+        # bounded key probe (was: the difference of two full-table
+        # counts around the write — two extra aggregate jobs, and a
+        # concurrent commit between them skewed the number)
+        st = t.state()
+        if AUTO_INC_COL in st.schema.pk:
+            n = batch.count()  # auto-inc keys are fresh: nothing skips
+        else:
+            pk = st.schema.pk
+            uniq = batch.dropDuplicates(pk)
+            n = (
+                uniq.join(t._existing_pks(st, uniq), on=pk, how="left_anti").count()
+                if st.files else uniq.count()
+            )
         v = t.insert_ignore(batch)
-        return "INSERT", name, t.count() - before, v
+        return "INSERT", name, n, v
     n = batch.count()
     v = t.insert(batch)
     return "INSERT", name, n, v
@@ -351,9 +401,23 @@ def _run_update(engine: "Engine", text: str, txn=None):
                          *[f"({rhs}) AS {col}" for col, rhs in assigns]])
     rel = from_clause if from_clause else f"{name} {ta}"
     stmt = f"SELECT {sel} FROM {rel}" + (f" WHERE {where}" if where else "")
-    # a join may match a target row more than once; Kudu applies one
-    # update per key (Impala: result undefined on conflict) — dedupe
-    batch = engine.spark.sql(stmt).dropDuplicates(pk)
+    computed = engine.spark.sql(stmt)
+    if from_clause:
+        # the join form may match one target row more than once; MERGE
+        # raises on that condition (SQL:2003 14.9 GR 6) and UPDATE must
+        # agree — a silent dropDuplicates picks an arbitrary source row
+        pks = ", ".join(f"{ta}.{c}" for c in pk)
+        dup = engine.spark.sql(
+            f"SELECT 1 FROM {rel}" + (f" WHERE {where}" if where else "")
+            + f" GROUP BY {pks} HAVING count(*) > 1 LIMIT 1"
+        ).collect()
+        if dup:
+            raise KuduSparkError(
+                "UPDATE cardinality violation: the FROM join matches a "
+                "target row more than once, so the result would be "
+                "nondeterministic (same check as MERGE, SQL:2003 14.9 "
+                "GR 6); aggregate the source to one row per key first")
+    batch = computed.dropDuplicates(pk)
     n = batch.count()
     if txn is not None:
         if ignore:
@@ -532,7 +596,15 @@ def _parse_when(clause: str) -> dict:
         f"— got: {action[:60]!r}")
 
 
-def _run_merge(engine: "Engine", text: str):
+def _run_merge(engine: "Engine", text: str, txn=None):
+    """Standalone MERGE runs as its own single-table Transaction;
+    inside a BEGIN block (``txn`` = the EngineTransaction) the clause
+    batches are STAGED into the block's per-table participant instead
+    — MERGE then publishes atomically WITH the rest of the block at
+    COMMIT (Kudu txns cover arbitrary row ops across sessions,
+    client.h:445-545). Clause batches always read the pre-transaction
+    snapshot (nothing publishes before COMMIT), like every other
+    staged statement."""
     from kudu_spark.writer import Transaction
 
     m = re.match(r"MERGE\s+INTO\s+(.*)$", text, re.IGNORECASE | re.DOTALL)
@@ -597,7 +669,7 @@ def _run_merge(engine: "Engine", text: str):
                 "one source row (SQL:2003 14.9 GR 6; Kudu applies row ops "
                 "once, so the result would be nondeterministic)")
 
-    txn = Transaction(t)
+    part = txn._txn(name) if txn is not None else Transaction(t)
     total = 0
     try:
         for i, c in enumerate(clauses):
@@ -614,14 +686,14 @@ def _run_merge(engine: "Engine", text: str):
                                   + (f" WHERE {w}" if w else ""))
                 n = batch.count()
                 if n:
-                    txn.upsert(batch)
+                    part.upsert(batch)
             elif c["action"] == "delete":
                 sel = ", ".join(f"{ta}.{k} AS {k}" for k in pk)
                 batch = spark.sql(f"SELECT {sel} {join_from}"
                                   + (f" WHERE {w}" if w else ""))
                 n = batch.count()
                 if n:
-                    txn.delete(batch)
+                    part.delete(batch)
             else:  # insert (not matched)
                 target = c["cols"] if c["cols"] is not None else _writable_columns(t)
                 if len(c["exprs"]) != len(target):
@@ -634,16 +706,21 @@ def _run_merge(engine: "Engine", text: str):
                 batch = spark.sql(anti + (f" AND ({w})" if w else ""))
                 n = batch.count()
                 if n:
-                    txn.insert(batch)
+                    part.insert(batch)
             total += n
-        if txn._staged:
-            v = txn.commit()
+        if txn is not None:
+            v = -1  # staged; the block's COMMIT reports the publish
+        elif part._staged:
+            v = part.commit()
         else:
-            txn.rollback()
+            part.rollback()
             v = t.version
     except Exception:
-        if txn._open:
-            txn.rollback()
+        # a failure inside a BEGIN block aborts the WHOLE block —
+        # sql_script's handler rolls the EngineTransaction back, so a
+        # partially-staged MERGE never survives
+        if txn is None and part._open:
+            part.rollback()
         raise
     return "MERGE", name, total, v
 

@@ -314,3 +314,51 @@ def test_merge_clause_condition_with_lowercase_or(merge_tables):
     got = sorted(tuple(x) for x in eng.sql("SELECT * FROM tgt").collect())
     # id 3 (nv=-1) deleted via the disjunction; id 2 (nv=200) updated
     assert got == [(1, 10, "a"), (2, 200, "b"), (4, 40, "d")]
+
+
+def test_upsert_partial_column_list_preserves_unset(eng, t):
+    """Kudu's upsert leaves unset columns of an existing row untouched
+    (tablet.cc ApplyUpsertAsUpdate); a partial column list must not
+    clobber the other columns to NULL."""
+    op, n = summary(eng.sql("UPSERT INTO people (id, name) VALUES "
+                            "(1, 'alice2'), (8, 'hank')"))
+    assert (op, n) == ("UPSERT", 2)
+    # existing row: age/city preserved; new row: defaults (NULL)
+    assert rows(eng, "SELECT * FROM people WHERE id IN (1, 8) ORDER BY id") == [
+        (1, "alice2", 30, "oslo"), (8, "hank", None, None)]
+
+
+def test_upsert_partial_column_list_uses_defaults_for_new(eng):
+    eng.create_table(
+        "dflt", [("id", "bigint", False), ("a", "int", True), ("b", "string", True)],
+        pk=["id"], defaults={"a": 7})
+    eng.sql("INSERT INTO dflt VALUES (1, 1, 'x')")
+    eng.sql("UPSERT INTO dflt (id, b) VALUES (1, 'y'), (2, 'z')")
+    got = [tuple(r) for r in eng.sql("SELECT * FROM dflt ORDER BY id").collect()]
+    # row 1 keeps a=1; fresh row 2 takes the column default a=7
+    assert got == [(1, 1, "y"), (2, 7, "z")]
+
+
+def test_upsert_column_list_must_cover_pk(eng, t):
+    with pytest.raises(SchemaError, match="primary key"):
+        eng.sql("UPSERT INTO people (name, age) VALUES ('x', 1)")
+
+
+def test_upsert_partial_in_txn_block(eng, t):
+    eng.sql_script("""
+        BEGIN;
+        UPSERT INTO people (id, age) VALUES (2, 99);
+        COMMIT
+    """)
+    assert rows(eng, "SELECT * FROM people WHERE id = 2") == [(2, "bob", 99, "rome")]
+
+
+def test_update_join_cardinality_violation(eng, t):
+    eng.create_table("dup_src", [("k", "bigint", False), ("id", "bigint", True),
+                                 ("amt", "int", True)], pk=["k"])
+    eng.sql("INSERT INTO dup_src VALUES (1, 1, 5), (2, 1, 7)")
+    with pytest.raises(KuduSparkError, match="cardinality"):
+        eng.sql("UPDATE p SET age = p.age + s.amt FROM people p JOIN dup_src s "
+                "ON p.id = s.id")
+    # and nothing was written
+    assert rows(eng, "SELECT age FROM people WHERE id = 1") == [(30,)]
