@@ -139,11 +139,19 @@ class Engine:
             from kudu_spark.meta import version_at_timestamp
 
             for name, pin in as_of.items():
-                version_of[name] = (
-                    pin["version"] if "version" in pin
-                    else version_at_timestamp(self._table_root(name),
-                                              pin["timestamp_ms"])
-                )
+                if "version" in pin:
+                    version_of[name] = pin["version"]
+                    continue
+                v = version_at_timestamp(self._table_root(name),
+                                         pin["timestamp_ms"])
+                if v is None and self.table_exists(name):
+                    # a pin earlier than the first commit must error,
+                    # not silently read HEAD (Delta/Iceberg raise the
+                    # same way; scan(version=None) means "head")
+                    raise KuduSparkError(
+                        f"TIMESTAMP AS OF precedes the first commit of "
+                        f"table {name}; its history starts later")
+                version_of[name] = v
         if txn_consistent:
             pins = self.consistent_versions()
             for name, v in pins.items():
@@ -588,6 +596,24 @@ class Engine:
         return {"hash": hash_b, "range": rid}
 
 
+def _bounds_overlap(lo1, hi1, lo2, hi2) -> bool:
+    """Do range partitions [lo1,hi1) and [lo2,hi2) overlap? Bounds are
+    scalars or prefix tuples (compound range keys); None = unbounded.
+    Two half-open intervals overlap iff each starts below the other's
+    end — lexicographic with Kudu's short-bound-pads-with-negative-inf
+    convention (a Python prefix tuple already compares that way).
+    Incomparable bound types conservatively report overlap."""
+    def starts_below(lo, hi) -> bool:
+        if lo is None or hi is None:
+            return True
+        lt, ht = RangeSpec._tuple(lo), RangeSpec._tuple(hi)
+        try:
+            return lt[: len(ht)] < ht
+        except TypeError:
+            return True
+    return starts_below(lo1, hi2) and starts_below(lo2, hi1)
+
+
 class Alterer:
     """Accumulates schema/partition changes; ``apply()`` is one atomic
     commit. Type/nullability changes are rejected like Kudu
@@ -716,6 +742,16 @@ class Alterer:
                 ranges.remove([lo, hi])
             added_overrides = {}  # keyed in the NEW range-id space
             for lo, hi, hb in self._range_adds:
+                clash = next((r for r in ranges if _bounds_overlap(lo, hi, r[0], r[1])),
+                             None)
+                if clash is not None:
+                    # Kudu rejects overlapping range adds (AlreadyPresent,
+                    # master catalog validation); silently appending a
+                    # duplicate would shadow the existing range in
+                    # range_id_of and split its rows across two ids
+                    raise KuduSparkError(
+                        f"new range partition [{lo}, {hi}) overlaps existing "
+                        f"range [{clash[0]}, {clash[1]})")
                 ranges.append([lo, hi])
                 if hb is not None:
                     dims = st.partition_spec.hash_dims

@@ -486,11 +486,15 @@ def _run_alter(engine: "Engine", text: str):
                   body, re.IGNORECASE | re.DOTALL)
     if am:
         lo, hi = _parse_partition_bounds("PARTITION " + am.group(2))
-        try:
-            engine.alter_table(name).add_range_partition(lo, hi).apply()
-        except KuduSparkError:
-            if not am.group(1):
-                raise
+        if am.group(1):
+            # IF NOT EXISTS suppresses ONLY the already-exists case —
+            # checked against the range list up front; overlap or
+            # validation errors (and retry exhaustion) must surface,
+            # not report success for a partition that was never added
+            rs = engine.table(name).state().partition_spec.range_spec
+            if rs.enabled and [lo, hi] in [list(r) for r in rs.ranges]:
+                return "ALTER TABLE", name, 0, engine.table(name).version
+        engine.alter_table(name).add_range_partition(lo, hi).apply()
         return "ALTER TABLE", name, 0, engine.table(name).version
 
     dm = re.match(r"DROP\s+RANGE\s+PARTITION\s+(.*)$", body,
@@ -593,6 +597,71 @@ def _fmt_range(lo, hi) -> str:
     return f"{_fmt_bound(lo)} <= VALUES < {_fmt_bound(hi)}"
 
 
+def _stat_str(v) -> str | None:
+    """Stringify a footer stat the way Spark's ``cast("string")``
+    would, so the footer and scan paths of SHOW COLUMN STATS agree."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def _column_stats_from_footers(t, st) -> dict | None:
+    """{column: [min, max, null_count]} aggregated from the parquet
+    footers of a CLEAN table — metadata reads only, no Spark job over
+    data. Returns None (caller falls back to the aggregate scan) when
+    the table has pending deltas (superseded/deleted rows would
+    pollute footer aggregates) or any footer lacks the needed stats
+    (e.g. files written under an old schema missing a renamed/added
+    column)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from kudu_spark.table import _stat_bounds
+
+    if any(f.kind == "delta" for f in st.files):
+        return None
+    out: dict = {c.name: [None, None, 0] for c in st.schema.columns}
+    for f in st.files:
+        try:
+            md = pq.ParquetFile(_os.path.join(t.root, f.path)).metadata
+        except Exception:
+            return None
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in st.schema.columns:
+            if c.name not in names:
+                return None
+            ci = names[c.name]
+            rec = out[c.name]
+            for rg in range(md.num_row_groups):
+                stat = md.row_group(rg).column(ci).statistics
+                if stat is None or stat.null_count is None:
+                    return None
+                rec[2] += stat.null_count
+                if stat.null_count == md.row_group(rg).num_rows:
+                    continue  # all-null group carries no min/max
+                if not stat.has_min_max:
+                    return None
+                mn, mx = _stat_bounds(stat, c.type)
+                if mn is None and mx is None:
+                    return None
+                if rec[0] is None or mn < rec[0]:
+                    rec[0] = mn
+                if rec[1] is None or mx > rec[1]:
+                    rec[1] = mx
+    return out
+
+
 def run_show(engine: "Engine", sql: str):
     from kudu_spark.sql_dml import strip_comments
 
@@ -631,25 +700,37 @@ def run_show(engine: "Engine", sql: str):
 
     m = re.match(r"SHOW\s+COLUMN\s+STATS\s+([A-Za-z_]\w*)$", text, re.IGNORECASE)
     if m:
-        # per-column min/max/null-count/ndv from the footer-stat
-        # manifest where present, one aggregate scan otherwise — here
-        # the aggregate (Impala computes these with a scan too)
+        # min/max/null-count come from the parquet FOOTERS when the
+        # table is clean — O(files) metadata reads, zero data-file
+        # scans (the manifest discipline of KuduTableStatistics,
+        # client.h:1568). Only ndv genuinely needs a scan (Impala
+        # scans for ndv too), and that scan is column-pruned. Dirty
+        # tables (pending deltas would pollute footer aggregates)
+        # fall back to one full aggregate scan.
         t = engine.table(m.group(1))
         st = t.state()
+        footer = _column_stats_from_footers(t, st)
         df = t.scan()
-        aggs = []
-        for c in st.schema.columns:
-            aggs += [
-                F.min(c.name).cast("string").alias(f"__min_{c.name}"),
-                F.max(c.name).cast("string").alias(f"__max_{c.name}"),
-                F.sum(F.when(F.col(c.name).isNull(), 1).otherwise(0))
-                 .alias(f"__nulls_{c.name}"),
-                F.approx_count_distinct(c.name).alias(f"__ndv_{c.name}"),
-            ]
+        aggs = [F.approx_count_distinct(c.name).alias(f"__ndv_{c.name}")
+                for c in st.schema.columns]
+        if footer is None:
+            for c in st.schema.columns:
+                aggs += [
+                    F.min(c.name).cast("string").alias(f"__min_{c.name}"),
+                    F.max(c.name).cast("string").alias(f"__max_{c.name}"),
+                    F.sum(F.when(F.col(c.name).isNull(), 1).otherwise(0))
+                     .alias(f"__nulls_{c.name}"),
+                ]
         row = df.agg(*aggs).collect()[0]
-        out = [(c.name, c.type, row[f"__min_{c.name}"], row[f"__max_{c.name}"],
-                int(row[f"__nulls_{c.name}"] or 0), int(row[f"__ndv_{c.name}"]))
-               for c in st.schema.columns]
+        out = []
+        for c in st.schema.columns:
+            if footer is None:
+                mn, mx, nulls = (row[f"__min_{c.name}"], row[f"__max_{c.name}"],
+                                 int(row[f"__nulls_{c.name}"] or 0))
+            else:
+                mn, mx, nulls = footer[c.name]
+                mn, mx = _stat_str(mn), _stat_str(mx)
+            out.append((c.name, c.type, mn, mx, nulls, int(row[f"__ndv_{c.name}"])))
         return spark.createDataFrame(
             out, "column string, type string, min string, max string, "
                  "nulls bigint, ndv bigint")
@@ -677,6 +758,14 @@ def run_show(engine: "Engine", sql: str):
     raise KuduSparkError(f"cannot parse statement: {text[:60]!r}")
 
 
+def _quote(s) -> str:
+    """Render a string literal with embedded single quotes doubled —
+    the inverse of ``_parse_literal``'s unescaping, so the statement
+    round-trips through ``run_ddl`` even when a default/comment/
+    property value contains a quote."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def show_create_table(engine: "Engine", name: str) -> str:
     """Regenerate a CREATE TABLE statement that round-trips through
     ``run_ddl`` to an equivalent table (Impala SHOW CREATE TABLE)."""
@@ -692,7 +781,7 @@ def show_create_table(engine: "Engine", name: str) -> str:
             parts.append("NOT NULL")
         if c.default is not None:
             d = c.default
-            parts.append("DEFAULT " + (f"'{d}'" if isinstance(d, str) else
+            parts.append("DEFAULT " + (_quote(d) if isinstance(d, str) else
                                        str(d).upper() if isinstance(d, bool) else str(d)))
         if c.encoding:
             parts.append(f"ENCODING {c.encoding}")
@@ -701,7 +790,7 @@ def show_create_table(engine: "Engine", name: str) -> str:
         if c.block_size:
             parts.append(f"BLOCK_SIZE {c.block_size}")
         if c.comment:
-            parts.append(f"COMMENT '{c.comment}'")
+            parts.append(f"COMMENT {_quote(c.comment)}")
         lines.append("  " + " ".join(parts))
     pk_cols = [c for c in st.schema.pk if c != AUTO_INC_COL]
     lines.append(f"  PRIMARY KEY ({', '.join(pk_cols)})")
@@ -718,6 +807,6 @@ def show_create_table(engine: "Engine", name: str) -> str:
     out += "\nSTORED AS KUDU"
     props = {k: v for k, v in st.props.items() if not k.startswith("_")}
     if props:
-        kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+        kv = ", ".join(f"{_quote(k)} = {_quote(v)}" for k, v in sorted(props.items()))
         out += f"\nTBLPROPERTIES ({kv})"
     return out

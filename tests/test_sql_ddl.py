@@ -351,13 +351,224 @@ def test_sql_transaction_open_block_rolls_back(eng):
     assert eng.sql("SELECT count(*) AS n FROM ob").collect()[0].n == 0
 
 
-def test_sql_transaction_rejects_ddl_and_merge(eng):
+def test_sql_transaction_rejects_ddl(eng):
     import pytest as _p
 
     eng.sql_script("CREATE TABLE tx1 (id BIGINT PRIMARY KEY) STORED AS KUDU")
     with _p.raises(KuduSparkError, match="DDL inside"):
         eng.sql_script("BEGIN; CREATE TABLE nope (id BIGINT PRIMARY KEY) "
                        "STORED AS KUDU; COMMIT")
-    with _p.raises(KuduSparkError, match="MERGE inside"):
-        eng.sql_script("BEGIN; MERGE INTO tx1 USING tx1 b ON tx1.id = b.id "
-                       "WHEN MATCHED THEN DELETE; COMMIT")
+
+
+def test_sql_transaction_merge_in_block(eng):
+    """MERGE between BEGIN/COMMIT stages into the block's transaction
+    and publishes atomically with the other statements — the target
+    table's version advances ONCE for the whole block (Kudu txns cover
+    arbitrary row ops, client.h:445-545)."""
+    eng.sql_script("""
+        CREATE TABLE mtx (id BIGINT PRIMARY KEY, v BIGINT) STORED AS KUDU;
+        CREATE TABLE mtx_log (op_id BIGINT PRIMARY KEY, note STRING) STORED AS KUDU;
+        CREATE TABLE msrc (id BIGINT PRIMARY KEY, v BIGINT) STORED AS KUDU;
+        INSERT INTO mtx VALUES (1, 10), (2, 20);
+        INSERT INTO msrc VALUES (2, 99), (3, 33)
+    """)
+    v0 = eng.table("mtx").version
+    results = eng.sql_script("""
+        BEGIN;
+        MERGE INTO mtx USING msrc ON mtx.id = msrc.id
+          WHEN MATCHED THEN UPDATE SET v = msrc.v
+          WHEN NOT MATCHED THEN INSERT VALUES (msrc.id, msrc.v);
+        INSERT INTO mtx_log VALUES (1, 'merged');
+        COMMIT
+    """)
+    merge_row = results[-3].collect()[0]
+    assert merge_row.operation == "MERGE" and merge_row.rows_affected == 2
+    assert merge_row.version == -1  # staged, not yet published
+    got = {r.id: r.v for r in eng.sql("SELECT * FROM mtx").collect()}
+    assert got == {1: 10, 2: 99, 3: 33}
+    assert eng.table("mtx").version == v0 + 1  # ONE atomic commit
+    assert eng.sql("SELECT count(*) AS n FROM mtx_log").collect()[0].n == 1
+
+
+def test_sql_transaction_merge_rollback(eng):
+    eng.sql_script("""
+        CREATE TABLE mrb (id BIGINT PRIMARY KEY, v BIGINT) STORED AS KUDU;
+        INSERT INTO mrb VALUES (1, 10)
+    """)
+    v0 = eng.table("mrb").version
+    eng.sql_script("""
+        BEGIN;
+        MERGE INTO mrb USING (SELECT 1 AS id, 77 AS v) s ON mrb.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v;
+        ROLLBACK
+    """)
+    assert eng.table("mrb").version == v0
+    assert eng.sql("SELECT v FROM mrb").collect()[0].v == 10
+
+
+def test_sql_timestamp_as_of_before_history_raises(eng):
+    eng.sql("CREATE TABLE ts2 (id BIGINT PRIMARY KEY) STORED AS KUDU")
+    eng.sql("INSERT INTO ts2 VALUES (1)")
+    import pytest as _p
+    with _p.raises(KuduSparkError, match="precedes"):
+        eng.sql("SELECT * FROM ts2 TIMESTAMP AS OF '2000-01-01T00:00:00'")
+
+
+def test_alter_add_range_overlap_rejected(eng):
+    eng.sql("""CREATE TABLE rov (id BIGINT PRIMARY KEY)
+               PARTITION BY RANGE (id) (
+                 PARTITION 0 <= VALUES < 10, PARTITION 10 <= VALUES < 20)
+               STORED AS KUDU""")
+    import pytest as _p
+    with _p.raises(KuduSparkError, match="overlap"):
+        eng.sql("ALTER TABLE rov ADD RANGE PARTITION 5 <= VALUES < 15")
+    # IF NOT EXISTS suppresses ONLY exact duplicates, not overlaps
+    eng.sql("ALTER TABLE rov ADD IF NOT EXISTS RANGE PARTITION 0 <= VALUES < 10")
+    with _p.raises(KuduSparkError, match="overlap"):
+        eng.sql("ALTER TABLE rov ADD IF NOT EXISTS RANGE PARTITION 5 <= VALUES < 15")
+    rs = eng.table("rov").state().partition_spec.range_spec
+    assert len(rs.ranges) == 2  # no duplicate appended either
+
+
+def test_show_create_table_escapes_quotes(eng):
+    eng.create_table(
+        "qt", [("id", "bigint", False), ("s", "string", True)], pk=["id"],
+        defaults={"s": "it's"})
+    eng.alter_table("qt").set_column_comment("s", "don't").set_property(
+        "note", "o'brien").apply()
+    stmt = eng.sql("SHOW CREATE TABLE qt").collect()[0].result
+    assert "it''s" in stmt and "don''t" in stmt and "o''brien" in stmt
+    # the statement round-trips through run_ddl to an equivalent table
+    eng2 = Engine(eng.spark, tempfile.mkdtemp(prefix="pyskudu-sct-"))
+    eng2.sql(stmt)
+    st2 = eng2.table("qt").state()
+    assert st2.schema.col("s").default == "it's"
+    assert st2.schema.col("s").comment == "don't"
+    assert st2.props.get("note") == "o'brien"
+
+
+def test_show_column_stats_footer_path(eng):
+    """A clean table serves min/max/null-count from parquet footers
+    (no data scan for those); a dirty table falls back to the scan."""
+    from kudu_spark.sql_ddl import _column_stats_from_footers
+
+    eng.sql("CREATE TABLE fs (id BIGINT PRIMARY KEY, v INT, s STRING) STORED AS KUDU")
+    eng.sql("INSERT INTO fs VALUES (1, 10, 'aa'), (2, NULL, 'zz'), (3, 7, NULL)")
+    t = eng.table("fs")
+    footer = _column_stats_from_footers(t, t.state())
+    assert footer is not None  # clean: footers suffice
+    assert footer["id"] == [1, 3, 0]
+    assert footer["v"] == [7, 10, 1]
+    assert footer["s"] == ["aa", "zz", 1]
+    cols = {c.column: c for c in eng.sql("SHOW COLUMN STATS fs").collect()}
+    assert cols["v"].min == "7" and cols["v"].max == "10" and cols["v"].nulls == 1
+    # dirty (delta present): footer path declines, scan path agrees
+    eng.sql("UPDATE fs SET v = 99 WHERE id = 1")
+    t = eng.table("fs")
+    assert _column_stats_from_footers(t, t.state()) is None
+    cols = {c.column: c for c in eng.sql("SHOW COLUMN STATS fs").collect()}
+    assert cols["v"].min == "7" and cols["v"].max == "99"
+
+
+# -- DDL round-trip property fuzz (the DDL twin of
+#    test_sql_parser_props): random schemas / partition specs /
+#    properties with adversarial literals -> show_create_table ->
+#    run_ddl in a fresh warehouse -> state equivalence ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_ADV = hst.sampled_from([
+    "plain", "it's", "a''b", "x -- y", "/* z */", "semi;colon",
+    "where WHERE", "O'Brien -- note", "tuple (1,2)",
+])
+_TYPES = ["bigint", "int", "string", "double", "boolean", "decimal(12,2)"]
+
+
+@hst.composite
+def _table_spec(draw):
+    ncols = draw(hst.integers(2, 5))
+    names = [f"c{i}" for i in range(ncols)]
+    types = [draw(hst.sampled_from(_TYPES)) for _ in range(ncols)]
+    types[0] = draw(hst.sampled_from(["bigint", "int"]))
+    npk = draw(hst.integers(1, min(2, ncols)))
+    pk = names[:npk]
+    cols = []
+    for n, t in zip(names, types):
+        default = None
+        if n not in pk and draw(hst.booleans()):
+            if t == "string":
+                default = draw(_ADV)
+            elif t in ("bigint", "int"):
+                default = draw(hst.integers(-5, 5))
+            elif t == "double":
+                default = 0.5
+            elif t == "boolean":
+                default = draw(hst.booleans())
+        comment = draw(hst.one_of(hst.none(), _ADV))
+        nullable = n not in pk and draw(hst.booleans())
+        cols.append((n, t, nullable, default, comment))
+    hash_parts = None
+    if draw(hst.booleans()):
+        hash_parts = [{"columns": [draw(hst.sampled_from(pk))],
+                       "buckets": draw(hst.integers(2, 4))}]
+    range_part = None
+    if draw(hst.booleans()):
+        cuts = sorted(draw(hst.sets(hst.integers(-100, 100), min_size=1, max_size=3)))
+        edges = [None, *cuts, None]
+        ranges = [[edges[i], edges[i + 1]] for i in range(len(edges) - 1)]
+        range_part = {"column": names[0], "ranges": ranges}
+    props = {k: draw(_ADV) for k in draw(
+        hst.sets(hst.sampled_from(["note", "owner", "k'1"]), max_size=2))}
+    return {"cols": cols, "pk": pk, "hash": hash_parts, "range": range_part,
+            "props": props}
+
+
+def _canon_state(st):
+    rs = st.partition_spec.range_spec
+    return {
+        "cols": [(c.name, c.type.lower(), bool(c.nullable), c.default,
+                  c.comment or None) for c in st.schema.columns],
+        "pk": list(st.schema.pk),
+        "hash": [(tuple(h.columns), h.buckets)
+                 for h in st.partition_spec.hash_dims],
+        "ranges": ([list(r) for r in rs.ranges], rs.cols) if rs.enabled else None,
+        "props": {k: str(v) for k, v in st.props.items()
+                  if not k.startswith("_")},
+    }
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(spec=_table_spec())
+def test_ddl_roundtrip_property_fuzz(spark, spec):
+    import uuid as _uuid
+
+    from kudu_spark.sql_ddl import show_create_table
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pyskudu-rt-"))
+    name = f"t{_uuid.uuid4().hex[:10]}"
+    eng.create_table(
+        name,
+        [(n, t, nl) for n, t, nl, _d, _c in spec["cols"]],
+        pk=spec["pk"],
+        hash_partitions=spec["hash"],
+        range_partition=spec["range"],
+        defaults={n: d for n, _t, _nl, d, _c in spec["cols"] if d is not None},
+    )
+    al = eng.alter_table(name)
+    dirty = False
+    for n, _t, _nl, _d, cmt in spec["cols"]:
+        if cmt is not None:
+            al.set_column_comment(n, cmt)
+            dirty = True
+    for k, v in spec["props"].items():
+        al.set_property(k, v)
+        dirty = True
+    if dirty:
+        al.apply()
+    stmt = show_create_table(eng, name)
+    eng2 = Engine(spark, tempfile.mkdtemp(prefix="pyskudu-rt2-"))
+    eng2.sql(stmt)
+    got, want = _canon_state(eng2.table(name).state()), _canon_state(eng.table(name).state())
+    assert got == want, f"round-trip drift for:\n{stmt}\n{got}\nvs\n{want}"
