@@ -1348,6 +1348,8 @@ class Table:
         shutil.rmtree(staging, ignore_errors=True)
         if kind == "delta":
             self._attach_delta_bloom(st, entries)
+        elif st.props.get("pk_bloom_cols"):
+            self._attach_pk_bloom(st, entries)
         return entries
 
     # deltas below this many rows skip the sidecar: the grouped
@@ -1399,6 +1401,97 @@ class Table:
             logging.getLogger("kudu_spark.bloom").warning(
                 "delta bloom sidecar for %s skipped: %s", self.name, ex
             )
+
+    def _attach_pk_bloom(self, st: TableState, entries: list[FileEntry]) -> None:
+        """Presence sidecar for BASE commits of tables with the
+        ``pk_bloom_cols`` property — the write-path analogue of Kudu's
+        per-rowset bloomfiles for key-presence checks (bloom built once
+        at DiskRowSet flush, cfile/bloomfile.cc; consulted by the
+        write path's per-rowset presence probe, tablet/tablet.cc:
+        116-124). One bloom per commit over xxhash64 of the configured
+        column tuple; ``present_key_probe`` ORs the (compaction-
+        bounded) live sidecars into a native membership filter, so
+        "is this key in the table?" costs zero data-file IO for the
+        overwhelmingly-common negative case. Compaction rewrites go
+        through _write_files too, so compacted partitions get ONE
+        consolidated sidecar replacing their per-batch ones — the
+        sidecar count tracks the live file-commit count, not history.
+        Failure is non-fatal: files without a sidecar just disable the
+        probe (callers fall back to a join against the scan)."""
+        from kudu_spark.plans import delta_bloom
+
+        cols = [c.strip() for c in str(st.props.get("pk_bloom_cols", "")).split(",")
+                if c.strip()]
+        if not entries or not cols:
+            return
+        try:
+            total = sum(e.rows for e in entries)
+            keys = self.spark.read.parquet(
+                *[os.path.join(self.root, e.path) for e in entries]
+            ).select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
+            fpp = float(st.props.get("pk_bloom_fpp", delta_bloom.DEFAULT_FPP))
+            data = delta_bloom.build_bloom(keys, total, fpp)
+            if data is None:
+                return
+            rel = delta_bloom.write_sidecar(self.root, DATA_DIR, entries[0].seq, data)
+            for e in entries:
+                e.bloom = rel
+        except Exception as ex:
+            import logging
+
+            logging.getLogger("kudu_spark.bloom").warning(
+                "pk bloom sidecar for %s skipped: %s", self.name, ex
+            )
+
+    # more live presence sidecars than this and the ORed probe
+    # expression stops being cheap; small-file compaction keeps the
+    # count far below it in steady state
+    PK_BLOOM_MAX_EXPRS = 64
+
+    def present_key_probe(self, keys_df: DataFrame, cols: list[str],
+                          st: TableState | None = None) -> DataFrame | None:
+        """Rows of ``keys_df`` whose ``cols`` tuple MIGHT be present in
+        the table, judged purely by the commit-time presence sidecars —
+        a native bloom-membership filter with ZERO data-file IO, the
+        library's answer to Kudu's O(1)-per-key presence check (per-
+        rowset bloom + key-bounds seek, tablet/tablet.cc:116-124).
+        No false negatives: a row absent from the result is PROVABLY
+        absent from the table; positives (~fpp per sidecar) need exact
+        verification against a bounded scan. Returns None — caller
+        falls back to a join against the scan — when coverage is
+        incomplete: ``pk_bloom_cols`` doesn't match, any live file
+        lacks a sidecar (e.g. delta files from upsert/delete), or the
+        live sidecar count exceeds PK_BLOOM_MAX_EXPRS."""
+        from functools import reduce
+        from operator import or_
+
+        from kudu_spark.plans import delta_bloom
+
+        if st is None:
+            st = self.state()
+        bloom_cols = [c.strip() for c in str(st.props.get("pk_bloom_cols", "")).split(",")
+                      if c.strip()]
+        if bloom_cols != list(cols):
+            return None
+        if not st.files:
+            return keys_df.limit(0)  # empty table: nothing is present
+        if any(f.kind != "base" or not f.bloom for f in st.files):
+            return None
+        paths = {f.bloom for f in st.files}
+        if len(paths) > self.PK_BLOOM_MAX_EXPRS:
+            return None
+        h = F.xxhash64(*[
+            _write_cast(F.col(c), st.schema.col(c).type) for c in cols
+        ])
+        probes = []
+        for rel in sorted(paths):
+            c = delta_bloom.might_contain_sidecar(
+                self.spark, self.root, rel, h, tuple(cols)
+            )
+            if c is None:
+                return None
+            probes.append(c)
+        return keys_df.where(reduce(or_, probes))
 
     def _commit(self, st: TableState, op: str, entries: list[FileEntry],
                 removes: list[str] | None = None, props: dict | None = None,
@@ -1898,16 +1991,41 @@ class Table:
             budget = max(budget, factor * int(commit_delta_bytes))
             tot: dict = {}
             dl: dict = {}
+            smalls: dict = {}
+            small_thresh = int(props.get("auto_compact_small_file_bytes", 32 << 20))
             for f in st.files:
                 key = (tuple(f.partition.get("hash", [])), f.partition.get("range"))
                 tot[key] = tot.get(key, 0) + f.bytes
                 if f.kind == "delta":
                     dl[key] = dl.get(key, 0) + f.bytes
+                elif f.bytes < small_thresh:
+                    smalls[key] = smalls.get(key, 0) + 1
             ranked = sorted(
                 (k for k in dl if dl[k] >= ratio * tot[k]),
                 key=lambda k: -(dl[k] / max(tot[k], 1)),
             )
             if sum(dl[k] for k in ranked) < floor:
+                ranked = []
+            # small-file bin-packing for append-heavy tables (Kudu's
+            # rowset merge compaction, compaction_policy.h — inserts
+            # make many small DiskRowSets that maintenance merges).
+            # Opt-in (`auto_compact_small_files=true`): a partition
+            # repacks once it holds >= min_small small base files, so
+            # each byte is rewritten at most once per min_small
+            # commits until its file outgrows the threshold — bounded
+            # write amplification, and the pk-bloom sidecar count
+            # (one per live file-commit) stays O(min_small) per
+            # partition instead of O(batches).
+            if str(props.get("auto_compact_small_files", "false")).lower() in (
+                "true", "1", "yes"
+            ):
+                min_small = int(props.get("auto_compact_min_small_files", 8))
+                have = set(ranked)
+                ranked += sorted(
+                    (k for k in smalls if smalls[k] >= min_small and k not in have),
+                    key=lambda k: -smalls[k],
+                )
+            if not ranked:
                 return
             hot, spent = [], 0
             for k in ranked:

@@ -186,10 +186,23 @@ class Transaction:
                     f"batch contains {agg.n - agg.nd} duplicate primary key(s)"
                 )
             if st.files:
-                hit = (
-                    b.join(self.table._existing_pks(st, b), on=pk, how="left_semi")
-                    .limit(1).collect()
-                )
+                # presence-sidecar short circuit (tables with
+                # pk_bloom_cols == pk): keys failing every commit
+                # bloom are PROVABLY absent — the common case for
+                # append-only ingest — so the exact probe scan is
+                # skipped entirely (Kudu's per-rowset bloom check
+                # before the B-tree seek, tablet/tablet.cc:116-124);
+                # bloom-positives narrow the exact probe to themselves
+                cand = self.table.present_key_probe(b.select(*pk), pk, st)
+                if cand is not None and not cand.limit(1).collect():
+                    hit = []
+                else:
+                    src = b if cand is None else cand
+                    hit = (
+                        src.join(self.table._existing_pks(st, src), on=pk,
+                                 how="left_semi")
+                        .limit(1).collect()
+                    )
                 if hit:
                     raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
             if self._insert_entries:
