@@ -35,9 +35,15 @@ def _spark_type_to_ddl(dt: T.DataType) -> str:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, database: str = "default"):
         self.spark = spark
         self.root = root
+        # the warehouse is ONE database (Impala's Kudu integration
+        # resolves db.table against its catalog; our catalog is the
+        # warehouse root) — qualified names `<database>.<table>` and
+        # `USE <database>` map onto it (kudu_impala_integration.adoc:
+        # 150-731)
+        self.database = database
         os.makedirs(root, exist_ok=True)
 
     # -- catalog ---------------------------------------------------------------
@@ -113,9 +119,33 @@ class Engine:
         Scale note: views are DataFrames over the pruned scan path —
         predicates in the SQL still reach parquet via Catalyst; nothing
         is materialized by registration."""
-        from kudu_spark.sql_dml import extract_as_of, is_dml, run_dml
+        from kudu_spark.sql_dml import extract_as_of, is_dml, run_dml, strip_comments
         from kudu_spark.sql_ddl import is_ddl, is_show, run_ddl, run_show
+        import re as _re
 
+        text = strip_comments(query).strip().rstrip(";").strip()
+        m = _re.match(r"USE\s+([A-Za-z_]\w*)$", text, _re.IGNORECASE)
+        if m:
+            # one-database warehouse: USE may only name it (Impala
+            # errors on unknown databases the same way)
+            db = m.group(1)
+            if db.lower() not in (self.database.lower(), "default"):
+                raise KuduSparkError(f"unknown database: {db}")
+            self.database = db
+            return self.spark.createDataFrame([(db,)], "database string")
+        if _re.match(r"SHOW\s+DATABASES$", text, _re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(self.database,)], "name string")
+        # strip `<database>.` qualifiers (outside string literals) so
+        # Impala scripts written against a db-qualified catalog run
+        # verbatim; every downstream regex then sees bare table names
+        query = self._strip_db_qualifiers(query)
+        m = _re.match(
+            r"\s*EXPLAIN\b\s*(EXTENDED|FORMATTED|CODEGEN|COST|ANALYZED)?\s*(.+)$",
+            query, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return self._explain(m.group(2).strip(), m.group(1),
+                                 version_of, txn_consistent)
         if is_ddl(query):
             return run_ddl(self, query)
         if is_show(query):
@@ -200,6 +230,68 @@ class Engine:
             df.createOrReplaceTempView(name)
         return names, wanted
 
+    def _strip_db_qualifiers(self, text: str) -> str:
+        """Rewrite ``<database>.<ident>`` to ``<ident>`` for the
+        warehouse's single database, outside string literals — the
+        Impala catalog's qualified spelling of our flat table names
+        (kudu_impala_integration.adoc:150-343). Unknown database
+        prefixes pass through untouched (Spark then reports them)."""
+        import re
+
+        names = {self.database.lower(), "default"}
+        pat = "|".join(sorted(re.escape(n) for n in names))
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        for i in range(0, len(parts), 2):
+            parts[i] = re.sub(
+                rf"\b(?:{pat})\s*\.\s*(?=[A-Za-z_`])", "", parts[i],
+                flags=re.IGNORECASE)
+        return "".join(parts)
+
+    def _explain(self, inner: str, mode: str | None, version_of, txn_consistent):
+        """EXPLAIN <statement> (the Impala surface,
+        kudu_impala_integration.adoc:150-731). Queries build the full
+        merge-on-read DataFrame (lazily — nothing executes) and return
+        Spark's explain string for it; DML statements return the write
+        path that WOULD run, without staging or committing anything."""
+        import re
+
+        from kudu_spark.sql_ddl import is_ddl, is_show
+        from kudu_spark.sql_dml import is_dml
+
+        if is_ddl(inner) or is_show(inner):
+            raise KuduSparkError("EXPLAIN supports queries and DML statements")
+        if is_dml(inner):
+            m = re.match(
+                r"(INSERT|UPSERT|UPDATE|DELETE|MERGE)(\s+IGNORE)?\s+"
+                r"(?:INTO\s+|FROM\s+)?([A-Za-z_]\w*)", inner, re.IGNORECASE)
+            if not m:
+                raise KuduSparkError(f"cannot explain statement: {inner[:60]!r}")
+            op, ign, name = m.group(1).upper(), bool(m.group(2)), m.group(3)
+            st = self.table(name).state()
+            ps = st.partition_spec
+            dims = ", ".join(
+                f"hash({','.join(d.columns)}) buckets={d.buckets}"
+                for d in ps.hash_dims) or "unpartitioned"
+            if ps.range_spec.enabled:
+                dims += f", range({','.join(ps.range_spec.cols)})"
+            lines = [
+                f"{op}{' IGNORE' if ign else ''} target={name}",
+                f"  partitioning: {dims}",
+                "  write path: validate batch -> probe PK existence "
+                "(presence index / pruned scan) -> route partitions -> "
+                "write parquet -> atomic manifest commit",
+            ]
+            return self.spark.createDataFrame([("\n".join(lines),)], "plan string")
+        df = self.sql(inner, version_of=version_of, txn_consistent=txn_consistent)
+        mode_str = (mode or "formatted").lower()
+        try:
+            jvm = self.spark._jvm
+            em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode_str)
+            plan = df._jdf.queryExecution().explainString(em)
+        except Exception:
+            plan = df._jdf.queryExecution().toString()
+        return self.spark.createDataFrame([(plan,)], "plan string")
+
     def sql_script(self, script: str, txn_consistent: bool = True) -> list:
         """Run a multi-statement SQL script (statements separated by
         top-level semicolons — semicolons inside string literals are
@@ -228,7 +320,7 @@ class Engine:
         txn = None
         try:
             for stmt in _split_top_level(strip_comments(script), ";"):
-                s = stmt.strip()
+                s = self._strip_db_qualifiers(stmt.strip())
                 if not s:
                     continue
                 if _re.match(r"BEGIN(\s+(TRANSACTION|WORK))?$", s, _re.IGNORECASE):

@@ -426,7 +426,9 @@ def engine_sql_dml_scan(spark, sf_dir):
 
 @query(
     "engine_merge_scan",
-    gated=False,  # SQL front-end variant of the gated mutation scans; pytest-oracled
+    # gated since r8 (rotated in for scan_null_predicates): MERGE's
+    # atomic multi-clause path gets driver verification (VERDICT r7
+    # task #4)
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,
            CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
@@ -466,7 +468,9 @@ def engine_merge_scan(spark, sf_dir):
 
 @query(
     "engine_sql_txn_scan",
-    gated=False,  # SQL front-end over the gated txn paths; pytest-oracled
+    # gated since r8 (rotated in for scan_like_prefix): the SQL
+    # BEGIN/COMMIT block path gets driver verification (VERDICT r7
+    # task #4)
     oracle="""
     SELECT c_custkey, c_name, c_nationkey,
            CASE WHEN c_custkey % 6 = 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,

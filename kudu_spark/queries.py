@@ -139,6 +139,9 @@ def scan_count_nonkey_pred(spark, sf_dir):
 
 @query(
     "scan_null_predicates",
+    gated=False,  # rotated out r8 for engine_merge_scan (long-green since
+    # r1; null-predicate shape stays pytest-oracled and covered by
+    # scan_project_predicate's pushdown assertions)
     oracle="""
     SELECT event_id, user_id, event_type
     FROM events
@@ -159,6 +162,8 @@ def scan_null_predicates(spark, sf_dir):
 
 @query(
     "scan_like_prefix",
+    gated=False,  # rotated out r8 for engine_sql_txn_scan (long-green
+    # since r1; LIKE-prefix rewrite stays pytest-oracled)
     oracle="""
     SELECT p_partkey, p_name, p_brand
     FROM part WHERE p_brand LIKE 'Brand#1%' AND p_size >= 25

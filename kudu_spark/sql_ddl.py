@@ -599,7 +599,10 @@ def _fmt_range(lo, hi) -> str:
 
 def _stat_str(v) -> str | None:
     """Stringify a footer stat the way Spark's ``cast("string")``
-    would, so the footer and scan paths of SHOW COLUMN STATS agree."""
+    would, so the footer and scan paths of SHOW COLUMN STATS agree.
+    Fallback only — ``_format_stats_via_spark`` is authoritative
+    (Python str() diverges from Spark for FLOAT widening and large
+    doubles, ADVICE r7)."""
     import datetime
 
     if v is None:
@@ -613,6 +616,33 @@ def _stat_str(v) -> str | None:
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     return str(v)
+
+
+def _format_stats_via_spark(spark, st, footer: dict) -> dict | None:
+    """Render footer min/max through Spark itself (one literal row,
+    declared types, cast('string')) so a clean table's SHOW COLUMN
+    STATS emits byte-identical text to the dirty table's scan path —
+    str() diverges for FLOAT (float32 widening: '0.10000000149011612'
+    vs '0.1') and large DOUBLE ('1e+20' vs '1.0E20') (ADVICE r7).
+    Returns {column: (min_str, max_str)} or None on failure."""
+    import re
+
+    cols = st.schema.columns
+    fields, row = [], []
+    for i, c in enumerate(cols):
+        typ = re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string",
+                     c.type.strip(), flags=re.I)
+        fields += [f"`__mn{i}` {typ}", f"`__mx{i}` {typ}"]
+        mn, mx, _nulls = footer[c.name]
+        row += [mn, mx]
+    try:
+        df = spark.createDataFrame([tuple(row)], ", ".join(fields))
+        got = df.select(
+            *[F.col(f.split("`")[1]).cast("string") for f in fields]
+        ).collect()[0]
+        return {c.name: (got[2 * i], got[2 * i + 1]) for i, c in enumerate(cols)}
+    except Exception:
+        return None
 
 
 def _column_stats_from_footers(t, st) -> dict | None:
@@ -692,11 +722,15 @@ def run_show(engine: "Engine", sql: str):
         # O(metadata) via KuduTableStatistics (client.h:1568), no scan
         # except dirty partitions (Table.statistics)
         s = engine.table(m.group(1)).statistics()
+        # presence-sidecar health rides along so a user can SEE when
+        # the O(batch) key probe is disengaged (coverage < 1.0)
         return spark.createDataFrame(
             [(s["live_row_count"], s["on_disk_size"], s["num_files"],
-              s["version"])],
+              s["version"], s.get("presence_sidecars"),
+              s.get("presence_bytes"), s.get("presence_coverage"))],
             "num_rows bigint, on_disk_size bigint, num_files bigint, "
-            "version bigint")
+            "version bigint, presence_sidecars bigint, "
+            "presence_bytes bigint, presence_coverage double")
 
     m = re.match(r"SHOW\s+COLUMN\s+STATS\s+([A-Za-z_]\w*)$", text, re.IGNORECASE)
     if m:
@@ -722,6 +756,7 @@ def run_show(engine: "Engine", sql: str):
                      .alias(f"__nulls_{c.name}"),
                 ]
         row = df.agg(*aggs).collect()[0]
+        fmt = _format_stats_via_spark(spark, st, footer) if footer else None
         out = []
         for c in st.schema.columns:
             if footer is None:
@@ -729,7 +764,10 @@ def run_show(engine: "Engine", sql: str):
                                  int(row[f"__nulls_{c.name}"] or 0))
             else:
                 mn, mx, nulls = footer[c.name]
-                mn, mx = _stat_str(mn), _stat_str(mx)
+                if fmt is not None:
+                    mn, mx = fmt[c.name]
+                else:
+                    mn, mx = _stat_str(mn), _stat_str(mx)
             out.append((c.name, c.type, mn, mx, nulls, int(row[f"__ndv_{c.name}"])))
         return spark.createDataFrame(
             out, "column string, type string, min string, max string, "

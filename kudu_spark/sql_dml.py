@@ -212,7 +212,18 @@ def _upsert_fill_unset(t, batch: DataFrame, target: list[str]) -> DataFrame:
     CURRENT row's value when the key exists, else the column default
     (the insert arm's behavior). One file-pruned snapshot probe
     (``_snapshot_overlapping`` — bounded by the batch's keys, like the
-    write paths), never a full scan."""
+    write paths), never a full scan.
+
+    Known race (ADVICE r7, accepted): the fill reads a snapshot taken
+    BEFORE the write publishes, so a concurrent update that commits
+    in between is overwritten with the pre-snapshot values for the
+    columns this statement never set — a lost-update window Kudu's
+    per-column ApplyUpsertAsUpdate doesn't have. The window equals
+    the statement's own execution time; detecting it would need a
+    publish-time re-probe + refill (cost: a second bounded probe per
+    partial UPSERT) for a race Kudu-style ingest pipelines (single
+    writer per table) never hit. Concurrent FULL-row upserts are
+    unaffected (last-write-wins by seq)."""
     st = t.state()
     pk = st.schema.pk
     if AUTO_INC_COL in pk:
@@ -290,7 +301,12 @@ def _run_insert(engine: "Engine", text: str, op: str, txn=None):
         # rows_affected = batch keys not already present, against ONE
         # bounded key probe (was: the difference of two full-table
         # counts around the write — two extra aggregate jobs, and a
-        # concurrent commit between them skewed the number)
+        # concurrent commit between them skewed the number).
+        # Accepted TOCTOU (ADVICE r7): a concurrent insert of one of
+        # the batch's keys between this probe and the write makes the
+        # reported count overstate by that key — the write itself
+        # stays correct (insert_ignore revalidates on commit); only
+        # the summary number is approximate under concurrency.
         st = t.state()
         if AUTO_INC_COL in st.schema.pk:
             n = batch.count()  # auto-inc keys are fresh: nothing skips

@@ -572,3 +572,83 @@ def test_ddl_roundtrip_property_fuzz(spark, spec):
     eng2.sql(stmt)
     got, want = _canon_state(eng2.table(name).state()), _canon_state(eng.table(name).state())
     assert got == want, f"round-trip drift for:\n{stmt}\n{got}\nvs\n{want}"
+
+
+def test_impala_doc_statements_verbatim(eng):
+    """Statements lifted verbatim from the reference's Impala guide
+    (docs/kudu_impala_integration.adoc:155-163,610,617,702,709) run
+    through the router unchanged — including double-quoted string
+    literals and the CREATE shape with a trailing PRIMARY KEY clause."""
+    eng.sql_script("""
+CREATE TABLE my_first_table
+(
+  id BIGINT,
+  name STRING,
+  PRIMARY KEY(id)
+)
+PARTITION BY HASH PARTITIONS 16
+STORED AS KUDU;
+INSERT INTO my_first_table VALUES (99, "sarah");
+INSERT INTO my_first_table VALUES (1, "john"), (2, "jane"), (3, "jim");
+UPDATE my_first_table SET name="bob" where id > 10;
+DELETE FROM my_first_table WHERE id < 3;
+""")
+    got = {r.id: r.name for r in eng.sql(
+        "SELECT id, name FROM my_first_table").collect()}
+    assert got == {3: "jim", 99: "bob"}
+
+
+def test_use_database_and_qualified_names(eng):
+    """`USE <db>` + `<db>.<table>` qualifiers map onto the warehouse's
+    single database (VERDICT r7 task #6; the Impala catalog spelling,
+    kudu_impala_integration.adoc:150-343)."""
+    eng.sql("CREATE TABLE qt (id BIGINT PRIMARY KEY, v STRING) STORED AS KUDU")
+    assert eng.sql("SHOW DATABASES").collect()[0].name == "default"
+    eng.sql("USE default")
+    eng.sql("INSERT INTO default.qt VALUES (1, 'a'), (2, 'b')")
+    assert eng.sql("SELECT count(*) AS n FROM default.qt").collect()[0].n == 2
+    eng.sql("UPDATE default.qt SET v = 'z' WHERE id = 2")
+    got = {r.id: r.v for r in eng.sql("SELECT id, v FROM qt").collect()}
+    assert got == {1: "a", 2: "z"}
+    # a string literal containing 'default.qt' must NOT be rewritten
+    s = eng.sql("SELECT 'default.qt' AS s").collect()[0].s
+    assert s == "default.qt"
+    with pytest.raises(KuduSparkError):
+        eng.sql("USE some_other_db")
+
+
+def test_explain_statements(eng):
+    """EXPLAIN plans without executing (VERDICT r7 task #6)."""
+    eng.sql("CREATE TABLE ex (id BIGINT PRIMARY KEY, v STRING) "
+            "PARTITION BY HASH (id) PARTITIONS 4 STORED AS KUDU")
+    eng.sql("INSERT INTO ex VALUES (1, 'a')")
+    plan = eng.sql("EXPLAIN SELECT v, count(*) AS n FROM ex GROUP BY v") \
+        .collect()[0].plan
+    assert "Aggregate" in plan or "HashAggregate" in plan
+    plan2 = eng.sql("EXPLAIN FORMATTED SELECT * FROM default.ex WHERE id = 1") \
+        .collect()[0].plan
+    assert "Scan" in plan2 or "Filter" in plan2
+    dml_plan = eng.sql("EXPLAIN INSERT INTO ex VALUES (5, 'x')") \
+        .collect()[0].plan
+    assert "INSERT target=ex" in dml_plan and "hash(id) buckets=4" in dml_plan
+    # EXPLAIN must not have executed anything
+    assert eng.table("ex").scan().count() == 1
+
+
+def test_column_stats_formatting_clean_vs_dirty(eng):
+    """ADVICE r7: footer-served (clean) and scan-served (dirty) SHOW
+    COLUMN STATS must render identical min/max text for FLOAT (float32
+    widening) and large DOUBLE values."""
+    eng.sql("CREATE TABLE fstats (id BIGINT PRIMARY KEY, f FLOAT, d DOUBLE) "
+            "STORED AS KUDU")
+    eng.sql("INSERT INTO fstats VALUES (1, CAST(0.1 AS FLOAT), 1e20), "
+            "(2, CAST(2.5 AS FLOAT), 2.0)")
+    clean = {c.column: (c.min, c.max)
+             for c in eng.sql("SHOW COLUMN STATS fstats").collect()}
+    # a same-value update dirties the table without changing content,
+    # flipping SHOW COLUMN STATS onto the aggregate-scan path
+    eng.sql("UPDATE fstats SET d = 2.0 WHERE id = 2")
+    dirty = {c.column: (c.min, c.max)
+             for c in eng.sql("SHOW COLUMN STATS fstats").collect()}
+    assert clean["f"] == dirty["f"], (clean["f"], dirty["f"])
+    assert clean["d"] == dirty["d"], (clean["d"], dirty["d"])
