@@ -72,6 +72,11 @@ def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
         "to_version": hi,
         "schema": st.schema.to_json(),
         "partition_spec": st.partition_spec.to_json(),
+        # table options travel with the backup (kudu-backup restores
+        # extra-configs, TableMetadata.scala) — without them a restored
+        # table silently loses pk_bloom_cols (its O(batch) presence
+        # probes) and its compaction policy
+        "props": {k: str(v) for k, v in (st.props or {}).items()},
     }
     with open(os.path.join(out, META_NAME), "w") as f:
         json.dump(meta, f, indent=2)
@@ -167,6 +172,17 @@ def restore(engine, backup_root: str, table_name: str,
         immutable_cols=[c.name for c in sch.columns if c.immutable] or None,
         non_unique_pk=AUTO_INC_COL in sch.pk,
     )
+    # re-apply table options BEFORE replaying rows, so the first insert
+    # already builds presence sidecars / honors compaction policy
+    # (internal counters like auto_inc_next stay with the new table)
+    props = {k: v for k, v in (meta.get("props") or {}).items()
+             if k != "auto_inc_next"}
+    if props:
+        alt = engine.alter_table(dst.name)
+        for k, v in props.items():
+            alt = alt.set_property(k, v)
+        alt.apply()
+        dst = engine.table(dst.name)
     for lo, hi, path in wins:
         if through_version is not None and lo >= through_version:
             break

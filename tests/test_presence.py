@@ -243,3 +243,37 @@ def test_sidecar_tiered_merge_bounds_live_count(engine, spark):
     assert t.statistics()["live_row_count"] == 1200
     # below the cap: a second call is a no-op
     assert t.merge_presence_sidecars(max_live=4) is None
+
+
+def test_restore_rebuilds_presence_index(engine, spark, tmp_path):
+    """Backups carry table options, so a restored table keeps its
+    pk_bloom_cols and the first replayed insert rebuilds sidecars —
+    restore does not silently lose the O(batch) probe."""
+    from kudu_spark.sources.backup import backup, restore
+
+    t = make_table(engine, n=200)
+    backup(t, str(tmp_path / "bk"))
+    dst = restore(engine, str(tmp_path / "bk"), "pt", new_name="pt2")
+    dst = engine.table("pt2")
+    assert dst.state().props.get("pk_bloom_cols") == "k"
+    assert all(f.bloom for f in dst.state().files)
+    keys = spark.range(150, 250).select(F.col("id").alias("k"))
+    got = dst.present_key_check(keys, ["k"])
+    assert got is not None and got.count() == 50
+
+
+def test_probe_shard_aligned_repartition_path(engine, spark, monkeypatch):
+    """Force the big-index path (multi-shard sidecar + probe batch
+    repartitioned by shard id) and check results are identical to the
+    small path."""
+    monkeypatch.setattr(presence, "TARGET_SHARD_KEYS", 256)
+    t = make_table(engine, n=2000)
+    assert presence.read_meta(
+        os.path.join(t.root, next(iter({f.bloom for f in t.state().files})))
+    )["nshards"] > 1
+    keys = spark.range(1900, 2100).select(F.col("id").alias("k"))
+    small = sorted(r.k for r in t.present_key_check(keys, ["k"]).collect())
+    import kudu_spark.table as tbl
+    monkeypatch.setattr(tbl.Table, "PRESENCE_PARTITION_BYTES", 0)
+    big = sorted(r.k for r in t.present_key_check(keys, ["k"]).collect())
+    assert small == big == list(range(1900, 2000))
