@@ -142,7 +142,6 @@ def build_index(hashes_df, rows: int, dir_abs: str,
 
         got = (
             hashes_df.select("h", F.pmod(F.col("h"), F.lit(ns)).alias("s"))
-            .repartition(min(ns, 256), "s")
             .groupBy("s")
             .applyInPandas(write_group, schema="s int, b long")
             .collect()

@@ -22,13 +22,22 @@ def df_of(spark, rows, cols="key int, int_val int, string_val string"):
     return spark.createDataFrame(rows, cols)
 
 
-@pytest.mark.parametrize("seed", [7, 42])
-def test_fuzz_mutations_match_model(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,presence", [(7, False), (42, True)])
+def test_fuzz_mutations_match_model(spark, tmp_path, seed, presence):
+    """``presence=True`` runs the same op mix with pk_bloom_cols on,
+    so the presence-index insert short circuit, its decline on deltas,
+    the compaction rebuild, and the tiered sidecar merge all get
+    fuzzed against the model — a wrong "provably absent" answer would
+    show up as a missed DuplicateKeyError or a divergent scan."""
     rng = random.Random(seed)
     eng = Engine(spark, str(tmp_path / f"wh{seed}"))
     t = eng.create_table(
         "fuzz", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
     )
+    if presence:
+        eng.alter_table("fuzz").set_property("pk_bloom_cols", "key") \
+            .set_property("pidx_merge_max_live", "3").apply()
+        t = eng.table("fuzz")
     model: dict[int, tuple] = {}
     snapshots: list[tuple[int, dict]] = []  # (version, model copy)
 
