@@ -1392,6 +1392,16 @@ class Table:
             fpp = float(st.props.get("delta_bloom_fpp", delta_bloom.DEFAULT_FPP))
             data = delta_bloom.build_bloom(keys, total, fpp)
             if data is None:
+                # opted-in table silently losing its bloom plan would
+                # be invisible until scan times regress — say so
+                import logging
+
+                logging.getLogger("kudu_spark.bloom").warning(
+                    "delta bloom sidecar for %s commit seq=%s unavailable "
+                    "(Spark internals missing?): bloom-split scans fall "
+                    "back to broadcast/shuffle plans", self.name,
+                    entries[0].seq,
+                )
                 return
             rel = delta_bloom.write_sidecar(self.root, DATA_DIR, entries[0].seq, data)
             for e in entries:
@@ -1626,8 +1636,17 @@ class Table:
         if ns_max > 1 and presence.total_bytes(specs) > self.PRESENCE_PARTITION_BYTES:
             # shard-align the (small) probe batch: shard counts are
             # powers of two, so colocating by the largest modulus
-            # colocates for every sidecar at once
-            out = out.repartition(ns_max, F.pmod(F.col("__pidx_h"), F.lit(ns_max)))
+            # colocates for every sidecar at once. Partition count is
+            # capped at ~2x parallelism — hash-partitioning by shard id
+            # keeps same-shard keys together even when several shards
+            # share a task, so each task loads a few shards, not the
+            # index, without drowning a small batch in task overhead.
+            try:
+                par = 2 * self.spark.sparkContext.defaultParallelism
+            except Exception:
+                par = 64
+            nparts = min(ns_max, max(32, par))
+            out = out.repartition(nparts, F.pmod(F.col("__pidx_h"), F.lit(ns_max)))
         pred = presence.present_udf(tuple(specs))(F.col("__pidx_h"))
         return out.where(pred).drop("__pidx_h"), exact
 

@@ -14,8 +14,18 @@ grows with the corpus, the ingest batch must not.
     python scripts/ingest_scale.py --sizes 250000 2500000 --batch 20000
 
 Prints one JSON line:
-  {"sizes": [...], "batch_secs": [...], "legacy_probe_secs": [...],
-   "bands_sidecars": [...], "accepted": [...]}
+  {"sizes": [...], "batch_secs": [...],        # min over --batches
+   "batch_secs_all": [[...]],                  # every timed batch
+   "maintenance_secs": [...],                  # sync drain, untimed
+   "legacy_probe_secs": [...], "bands_sidecars": [...],
+   "accepted": [...]}
+
+Maintenance (small-file packing, sidecar merge) is drained
+SYNCHRONOUSLY between timed batches and reported separately: the
+production tables run it async in a daemon thread, which would
+otherwise bleed an unbounded rewrite into whichever batch happened to
+trigger it — per-batch cost and budget-bounded background cost are
+different contracts.
 """
 
 from __future__ import annotations
@@ -69,6 +79,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[250_000, 2_500_000])
     ap.add_argument("--batch", type=int, default=20_000)
+    ap.add_argument("--batches", type=int, default=3,
+                    help="timed batches per size; min is the steady-state "
+                         "cost (the first batch pays one-time shard loads)")
     ap.add_argument("--seed-chunk", type=int, default=500_000)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
@@ -85,7 +98,8 @@ def main() -> None:
     eng = Engine(spark, root)
     docs_t, bands_t = create_corpus_tables(eng, buckets=8)
 
-    out = {"sizes": [], "batch_secs": [], "legacy_probe_secs": [],
+    out = {"sizes": [], "batch_secs": [], "batch_secs_all": [],
+           "maintenance_secs": [], "legacy_probe_secs": [],
            "bands_sidecars": [], "accepted": []}
     seeded = 0
     probe_base = 1 << 40  # novel ids far above any seed id
@@ -101,27 +115,48 @@ def main() -> None:
                 docs_t = eng.table(docs_t.name)
                 bands_t = eng.table(bands_t.name)
                 print(f"seeded {seeded}/{size}", file=sys.stderr)
-            # consolidate small files + sidecars, as steady-state
-            # maintenance would
-            docs_t._maybe_auto_compact()
-            bands_t._maybe_auto_compact()
+
+            def drain_maintenance():
+                """SYNCHRONOUS small-file packing + sidecar merge (the
+                tables are configured async for production latency, so
+                _maybe_auto_compact would return immediately and the
+                rewrite would bleed into the timed batches)."""
+                t0 = time.perf_counter()
+                for t_ in (eng.table(docs_t.name), eng.table(bands_t.name)):
+                    th = getattr(t_, "_maint_thread", None)
+                    if th is not None and th.is_alive():
+                        th.join()
+                    t_._auto_compact_once()  # includes merge_presence_sidecars
+                return time.perf_counter() - t0
+
+            maint_s = drain_maintenance()
             docs_t = eng.table(docs_t.name)
             bands_t = eng.table(bands_t.name)
 
-            # identical probe batch at every size: 90% novel, 5%
-            # near-dups of seeded content, 5% replays
-            k = args.batch // 20
-            batch = (
-                synth_docs(spark, probe_base, args.batch - 2 * k)
-                .unionByName(synth_docs(spark, size // 2, k, mutate=True))
-                .unionByName(synth_docs(spark, size // 3, k))
-            ).persist()
-            batch.count()
-            probe_base += args.batch
-
-            t0 = time.perf_counter()
-            r = ingest_batch(eng, batch)
-            batch_s = time.perf_counter() - t0
+            # identical probe-batch SHAPE at every size: 90% novel, 5%
+            # near-dups of seeded content, 5% replays. Several timed
+            # batches; the min is the steady-state cost (batch 1 pays
+            # the one-time executor shard loads for this corpus epoch).
+            times = []
+            r = None
+            for _b in range(args.batches):
+                k = args.batch // 20
+                batch = (
+                    synth_docs(spark, probe_base, args.batch - 2 * k)
+                    .unionByName(synth_docs(spark, size // 2, k, mutate=True))
+                    .unionByName(synth_docs(spark, size // 3, k))
+                ).persist()
+                batch.count()
+                probe_base += args.batch
+                t0 = time.perf_counter()
+                r = ingest_batch(eng, batch)
+                times.append(round(time.perf_counter() - t0, 2))
+                batch.unpersist()
+                # async maintenance kicked off by the batch must not
+                # bleed into the NEXT timed batch
+                maint_s += drain_maintenance()
+                print(f"size={size} batch#{_b}={times[-1]}s", file=sys.stderr)
+            batch_s = min(times)
 
             # the r6 shape: full band-table scan semi join (O(state))
             new_keys = minhash_band_keys(
@@ -135,11 +170,12 @@ def main() -> None:
             ).select("doc_id").distinct().count()
             legacy_s = time.perf_counter() - t0
             new_keys.unpersist()
-            batch.unpersist()
 
             st_b = eng.table(bands_t.name).state()
             out["sizes"].append(size)
             out["batch_secs"].append(round(batch_s, 2))
+            out["batch_secs_all"].append(times)
+            out["maintenance_secs"].append(round(maint_s, 2))
             out["legacy_probe_secs"].append(round(legacy_s, 2))
             out["bands_sidecars"].append(len({f.bloom for f in st_b.files}))
             out["accepted"].append(r["accepted"])

@@ -277,3 +277,33 @@ def test_probe_shard_aligned_repartition_path(engine, spark, monkeypatch):
     monkeypatch.setattr(tbl.Table, "PRESENCE_PARTITION_BYTES", 0)
     big = sorted(r.k for r in t.present_key_check(keys, ["k"]).collect())
     assert small == big == list(range(1900, 2000))
+
+
+def test_presence_exact_over_mixed_key_types(engine, spark):
+    """Build-side hashes parquet-read values; probe-side hashes
+    write-cast batch values — they must agree for every PK type,
+    including decimal (scale), timestamp, and varchar (truncation)."""
+    t = engine.create_table(
+        "tt", [("d", "decimal(12,2)", False), ("ts", "timestamp", False),
+               ("s", "varchar(5)", False), ("v", "int", True)],
+        pk=["d", "ts", "s"],
+        hash_partitions=[{"columns": ["d"], "buckets": 2}],
+    )
+    engine.alter_table("tt").set_property("pk_bloom_cols", "d,ts,s").apply()
+    t = engine.table("tt")
+    rows = spark.sql(
+        "SELECT CAST(id + 0.25 AS DECIMAL(12,2)) AS d, "
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts, "
+        "substring(concat('key', id), 1, 5) AS s, CAST(id AS INT) AS v "
+        "FROM range(100)")
+    t.insert(rows)
+    t = engine.table("tt")
+    # present half, absent half; the varchar probe side arrives
+    # UNTRUNCATED (write-cast must truncate before hashing)
+    probe = spark.sql(
+        "SELECT CAST(id + 0.25 AS DECIMAL(12,2)) AS d, "
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts, "
+        "concat('key', id, 'LONG_TAIL') AS s FROM range(50, 150)")
+    got = t.present_key_check(probe, ["d", "ts", "s"])
+    assert got is not None
+    assert got.count() == 50  # ids 50..99 present, 100..149 absent
