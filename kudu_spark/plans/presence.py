@@ -194,6 +194,31 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     return arr
 
 
+def probe_hashes(specs, hv: np.ndarray) -> np.ndarray:
+    """Membership of each int64 hash in ``hv`` against the sidecars in
+    ``specs`` (tuples of (abs dir, nshards)): one binary search per
+    (sidecar, key) not yet resolved. Pure numpy — this is the body of
+    the Arrow-batched UDF, factored out so it is testable without a
+    SparkSession."""
+    hv = np.asarray(hv, dtype="int64")
+    out = np.zeros(len(hv), dtype=bool)
+    for dir_abs, ns in specs:
+        todo = ~out
+        if not todo.any():
+            break
+        shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
+        for s in np.unique(shard[todo]):
+            arr = _load_shard(dir_abs, int(s))
+            if not len(arr):
+                continue
+            mask = todo & (shard == s)
+            vals = hv[mask]
+            idx = np.searchsorted(arr, vals)
+            idx[idx >= len(arr)] = len(arr) - 1
+            out[mask] |= arr[idx] == vals
+    return out
+
+
 def present_udf(specs: tuple[tuple[str, int], ...]):
     """Arrow-batched membership test against the sidecars in
     ``specs`` (tuples of (abs dir, nshards)). The closure carries only
@@ -203,23 +228,7 @@ def present_udf(specs: tuple[tuple[str, int], ...]):
 
     @pandas_udf("boolean")
     def present(h: pd.Series) -> pd.Series:
-        hv = h.to_numpy(dtype="int64")
-        out = np.zeros(len(hv), dtype=bool)
-        for dir_abs, ns in specs:
-            todo = ~out
-            if not todo.any():
-                break
-            shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
-            for s in np.unique(shard[todo]):
-                arr = _load_shard(dir_abs, int(s))
-                if not len(arr):
-                    continue
-                mask = todo & (shard == s)
-                vals = hv[mask]
-                idx = np.searchsorted(arr, vals)
-                idx[idx >= len(arr)] = len(arr) - 1
-                out[mask] |= arr[idx] == vals
-        return pd.Series(out)
+        return pd.Series(probe_hashes(specs, h.to_numpy(dtype="int64")))
 
     return present
 

@@ -307,3 +307,99 @@ def test_presence_exact_over_mixed_key_types(engine, spark):
     got = t.present_key_check(probe, ["d", "ts", "s"])
     assert got is not None
     assert got.count() == 50  # ids 50..99 present, 100..149 absent
+
+
+# -- property fuzz: merge + probe vs a set model (no Spark) ------------------
+#
+# merge_indexes' shard-gathering math (coarse sources filtered by the
+# merged modulus, finer sources taken whole per congruence class) is
+# exactly the kind of arithmetic a few directed examples can miss —
+# fuzz it against plain set union, across forced shard-count regimes.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_hashes = hst.lists(
+    hst.one_of(
+        hst.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        hst.integers(min_value=-8, max_value=8),  # force cross-source dups
+    ),
+    min_size=0, max_size=120,
+)
+
+
+def _np_sidecar(dir_abs: str, hv: np.ndarray, ns: int) -> None:
+    """Sidecar directory written straight from numpy (the same format
+    build_index produces — asserted equal in
+    test_build_sharded_matches_small for the Spark builders)."""
+    import json
+
+    os.makedirs(dir_abs, exist_ok=True)
+    shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
+    total = 0
+    for s in np.unique(shard):
+        total += presence._write_shard(dir_abs, int(s), np.unique(hv[shard == s]))
+    meta = {"version": 1, "cols": ["k"], "types": ["bigint"],
+            "nshards": int(ns), "rows": int(len(hv)), "bytes": int(total)}
+    with open(os.path.join(dir_abs, presence.META_NAME), "w") as f:
+        json.dump(meta, f)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(srcs=hst.lists(
+    hst.tuples(_hashes, hst.sampled_from([1, 2, 4, 8, 16])),
+    min_size=1, max_size=4,
+), tiny_shards=hst.integers(min_value=2, max_value=32))
+def test_merge_indexes_fuzz_vs_set_union(srcs, tiny_shards):
+    """merge_indexes(sources) == set union, for sources whose shard
+    counts straddle the merged count both ways (coarser AND finer),
+    including negative hashes, duplicates across sources, and empty
+    sources/shards. Also: every merged shard holds exactly the keys
+    congruent to it, sorted and deduped, and the meta byte count is
+    the file truth."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pidx-fuzz-")
+    old_target = presence.TARGET_SHARD_KEYS
+    try:
+        # shrink the shard target so small inputs exercise ns_m > 1
+        presence.TARGET_SHARD_KEYS = tiny_shards
+        dirs, model = [], set()
+        for i, (hv_list, ns) in enumerate(srcs):
+            hv = np.array(hv_list, dtype="int64")
+            d = os.path.join(root, f"s{i}.pidx")
+            _np_sidecar(d, hv, ns)
+            dirs.append(d)
+            model |= set(int(x) for x in hv)
+        out = os.path.join(root, "merged.pidx")
+        meta = presence.merge_indexes(dirs, out)
+        assert meta is not None
+        ns_m = meta["nshards"]
+        assert ns_m == presence.shards_for(sum(len(h) for h, _ in srcs))
+        got, total_bytes = set(), 0
+        for s in range(ns_m):
+            try:
+                arr = np.fromfile(presence._shard_path(out, s), dtype="<i8")
+            except OSError:
+                continue
+            assert np.array_equal(arr, np.unique(arr))  # sorted, deduped
+            if ns_m > 1:
+                assert (arr % ns_m == s).all()
+            total_bytes += arr.nbytes
+            got |= set(int(x) for x in arr)
+        assert got == model
+        assert meta["bytes"] == total_bytes
+        # the probe agrees with the model through the merged sidecar
+        probe = np.array(sorted(model) + [10 ** 17 + 7, -(10 ** 17)], dtype="int64")
+        present = presence.probe_hashes(((out, ns_m),), probe)
+        for h, p in zip(probe.tolist(), present.tolist()):
+            assert p == (h in model)
+    finally:
+        presence.TARGET_SHARD_KEYS = old_target
+        shutil.rmtree(root, ignore_errors=True)
+        # drop fuzz shards from the per-process cache so later tests
+        # never see stale entries for re-used tmp dir names
+        presence._SHARD_CACHE.clear()
+        presence._META_CACHE.clear()
