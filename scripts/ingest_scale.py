@@ -100,7 +100,7 @@ def main() -> None:
 
     out = {"sizes": [], "batch_secs": [], "batch_secs_all": [],
            "maintenance_secs": [], "legacy_probe_secs": [],
-           "bands_sidecars": [], "accepted": []}
+           "bands_sidecars": [], "presence_coverage": [], "accepted": []}
     seeded = 0
     probe_base = 1 << 40  # novel ids far above any seed id
     try:
@@ -172,12 +172,25 @@ def main() -> None:
             new_keys.unpersist()
 
             st_b = eng.table(bands_t.name).state()
+            # the flat-cost claim is only meaningful if the INDEX path
+            # answered the probes — a silent fallback to scan joins
+            # would show as slow batches with no visible cause, so
+            # record coverage and refuse to call the run healthy
+            cov = [
+                round(eng.table(n).statistics().get("presence_coverage", 0.0), 4)
+                for n in (docs_t.name, bands_t.name)
+            ]
+            if any(c < 1.0 for c in cov):
+                print(f"WARNING size={size}: presence coverage {cov} < 1.0 — "
+                      "probes fell back to scan joins; batch_secs is NOT "
+                      "measuring the index path", file=sys.stderr)
             out["sizes"].append(size)
             out["batch_secs"].append(round(batch_s, 2))
             out["batch_secs_all"].append(times)
             out["maintenance_secs"].append(round(maint_s, 2))
             out["legacy_probe_secs"].append(round(legacy_s, 2))
             out["bands_sidecars"].append(len({f.bloom for f in st_b.files}))
+            out["presence_coverage"].append(cov)
             out["accepted"].append(r["accepted"])
             print(f"size={size} batch={batch_s:.2f}s legacy={legacy_s:.2f}s",
                   file=sys.stderr)
