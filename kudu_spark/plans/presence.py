@@ -233,7 +233,48 @@ def present_udf(specs: tuple[tuple[str, int], ...]):
     return present
 
 
-def merge_indexes(src_dirs: list, out_dir: str) -> dict | None:
+# below this many total source bytes a merge runs driver-side (one
+# shard in memory at a time); above it the per-shard gathers fan out
+# to executors — the driver never concentrates O(index) IO, Kudu's
+# compaction-on-tserver shape (tablet/compaction.cc runs where the
+# data lives, never on the master)
+DRIVER_MERGE_MAX_BYTES = 64 << 20
+
+
+def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
+    """Merged shard ``s``: sorted, deduped union of the source keys
+    congruent to ``s`` mod ``ns_m``. Shard counts are powers of two,
+    so from a coarser source (ns_i <= ns_m) it is the single shard
+    ``s % ns_i`` filtered to ``h % ns_m == s``; from a finer source
+    every shard ``t ≡ s (mod ns_m)`` whole. ``srcs`` is
+    [(dir, nshards)]. Pure numpy — runs on driver or executor."""
+    parts = []
+    for d, ns_i in srcs:
+        if ns_i <= ns_m:
+            try:
+                arr = np.fromfile(_shard_path(d, s % ns_i), dtype="<i8")
+            except OSError:
+                continue
+            if ns_m > 1:
+                arr = arr[arr % ns_m == s]
+        else:
+            chunks = []
+            for t in range(s, ns_i, ns_m):
+                try:
+                    chunks.append(np.fromfile(_shard_path(d, t), dtype="<i8"))
+                except OSError:
+                    pass
+            if not chunks:
+                continue
+            arr = np.concatenate(chunks)
+        if len(arr):
+            parts.append(arr)
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts))
+
+
+def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
     """Merge several sidecars into one (the size-tiered consolidation
     step — Kudu's rowset-merge compaction applied to the key index
     only, tablet/compaction_policy.h, WITHOUT rewriting data files:
@@ -241,11 +282,14 @@ def merge_indexes(src_dirs: list, out_dir: str) -> dict | None:
     work while the parquet files stay put). All sources must hash the
     same (cols, types) tuple; returns the new meta or None.
 
-    Shard counts are powers of two, so a merged shard ``s`` gathers:
-    from a coarser source (ns_i <= ns_m) the single shard ``s % ns_i``
-    filtered to ``h % ns_m == s``; from a finer source every shard
-    ``t ≡ s (mod ns_m)`` whole. Runs driver-side one merged shard at a
-    time — peak memory is one shard's sources, not the index."""
+    Small merges (≤ DRIVER_MERGE_MAX_BYTES of sources) run driver-side
+    one merged shard at a time — peak memory is one shard's sources,
+    not the index. Larger merges with a SparkSession fan the per-shard
+    gathers out to executors (same shared-storage write contract as
+    the data files and the executor-side build): the driver handles
+    metadata only, so merge IO scales with the cluster, not the
+    driver — at 1e9 keys a merge moves ~8 GB through executors in
+    shard-parallel tasks instead of serially through one process."""
     metas = [read_meta(d) for d in src_dirs]
     if any(m is None for m in metas):
         return None
@@ -253,34 +297,37 @@ def merge_indexes(src_dirs: list, out_dir: str) -> dict | None:
     if any((tuple(m["cols"]), tuple(m["types"])) != key for m in metas):
         return None
     total_rows = sum(int(m["rows"]) for m in metas)
+    src_bytes = sum(int(m.get("bytes", 0)) for m in metas)
     ns_m = shards_for(total_rows)
+    srcs = [(d, int(m["nshards"])) for d, m in zip(src_dirs, metas)]
     os.makedirs(out_dir, exist_ok=True)
     total = 0
-    for s in range(ns_m):
-        parts = []
-        for d, m in zip(src_dirs, metas):
-            ns_i = int(m["nshards"])
-            if ns_i <= ns_m:
-                try:
-                    arr = np.fromfile(_shard_path(d, s % ns_i), dtype="<i8")
-                except OSError:
-                    continue
-                if ns_m > 1:
-                    arr = arr[arr % ns_m == s]
-            else:
-                chunks = []
-                for t in range(s, ns_i, ns_m):
-                    try:
-                        chunks.append(np.fromfile(_shard_path(d, t), dtype="<i8"))
-                    except OSError:
-                        pass
-                if not chunks:
-                    continue
-                arr = np.concatenate(chunks)
-            if len(arr):
-                parts.append(arr)
-        if parts:
-            total += _write_shard(out_dir, s, np.unique(np.concatenate(parts)))
+    if spark is not None and src_bytes > DRIVER_MERGE_MAX_BYTES and ns_m > 1:
+        import pandas as pd
+
+        def merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = []
+            for s in pdf["s"].tolist():
+                arr = _gather_shard(int(s), srcs, ns_m)
+                if arr is not None:
+                    out.append((int(s), _write_shard(out_dir, int(s), arr)))
+            if not out:
+                return pd.DataFrame({"s": pd.Series(dtype="int32"),
+                                     "b": pd.Series(dtype="int64")})
+            return pd.DataFrame(out, columns=["s", "b"])
+
+        got = (
+            spark.range(ns_m).selectExpr("cast(id as int) as s")
+            .groupBy("s")
+            .applyInPandas(merge_group, schema="s int, b long")
+            .collect()
+        )
+        total = int(sum(r["b"] for r in got))
+    else:
+        for s in range(ns_m):
+            arr = _gather_shard(s, srcs, ns_m)
+            if arr is not None:
+                total += _write_shard(out_dir, s, arr)
     meta = {"version": _VERSION, "cols": list(key[0]), "types": list(key[1]),
             "nshards": ns_m, "rows": total_rows, "bytes": total}
     tmp = os.path.join(out_dir, META_NAME + ".tmp")

@@ -1519,6 +1519,7 @@ class Table:
         meta = presence.merge_indexes(
             [os.path.join(self.root, rel) for _, rel, _ in pick],
             os.path.join(self.root, new_rel),
+            spark=self.spark,  # big merges gather shards executor-side
         )
         if meta is None:
             return None

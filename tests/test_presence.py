@@ -403,3 +403,37 @@ def test_merge_indexes_fuzz_vs_set_union(srcs, tiny_shards):
         # never see stale entries for re-used tmp dir names
         presence._SHARD_CACHE.clear()
         presence._META_CACHE.clear()
+
+
+def test_merge_distributed_matches_driver(spark, tmp_path, monkeypatch):
+    """The executor-side (applyInPandas) merge and the driver-side
+    merge produce byte-identical shard sets — the distributed path is
+    the 100 TB shape (merge IO scales with executors, the driver
+    handles metadata only), the driver path the small-index fast
+    path."""
+    dirs = []
+    for i, n in enumerate((40_000, 25_000, 10_000)):
+        df = spark.range(i * 30_000, i * 30_000 + n).select(
+            F.xxhash64("id").alias("h"))
+        d = str(tmp_path / f"m{i}.pidx")
+        presence.build_index(df, n, d, ["id"], ["bigint"])
+        dirs.append(d)
+    monkeypatch.setattr(presence, "TARGET_SHARD_KEYS", 4096)  # ns_m > 1
+    d_drv = str(tmp_path / "drv.pidx")
+    m_drv = presence.merge_indexes(dirs, d_drv)  # no spark: driver path
+    monkeypatch.setattr(presence, "DRIVER_MERGE_MAX_BYTES", 0)
+    d_dist = str(tmp_path / "dist.pidx")
+    m_dist = presence.merge_indexes(dirs, d_dist, spark=spark)
+    assert m_drv is not None and m_dist is not None
+    assert m_drv["nshards"] == m_dist["nshards"]
+    assert m_drv["bytes"] == m_dist["bytes"] and m_drv["bytes"] > 0
+    for s in range(m_drv["nshards"]):
+        try:
+            a1 = np.fromfile(presence._shard_path(d_drv, s), dtype="<i8")
+        except OSError:
+            a1 = np.empty(0, dtype="<i8")
+        try:
+            a2 = np.fromfile(presence._shard_path(d_dist, s), dtype="<i8")
+        except OSError:
+            a2 = np.empty(0, dtype="<i8")
+        assert np.array_equal(a1, a2)
