@@ -652,3 +652,48 @@ def test_column_stats_formatting_clean_vs_dirty(eng):
              for c in eng.sql("SHOW COLUMN STATS fstats").collect()}
     assert clean["f"] == dirty["f"], (clean["f"], dirty["f"])
     assert clean["d"] == dirty["d"], (clean["d"], dirty["d"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(hst.lists(
+    hst.one_of(
+        # code segments that may carry db qualifiers
+        hst.sampled_from([
+            "SELECT x FROM default.t", "default.t2", "DEFAULT . t3",
+            "JOIN default.`q`", "WHERE a=1", "mydefault.t", "defaultx.t",
+            "t.default_col",
+        ]),
+        # single-quoted literals ('' = escaped quote) that must
+        # survive byte-identical
+        hst.sampled_from([
+            "'default.t'", "'it''s default.x'", "''", "'USE default'",
+        ]),
+    ),
+    min_size=1, max_size=8,
+))
+def test_strip_db_qualifiers_fuzz(parts):
+    """Property: `default.` qualifiers are stripped outside string
+    literals only; quoted segments are byte-identical; unknown or
+    suffixed databases pass through; the rewrite is idempotent."""
+    from kudu_spark.engine import Engine
+
+    eng = Engine.__new__(Engine)
+    eng.database = "default"
+    text = " ".join(parts)
+    out = eng._strip_db_qualifiers(text)
+    # idempotent
+    assert eng._strip_db_qualifiers(out) == out
+    # quoted literals untouched, in order
+    import re
+    lits = re.findall(r"'(?:[^']|'')*'", text)
+    assert re.findall(r"'(?:[^']|'')*'", out) == lits
+    # outside quotes: no `default.` qualifier survives, and non-matching
+    # prefixes do survive
+    code = "".join(re.split(r"'(?:[^']|'')*'", out))
+    assert not re.search(r"\bdefault\s*\.", code, re.IGNORECASE)
+    if any(p == "mydefault.t" for p in parts):
+        assert "mydefault.t" in out
+    if any(p == "defaultx.t" for p in parts):
+        assert "defaultx.t" in out
+    if any(p == "t.default_col" for p in parts):
+        assert "t.default_col" in out
