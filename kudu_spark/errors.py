@@ -35,3 +35,10 @@ class SchemaError(KuduSparkError):
 
 class ConcurrentCommitError(KuduSparkError):
     """Optimistic-concurrency conflict appending to the commit log."""
+
+
+class FlushFailedError(KuduSparkError):
+    """Session flush had per-row failures; the failed ops are in the
+    session's error collector (Kudu: Status::IOError 'failed to flush
+    data: error details are available via GetPendingErrors',
+    client/session-internal.cc). Rows that did NOT fail were applied."""

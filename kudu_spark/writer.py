@@ -19,9 +19,9 @@ from enum import Enum
 
 from pyspark.sql import functions as F
 
-from kudu_spark.errors import KuduSparkError
+from kudu_spark.errors import FlushFailedError, KuduSparkError
 from kudu_spark.meta import head_version as _head_version
-from kudu_spark.table import Table
+from kudu_spark.table import AUTO_INC_COL, Table
 
 
 class FlushMode(Enum):
@@ -34,20 +34,83 @@ _OPS = ("insert", "insert_ignore", "upsert", "upsert_ignore",
         "update", "update_ignore", "delete", "delete_ignore")
 
 
+class OpError:
+    """One failed row operation, held in the session's error collector
+    (≈ KuduError, client.h:2553-2580: the failed op plus its status).
+    ``row`` is the dict passed to apply(); ``status`` the failure
+    reason, prefixed Kudu-style ('Already present: ...',
+    'Not found: ...', 'Invalid argument: ...')."""
+
+    __slots__ = ("op", "row", "status")
+
+    def __init__(self, op: str, row: dict, status: str):
+        self.op = op
+        self.row = dict(row)
+        self.status = status
+
+    def failed_op(self) -> tuple[str, dict]:
+        """(op kind, row) — KuduError::failed_op() parity."""
+        return (self.op, self.row)
+
+    def __repr__(self) -> str:
+        return f"OpError({self.op}, {self.row!r}, {self.status!r})"
+
+
 class Session:
     """Buffered row-op session on one table.
 
     apply(op, row_dict) buffers; flush() groups consecutive ops of the
     same kind into batches and executes them in order. Each flush is
     one or more commits (one per op-kind run), preserving apply order.
-    """
+
+    Per-row failures during a buffered flush (INSERT of a present key,
+    UPDATE/DELETE of an absent key, NULL in a PK column) do NOT abort
+    the batch: the failed ops land in a bounded error collector and
+    every other row applies, after which flush() raises
+    FlushFailedError — Kudu's session semantics (Flush() returns
+    IOError and the per-op errors are read back via GetPendingErrors,
+    client.h:2316-2420, session-internal.cc). In AUTO_FLUSH_SYNC mode
+    errors surface synchronously from apply() instead, exactly as the
+    reference client returns them from Apply()."""
 
     def __init__(self, table: Table, flush_mode: FlushMode = FlushMode.MANUAL_FLUSH,
-                 buffer_rows: int = 10000):
+                 buffer_rows: int = 10000, error_buffer_ops: int = 1000):
         self.table = table
         self.flush_mode = flush_mode
         self.buffer_rows = buffer_rows
+        # capacity in ops rather than the reference's bytes
+        # (SetErrorBufferSpace, client.h:2391) — rows here are small
+        # driver dicts, so an op count is the honest unit
+        self.error_buffer_ops = error_buffer_ops
         self._buf: list[tuple[str, dict]] = []
+        self._errors: list[OpError] = []
+        self._error_overflow = False
+
+    # -- error collector (GetPendingErrors / CountPendingErrors parity) ----------
+
+    def set_error_buffer_capacity(self, n_ops: int) -> None:
+        """≈ KuduSession::SetErrorBufferSpace (capacity in ops, not
+        bytes). Shrinking below the current backlog only affects new
+        errors."""
+        if n_ops < 1:
+            raise KuduSparkError("error buffer capacity must be >= 1")
+        self.error_buffer_ops = n_ops
+
+    def count_pending_errors(self) -> int:
+        return len(self._errors)
+
+    def get_pending_errors(self) -> tuple[list[OpError], bool]:
+        """Drain the collector: returns (errors, overflowed) and
+        resets both — python/kudu/client.pyx:1816-1840 semantics."""
+        errs, self._errors = self._errors, []
+        over, self._error_overflow = self._error_overflow, False
+        return errs, over
+
+    def _collect_error(self, op: str, row: dict, status: str) -> None:
+        if len(self._errors) >= self.error_buffer_ops:
+            self._error_overflow = True
+            return
+        self._errors.append(OpError(op, row, status))
 
     def apply(self, op: str, row: dict) -> None:
         if op not in _OPS:
@@ -74,12 +137,18 @@ class Session:
         self.apply("delete", row)
 
     def flush(self) -> list[int]:
-        """Execute buffered ops in apply order; returns commit versions."""
+        """Execute buffered ops in apply order; returns commit versions.
+
+        Buffered modes split each error-mode insert/update/delete run
+        into applying rows and per-row failures BEFORE the table op
+        runs: failures go to the error collector, the rest commit, and
+        FlushFailedError is raised at the end if anything failed —
+        never aborting unfailed rows (session-internal.cc ApplyError
+        handling). Statement-level errors (unknown column, immutable
+        column) still raise directly, as in the reference client."""
         if not self._buf:
             return []
         buf, self._buf = self._buf, []
-        spark = self.table.spark
-        st = self.table.state()
         versions = []
         # group consecutive same-op runs to preserve inter-op ordering
         runs: list[tuple[str, list[dict]]] = []
@@ -88,23 +157,117 @@ class Session:
                 runs[-1][1].append(row)
             else:
                 runs.append((op, [row]))
+        sync = self.flush_mode == FlushMode.AUTO_FLUSH_SYNC
+        n_failed = 0
         for op, rows in runs:
-            method = getattr(self.table, op)
-            cols = self._cols_for(st, op, rows)
-            data = [tuple(r.get(c) for c in cols) + (i,) for i, r in enumerate(rows)]
-            ddl = ", ".join(f"`{c}` {st.schema.col(c).type}" for c in cols)
-            df = spark.createDataFrame(data, ddl + ", __row_idx bigint")
-            if op not in ("upsert", "upsert_ignore"):
-                df = df.drop("__row_idx")
-                if op.startswith("insert"):
-                    df = df.dropDuplicates(st.schema.pk) if op == "insert_ignore" else df
-                if op.startswith(("update", "delete")):
-                    # last mention wins inside one run
-                    df = df.dropDuplicates(
-                        [c for c in cols if c in st.schema.pk]
-                    )
-            versions.append(method(df))
+            # fresh state per run: a prior run in this flush may have
+            # inserted the key a later update targets
+            st = self.table.state()
+            if not sync:
+                rows, nerr = self._split_failed(st, op, rows)
+                n_failed += nerr
+                if not rows:
+                    continue
+            self._run_op(st, op, rows, versions)
+        if n_failed:
+            raise FlushFailedError(
+                f"failed to flush data: {n_failed} row error(s); details "
+                f"are available via Session.get_pending_errors()"
+            )
         return versions
+
+    def _run_op(self, st, op: str, rows: list[dict], versions: list[int]) -> None:
+        spark = self.table.spark
+        method = getattr(self.table, op)
+        cols = self._cols_for(st, op, rows)
+        data = [tuple(r.get(c) for c in cols) + (i,) for i, r in enumerate(rows)]
+        ddl = ", ".join(f"`{c}` {st.schema.col(c).type}" for c in cols)
+        df = spark.createDataFrame(data, ddl + ", __row_idx bigint")
+        if op not in ("upsert", "upsert_ignore"):
+            df = df.drop("__row_idx")
+            if op.startswith("insert"):
+                df = df.dropDuplicates(st.schema.pk) if op == "insert_ignore" else df
+            if op.startswith(("update", "delete")):
+                # last mention wins inside one run
+                df = df.dropDuplicates(
+                    [c for c in cols if c in st.schema.pk]
+                )
+        versions.append(method(df))
+
+    def _split_failed(self, st, op: str, rows: list[dict]) -> tuple[list[dict], int]:
+        """Partition one run into (rows to apply, error count),
+        collecting per-row failures: present key on INSERT (Kudu
+        Status::AlreadyPresent), absent key on UPDATE/DELETE
+        (Status::NotFound), NULL PK (Status::InvalidArgument). The
+        probe is the same presence-index-short-circuited bounded key
+        probe the table ops use — O(batch), not O(table). IGNORE
+        variants and UPSERTs collect nothing (they cannot key-fail)."""
+        pk = st.schema.pk
+        if op == "insert" and AUTO_INC_COL in pk:
+            return rows, 0  # non-unique PK: inserts cannot collide
+        if op == "insert":
+            kept: list[dict] = []
+            errs: list[tuple[dict, str]] = []
+            seen: set[tuple] = set()
+            cand: list[tuple[tuple, dict]] = []
+            for row in rows:
+                key = tuple(row.get(c) for c in pk)
+                if any(k is None for k in key):
+                    errs.append((row, "Invalid argument: NULL value for primary key column"))
+                elif key in seen:
+                    errs.append((row, "Already present: key already present (earlier op in batch)"))
+                else:
+                    seen.add(key)
+                    cand.append((key, row))
+            present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
+            for key, row in cand:
+                if key in present:
+                    errs.append((row, "Already present: key already present"))
+                else:
+                    kept.append(row)
+        elif op in ("update", "delete"):
+            kept, errs = [], []
+            cand = []
+            for row in rows:
+                key = tuple(row.get(c) for c in pk)
+                if any(k is None for k in key):
+                    errs.append((row, "Invalid argument: NULL value for primary key column"))
+                else:
+                    cand.append((key, row))
+            present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
+            for key, row in cand:
+                if key in present:
+                    kept.append(row)
+                else:
+                    errs.append((row, "Not found: key not found"))
+        else:
+            return rows, 0
+        for row, status in errs:
+            self._collect_error(op, row, status)
+        return kept, len(errs)
+
+    def _present_key_set(self, st, keys: list[tuple]) -> set[tuple]:
+        """Which of ``keys`` (PK tuples, apply-order) exist in the
+        table right now. One bounded probe per run: the presence-index
+        short circuit answers append-only tables with zero data IO;
+        otherwise the overlapping-scan key probe. Matching is by row
+        index, so caller-supplied values never need normalizing
+        against Spark's types."""
+        if not st.files or not keys:
+            return set()
+        pk = st.schema.pk
+        spark = self.table.spark
+        ddl = ", ".join(f"`{c}` {st.schema.col(c).type}" for c in pk)
+        kdf = spark.createDataFrame(
+            [k + (i,) for i, k in enumerate(keys)], ddl + ", __i bigint"
+        )
+        keys_only = kdf.select(*pk)
+        cand = self.table.present_key_probe(keys_only, pk, st)
+        if cand is not None and not cand.limit(1).collect():
+            return set()
+        existing = self.table._existing_pks(st, keys_only if cand is None else cand)
+        hit = kdf.join(existing, on=pk, how="left_semi").select("__i").collect()
+        return {keys[r["__i"]] for r in hit}
 
     def _cols_for(self, st, op: str, rows: list[dict]) -> list[str]:
         present = set()

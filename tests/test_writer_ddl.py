@@ -61,6 +61,99 @@ def test_session_auto_flush_background(t):
     assert 30 in got and 31 in got
 
 
+def test_session_error_collector_collects_and_applies_rest(t):
+    """Per-row failures in a buffered flush land in the error
+    collector while every other row applies — Kudu session semantics
+    (Flush → IOError, errors via GetPendingErrors,
+    client.h:2316-2420); the old first-error-aborts-the-batch shape
+    lost the rest of the buffer."""
+    from kudu_spark.errors import FlushFailedError
+
+    s = Session(t, FlushMode.MANUAL_FLUSH)
+    s.insert({"key": 0, "int_val": 1, "string_val": "dup"})  # key 0 exists
+    s.insert({"key": 50, "int_val": 5, "string_val": "ok"})
+    s.update({"key": 999, "int_val": 7})  # absent
+    s.update({"key": 2, "int_val": 777})
+    s.delete({"key": 998})  # absent
+    s.delete({"key": 3})
+    with pytest.raises(FlushFailedError, match="3 row error"):
+        s.flush()
+    got = snap(t)
+    assert got[50] == (5, "ok") and got[2] == (777, "s2") and 3 not in got
+    assert got[0] == (0, "s0")  # the dup insert did NOT clobber
+    assert s.count_pending_errors() == 3
+    errs, overflowed = s.get_pending_errors()
+    assert not overflowed
+    by_status = sorted((e.op, e.status.split(":")[0], e.row["key"]) for e in errs)
+    assert by_status == [
+        ("delete", "Not found", 998),
+        ("insert", "Already present", 0),
+        ("update", "Not found", 999),
+    ]
+    # GetPendingErrors drains (python/kudu/client.pyx:1816-1840)
+    assert s.get_pending_errors() == ([], False)
+    # the session stays usable after a failed flush
+    s.insert({"key": 51, "int_val": 1, "string_val": "later"})
+    s.flush()
+    assert 51 in snap(t)
+
+
+def test_session_error_collector_in_batch_dup_and_null_pk(t):
+    """Second insert of the same key inside ONE buffer errors (apply
+    order: first wins, fuzz-itest.cc:122-141), and a NULL PK is an
+    invalid-argument row error, not a batch abort."""
+    from kudu_spark.errors import FlushFailedError
+
+    s = Session(t, FlushMode.MANUAL_FLUSH)
+    s.insert({"key": 60, "int_val": 1, "string_val": "first"})
+    s.insert({"key": 60, "int_val": 2, "string_val": "second"})
+    s.insert({"key": None, "int_val": 3, "string_val": "nullpk"})
+    with pytest.raises(FlushFailedError):
+        s.flush()
+    assert snap(t)[60] == (1, "first")
+    errs, _ = s.get_pending_errors()
+    statuses = sorted(e.status.split(":")[0] for e in errs)
+    assert statuses == ["Already present", "Invalid argument"]
+    assert errs[0].failed_op()[0] == "insert"
+
+
+def test_session_error_buffer_overflow(t):
+    """Capacity-exceeded errors are dropped and flagged
+    (SetErrorBufferSpace, client.h:2391; error_collector.cc)."""
+    from kudu_spark.errors import FlushFailedError
+
+    s = Session(t, FlushMode.MANUAL_FLUSH, error_buffer_ops=2)
+    for k in (990, 991, 992):
+        s.delete({"key": k})  # all absent
+    with pytest.raises(FlushFailedError, match="3 row error"):
+        s.flush()
+    errs, overflowed = s.get_pending_errors()
+    assert len(errs) == 2 and overflowed
+
+
+def test_session_ignore_ops_collect_nothing(t):
+    """IGNORE variants swallow row misses exactly like the reference
+    (row_operations.proto:40-43): nothing reaches the collector."""
+    s = Session(t, FlushMode.MANUAL_FLUSH)
+    s.apply("insert_ignore", {"key": 0, "int_val": 9, "string_val": "dup"})
+    s.apply("update_ignore", {"key": 999, "int_val": 9})
+    s.apply("delete_ignore", {"key": 998})
+    s.flush()
+    assert s.count_pending_errors() == 0
+    assert snap(t)[0] == (0, "s0")
+
+
+def test_session_sync_mode_raises_from_apply(t):
+    """AUTO_FLUSH_SYNC surfaces the row error synchronously from
+    apply(), like the reference client's Apply() in sync mode."""
+    from kudu_spark.errors import DuplicateKeyError
+
+    s = Session(t, FlushMode.AUTO_FLUSH_SYNC)
+    with pytest.raises(DuplicateKeyError):
+        s.insert({"key": 0, "int_val": 1, "string_val": "dup"})
+    assert s.count_pending_errors() == 0
+
+
 def test_transaction_atomic_commit(t, spark):
     v0 = t.version
     txn = Transaction(t)
