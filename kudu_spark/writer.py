@@ -85,6 +85,28 @@ class Session:
         self._buf: list[tuple[str, dict]] = []
         self._errors: list[OpError] = []
         self._error_overflow = False
+        self._metrics = {
+            k: 0 for k in (
+                "successful_inserts", "insert_ignore_errors",
+                "successful_upserts", "upsert_ignore_errors",
+                "successful_updates", "update_ignore_errors",
+                "successful_deletes", "delete_ignore_errors",
+            )
+        }
+
+    def has_pending_operations(self) -> bool:
+        """Ops applied but not yet flushed (KuduSession::HasPendingOperations)."""
+        return bool(self._buf)
+
+    def get_write_op_metrics(self) -> dict:
+        """Cumulative write-op metrics since the session began — the
+        reference's key names exactly (GetWriteOpMetrics,
+        client-test.cc:3377-3395): successful_<op>s counts ops that
+        applied; <op>_ignore_errors counts ops an IGNORE variant
+        swallowed (present key on INSERT_IGNORE, absent key on
+        UPDATE/DELETE_IGNORE, immutable-cell change on
+        UPSERT_IGNORE)."""
+        return dict(self._metrics)
 
     # -- error collector (GetPendingErrors / CountPendingErrors parity) ----------
 
@@ -163,12 +185,25 @@ class Session:
             # fresh state per run: a prior run in this flush may have
             # inserted the key a later update targets
             st = self.table.state()
-            if not sync:
-                rows, nerr = self._split_failed(st, op, rows)
+            ignore = op.endswith("_ignore")
+            base = op[: -len("_ignore")] if ignore else op
+            # key-existence split: buffered error-mode ops collect
+            # failures; IGNORE ops (any mode — splitting them never
+            # changes visible behavior) drop-and-count the swallowed
+            # rows for the metrics map
+            if base in ("insert", "update", "delete") and (ignore or not sync):
+                rows, nerr, n_ignored = self._split_failed(st, op, rows)
                 n_failed += nerr
+                if n_ignored:
+                    self._metrics[f"{base}_ignore_errors"] += n_ignored
                 if not rows:
                     continue
+            if op == "upsert_ignore":
+                self._metrics["upsert_ignore_errors"] += (
+                    self._count_immutable_skips(st, rows)
+                )
             self._run_op(st, op, rows, versions)
+            self._metrics[f"successful_{base}s"] += len(rows)
         if n_failed:
             raise FlushFailedError(
                 f"failed to flush data: {n_failed} row error(s); details "
@@ -194,57 +229,90 @@ class Session:
                 )
         versions.append(method(df))
 
-    def _split_failed(self, st, op: str, rows: list[dict]) -> tuple[list[dict], int]:
-        """Partition one run into (rows to apply, error count),
-        collecting per-row failures: present key on INSERT (Kudu
-        Status::AlreadyPresent), absent key on UPDATE/DELETE
-        (Status::NotFound), NULL PK (Status::InvalidArgument). The
-        probe is the same presence-index-short-circuited bounded key
-        probe the table ops use — O(batch), not O(table). IGNORE
-        variants and UPSERTs collect nothing (they cannot key-fail)."""
+    def _split_failed(self, st, op: str,
+                      rows: list[dict]) -> tuple[list[dict], int, int]:
+        """Partition one run into (rows to apply, collected-error
+        count, ignored count). Error-mode ops collect per-row
+        failures: present key on INSERT (Kudu Status::AlreadyPresent),
+        absent key on UPDATE/DELETE (Status::NotFound), NULL PK
+        (Status::InvalidArgument). IGNORE variants drop-and-count the
+        same rows instead (the swallowed-op metric), except NULL PKs,
+        which stay in the batch so the table raises its usual
+        SchemaError — ignore covers key misses, not malformed rows.
+        The probe is the same presence-index-short-circuited bounded
+        key probe the table ops use — O(batch), not O(table)."""
         pk = st.schema.pk
-        if op == "insert" and AUTO_INC_COL in pk:
-            return rows, 0  # non-unique PK: inserts cannot collide
-        if op == "insert":
-            kept: list[dict] = []
-            errs: list[tuple[dict, str]] = []
-            seen: set[tuple] = set()
-            cand: list[tuple[tuple, dict]] = []
-            for row in rows:
-                key = tuple(row.get(c) for c in pk)
-                if any(k is None for k in key):
+        ignore = op.endswith("_ignore")
+        base = op[: -len("_ignore")] if ignore else op
+        if base == "insert" and AUTO_INC_COL in pk:
+            return rows, 0, 0  # non-unique PK: inserts cannot collide
+        kept: list[dict] = []
+        errs: list[tuple[dict, str]] = []
+        ignored = 0
+        seen: set[tuple] = set()
+        cand: list[tuple[tuple, dict]] = []
+        for row in rows:
+            key = tuple(row.get(c) for c in pk)
+            if any(k is None for k in key):
+                if ignore:
+                    kept.append(row)  # table raises SchemaError
+                else:
                     errs.append((row, "Invalid argument: NULL value for primary key column"))
-                elif key in seen:
+            elif base == "insert" and key in seen:
+                if ignore:
+                    ignored += 1
+                else:
                     errs.append((row, "Already present: key already present (earlier op in batch)"))
-                else:
-                    seen.add(key)
-                    cand.append((key, row))
-            present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
-            for key, row in cand:
-                if key in present:
-                    errs.append((row, "Already present: key already present"))
-                else:
-                    kept.append(row)
-        elif op in ("update", "delete"):
-            kept, errs = [], []
-            cand = []
-            for row in rows:
-                key = tuple(row.get(c) for c in pk)
-                if any(k is None for k in key):
-                    errs.append((row, "Invalid argument: NULL value for primary key column"))
-                else:
-                    cand.append((key, row))
-            present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
-            for key, row in cand:
-                if key in present:
-                    kept.append(row)
-                else:
-                    errs.append((row, "Not found: key not found"))
-        else:
-            return rows, 0
+            else:
+                seen.add(key)
+                cand.append((key, row))
+        present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
+        for key, row in cand:
+            hit = key in present
+            ok = not hit if base == "insert" else hit
+            if ok:
+                kept.append(row)
+            elif ignore:
+                ignored += 1
+            elif base == "insert":
+                errs.append((row, "Already present: key already present"))
+            else:
+                errs.append((row, "Not found: key not found"))
         for row, status in errs:
             self._collect_error(op, row, status)
-        return kept, len(errs)
+        return kept, len(errs), ignored
+
+    def _count_immutable_skips(self, st, rows: list[dict]) -> int:
+        """UPSERT_IGNORE ops whose change to an immutable cell of an
+        EXISTING row was swallowed (tablet_metrics.cc
+        upsert_ignore_errors). Zero-cost unless the table declares
+        immutable columns and the batch mentions one."""
+        imm = [c.name for c in st.schema.columns
+               if c.immutable and any(c.name in r for r in rows)]
+        if not imm or not st.files:
+            return 0
+        pk = st.schema.pk
+        cols = list(pk) + imm
+        # a per-row flag per immutable column: only an op that SETS the
+        # cell can have its change ignored (unset cells aren't written)
+        ddl = ", ".join(f"`{c}` {st.schema.col(c).type}" for c in cols)
+        ddl += ", " + ", ".join(f"`__has_{c}` boolean" for c in imm)
+        # per OP, not per key: two ops on one key each count
+        # (client-test.cc DoVerifyMetrics counts every Apply)
+        bdf = self.table.spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) + tuple(c in r for c in imm)
+             for r in rows],
+            ddl,
+        )
+        existing = self.table._snapshot_overlapping(st, bdf).select(
+            *pk, *[F.col(c).alias(f"__old_{c}") for c in imm]
+        )
+        joined = bdf.join(existing, on=pk, how="inner")
+        changed = None
+        for c in imm:
+            cond = F.col(f"__has_{c}") & ~F.col(f"__old_{c}").eqNullSafe(F.col(c))
+            changed = cond if changed is None else (changed | cond)
+        return joined.where(changed).count()
 
     def _present_key_set(self, st, keys: list[tuple]) -> set[tuple]:
         """Which of ``keys`` (PK tuples, apply-order) exist in the

@@ -143,6 +143,65 @@ def test_session_ignore_ops_collect_nothing(t):
     assert snap(t)[0] == (0, "s0")
 
 
+def test_session_write_op_metrics(t, engine, spark):
+    """GetWriteOpMetrics parity — key names and accounting follow
+    client-test.cc:3377-3440,9771-9818: swallowed IGNORE ops count
+    only <op>_ignore_errors (except UPSERT_IGNORE's immutable skip,
+    which also counts successful_upserts), applied ops count
+    successful_<op>s, collected errors count neither."""
+    s = Session(t, FlushMode.MANUAL_FLUSH)
+    s.insert({"key": 80, "int_val": 1, "string_val": "a"})
+    s.insert({"key": 81, "int_val": 1, "string_val": "b"})
+    s.apply("insert_ignore", {"key": 80, "int_val": 9, "string_val": "dup"})
+    s.apply("insert_ignore", {"key": 82, "int_val": 1, "string_val": "new"})
+    s.upsert({"key": 83, "int_val": 1, "string_val": "up"})
+    s.update({"key": 80, "int_val": 2})
+    s.apply("update_ignore", {"key": 999, "int_val": 2})
+    s.delete({"key": 81})
+    s.apply("delete_ignore", {"key": 998})
+    s.flush()
+    m = s.get_write_op_metrics()
+    assert m == {
+        "successful_inserts": 3, "insert_ignore_errors": 1,
+        "successful_upserts": 1, "upsert_ignore_errors": 0,
+        "successful_updates": 1, "update_ignore_errors": 1,
+        "successful_deletes": 1, "delete_ignore_errors": 1,
+    }
+    assert not s.has_pending_operations()
+    s.upsert({"key": 84, "int_val": 1, "string_val": "pend"})
+    assert s.has_pending_operations()
+    s.flush()
+    # a collected error (absent-key DELETE) counts in NO metric
+    from kudu_spark.errors import FlushFailedError
+
+    s.delete({"key": 997})
+    with pytest.raises(FlushFailedError):
+        s.flush()
+    m = s.get_write_op_metrics()
+    assert m["successful_upserts"] == 2 and m["successful_deletes"] == 1
+
+    # UPSERT_IGNORE touching an immutable cell of an existing row:
+    # successful_upserts++ AND upsert_ignore_errors++
+    # (client-test.cc:9805-9818)
+    ti = engine.create_table("imm_m", SIMPLE, pk=["key"],
+                             immutable_cols=["string_val"])
+    ti.insert(spark.createDataFrame([(1, 1, "frozen")],
+                                    "key int, int_val int, string_val string"))
+    si = Session(ti, FlushMode.MANUAL_FLUSH)
+    si.upsert({"key": 1, "int_val": 2, "string_val": "frozen"})  # unchanged cell: ok
+    si.upsert({"key": 2, "int_val": 1, "string_val": "new-row"})
+    si.flush()
+    mi = si.get_write_op_metrics()
+    assert mi["successful_upserts"] == 2 and mi["upsert_ignore_errors"] == 0
+    si.apply("upsert_ignore", {"key": 1, "int_val": 3, "string_val": "changed"})
+    si.apply("upsert_ignore", {"key": 1, "int_val": 4})  # cell unset: no skip
+    si.flush()
+    mi = si.get_write_op_metrics()
+    assert mi["successful_upserts"] == 4 and mi["upsert_ignore_errors"] == 1
+    got = {r.key: (r.int_val, r.string_val) for r in ti.scan().collect()}
+    assert got[1] == (4, "frozen")
+
+
 def test_session_sync_mode_raises_from_apply(t):
     """AUTO_FLUSH_SYNC surfaces the row error synchronously from
     apply(), like the reference client's Apply() in sync mode."""
