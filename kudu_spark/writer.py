@@ -267,11 +267,17 @@ class Session:
                 seen.add(key)
                 cand.append((key, row))
         present = self._present_key_set(st, [k for k, _ in cand]) if cand else set()
+        dead: set[tuple] = set()  # keys a kept DELETE in THIS run removes
         for key, row in cand:
-            hit = key in present
+            hit = key in present and key not in dead
             ok = not hit if base == "insert" else hit
             if ok:
                 kept.append(row)
+                if base == "delete":
+                    # sequential apply order: a second DELETE of the
+                    # same key in one buffer is NotFound (Kudu applies
+                    # ops one by one, fuzz-itest.cc:122-141)
+                    dead.add(key)
             elif ignore:
                 ignored += 1
             elif base == "insert":

@@ -202,6 +202,117 @@ def test_session_write_op_metrics(t, engine, spark):
     assert got[1] == (4, "frozen")
 
 
+def test_fuzz_session_error_collector_vs_model(t):
+    """Seeded op-sequence fuzz of the buffered session against a
+    sequential-apply model (fuzz-itest.cc:122-141 discipline): after
+    every flush the table state, the collected errors (op, key,
+    status), the FlushFailedError outcome, and the cumulative write-op
+    metrics must all match the model exactly."""
+    import random
+
+    from kudu_spark.errors import FlushFailedError
+
+    rng = random.Random(1117)
+    s = Session(t, FlushMode.MANUAL_FLUSH)
+    model = {k: (k * 10, f"s{k}") for k in range(5)}
+    metrics = {
+        k: 0 for k in (
+            "successful_inserts", "insert_ignore_errors",
+            "successful_upserts", "upsert_ignore_errors",
+            "successful_updates", "update_ignore_errors",
+            "successful_deletes", "delete_ignore_errors",
+        )
+    }
+    OPS = ["insert", "insert_ignore", "upsert", "upsert_ignore",
+           "update", "update_ignore", "delete", "delete_ignore"]
+
+    def sim_flush(buf):
+        """Expected (errors, model mutation, metric bumps) for one
+        flush: consecutive same-op runs, key-presence judged at run
+        start (plus in-run insert dup / delete tombstone order)."""
+        errors = []
+        runs: list[tuple[str, list[dict]]] = []
+        for op, row in buf:
+            if runs and runs[-1][0] == op:
+                runs[-1][1].append(row)
+            else:
+                runs.append((op, [row]))
+        for op, rows in runs:
+            ignore = op.endswith("_ignore")
+            base = op[: -len("_ignore")] if ignore else op
+            start = set(model)
+            if base == "insert":
+                seen: set[int] = set()
+                for r in rows:
+                    k = r["key"]
+                    if k in seen or k in start:
+                        if ignore:
+                            metrics["insert_ignore_errors"] += 1
+                        else:
+                            errors.append((op, k, "Already present"))
+                    else:
+                        seen.add(k)
+                        model[k] = (r["int_val"], r["string_val"])
+                        metrics["successful_inserts"] += 1
+            elif base == "update":
+                for r in rows:
+                    k = r["key"]
+                    if k in start:
+                        model[k] = (r["int_val"], model[k][1])
+                        metrics["successful_updates"] += 1
+                    elif ignore:
+                        metrics["update_ignore_errors"] += 1
+                    else:
+                        errors.append((op, k, "Not found"))
+            elif base == "delete":
+                dead: set[int] = set()
+                for r in rows:
+                    k = r["key"]
+                    if k in start and k not in dead:
+                        dead.add(k)
+                        model.pop(k)
+                        metrics["successful_deletes"] += 1
+                    elif ignore:
+                        metrics["delete_ignore_errors"] += 1
+                    else:
+                        errors.append((op, k, "Not found"))
+            else:  # upsert / upsert_ignore: never key-fails here
+                for r in rows:
+                    model[r["key"]] = (r["int_val"], r["string_val"])
+                    metrics["successful_upserts"] += 1
+        return errors
+
+    step = 0
+    for _ in range(6):
+        buf = []
+        for _ in range(rng.randint(4, 9)):
+            op = rng.choice(OPS)
+            k = rng.choice(range(12))
+            v = step * 100 + k
+            step += 1
+            if op.startswith("update"):
+                row = {"key": k, "int_val": v}
+            elif op.startswith("delete"):
+                row = {"key": k}
+            else:
+                row = {"key": k, "int_val": v, "string_val": f"s{v}"}
+            buf.append((op, row))
+            s.apply(op, row)
+        expected_errors = sim_flush(buf)
+        if expected_errors:
+            with pytest.raises(FlushFailedError,
+                               match=f"{len(expected_errors)} row error"):
+                s.flush()
+        else:
+            s.flush()
+        got_errors, overflowed = s.get_pending_errors()
+        assert not overflowed
+        assert sorted((e.op, e.row["key"], e.status.split(":")[0])
+                      for e in got_errors) == sorted(expected_errors)
+        assert snap(t) == model
+    assert s.get_write_op_metrics() == metrics
+
+
 def test_session_sync_mode_raises_from_apply(t):
     """AUTO_FLUSH_SYNC surfaces the row error synchronously from
     apply(), like the reference client's Apply() in sync mode."""
