@@ -83,6 +83,8 @@ class Session:
         # driver dicts, so an op count is the honest unit
         self.error_buffer_ops = error_buffer_ops
         self._buf: list[tuple[str, dict]] = []
+        self._buf_started = 0.0
+        self._flush_interval_s: float | None = None
         self._errors: list[OpError] = []
         self._error_overflow = False
         self._metrics = {
@@ -134,15 +136,34 @@ class Session:
             return
         self._errors.append(OpError(op, row, status))
 
+    def set_mutation_buffer_flush_interval(self, millis: int) -> None:
+        """≈ KuduSession::SetMutationBufferFlushInterval
+        (client.pyx:1742-1763): in AUTO_FLUSH_BACKGROUND mode, a
+        buffer older than this also flushes even below buffer_rows —
+        for trickle streams that would otherwise sit buffered
+        indefinitely. Piggy-backed on apply() rather than a timer
+        thread: a driver-side session has no concurrent flusher, so
+        the check runs at the only moment a flush could matter."""
+        if millis < 0:
+            raise KuduSparkError("flush interval must be >= 0")
+        self._flush_interval_s = millis / 1000.0
+
     def apply(self, op: str, row: dict) -> None:
+        import time
+
         if op not in _OPS:
             raise KuduSparkError(f"unknown op {op}")
+        if not self._buf:
+            self._buf_started = time.monotonic()
         self._buf.append((op, dict(row)))
         if self.flush_mode == FlushMode.AUTO_FLUSH_SYNC:
             self.flush()
-        elif (
-            self.flush_mode == FlushMode.AUTO_FLUSH_BACKGROUND
-            and len(self._buf) >= self.buffer_rows
+        elif self.flush_mode == FlushMode.AUTO_FLUSH_BACKGROUND and (
+            len(self._buf) >= self.buffer_rows
+            or (
+                self._flush_interval_s is not None
+                and time.monotonic() - self._buf_started >= self._flush_interval_s
+            )
         ):
             self.flush()
 
@@ -167,7 +188,14 @@ class Session:
         FlushFailedError is raised at the end if anything failed —
         never aborting unfailed rows (session-internal.cc ApplyError
         handling). Statement-level errors (unknown column, immutable
-        column) still raise directly, as in the reference client."""
+        column) still raise directly, as in the reference client.
+
+        Concurrency note: the split probes a snapshot, so a key a
+        CONCURRENT writer inserts between the probe and this run's
+        commit surfaces as the table op's own batch-level
+        DuplicateKeyError (via _commit_revalidated's re-run), not as a
+        collected row error — the engine revalidates per batch where
+        the reference revalidates per row on the tablet leader."""
         if not self._buf:
             return []
         buf, self._buf = self._buf, []

@@ -324,6 +324,22 @@ def test_session_sync_mode_raises_from_apply(t):
     assert s.count_pending_errors() == 0
 
 
+def test_session_background_flush_interval(t):
+    """SetMutationBufferFlushInterval parity: in background mode an
+    aged buffer flushes on the next apply() even below buffer_rows
+    (client.pyx:1742-1763)."""
+    s = Session(t, FlushMode.AUTO_FLUSH_BACKGROUND, buffer_rows=100)
+    s.set_mutation_buffer_flush_interval(0)  # every buffer is "aged"
+    s.upsert({"key": 70, "int_val": 1, "string_val": "x"})
+    assert 70 in snap(t) and not s.has_pending_operations()
+    s2 = Session(t, FlushMode.AUTO_FLUSH_BACKGROUND, buffer_rows=100)
+    s2.set_mutation_buffer_flush_interval(3_600_000)  # never ages in-test
+    s2.upsert({"key": 71, "int_val": 1, "string_val": "y"})
+    assert 71 not in snap(t) and s2.has_pending_operations()
+    s2.flush()
+    assert 71 in snap(t)
+
+
 def test_transaction_atomic_commit(t, spark):
     v0 = t.version
     txn = Transaction(t)
