@@ -176,13 +176,21 @@ def read_meta(dir_abs: str) -> dict | None:
 
 
 def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
+    """Memory-map the shard read-only: every worker process on a host
+    shares ONE page-cache copy of the index (np.fromfile would copy
+    each shard into each of the ~cores python workers — O(cores x
+    index) RSS), loads are lazy (a binary search touches O(log) pages,
+    so a post-merge cold probe does not re-read the whole index), and
+    sidecar files are immutable-once-published, so a mapping can never
+    observe a torn write. The cache bounds VIRTUAL bytes — i.e. open
+    fds — not RSS; the kernel evicts pages under pressure."""
     key = (dir_abs, shard)
     hit = _SHARD_CACHE.get(key)
     if hit is not None:
         return hit
     try:
-        arr = np.fromfile(_shard_path(dir_abs, shard), dtype="<i8")
-    except OSError:
+        arr = np.memmap(_shard_path(dir_abs, shard), dtype="<i8", mode="r")
+    except (OSError, ValueError):
         arr = np.empty(0, dtype="<i8")  # shard had no keys
     while (
         _SHARD_CACHE
