@@ -637,3 +637,22 @@ def test_cluster_by_reorders_files_probes_stay_exact(engine, spark, tmp_path):
     with pytest.raises(SchemaError):
         t2.insert(spark.createDataFrame([(n * 2, 1, 1, "x")],
                                         "k bigint, ts bigint, v int, pad string"))
+
+
+def test_no_cartesian_or_row_udf_anywhere(spark, sf_dir):
+    """Registry-wide plan contract: NO query may plan a
+    CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython).
+    Arrow-batched evaluation (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is the only Python allowed in a plan —
+    the 10-100x cheaper path (pyspark_guide). A plan-only sweep: each
+    query is built and planned, never executed, so the engine-table
+    queries pay only their setup mutations."""
+    from kudu_spark.queries import get_all_queries
+
+    bad = {}
+    for name, fn in get_all_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().simpleString()
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plan contract violations: {bad}"
