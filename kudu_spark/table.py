@@ -1826,6 +1826,12 @@ class Table:
         ``handle_schema_drift`` auto-adds unknown batch columns first
         (KuduWriteOptions.handleSchemaDrift)."""
         assert mode in ("error", "ignore")
+        if AUTO_INC_COL in df.columns:
+            # row_operations.cc:528-529 — the counter is server-assigned
+            raise SchemaError(
+                "auto-incrementing column should not be set for "
+                "INSERT/INSERT_IGNORE operations"
+            )
         st = self._auto_add_columns(df) if handle_schema_drift else self.state()
         batch = self._validate_batch(st, df)
         pk = st.schema.pk
@@ -1914,6 +1920,17 @@ class Table:
         assert mode in ("error", "ignore")
         st = self._auto_add_columns(df) if handle_schema_drift else self.state()
         pk = st.schema.pk
+        has_auto = any(c.name == AUTO_INC_COL for c in st.schema.columns)
+        if has_auto and AUTO_INC_COL not in df.columns:
+            # an UPSERT addresses a FULL primary key; on non-unique-PK
+            # tables that includes the assigned counter
+            # (row_operations.cc:514-516 allows setting it for UPSERT,
+            # and a PK cell can never be left unset)
+            raise SchemaError(
+                f"no value provided for required column {AUTO_INC_COL}: "
+                "UPSERT on a table with an auto-incrementing column must "
+                "target full primary keys"
+            )
         order_col = "__row_idx" if "__row_idx" in df.columns else None
         batch = df.select(
             *[
@@ -1933,6 +1950,27 @@ class Table:
             )
         else:
             batch = batch.dropDuplicates(pk)
+        # PK validation: PK columns are non-nullable (common.proto) —
+        # a NULL slips past the per-column casts, and an unchecked one
+        # would publish a row no probe or merge plan can address. Same
+        # single small agg job the insert path pays.
+        null_pk = None
+        for c in pk:
+            cond = F.col(c).isNull()
+            null_pk = cond if null_pk is None else (null_pk | cond)
+        checks = [F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls")]
+        if has_auto:
+            checks.append(F.min(AUTO_INC_COL).alias("min_auto"))
+        agg = batch.agg(*checks).collect()[0]
+        if agg.nulls:
+            raise SchemaError(
+                f"batch holds {agg.nulls} row(s) with NULL primary key"
+            )
+        if has_auto and agg.min_auto is not None and agg.min_auto <= 0:
+            # row_operations.cc:543-546
+            raise SchemaError(
+                "auto-incrementing column value must be greater than zero"
+            )
         imm = [c.name for c in st.schema.columns if c.immutable and c.name in df.columns]
         if imm:
             import functools

@@ -148,6 +148,43 @@ def test_auto_increment_non_unique_pk(engine, spark):
     ]
 
 
+def test_auto_increment_write_op_rules(engine, spark):
+    """row_operations.cc:505-551 parity: INSERT must NOT set the
+    auto-incrementing column (it is server-assigned), UPSERT MUST set
+    it (a PK cell can never be unset) and the value must be positive;
+    a valid targeted UPSERT updates exactly the addressed duplicate."""
+    from kudu_spark.errors import SchemaError
+
+    t = engine.create_table("auto_rules", SIMPLE, pk=["key"], non_unique_pk=True)
+    t.insert(rows(spark, [(1, 10), (1, 11)]))
+    full = "key int, auto_incrementing_id bigint, int_val int, string_val string"
+    with pytest.raises(SchemaError, match="should not be set for INSERT"):
+        t.insert(spark.createDataFrame([(2, 99, 20, "z")], full))
+    with pytest.raises(SchemaError, match="no value provided for required column"):
+        t.upsert(rows(spark, [(1, 100)]))
+    with pytest.raises(SchemaError, match="greater than zero"):
+        t.upsert(spark.createDataFrame([(1, 0, 1, "u")], full))
+    ids = sorted(r.auto_incrementing_id for r in t.scan().collect())
+    t.upsert(spark.createDataFrame([(1, ids[0], 500, "tgt")], full))
+    got = sorted((r.key, r.auto_incrementing_id, r.int_val) for r in t.scan().collect())
+    assert got == [(1, ids[0], 500), (1, ids[1], 11)]
+
+
+def test_upsert_rejects_null_pk(engine, spark):
+    """PK columns are non-nullable (common.proto); an unchecked NULL
+    published by UPSERT would be unaddressable by any probe or merge
+    plan. INSERT already rejected this; UPSERT must too."""
+    from kudu_spark.errors import SchemaError
+
+    t = engine.create_table("null_pk_up", SIMPLE, pk=["key"])
+    t.insert(rows(spark, [(1, 10)]))
+    with pytest.raises(SchemaError, match="NULL primary key"):
+        t.upsert(spark.createDataFrame(
+            [(None, 5, "bad")], "key int, int_val int, string_val string"
+        ))
+    assert [r.key for r in t.scan().collect()] == [1]
+
+
 def test_auto_increment_wide_batch_no_stride_overflow(engine, spark):
     """A batch with more input partitions than AUTO_INC_STRIDE >> 33
     (128) must not overflow the commit's id reservation: ids stay
