@@ -1783,6 +1783,21 @@ class Table:
     def _existing_pks(self, st: TableState, batch: DataFrame) -> DataFrame:
         return self._snapshot_overlapping(st, batch).select(*st.schema.pk)
 
+    @staticmethod
+    def _null_violation_cond(st: TableState, names: list[str]):
+        """OR-condition true on a row that would publish NULL into a
+        non-nullable column among ``names`` — the reference rejects
+        these with InvalidArgument on every write path
+        (row_operations.cc:559 insert/upsert, :706 update). Returns
+        None when no named column is non-nullable."""
+        cond = None
+        for c in names:
+            if c == AUTO_INC_COL or st.schema.col(c).nullable:
+                continue
+            x = F.col(c).isNull()
+            cond = x if cond is None else (cond | x)
+        return cond
+
     def _discard(self, entries: list[FileEntry]) -> None:
         """Unlink files written for a commit attempt that lost the
         optimistic-concurrency race (never referenced by any commit)."""
@@ -1838,6 +1853,27 @@ class Table:
         logical_pk = [c for c in pk if c != AUTO_INC_COL]
         props = {}
         if any(c.name == AUTO_INC_COL for c in st.schema.columns):
+            # non-unique PK: duplicates are fine, NULLs are not — one
+            # validation job over the pre-counter batch (key NULLs:
+            # row_operations.cc:652; non-nullable: :559)
+            null_pk = None
+            for c in logical_pk:
+                cond = F.col(c).isNull()
+                null_pk = cond if null_pk is None else (null_pk | cond)
+            nn = self._null_violation_cond(st, [c for c in st.schema.names if c not in pk])
+            checks = [F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls")]
+            if nn is not None:
+                checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
+            agg = batch.agg(*checks).collect()[0]
+            if agg.nulls:
+                raise SchemaError(
+                    f"batch holds {agg.nulls} row(s) with NULL primary key"
+                )
+            if nn is not None and agg.nn:
+                raise SchemaError(
+                    "NULL value not allowed for non-nullable column "
+                    f"({agg.nn} row(s))"
+                )
             base = int(st.props.get("auto_inc_next", 1))
             # monotonically_increasing_id allocates (partition << 33) +
             # row, so a batch with more than STRIDE>>33 (= 128) input
@@ -1859,15 +1895,26 @@ class Table:
             for c in logical_pk:
                 cond = F.col(c).isNull()
                 null_pk = cond if null_pk is None else (null_pk | cond)
-            agg = batch.agg(
+            nn = self._null_violation_cond(st, [c for c in st.schema.names if c not in pk])
+            checks = [
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
                 F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls"),
-            ).collect()[0]
+            ]
+            if nn is not None:
+                checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
+            agg = batch.agg(*checks).collect()[0]
             n, nd = agg.n, agg.nd
             if agg.nulls:
                 batch.unpersist()
                 raise SchemaError(f"batch holds {agg.nulls} row(s) with NULL primary key")
+            if nn is not None and agg.nn:
+                batch.unpersist()
+                # row_operations.cc:559
+                raise SchemaError(
+                    "NULL value not allowed for non-nullable column "
+                    f"({agg.nn} row(s))"
+                )
             if n != nd:
                 if mode == "error":
                     batch.unpersist()
@@ -1961,6 +2008,9 @@ class Table:
         checks = [F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls")]
         if has_auto:
             checks.append(F.min(AUTO_INC_COL).alias("min_auto"))
+        nn = self._null_violation_cond(st, [c for c in st.schema.names if c not in pk])
+        if nn is not None:
+            checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
         agg = batch.agg(*checks).collect()[0]
         if agg.nulls:
             raise SchemaError(
@@ -1970,6 +2020,13 @@ class Table:
             # row_operations.cc:543-546
             raise SchemaError(
                 "auto-incrementing column value must be greater than zero"
+            )
+        if nn is not None and agg.nn:
+            # row_operations.cc:559 — also catches an UPSERT omitting a
+            # non-nullable column whose declared default is NULL
+            raise SchemaError(
+                "NULL value not allowed for non-nullable column "
+                f"({agg.nn} row(s))"
             )
         imm = [c.name for c in st.schema.columns if c.immutable and c.name in df.columns]
         if imm:
@@ -2036,6 +2093,22 @@ class Table:
             *[_write_cast(F.col(c), st.schema.col(c).type).alias(c) for c in pk],
             *[_write_cast(F.col(c), st.schema.col(c).type).alias(f"__new_{c}") for c in upd_cols],
         ).dropDuplicates(pk)
+        # NULL into a key or non-nullable column is InvalidArgument on
+        # the reference's update path (row_operations.cc:652,706) —
+        # UPDATE_IGNORE ignores key misses, never malformed values
+        bad_null = None
+        for c in pk:
+            x = F.col(c).isNull()
+            bad_null = x if bad_null is None else (bad_null | x)
+        for c in upd_cols:
+            if not st.schema.col(c).nullable:
+                x = F.col(f"__new_{c}").isNull()
+                bad_null = x if bad_null is None else (bad_null | x)
+        bad = batch.where(bad_null).limit(1).collect()
+        if bad:
+            raise SchemaError(
+                f"NULL value not allowed for key or non-nullable column: {bad[0].asDict()}"
+            )
         current = self._snapshot_overlapping(st, batch).withColumn("__exists", F.lit(True))
         joined = batch.join(current, on=pk, how="left")
         if mode == "error":

@@ -439,13 +439,24 @@ class Transaction:
             for c in pk:
                 cond = F.col(c).isNull()
                 null_pk = cond if null_pk is None else (null_pk | cond)
-            agg = b.agg(
+            nn = self.table._null_violation_cond(
+                st, [c for c in st.schema.names if c not in pk]
+            )
+            checks = [
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
                 F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls"),
-            ).collect()[0]
+            ]
+            if nn is not None:
+                checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
+            agg = b.agg(*checks).collect()[0]
             if agg.nulls:
                 raise SchemaError(f"batch holds {agg.nulls} row(s) with NULL primary key")
+            if nn is not None and agg.nn:
+                raise SchemaError(
+                    "NULL value not allowed for non-nullable column "
+                    f"({agg.nn} row(s))"
+                )
             if agg.n != agg.nd:
                 raise DuplicateKeyError(
                     f"batch contains {agg.n - agg.nd} duplicate primary key(s)"

@@ -170,6 +170,35 @@ def test_auto_increment_write_op_rules(engine, spark):
     assert got == [(1, ids[0], 500), (1, ids[1], 11)]
 
 
+def test_null_not_allowed_for_non_nullable_columns(engine, spark):
+    """Every write path rejects NULL into a non-nullable column, as
+    the reference does with InvalidArgument (row_operations.cc:559
+    insert/upsert, :706 update); nullable columns still take NULLs."""
+    from kudu_spark.errors import SchemaError
+
+    t = engine.create_table("nn_cols", SIMPLE, pk=["key"])
+    t.insert(rows(spark, [(1, 10)]))
+    ddl = "key int, int_val int, string_val string"
+    with pytest.raises(SchemaError, match="non-nullable"):
+        t.insert(spark.createDataFrame([(2, None, "y")], ddl))
+    with pytest.raises(SchemaError, match="non-nullable"):
+        t.upsert(spark.createDataFrame([(1, None, "z")], ddl))
+    with pytest.raises(SchemaError, match="non-nullable"):
+        t.update(spark.createDataFrame([(1, None)], "key int, int_val int"))
+    # auto-inc tables validate too (they skip the dup checks, not these)
+    ta = engine.create_table("nn_auto", SIMPLE, pk=["key"], non_unique_pk=True)
+    with pytest.raises(SchemaError, match="NULL primary key"):
+        ta.insert(spark.createDataFrame([(None, 1, "a")], ddl))
+    with pytest.raises(SchemaError, match="non-nullable"):
+        ta.insert(spark.createDataFrame([(1, None, "a")], ddl))
+    # nullable columns still accept NULL; valid ops unaffected
+    t.upsert(spark.createDataFrame([(3, 30, None)], ddl))
+    t.update(spark.createDataFrame([(1, 111)], "key int, int_val int"))
+    assert {r.key: (r.int_val, r.string_val) for r in t.scan().collect()} == {
+        1: (111, "s1"), 3: (30, None),
+    }
+
+
 def test_upsert_rejects_null_pk(engine, spark):
     """PK columns are non-nullable (common.proto); an unchecked NULL
     published by UPSERT would be unaddressable by any probe or merge
