@@ -719,6 +719,7 @@ class Alterer:
         self._renames: dict[str, str] = {}
         self._defaults: dict[str, object] = {}
         self._comments: dict[str, str | None] = {}
+        self._attr_sets: list[tuple[str, dict]] = []
         self._props: dict[str, object] = {}
         self._range_adds: list[list] = []
         self._range_drops: list[list] = []
@@ -746,6 +747,23 @@ class Alterer:
     def set_column_comment(self, name: str, comment: str | None) -> "Alterer":
         """ColumnSchemaDelta.comment (common.proto)."""
         self._comments[name] = comment
+        return self
+
+    def set_column_attributes(self, name: str, encoding: str | None = None,
+                              compression: str | None = None,
+                              block_size: int | None = None) -> "Alterer":
+        """Change an existing column's storage attributes
+        (KuduColumnSpec Encoding/Compression/BlockSize via
+        AlterColumn, client.h:1917; CLI column_set_encoding/
+        column_set_compression/column_set_block_size,
+        tool_action_table.cc:2202-2216). Takes effect for files
+        written AFTER the alter — exactly Kudu's contract, where only
+        newly-flushed/compacted cfiles pick up the new attributes."""
+        self._attr_sets.append((name, {
+            k: v for k, v in (("encoding", encoding),
+                              ("compression", compression),
+                              ("block_size", block_size)) if v is not None
+        }))
         return self
 
     def set_property(self, key: str, value) -> "Alterer":
@@ -807,6 +825,12 @@ class Alterer:
             for c in cols:
                 if c.name == name:
                     c.comment = comment
+        for name, attrs in self._attr_sets:
+            spec = next((c for c in cols if c.name == name), None)
+            if spec is None:
+                raise SchemaError(f"no such column: {name}")
+            for k, v in attrs.items():
+                setattr(spec, k, v)
         next_id = sch.next_col_id
         for name, type_, nullable, default, immutable, attrs in self._adds:
             if any(c.name == name for c in cols):

@@ -545,7 +545,9 @@ def _run_alter(engine: "Engine", text: str):
 
     alm = re.match(
         r"ALTER\s+(?:COLUMN\s+)?([A-Za-z_]\w*)\s+"
-        r"(SET\s+DEFAULT\s+(.*)|DROP\s+DEFAULT|SET\s+COMMENT\s+(.*))$",
+        r"(SET\s+DEFAULT\s+(.*)|DROP\s+DEFAULT|SET\s+COMMENT\s+(.*)|"
+        r"SET\s+ENCODING\s+(\w+)|SET\s+COMPRESSION\s+(\w+)|"
+        r"SET\s+BLOCK_SIZE\s+(\d+))$",
         body, re.IGNORECASE | re.DOTALL)
     if alm:
         col = alm.group(1)
@@ -555,8 +557,14 @@ def _run_alter(engine: "Engine", text: str):
             al.set_default(col, _parse_literal(alm.group(3)))
         elif action.startswith("DROP DEFAULT"):
             al.set_default(col, None)
-        else:
+        elif action.startswith("SET COMMENT"):
             al.set_column_comment(col, _parse_literal(alm.group(4)))
+        elif action.startswith("SET ENCODING"):
+            al.set_column_attributes(col, encoding=alm.group(5).upper())
+        elif action.startswith("SET COMPRESSION"):
+            al.set_column_attributes(col, compression=alm.group(6).upper())
+        else:
+            al.set_column_attributes(col, block_size=int(alm.group(7)))
         al.apply()
         return "ALTER TABLE", name, 0, engine.table(name).version
 

@@ -143,6 +143,41 @@ def test_alter_columns_rename_properties(eng):
         eng.sql("ALTER TABLE cust CHANGE cnt cnt BIGINT")
 
 
+def test_alter_column_storage_attributes(eng, spark):
+    """AlterColumn Encoding/Compression/BlockSize (client.h:1917; CLI
+    column_set_* in tool_action_table.cc:2202-2216): the schema
+    records the new attributes, SHOW CREATE round-trips them, and —
+    Kudu's contract — files written AFTER the alter honor them while
+    old files stay as written."""
+    eng.sql(CREATE)
+    eng.sql("INSERT INTO cust VALUES (1, 'a', 1.0, 'SEG', 1.00)")
+    eng.sql("ALTER TABLE cust ALTER COLUMN name SET ENCODING PLAIN_ENCODING")
+    eng.sql("ALTER TABLE cust ALTER COLUMN name SET COMPRESSION ZSTD")
+    eng.sql("ALTER TABLE cust ALTER COLUMN name SET BLOCK_SIZE 65536")
+    spec = eng.table("cust").state().schema.col("name")
+    assert (spec.encoding, spec.compression, spec.block_size) == (
+        "PLAIN_ENCODING", "ZSTD", 65536)
+    show = eng.sql("SHOW CREATE TABLE cust").collect()[0][0]
+    assert "ENCODING PLAIN_ENCODING" in show and "COMPRESSION ZSTD" in show
+    # unknown column errors, as the reference's alter does
+    with pytest.raises(SchemaError, match="no such column"):
+        eng.sql("ALTER TABLE cust ALTER COLUMN nope SET ENCODING RLE")
+    # a file written after the alter picks up the codec
+    eng.sql("INSERT INTO cust VALUES (2, 'b', 2.0, 'SEG', 2.00)")
+    t = eng.table("cust")
+    import os
+
+    import pyarrow.parquet as pq
+    newest = max(
+        (f for f in t.state().files), key=lambda f: f.seq
+    )
+    md = pq.ParquetFile(os.path.join(t.root, newest.path)).metadata
+    idx = [md.schema.column(i).name for i in range(md.num_columns)].index("name")
+    col = md.row_group(0).column(idx)
+    assert col.compression == "ZSTD"
+    assert "PLAIN_DICTIONARY" not in str(col.encodings) and "RLE_DICTIONARY" not in str(col.encodings)
+
+
 def test_alter_rename_table(eng):
     eng.sql("CREATE TABLE rn (id BIGINT PRIMARY KEY, v INT) STORED AS KUDU")
     eng.sql("INSERT INTO rn VALUES (1, 2)")
