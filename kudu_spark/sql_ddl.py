@@ -61,7 +61,8 @@ if TYPE_CHECKING:  # pragma: no cover
     from kudu_spark.engine import Engine
 
 _DDL_HEAD = re.compile(
-    r"^\s*(CREATE|DROP|ALTER)\s+TABLE\b", re.IGNORECASE)
+    r"^\s*(CREATE|DROP|ALTER)\s+TABLE\b|^\s*(COMMENT)\s+ON\s+TABLE\b",
+    re.IGNORECASE)
 
 _TYPE_MAP = {
     "bigint": "bigint", "int": "int", "integer": "int",
@@ -82,11 +83,14 @@ def run_ddl(engine: "Engine", sql: str):
     from kudu_spark.sql_dml import strip_comments
 
     text = strip_comments(sql).strip().rstrip(";").strip()
-    head = _DDL_HEAD.match(text).group(1).upper()
+    m = _DDL_HEAD.match(text)
+    head = (m.group(1) or m.group(2)).upper()
     if head == "CREATE":
         op, table, n, v = _run_create(engine, text)
     elif head == "DROP":
         op, table, n, v = _run_drop(engine, text)
+    elif head == "COMMENT":
+        op, table, n, v = _run_comment_on(engine, text)
     else:
         op, table, n, v = _run_alter(engine, text)
     return engine.spark.createDataFrame(
@@ -364,9 +368,10 @@ def _run_create(engine: "Engine", text: str):
         if not after.upper().startswith("BY"):
             raise KuduSparkError("expected PARTITION BY")
         after = after[2:].lstrip()
-        # the partition clause runs until STORED / TBLPROPERTIES / AS
+        # the partition clause runs until STORED / TBLPROPERTIES /
+        # COMMENT / AS
         stop = len(after)
-        for kw in ("STORED", "TBLPROPERTIES"):
+        for kw in ("STORED", "TBLPROPERTIES", "COMMENT"):
             j = _find_top_level_keyword(after, kw)
             if 0 <= j < stop:
                 stop = j
@@ -390,6 +395,15 @@ def _run_create(engine: "Engine", text: str):
         end = _matching_paren(after, 0)
         props = _parse_tblproperties(after[1:end])
         rest = rest[:ti] + after[end + 1:]
+
+    ci = _find_top_level_keyword(rest, "COMMENT")
+    if ci >= 0:
+        after = rest[ci + len("COMMENT"):].lstrip()
+        cm = re.match(r"('(?:[^']|'')*')", after)
+        if not cm:
+            raise KuduSparkError("table COMMENT needs a string literal")
+        props.setdefault("comment", str(_parse_literal(cm.group(1))))
+        rest = rest[:ci] + after[cm.end():]
 
     select_sql = None
     ai = _find_top_level_keyword(rest, "AS")
@@ -569,6 +583,23 @@ def _run_alter(engine: "Engine", text: str):
         return "ALTER TABLE", name, 0, engine.table(name).version
 
     raise KuduSparkError(f"cannot parse ALTER TABLE action: {body[:60]!r}")
+
+
+def _run_comment_on(engine: "Engine", text: str):
+    """COMMENT ON TABLE t IS 'x' | NULL (Impala's table-comment
+    statement; ≈ `kudu table set_comment` / `clear_comment`,
+    tool_action_table.cc). Stored as the `comment` table property;
+    SHOW CREATE TABLE renders it as a COMMENT clause."""
+    m = re.match(
+        r"COMMENT\s+ON\s+TABLE\s+([A-Za-z_]\w*)\s+IS\s+"
+        r"(NULL|'(?:[^']|'')*')\s*$",
+        text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KuduSparkError(f"cannot parse COMMENT ON TABLE: {text[:60]!r}")
+    name = m.group(1)
+    val = _parse_literal(m.group(2))
+    engine.alter_table(name).set_property("comment", "" if val is None else str(val)).apply()
+    return "COMMENT ON TABLE", name, 0, engine.table(name).version
 
 
 # -- introspection (Impala's SHOW / DESCRIBE for Kudu tables) ---------------
@@ -850,8 +881,11 @@ def show_create_table(engine: "Engine", name: str) -> str:
         parts.append(f"RANGE ({', '.join(rs.cols)}) (\n    {items}\n  )")
     if parts:
         out += "\nPARTITION BY " + ", ".join(parts)
+    if st.props.get("comment"):
+        out += f"\nCOMMENT {_quote(st.props['comment'])}"
     out += "\nSTORED AS KUDU"
-    props = {k: v for k, v in st.props.items() if not k.startswith("_")}
+    props = {k: v for k, v in st.props.items()
+             if not k.startswith("_") and k != "comment"}
     if props:
         kv = ", ".join(f"{_quote(k)} = {_quote(v)}" for k, v in sorted(props.items()))
         out += f"\nTBLPROPERTIES ({kv})"

@@ -178,6 +178,32 @@ def test_alter_column_storage_attributes(eng, spark):
     assert "PLAIN_DICTIONARY" not in str(col.encodings) and "RLE_DICTIONARY" not in str(col.encodings)
 
 
+def test_table_comment_roundtrip(eng):
+    """Table-level comments: CREATE ... COMMENT 'x' (Impala grammar),
+    COMMENT ON TABLE t IS 'y' | NULL (≈ kudu table set_comment /
+    clear_comment), SHOW CREATE renders the clause and round-trips."""
+    eng.sql("""
+        CREATE TABLE cm (id BIGINT PRIMARY KEY, v INT)
+        PARTITION BY HASH (id) PARTITIONS 2
+        COMMENT 'it''s a table'
+        STORED AS KUDU
+    """)
+    assert eng.table("cm").state().props.get("comment") == "it's a table"
+    show = eng.sql("SHOW CREATE TABLE cm").collect()[0][0]
+    assert "COMMENT 'it''s a table'" in show
+    assert "'comment'" not in show  # rendered as a clause, not a property
+    eng.sql("COMMENT ON TABLE cm IS 'replaced'")
+    assert eng.table("cm").state().props.get("comment") == "replaced"
+    eng.sql("COMMENT ON TABLE cm IS NULL")
+    show = eng.sql("SHOW CREATE TABLE cm").collect()[0][0]
+    assert "COMMENT" not in show
+    # the regenerated DDL runs verbatim (round-trip)
+    eng.sql("COMMENT ON TABLE cm IS 'again'")
+    show = eng.sql("SHOW CREATE TABLE cm").collect()[0][0]
+    eng.sql(show.replace("CREATE TABLE cm", "CREATE TABLE cm2", 1))
+    assert eng.table("cm2").state().props.get("comment") == "again"
+
+
 def test_alter_rename_table(eng):
     eng.sql("CREATE TABLE rn (id BIGINT PRIMARY KEY, v INT) STORED AS KUDU")
     eng.sql("INSERT INTO rn VALUES (1, 2)")
