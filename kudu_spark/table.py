@@ -1988,19 +1988,13 @@ class Table:
             ],
             *([F.col(order_col)] if order_col else []),
         )
-        if order_col:
-            w = Window.partitionBy(*pk).orderBy(F.desc(order_col))
-            batch = (
-                batch.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn", order_col)
-            )
-        else:
-            batch = batch.dropDuplicates(pk)
         # PK validation: PK columns are non-nullable (common.proto) —
         # a NULL slips past the per-column casts, and an unchecked one
-        # would publish a row no probe or merge plan can address. Same
-        # single small agg job the insert path pays.
+        # would publish a row no probe or merge plan can address.
+        # Runs on the PRE-dedup frame: the validation pass is then a
+        # shuffle-free scan+agg instead of re-evaluating the last-wins
+        # window, and "any op in the batch is malformed → the batch
+        # errors" matches the per-op reference semantics anyway.
         null_pk = None
         for c in pk:
             cond = F.col(c).isNull()
@@ -2012,6 +2006,15 @@ class Table:
         if nn is not None:
             checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
         agg = batch.agg(*checks).collect()[0]
+        if order_col:
+            w = Window.partitionBy(*pk).orderBy(F.desc(order_col))
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", order_col)
+            )
+        else:
+            batch = batch.dropDuplicates(pk)
         if agg.nulls:
             raise SchemaError(
                 f"batch holds {agg.nulls} row(s) with NULL primary key"
