@@ -562,3 +562,32 @@ def split_assign_sql(weights: dict[str, float], salt: str = "") -> str:
     case_sql = (f"CASE {cases} ELSE '{cutoffs[-1][0]}' END"
                 if cases else f"'{cutoffs[-1][0]}'")
     return f"SELECT doc_id, {case_sql} AS split FROM documents"
+
+
+def training_order(docs: DataFrame, id_col: str = "doc_id",
+                   seed: str = "", epoch: int = 0,
+                   partitions: int | None = None) -> DataFrame:
+    """Deterministic pseudo-random training order: every document gets
+    a ``shuffle_key`` = md5(id : seed : epoch), and the frame comes
+    back range-partitioned + sorted by it — the scalable shuffle idiom
+    (a global row_number would funnel 100 TB through one task; a
+    range-partitioned sort is Spark's distributed sort, and readers
+    consuming partition files in order see the permutation). The order
+    is reproducible across runs, cluster sizes and input
+    partitionings (rand(seed) is none of these), and ``epoch``
+    re-derives an independent permutation per training epoch without
+    rewriting data."""
+    k = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed)), F.lit(str(epoch))
+    ))
+    out = docs.withColumn("shuffle_key", k)
+    n = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "shuffle_key") \
+              .sortWithinPartitions("shuffle_key")
+
+
+def training_order_sql(seed: str = "", epoch: int = 0) -> str:
+    return (
+        "SELECT doc_id, md5(concat_ws(':', CAST(doc_id AS VARCHAR), "
+        f"'{seed}', '{epoch}')) AS shuffle_key FROM documents"
+    )

@@ -768,6 +768,22 @@ def pipeline_chunk_documents(spark, sf_dir):
 
 
 @query(
+    "pipeline_training_order",
+    oracle=CP.training_order_sql(seed="r8", epoch=1),
+    gated=False,  # sampling/assignment family; pytest runs the oracle
+)
+def pipeline_training_order(spark, sf_dir):
+    """Deterministic training-order shuffle: (doc_id, shuffle_key)
+    where the key derives from (id, seed, epoch) — range-partition +
+    sort by it for a distributed, reproducible, per-epoch permutation
+    (no global row_number funnel). Oracle checks key derivation; the
+    ordering properties are pytest-asserted (test_corpus)."""
+    return CP.training_order(
+        load(spark, sf_dir, "documents"), seed="r8", epoch=1
+    ).select("doc_id", "shuffle_key")
+
+
+@query(
     "pipeline_split_assign",
     oracle=CP.split_assign_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
     gated=False,  # sampling/assignment family; pytest runs the oracle

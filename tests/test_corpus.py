@@ -235,3 +235,30 @@ def test_split_assign_properties(spark):
     # salt derives an independent re-split
     a4 = {r.doc_id: r.split for r in split_assign(docs, w, salt="v2").collect()}
     assert a4 != a1
+
+
+def test_training_order_properties(spark):
+    """Deterministic shuffle order: same (seed, epoch) reproduces the
+    exact permutation regardless of input partitioning; a different
+    epoch is a different permutation; the frame is globally ordered by
+    shuffle_key across its range partitions."""
+    from kudu_spark.operators.corpus import training_order
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    def order_of(df, **kw):
+        out = training_order(df, seed="s", **kw)
+        parts = out.select("doc_id", "shuffle_key").rdd.glom().map(
+            lambda rows: [(r["doc_id"], r["shuffle_key"]) for r in rows]
+        ).collect()
+        flat = [x for p in parts for x in p]
+        # within+across partition order = global key order
+        assert [k for _, k in flat] == sorted(k for _, k in flat)
+        return [d for d, _ in flat]
+
+    o1 = order_of(docs, epoch=0)
+    o2 = order_of(docs.repartition(13), epoch=0)  # partitioning-independent
+    assert o1 == o2
+    o3 = order_of(docs, epoch=1)
+    assert o3 != o1 and sorted(o3) == sorted(o1)
