@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, default=8)
     sp.add_argument("--flush-per-batch", action="store_true",
                     help="one commit per batch (default: one commit total)")
+    sp = sub.add_parser("set-replication-factor",
+                        help="store a table's replication factor as metadata "
+                             "(= `kudu table set_replication_factor`)")
+    sp.add_argument("table")
+    sp.add_argument("factor", type=int)
+    sp.add_argument("--allow-unsafe", action="store_true")
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp.add_argument("--io-budget-bytes", type=int, default=None)
@@ -177,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
             if not any(did.values()):
                 break
         print(json.dumps({"sweeps": sweeps}))
+    elif args.cmd == "set-replication-factor":
+        eng.set_replication_factor(args.table, args.factor,
+                                   allow_unsafe=args.allow_unsafe)
+        print(json.dumps({"table": args.table, "replication_factor": args.factor}))
     elif args.cmd == "compact":
         t = eng.table(args.table)
         if args.plan_only:

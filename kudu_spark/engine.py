@@ -42,8 +42,11 @@ class Engine:
         # resolves db.table against its catalog; our catalog is the
         # warehouse root) — qualified names `<database>.<table>` and
         # `USE <database>` map onto it (kudu_impala_integration.adoc:
-        # 150-731)
+        # 150-731). Both the configured name and "default" stay
+        # resolvable as qualifiers regardless of the CURRENT database:
+        # Impala keeps fully-qualified names working after any USE.
         self.database = database
+        self._databases = [database] + (["default"] if database != "default" else [])
         os.makedirs(root, exist_ok=True)
 
     # -- catalog ---------------------------------------------------------------
@@ -129,13 +132,13 @@ class Engine:
             # one-database warehouse: USE may only name it (Impala
             # errors on unknown databases the same way)
             db = m.group(1)
-            if db.lower() not in (self.database.lower(), "default"):
+            if db.lower() not in {d.lower() for d in self._databases}:
                 raise KuduSparkError(f"unknown database: {db}")
             self.database = db
             return self.spark.createDataFrame([(db,)], "database string")
         if _re.match(r"SHOW\s+DATABASES$", text, _re.IGNORECASE):
             return self.spark.createDataFrame(
-                [(self.database,)], "name string")
+                [(d,) for d in sorted(self._databases)], "name string")
         # strip `<database>.` qualifiers (outside string literals) so
         # Impala scripts written against a db-qualified catalog run
         # verbatim; every downstream regex then sees bare table names
@@ -238,7 +241,7 @@ class Engine:
         prefixes pass through untouched (Spark then reports them)."""
         import re
 
-        names = {self.database.lower(), "default"}
+        names = {d.lower() for d in self._databases}
         pat = "|".join(sorted(re.escape(n) for n in names))
         parts = re.split(r"('(?:[^']|'')*')", text)
         for i in range(0, len(parts), 2):
@@ -664,6 +667,37 @@ class Engine:
 
     def alter_table(self, name: str) -> "Alterer":
         return Alterer(self, name)
+
+    # replication bounds (master/catalog_manager.cc --min_num_replicas /
+    # --max_num_replicas defaults); even factors need the unsafe flag
+    MIN_REPLICATION_FACTOR = 1
+    MAX_REPLICATION_FACTOR = 7
+
+    def set_replication_factor(self, name: str, factor: int,
+                               allow_unsafe: bool = False) -> None:
+        """≈ `kudu table set_replication_factor`
+        (tools/tool_action_table.cc:2278-2282). No replicas exist in a
+        Spark/parquet warehouse — durability is the storage layer's —
+        but the factor is table METADATA in Kudu, so it round-trips
+        here as the ``replication_factor`` table property (surfaced by
+        DESCRIBE FORMATTED via props, SHOW CREATE TABLE's
+        TBLPROPERTIES, and statistics()). Validation mirrors the
+        master's (catalog_manager.cc:586-605): bounds [1, 7], odd
+        unless ``allow_unsafe`` (--allow_unsafe_replication_factor)."""
+        try:
+            factor = int(factor)
+        except (TypeError, ValueError):
+            raise KuduSparkError(
+                f"Unable to parse replication factor value: {factor}.")
+        if not (self.MIN_REPLICATION_FACTOR <= factor <= self.MAX_REPLICATION_FACTOR):
+            raise KuduSparkError(
+                f"illegal replication factor {factor}: must be in "
+                f"[{self.MIN_REPLICATION_FACTOR}, {self.MAX_REPLICATION_FACTOR}]")
+        if factor % 2 == 0 and not allow_unsafe:
+            raise KuduSparkError(
+                f"illegal replication factor {factor}: replication "
+                "factor must be odd (pass allow_unsafe=True to override)")
+        self.alter_table(name).set_property("replication_factor", factor).apply()
 
     def locate_row(self, name: str, pk_values: dict) -> dict:
         """Partition-function evaluation for a row (≈ `kudu table

@@ -76,12 +76,18 @@ SMALL_BUILD_MAX = 2_000_000  # below this, sort driver-side (no shuffle)
 META_NAME = "meta.json"
 _VERSION = 1
 
-# per-worker shard cache: (abs dir, shard) -> sorted int64 array.
-# Bounded by total bytes; immutable files, so no invalidation beyond
-# eviction. With spark.python.worker.reuse (default) this persists
-# across tasks, so steady-state probes re-read nothing.
+# per-worker shard cache: (abs dir, shard) -> sorted int64 array,
+# LRU (dict insertion order + move-to-end on hit — a probe working
+# set slightly over the byte budget must not evict its hottest
+# shard). Bounded by total bytes AND by entry count: each cached
+# memmap holds an open fd, and the fd budget is independent of byte
+# size (a thousand 4 KiB shards cost ~0 bytes but 1000 fds).
+# Immutable files, so no invalidation beyond eviction. With
+# spark.python.worker.reuse (default) this persists across tasks, so
+# steady-state probes re-read nothing.
 _SHARD_CACHE: dict[tuple[str, int], np.ndarray] = {}
 _SHARD_CACHE_BYTES = int(os.environ.get("KUDU_SPARK_PIDX_CACHE_BYTES", 512 << 20))
+_SHARD_CACHE_MAX_FDS = int(os.environ.get("KUDU_SPARK_PIDX_CACHE_FDS", 256))
 
 
 def shards_for(rows: int) -> int:
@@ -185,16 +191,17 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     observe a torn write. The cache bounds VIRTUAL bytes — i.e. open
     fds — not RSS; the kernel evicts pages under pressure."""
     key = (dir_abs, shard)
-    hit = _SHARD_CACHE.get(key)
+    hit = _SHARD_CACHE.pop(key, None)
     if hit is not None:
+        _SHARD_CACHE[key] = hit  # reinsert at tail: LRU recency on hit
         return hit
     try:
         arr = np.memmap(_shard_path(dir_abs, shard), dtype="<i8", mode="r")
     except (OSError, ValueError):
         arr = np.empty(0, dtype="<i8")  # shard had no keys
-    while (
-        _SHARD_CACHE
-        and sum(a.nbytes for a in _SHARD_CACHE.values()) + arr.nbytes
+    while _SHARD_CACHE and (
+        len(_SHARD_CACHE) >= _SHARD_CACHE_MAX_FDS
+        or sum(a.nbytes for a in _SHARD_CACHE.values()) + arr.nbytes
         > _SHARD_CACHE_BYTES
     ):
         _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))

@@ -2578,6 +2578,10 @@ class Table:
             "num_files": len(st.files),
             "version": st.version,
         }
+        if "replication_factor" in st.props:
+            # stored metadata only (no replicas exist here) — parity
+            # with `kudu table set_replication_factor`
+            out["replication_factor"] = int(st.props["replication_factor"])
         # presence-sidecar health: a user must be able to SEE when the
         # O(batch) key probe is off (VERDICT r7 task #7). coverage = 1.0
         # means every live file carries a sidecar and probes engage;

@@ -97,6 +97,34 @@ def test_probe_multi_sidecar_and_empty_shards(spark, tmp_path):
         assert got[i] == (i < 100 or 100_000 <= i < 103_000)
 
 
+def test_shard_cache_lru_and_fd_cap(tmp_path, monkeypatch):
+    """VERDICT r8 task #6: the executor shard cache is LRU, not FIFO —
+    a re-probed (hot) shard must survive an eviction cycle — and the
+    entry count is capped independently of the byte budget (each
+    cached memmap holds an open fd)."""
+    d = str(tmp_path / "c.pidx")
+    os.makedirs(d)
+    for s in range(4):
+        presence._write_shard(d, s, np.arange(s * 10, s * 10 + 10, dtype="<i8"))
+    monkeypatch.setattr(presence, "_SHARD_CACHE", {})
+    # byte budget fits ~2 shards of 80 bytes each
+    monkeypatch.setattr(presence, "_SHARD_CACHE_BYTES", 200)
+    presence._load_shard(d, 0)
+    presence._load_shard(d, 1)
+    presence._load_shard(d, 0)  # hit: must refresh recency
+    presence._load_shard(d, 2)  # evicts shard 1 (LRU), NOT shard 0
+    assert (d, 0) in presence._SHARD_CACHE
+    assert (d, 1) not in presence._SHARD_CACHE
+    # fd cap binds even with byte budget to spare
+    monkeypatch.setattr(presence, "_SHARD_CACHE_BYTES", 1 << 30)
+    monkeypatch.setattr(presence, "_SHARD_CACHE_MAX_FDS", 2)
+    presence._SHARD_CACHE.clear()
+    for s in range(4):
+        presence._load_shard(d, s)
+    assert len(presence._SHARD_CACHE) <= 2
+    assert (d, 3) in presence._SHARD_CACHE  # newest retained
+
+
 # -- Table integration -------------------------------------------------------
 
 

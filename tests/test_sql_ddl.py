@@ -678,6 +678,47 @@ def test_use_database_and_qualified_names(eng):
         eng.sql("USE some_other_db")
 
 
+def test_use_default_keeps_configured_database(spark):
+    """VERDICT r8 task #5: `USE default` on an engine configured with
+    a custom database name must not break the configured name's
+    qualified references — Impala keeps fully-qualified names working
+    regardless of the current database."""
+    eng = Engine(spark, tempfile.mkdtemp(prefix="pyskudu-db-"),
+                 database="analytics")
+    eng.sql("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING) STORED AS KUDU")
+    eng.sql("INSERT INTO analytics.t VALUES (1, 'a')")
+    dbs = {r.name for r in eng.sql("SHOW DATABASES").collect()}
+    assert dbs == {"analytics", "default"}
+    eng.sql("USE default")
+    assert eng.sql("SELECT count(*) AS n FROM analytics.t").collect()[0].n == 1
+    eng.sql("USE analytics")
+    assert eng.sql("SELECT count(*) AS n FROM default.t").collect()[0].n == 1
+    with pytest.raises(KuduSparkError):
+        eng.sql("USE warehouse2")
+
+
+def test_set_replication_factor(eng):
+    """`kudu table set_replication_factor` parity (VERDICT r8 task #7,
+    tools/tool_action_table.cc:2278): stored as table metadata,
+    surfaced in statistics + SHOW CREATE TABLE, validated like the
+    master (catalog_manager.cc:586-605 — bounds, odd-only)."""
+    eng.sql("CREATE TABLE rt (id BIGINT PRIMARY KEY, v STRING) STORED AS KUDU")
+    eng.set_replication_factor("rt", 5)
+    assert eng.table("rt").statistics()["replication_factor"] == 5
+    ddl = eng.sql("SHOW CREATE TABLE rt").collect()[0].result
+    assert "replication_factor" in ddl and "5" in ddl
+    with pytest.raises(KuduSparkError):
+        eng.set_replication_factor("rt", 4)  # even needs allow_unsafe
+    eng.set_replication_factor("rt", 4, allow_unsafe=True)
+    assert eng.table("rt").statistics()["replication_factor"] == 4
+    with pytest.raises(KuduSparkError):
+        eng.set_replication_factor("rt", 9)  # above max_num_replicas
+    with pytest.raises(KuduSparkError):
+        eng.set_replication_factor("rt", 0)
+    with pytest.raises(KuduSparkError):
+        eng.set_replication_factor("rt", "three")
+
+
 def test_explain_statements(eng):
     """EXPLAIN plans without executing (VERDICT r7 task #6)."""
     eng.sql("CREATE TABLE ex (id BIGINT PRIMARY KEY, v STRING) "
@@ -740,6 +781,7 @@ def test_strip_db_qualifiers_fuzz(parts):
 
     eng = Engine.__new__(Engine)
     eng.database = "default"
+    eng._databases = ["default"]
     text = " ".join(parts)
     out = eng._strip_db_qualifiers(text)
     # idempotent
