@@ -1,0 +1,572 @@
+"""Filesystem environment under the storage layer (≈ Kudu's Env,
+src/kudu/util/env.h, behind which fs/block managers sit, src/kudu/fs/):
+every byte the engine persists OUTSIDE Spark's own parquet jobs —
+commit log, checkpoints, presence/bloom sidecars, txn markers — goes
+through this one small interface, so a warehouse can live where
+100 TB actually lives (HDFS / object stores) instead of assuming
+POSIX. Spark keeps scanning and writing the parquet DATA files
+directly whenever the root's scheme is Hadoop-readable — the data
+plane never funnels through Python.
+
+Implementations:
+
+- ``LocalEnv`` — plain paths and ``file://`` URIs: the POSIX fast
+  path (hardlink create-if-absent publish, memory-mapped sidecar
+  reads shared through the page cache).
+- ``FsspecEnv`` — any other URI when ``fsspec`` (plus the scheme's
+  driver, e.g. s3fs) is importable. Metadata/sidecar IO goes through
+  fsspec; data files are scanned by Spark directly when Hadoop knows
+  the scheme (s3a://, hdfs://, gs://, ...), else mirrored through a
+  driver-local cache (correct but driver-bound — dev/test schemes
+  like memory:// only).
+- ``MemoryEnv`` — a hand-rolled in-process filesystem registered for
+  ``memory://`` when fsspec is absent (this container): the Env
+  contract's test double, driver-local by construction.
+
+Unsupported roots fail LOUDLY at ``env_for_root`` (hence at
+``Engine.__init__``) instead of surfacing later as a confusing
+``open()`` error inside a commit.
+
+Atomicity contract: ``publish_new`` (create-if-absent) is what commit
+serialization rests on (meta.append_commit). Local: hardlink
+(POSIX-atomic). Memory: lock + setdefault. fsspec: exists-then-write —
+atomic only on stores with atomic create (HDFS); on S3-like stores two
+racing writers can both "win", so multi-writer deployments there need
+single-writer discipline or an external lock/catalog service (the same
+caveat as Iceberg's HadoopCatalog; Kudu itself solves it with Raft,
+src/kudu/consensus/raft_consensus.h). The limitation is documented
+here and in README rather than hidden.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+import time
+
+from kudu_spark.errors import KuduSparkError
+
+# fsspec protocol aliases: the Hadoop spelling users put in roots vs
+# the fsspec driver name
+_FSSPEC_ALIAS = {"s3a": "s3", "s3n": "s3", "abfss": "abfs", "wasbs": "abfs",
+                 "wasb": "abfs"}
+
+
+def scheme_of(root: str) -> str:
+    return root.split("://", 1)[0] if "://" in root else ""
+
+
+def canon_root(root: str) -> str:
+    """Cache/lock key for a root. URI roots pass through verbatim
+    (abspath on those is cwd-dependent and mangles the scheme);
+    filesystem paths canonicalize through abspath."""
+    if "://" in root:
+        return root
+    return os.path.abspath(root)
+
+
+def strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+class LocalEnv:
+    """POSIX fast path for plain paths and file:// URIs."""
+
+    scheme = ""
+    # executors share this filesystem (the same shared-storage write
+    # contract the parquet data files already rely on)
+    distributed = True
+    # Spark/Hadoop reads file paths natively
+    spark_native = True
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return strip_file_scheme(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def open_read(self, path: str):
+        return open(self._p(path), "rb")
+
+    def write_bytes(self, path: str, data: bytes, fsync: bool = False) -> None:
+        """Atomic overwrite: tmp + rename."""
+        p = self._p(path)
+        tmp = p + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            if fsync:
+                f.flush()
+                os.fsync(f.fileno())
+        os.replace(tmp, p)
+
+    def publish_new(self, path: str, data: bytes, fsync: bool = True) -> None:
+        """Atomic create-if-absent (O_CREAT|O_EXCL via hardlink);
+        raises FileExistsError when another writer won."""
+        p = self._p(path)
+        tmp = p + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            if fsync:
+                f.flush()
+                os.fsync(f.fileno())
+        try:
+            os.link(tmp, p)  # atomic fail-if-exists publish
+        finally:
+            os.unlink(tmp)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(self._p(path))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def walk_files(self, path: str) -> list[str]:
+        """RELATIVE paths of every regular file under ``path``."""
+        base = self._p(path)
+        out = []
+        for dirpath, _dirs, names in os.walk(base):
+            rel = os.path.relpath(dirpath, base)
+            out += [n if rel == "." else os.path.join(rel, n) for n in names]
+        return sorted(out)
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(self._p(src), self._p(dst))
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        os.rename(self._p(src), self._p(dst))
+
+    def put_file(self, local_src: str, dst: str) -> None:
+        os.replace(local_src, self._p(dst))
+
+    def unlink(self, path: str, missing_ok: bool = False) -> None:
+        try:
+            os.unlink(self._p(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+    def identity(self, path: str):
+        """Stable per content-version (inode + mtime): keys the state
+        cache so a table recreated at the same path can't serve a dead
+        table's snapshot."""
+        try:
+            s = os.stat(self._p(path))
+            return (s.st_ino, s.st_mtime_ns)
+        except OSError:
+            return None
+
+    def read_array(self, path: str, dtype="<i8"):
+        """Memory-map read-only — every worker process on a host shares
+        ONE page-cache copy and binary searches touch O(log) pages (the
+        local fast path plans/presence.py is designed around)."""
+        import numpy as np
+
+        return np.memmap(self._p(path), dtype=dtype, mode="r")
+
+    def spark_path(self, path: str) -> str:
+        return path
+
+
+class MemoryEnv:
+    """In-process filesystem for ``memory://`` roots — the non-local
+    Env used by tests when fsspec is absent. Driver-local: state lives
+    in THIS process, so distributed sidecar builds/merges are declined
+    (``distributed = False``) and Spark data IO goes through the local
+    mirror (``spark_path``). Not a deployment target; the point is
+    that the whole engine runs correctly with zero POSIX assumptions."""
+
+    scheme = "memory"
+    distributed = False
+    spark_native = False
+
+    _lock = threading.RLock()
+    _files: dict[str, bytes] = {}
+    _vers: dict[str, int] = {}
+    _dirs: set = set()
+    _seq = 0
+    _mirror: dict[tuple, str] = {}
+    _mirror_dir: str | None = None
+
+    @staticmethod
+    def _p(path: str) -> str:
+        p = path[len("memory://"):] if path.startswith("memory://") else path
+        return p.rstrip("/")
+
+    @classmethod
+    def reset(cls) -> None:
+        with cls._lock:
+            cls._files.clear()
+            cls._vers.clear()
+            cls._dirs.clear()
+            cls._mirror.clear()
+
+    def read_bytes(self, path: str) -> bytes:
+        with self._lock:
+            p = self._p(path)
+            if p not in self._files:
+                raise FileNotFoundError(path)
+            return self._files[p]
+
+    def open_read(self, path: str):
+        return io.BytesIO(self.read_bytes(path))
+
+    def _put(self, p: str, data: bytes) -> None:
+        MemoryEnv._seq += 1
+        self._files[p] = bytes(data)
+        self._vers[p] = MemoryEnv._seq
+        d = p.rsplit("/", 1)[0] if "/" in p else ""
+        while d:
+            self._dirs.add(d)
+            d = d.rsplit("/", 1)[0] if "/" in d else ""
+
+    def write_bytes(self, path: str, data: bytes, fsync: bool = False) -> None:
+        with self._lock:
+            self._put(self._p(path), data)
+
+    def publish_new(self, path: str, data: bytes, fsync: bool = True) -> None:
+        with self._lock:
+            p = self._p(path)
+            if p in self._files:
+                raise FileExistsError(path)
+            self._put(p, data)
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            p = self._p(path)
+            return p in self._files or p in self._dirs
+
+    def isdir(self, path: str) -> bool:
+        with self._lock:
+            return self._p(path) in self._dirs
+
+    def listdir(self, path: str) -> list[str]:
+        with self._lock:
+            p = self._p(path)
+            pre = p + "/" if p else ""
+            names = set()
+            for k in list(self._files) + list(self._dirs):
+                if k.startswith(pre) and k != p:
+                    names.add(k[len(pre):].split("/", 1)[0])
+            return sorted(names)
+
+    def makedirs(self, path: str) -> None:
+        with self._lock:
+            d = self._p(path)
+            while d:
+                self._dirs.add(d)
+                d = d.rsplit("/", 1)[0] if "/" in d else ""
+
+    def walk_files(self, path: str) -> list[str]:
+        with self._lock:
+            p = self._p(path)
+            pre = p + "/" if p else ""
+            return sorted(k[len(pre):] for k in self._files if k.startswith(pre))
+
+    def replace(self, src: str, dst: str) -> None:
+        with self._lock:
+            s = self._p(src)
+            if s not in self._files:
+                raise FileNotFoundError(src)
+            data = self._files.pop(s)
+            self._vers.pop(s, None)
+            self._put(self._p(dst), data)
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        with self._lock:
+            s, d = self._p(src), self._p(dst)
+            pre = s + "/"
+            for k in [k for k in self._files if k.startswith(pre)]:
+                data = self._files.pop(k)
+                self._vers.pop(k, None)
+                self._put(d + "/" + k[len(pre):], data)
+            for k in [k for k in self._dirs if k == s or k.startswith(pre)]:
+                self._dirs.discard(k)
+                self._dirs.add(d + k[len(s):])
+
+    def put_file(self, local_src: str, dst: str) -> None:
+        with open(local_src, "rb") as f:
+            data = f.read()
+        with self._lock:
+            self._put(self._p(dst), data)
+        os.unlink(local_src)
+
+    def unlink(self, path: str, missing_ok: bool = False) -> None:
+        with self._lock:
+            p = self._p(path)
+            if p in self._files:
+                del self._files[p]
+                self._vers.pop(p, None)
+            elif not missing_ok:
+                raise FileNotFoundError(path)
+
+    def rmtree(self, path: str) -> None:
+        with self._lock:
+            p = self._p(path)
+            pre = p + "/"
+            for k in [k for k in self._files if k == p or k.startswith(pre)]:
+                del self._files[k]
+                self._vers.pop(k, None)
+            for k in [k for k in self._dirs if k == p or k.startswith(pre)]:
+                self._dirs.discard(k)
+
+    def size(self, path: str) -> int:
+        return len(self.read_bytes(path))
+
+    def identity(self, path: str):
+        with self._lock:
+            return (self._vers.get(self._p(path)),)
+
+    def read_array(self, path: str, dtype="<i8"):
+        import numpy as np
+
+        try:
+            return np.frombuffer(self.read_bytes(path), dtype=dtype)
+        except FileNotFoundError as e:
+            raise OSError(str(e)) from None
+
+    def spark_path(self, path: str) -> str:
+        """Driver-local mirror for Spark's parquet reader: files are
+        immutable once published, so a mirrored copy is cached by
+        (path, version) forever."""
+        import tempfile
+
+        with self._lock:
+            p = self._p(path)
+            if p not in self._files:
+                return path  # let Spark raise its own not-found
+            key = (p, self._vers[p])
+            hit = self._mirror.get(key)
+            if hit is not None and os.path.exists(hit):
+                return hit
+            if MemoryEnv._mirror_dir is None:
+                MemoryEnv._mirror_dir = tempfile.mkdtemp(prefix="pyskudu-memfs-")
+            local = os.path.join(
+                MemoryEnv._mirror_dir, f"{self._vers[p]}-{p.replace('/', '_')}"
+            )
+            with open(local, "wb") as f:
+                f.write(self._files[p])
+            self._mirror[key] = local
+            return local
+
+
+class FsspecEnv:
+    """Metadata/sidecar IO over any fsspec filesystem. Data-plane:
+    Spark scans the URIs directly when Hadoop knows the scheme
+    (``spark_native`` — probed via ``bind_spark``); otherwise files
+    mirror through a driver-local cache like MemoryEnv (correct,
+    driver-bound — only sensible for dev/test schemes)."""
+
+    distributed = True
+
+    def __init__(self, scheme: str):
+        import fsspec  # caller guards ImportError
+
+        self.scheme = scheme
+        self.fs = fsspec.filesystem(_FSSPEC_ALIAS.get(scheme, scheme))
+        self.spark_native: bool | None = None  # resolved by bind_spark
+        self._mirror: dict = {}
+        self._mirror_dir: str | None = None
+
+    def __reduce__(self):  # picklable into executor closures
+        return (FsspecEnv, (self.scheme,))
+
+    def read_bytes(self, path: str) -> bytes:
+        try:
+            return self.fs.cat_file(path)
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # normalize driver-specific not-found
+            if "not found" in str(e).lower() or "no such" in str(e).lower():
+                raise FileNotFoundError(path) from None
+            raise
+
+    def open_read(self, path: str):
+        return self.fs.open(path, "rb")
+
+    def write_bytes(self, path: str, data: bytes, fsync: bool = False) -> None:
+        self.fs.pipe_file(path, data)
+
+    def publish_new(self, path: str, data: bytes, fsync: bool = True) -> None:
+        # exists-then-write: atomic only on stores with atomic create
+        # (see module docstring for the multi-writer caveat)
+        if self.fs.exists(path):
+            raise FileExistsError(path)
+        self.fs.pipe_file(path, data)
+
+    def exists(self, path: str) -> bool:
+        return self.fs.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return self.fs.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return sorted(
+                p.rstrip("/").rsplit("/", 1)[-1] for p in self.fs.ls(path, detail=False)
+            )
+        except FileNotFoundError:
+            return []
+
+    def makedirs(self, path: str) -> None:
+        self.fs.makedirs(path, exist_ok=True)
+
+    def walk_files(self, path: str) -> list[str]:
+        base = path.split("://", 1)[-1].rstrip("/") + "/"
+        out = []
+        for p in self.fs.find(path):
+            p = p.split("://", 1)[-1]
+            if p.startswith(base):
+                out.append(p[len(base):])
+        return sorted(out)
+
+    def replace(self, src: str, dst: str) -> None:
+        self.fs.mv(src, dst)
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        self.fs.mv(src, dst, recursive=True)
+
+    def put_file(self, local_src: str, dst: str) -> None:
+        self.fs.put_file(local_src, dst)
+        os.unlink(local_src)
+
+    def unlink(self, path: str, missing_ok: bool = False) -> None:
+        try:
+            self.fs.rm_file(path)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def rmtree(self, path: str) -> None:
+        try:
+            self.fs.rm(path, recursive=True)
+        except FileNotFoundError:
+            pass
+
+    def size(self, path: str) -> int:
+        return int(self.fs.size(path))
+
+    def identity(self, path: str):
+        try:
+            info = self.fs.info(path)
+        except FileNotFoundError:
+            return None
+        ident = tuple(
+            info[k] for k in ("ETag", "etag", "mtime", "size") if k in info
+        )
+        return ident or None
+
+    def read_array(self, path: str, dtype="<i8"):
+        import numpy as np
+
+        try:
+            return np.frombuffer(self.read_bytes(path), dtype=dtype)
+        except FileNotFoundError as e:
+            raise OSError(str(e)) from None
+
+    def spark_path(self, path: str) -> str:
+        if self.spark_native:
+            return path
+        import tempfile
+
+        ident = self.identity(path)
+        key = (path, ident)
+        hit = self._mirror.get(key)
+        if hit is not None and os.path.exists(hit):
+            return hit
+        if self._mirror_dir is None:
+            self._mirror_dir = tempfile.mkdtemp(prefix="pyskudu-mirror-")
+        local = os.path.join(
+            self._mirror_dir, path.split("://", 1)[-1].replace("/", "_")
+        )
+        self.fs.get_file(path, local)
+        self._mirror[key] = local
+        return local
+
+
+_LOCAL = LocalEnv()
+_ENVS: dict[str, object] = {"": _LOCAL, "file": _LOCAL}
+_ENVS_LOCK = threading.Lock()
+
+
+def env_for_root(root: str):
+    """The Env serving ``root``, cached per scheme. Raises a LOUD
+    KuduSparkError for schemes nothing installed can serve — at
+    Engine construction time, not deep inside a commit."""
+    scheme = scheme_of(root)
+    env = _ENVS.get(scheme)
+    if env is not None:
+        return env
+    with _ENVS_LOCK:
+        env = _ENVS.get(scheme)
+        if env is not None:
+            return env
+        if scheme == "memory":
+            try:
+                import fsspec  # noqa: F401 — prefer the real memory FS
+                env = FsspecEnv("memory")
+            except ImportError:
+                env = MemoryEnv()
+        else:
+            try:
+                env = FsspecEnv(scheme)
+            except ImportError:
+                raise KuduSparkError(
+                    f"unsupported warehouse root scheme {scheme!r} ({root}): "
+                    "metadata IO for non-local roots needs the `fsspec` "
+                    "package (plus the scheme's driver, e.g. s3fs for s3://); "
+                    "install it or use a local / file:// root"
+                ) from None
+            except Exception as e:
+                raise KuduSparkError(
+                    f"unsupported warehouse root scheme {scheme!r} ({root}): "
+                    f"fsspec cannot serve it ({e}); install the scheme's "
+                    "driver (e.g. s3fs, gcsfs, adlfs) or use a local root"
+                ) from None
+        _ENVS[scheme] = env
+        return env
+
+
+def bind_spark(env, spark) -> None:
+    """Resolve whether Spark/Hadoop can read ``env``'s scheme natively
+    (data files scanned in place) — one probe per scheme. Without a
+    probe, FsspecEnv falls back to the driver-local mirror, which is
+    correct but not the 100 TB path; Engine/Table bind at construction
+    so real deployments always get the direct answer."""
+    if getattr(env, "spark_native", None) is not None:
+        return
+    try:
+        jvm = spark._jvm
+        uri = jvm.java.net.URI(f"{env.scheme}:///")
+        jvm.org.apache.hadoop.fs.FileSystem.get(
+            uri, spark._jsc.hadoopConfiguration())
+        env.spark_native = True
+    except Exception:
+        env.spark_native = False
+        import logging
+
+        logging.getLogger("kudu_spark.fs").warning(
+            "scheme %s:// is not Hadoop-readable: parquet data IO will "
+            "mirror through a driver-local cache — fine for dev/test, "
+            "not a 100 TB path (use s3a://, hdfs://, gs://, ... for "
+            "Spark-native scans)", env.scheme,
+        )

@@ -28,6 +28,7 @@ from bisect import bisect_right
 from dataclasses import dataclass, field
 
 from kudu_spark.errors import ConcurrentCommitError, SchemaError
+from kudu_spark.fs import canon_root, env_for_root
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
@@ -356,25 +357,21 @@ def _log_path(table_root: str, version: int) -> str:
 
 def append_commit(table_root: str, expected_version: int, payload: dict) -> int:
     """Atomically publish commit ``expected_version`` (optimistic
-    concurrency: O_CREAT|O_EXCL fails if another writer won — caller
-    reloads and retries, ≈ Kudu leader serialization via Raft)."""
+    concurrency: create-if-absent fails if another writer won — caller
+    reloads and retries, ≈ Kudu leader serialization via Raft). The
+    publish goes through the root's Env (fs.py): O_CREAT|O_EXCL via
+    hardlink locally; see fs.py for the object-store caveat."""
     payload = dict(payload)
     payload["version"] = expected_version
     payload.setdefault("timestamp_ms", int(time.time() * 1000))
     path = _log_path(table_root, expected_version)
-    tmp = path + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
     try:
-        os.link(tmp, path)  # atomic fail-if-exists publish
+        env_for_root(table_root).publish_new(
+            path, json.dumps(payload).encode(), fsync=True)
     except FileExistsError:
         raise ConcurrentCommitError(
             f"commit {expected_version} already exists at {path}"
         ) from None
-    finally:
-        os.unlink(tmp)
     return expected_version
 
 
@@ -393,11 +390,11 @@ def read_log(table_root: str, max_version: int | None = None,
     if max_version is None:
         max_version = head_version(table_root) or 0
     lo = min_version or 0
+    env = env_for_root(table_root)
     commits = []
     for v in range(lo + 1, max_version + 1):
         try:
-            with open(_log_path(table_root, v)) as f:
-                commits.append(json.load(f))
+            commits.append(json.loads(env.read_bytes(_log_path(table_root, v))))
         except FileNotFoundError:
             return _read_log_listed(table_root, max_version, min_version)
     return commits
@@ -405,11 +402,10 @@ def read_log(table_root: str, max_version: int | None = None,
 
 def _read_log_listed(table_root: str, max_version, min_version) -> list[dict]:
     """Listing-based fallback for logs with version gaps."""
+    env = env_for_root(table_root)
     log_dir = os.path.join(table_root, LOG_DIR)
-    if not os.path.isdir(log_dir):
-        return []
     commits = []
-    for name in sorted(os.listdir(log_dir)):
+    for name in sorted(env.listdir(log_dir)):
         if not name.endswith(".json") or ".tmp." in name or not name[:-5].isdigit():
             continue
         v = int(name[:-5])
@@ -417,19 +413,16 @@ def _read_log_listed(table_root: str, max_version, min_version) -> list[dict]:
             continue
         if max_version is not None and v > max_version:
             break
-        with open(os.path.join(log_dir, name)) as f:
-            commits.append(json.load(f))
+        commits.append(json.loads(env.read_bytes(os.path.join(log_dir, name))))
     return commits
 
 
 def log_versions(table_root: str) -> list[int]:
     """Sorted commit versions present in the log — one directory
     listing, no file reads."""
-    log_dir = os.path.join(table_root, LOG_DIR)
-    if not os.path.isdir(log_dir):
-        return []
     return sorted(
-        int(n[:-5]) for n in os.listdir(log_dir)
+        int(n[:-5])
+        for n in env_for_root(table_root).listdir(os.path.join(table_root, LOG_DIR))
         if n.endswith(".json") and ".tmp." not in n and n[:-5].isdigit()
     )
 
@@ -446,15 +439,16 @@ _HEAD_CACHE: dict[str, int] = {}
 
 def head_version(table_root: str) -> int | None:
     """Newest commit version, O(new commits) stat calls (no LIST)."""
-    root = os.path.abspath(table_root)
+    root = canon_root(table_root)
+    env = env_for_root(table_root)
     v = _HEAD_CACHE.get(root)
-    if v is None or not os.path.exists(_log_path(table_root, v)):
+    if v is None or not env.exists(_log_path(table_root, v)):
         vs = log_versions(table_root)
         if not vs:
             _HEAD_CACHE.pop(root, None)
             return None
         v = vs[-1]
-    while os.path.exists(_log_path(table_root, v + 1)):
+    while env.exists(_log_path(table_root, v + 1)):
         v += 1
     _HEAD_CACHE[root] = v
     return v
@@ -506,11 +500,9 @@ def _checkpoint_dir(table_root: str) -> str:
 
 
 def checkpoint_versions(table_root: str) -> list[int]:
-    d = _checkpoint_dir(table_root)
-    if not os.path.isdir(d):
-        return []
     return sorted(
-        int(n[:-5]) for n in os.listdir(d)
+        int(n[:-5])
+        for n in env_for_root(table_root).listdir(_checkpoint_dir(table_root))
         if n.endswith(".json") and ".tmp." not in n and n[:-5].isdigit()
     )
 
@@ -548,16 +540,16 @@ def write_checkpoint(st: "TableState") -> None:
     """Atomically publish a checkpoint of ``st`` and GC old ones.
     Contents are deterministic per version, so concurrent writers
     racing on the same version are harmless (last rename wins)."""
+    env = env_for_root(st.root)
     d = _checkpoint_dir(st.root)
-    os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{st.version:020d}.json")
-    tmp = path + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
-    with open(tmp, "w") as f:
-        json.dump(_state_to_json(st), f)
-    os.replace(tmp, path)
+    env.makedirs(d)
+    env.write_bytes(
+        os.path.join(d, f"{st.version:020d}.json"),
+        json.dumps(_state_to_json(st)).encode(),
+    )
     for v in checkpoint_versions(st.root)[:-CHECKPOINTS_KEPT]:
         try:
-            os.unlink(os.path.join(d, f"{v:020d}.json"))
+            env.unlink(os.path.join(d, f"{v:020d}.json"), missing_ok=True)
         except OSError:
             pass
 
@@ -591,24 +583,23 @@ def replay(name: str, root: str, max_version: int | None = None) -> TableState |
     head = head_version(root)
     if head is None:
         return None
+    env = env_for_root(root)
     target = head if max_version is None else min(head, max_version)
     if target < 1:
         return None
-    if max_version is not None and not os.path.exists(_log_path(root, target)):
+    if max_version is not None and not env.exists(_log_path(root, target)):
         # non-dense log (hand-pruned): locate the newest version <= max
         live = [v for v in log_versions(root) if v <= max_version]
         if not live:
             return None
         target = live[-1]
-    # key on the commit file's identity (inode + mtime), not just the
-    # version: a table dropped and recreated at the same path restarts
-    # version numbering, and a bare (root, version) key would serve the
-    # dead table's state
-    try:
-        s = os.stat(_log_path(root, target))
-        key = (os.path.abspath(root), target, s.st_ino, s.st_mtime_ns)
-    except OSError:
-        key = None
+    # key on the commit file's identity (env-specific: inode + mtime
+    # locally, etag/mtime on object stores), not just the version: a
+    # table dropped and recreated at the same path restarts version
+    # numbering, and a bare (root, version) key would serve the dead
+    # table's state
+    ident = env.identity(_log_path(root, target))
+    key = (canon_root(root), target, ident) if ident is not None else None
     hit = _STATE_CACHE.pop(key, None) if key is not None else None
     if hit is not None:
         _STATE_CACHE[key] = hit  # reinsert at the tail: hits refresh LRU recency
@@ -618,8 +609,8 @@ def replay(name: str, root: str, max_version: int | None = None) -> TableState |
     base: TableState | None = None
     if ckpts:
         try:
-            with open(os.path.join(_checkpoint_dir(root), f"{ckpts[-1]:020d}.json")) as f:
-                base = _state_from_json(name, root, json.load(f))
+            base = _state_from_json(name, root, json.loads(env.read_bytes(
+                os.path.join(_checkpoint_dir(root), f"{ckpts[-1]:020d}.json"))))
         except (OSError, ValueError, KeyError):
             base = None  # torn/old checkpoint: fall back to full replay
 

@@ -100,25 +100,24 @@ def write_sidecar(table_root: str, data_dir: str, seq: int, data: bytes) -> str:
     path. Never referenced until the commit that carries it publishes,
     so a lost commit race leaves only an unreferenced file for
     vacuum."""
+    from kudu_spark.fs import env_for_root
+
     name = f"{seq:012d}-{uuid.uuid4().hex}.bloom"
     rel = os.path.join(data_dir, name)
-    path = os.path.join(table_root, rel)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    env_for_root(table_root).write_bytes(os.path.join(table_root, rel), data)
     return rel
 
 
 def load_sidecar(table_root: str, rel_path: str) -> bytes | None:
     """Sidecar bytes, cached per process (immutable once written)."""
+    from kudu_spark.fs import env_for_root
+
     path = os.path.join(table_root, rel_path)
     hit = _BYTES_CACHE.get(path)
     if hit is not None:
         return hit
     try:
-        with open(path, "rb") as f:
-            data = f.read()
+        data = env_for_root(table_root).read_bytes(path)
     except OSError:
         return None  # e.g. a restore that didn't carry sidecars: caller falls back
     while (

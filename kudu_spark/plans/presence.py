@@ -67,7 +67,6 @@ shard-wise, never concentrated on the driver or in a plan.
 # inference for present_udf.
 import json
 import os
-import uuid
 
 import numpy as np
 
@@ -105,13 +104,13 @@ def _shard_path(dir_abs: str, shard: int) -> str:
 
 
 def _write_shard(dir_abs: str, shard: int, arr: np.ndarray) -> int:
-    """Atomically persist one sorted shard; returns bytes written."""
+    """Atomically persist one sorted shard; returns bytes written.
+    IO goes through the sidecar root's Env (fs.py) — tmp+rename
+    locally, a direct object write elsewhere."""
+    from kudu_spark.fs import env_for_root
+
     data = np.ascontiguousarray(arr, dtype="<i8").tobytes()
-    path = _shard_path(dir_abs, shard)
-    tmp = path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    env_for_root(dir_abs).write_bytes(_shard_path(dir_abs, shard), data)
     return len(data)
 
 
@@ -123,11 +122,17 @@ def build_index(hashes_df, rows: int, dir_abs: str,
     just loses the O(batch) probe, never correctness)."""
     from pyspark.sql import functions as F
 
+    from kudu_spark.fs import env_for_root
+
+    env = env_for_root(dir_abs)
     ns = shards_for(rows)
-    os.makedirs(dir_abs, exist_ok=True)
+    env.makedirs(dir_abs)
     meta = {"version": _VERSION, "cols": list(cols), "types": list(types),
             "nshards": ns, "rows": int(rows), "bytes": 0}
-    if rows <= SMALL_BUILD_MAX:
+    # executor-side builds need a filesystem every executor can write
+    # (the shared-storage contract); driver-local envs (memory://)
+    # build driver-side regardless of size
+    if rows <= SMALL_BUILD_MAX or not env.distributed:
         pdf = hashes_df.toPandas()
         hv = pdf["h"].to_numpy(dtype="int64")
         shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
@@ -155,10 +160,29 @@ def build_index(hashes_df, rows: int, dir_abs: str,
         meta["bytes"] = int(sum(r["b"] for r in got))
     # meta lands last: a crash mid-build leaves no meta.json and the
     # sidecar reads as absent (probe declines, vacuum collects it)
-    tmp = os.path.join(dir_abs, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(dir_abs, META_NAME))
+    env.write_bytes(os.path.join(dir_abs, META_NAME), json.dumps(meta).encode())
+    return meta
+
+
+def write_tombstone_meta(dir_abs: str, cols: list[str], types: list[str],
+                         rows: int) -> dict:
+    """Meta-only sidecar for a commit whose files hold DELETE
+    tombstones (``{"tombstones": true}``, zero shards, no Spark job).
+    Probes never read tombstone shards — the sidecar's EXISTENCE is
+    what matters: it keeps coverage complete (delta files without any
+    sidecar disable the probe entirely) while flipping the answer from
+    EXACT to SUPERSET, because the live-key union now overcounts the
+    deleted keys until compaction folds them out (Kudu's rowset
+    presence structures stay exact because its MRS/delta stores are
+    consulted per key, tablet/tablet.cc:116-124 — a sorted-run union
+    cannot subtract without ordering, so we report honestly instead)."""
+    from kudu_spark.fs import env_for_root
+
+    env = env_for_root(dir_abs)
+    env.makedirs(dir_abs)
+    meta = {"version": _VERSION, "cols": list(cols), "types": list(types),
+            "nshards": 1, "rows": int(rows), "bytes": 0, "tombstones": True}
+    env.write_bytes(os.path.join(dir_abs, META_NAME), json.dumps(meta).encode())
     return meta
 
 
@@ -170,9 +194,11 @@ def read_meta(dir_abs: str) -> dict | None:
     hit = _META_CACHE.get(dir_abs)
     if hit is not None:
         return hit
+    from kudu_spark.fs import env_for_root
+
     try:
-        with open(os.path.join(dir_abs, META_NAME)) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            env_for_root(dir_abs).read_bytes(os.path.join(dir_abs, META_NAME)))
     except (OSError, ValueError):
         return None
     if len(_META_CACHE) > 4096:
@@ -195,8 +221,12 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     if hit is not None:
         _SHARD_CACHE[key] = hit  # reinsert at tail: LRU recency on hit
         return hit
+    from kudu_spark.fs import env_for_root
+
     try:
-        arr = np.memmap(_shard_path(dir_abs, shard), dtype="<i8", mode="r")
+        # LocalEnv memory-maps (the fast path described above);
+        # remote envs read the shard into memory instead
+        arr = env_for_root(dir_abs).read_array(_shard_path(dir_abs, shard))
     except (OSError, ValueError):
         arr = np.empty(0, dtype="<i8")  # shard had no keys
     while _SHARD_CACHE and (
@@ -234,16 +264,47 @@ def probe_hashes(specs, hv: np.ndarray) -> np.ndarray:
     return out
 
 
-def present_udf(specs: tuple[tuple[str, int], ...]):
+def load_all_shards(specs) -> dict:
+    """Every shard of every sidecar in ``specs``, loaded eagerly into
+    {(dir, shard): array} — ONLY for driver-local Envs (memory://),
+    whose bytes executor worker processes cannot see. The arrays then
+    ride the UDF closure; acceptable for dev/test roots, never the
+    100 TB path (distributed Envs load executor-side, nothing in the
+    task binary)."""
+    from kudu_spark.fs import env_for_root
+
+    out = {}
+    for dir_abs, ns in specs:
+        env = env_for_root(dir_abs)
+        for s in range(ns):
+            try:
+                out[(dir_abs, s)] = np.asarray(
+                    env.read_array(_shard_path(dir_abs, s)))
+            except (OSError, ValueError):
+                out[(dir_abs, s)] = np.empty(0, dtype="<i8")
+    return out
+
+
+def present_udf(specs: tuple[tuple[str, int], ...], preload: dict | None = None):
     """Arrow-batched membership test against the sidecars in
     ``specs`` (tuples of (abs dir, nshards)). The closure carries only
-    paths and ints — the index bytes load executor-side."""
+    paths and ints — the index bytes load executor-side — except for
+    driver-local Envs, whose shards ship via ``preload``
+    (load_all_shards)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def present(h: pd.Series) -> pd.Series:
-        return pd.Series(probe_hashes(specs, h.to_numpy(dtype="int64")))
+        # resolve through the imported module, not closure globals:
+        # cloudpickle captures a nested function's referenced globals
+        # BY VALUE, so touching `_SHARD_CACHE` directly here would
+        # seed a pickled copy the real loader never reads
+        from kudu_spark.plans import presence as _p
+
+        if preload is not None:
+            _p._SHARD_CACHE.update(preload)  # seed this worker's cache
+        return pd.Series(_p.probe_hashes(specs, h.to_numpy(dtype="int64")))
 
     return present
 
@@ -263,11 +324,14 @@ def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
     ``s % ns_i`` filtered to ``h % ns_m == s``; from a finer source
     every shard ``t ≡ s (mod ns_m)`` whole. ``srcs`` is
     [(dir, nshards)]. Pure numpy — runs on driver or executor."""
+    from kudu_spark.fs import env_for_root
+
     parts = []
     for d, ns_i in srcs:
+        env = env_for_root(d)
         if ns_i <= ns_m:
             try:
-                arr = np.fromfile(_shard_path(d, s % ns_i), dtype="<i8")
+                arr = np.asarray(env.read_array(_shard_path(d, s % ns_i)))
             except OSError:
                 continue
             if ns_m > 1:
@@ -276,7 +340,7 @@ def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
             chunks = []
             for t in range(s, ns_i, ns_m):
                 try:
-                    chunks.append(np.fromfile(_shard_path(d, t), dtype="<i8"))
+                    chunks.append(np.asarray(env.read_array(_shard_path(d, t))))
                 except OSError:
                     pass
             if not chunks:
@@ -306,18 +370,22 @@ def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
     driver — at 1e9 keys a merge moves ~8 GB through executors in
     shard-parallel tasks instead of serially through one process."""
     metas = [read_meta(d) for d in src_dirs]
-    if any(m is None for m in metas):
-        return None
+    if any(m is None or m.get("tombstones") for m in metas):
+        return None  # tombstone sidecars are meta-only: nothing to merge
     key = (tuple(metas[0]["cols"]), tuple(metas[0]["types"]))
     if any((tuple(m["cols"]), tuple(m["types"])) != key for m in metas):
         return None
+    from kudu_spark.fs import env_for_root
+
+    env = env_for_root(out_dir)
     total_rows = sum(int(m["rows"]) for m in metas)
     src_bytes = sum(int(m.get("bytes", 0)) for m in metas)
     ns_m = shards_for(total_rows)
     srcs = [(d, int(m["nshards"])) for d, m in zip(src_dirs, metas)]
-    os.makedirs(out_dir, exist_ok=True)
+    env.makedirs(out_dir)
     total = 0
-    if spark is not None and src_bytes > DRIVER_MERGE_MAX_BYTES and ns_m > 1:
+    if (spark is not None and src_bytes > DRIVER_MERGE_MAX_BYTES and ns_m > 1
+            and env.distributed):
         import pandas as pd
 
         def merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -345,10 +413,7 @@ def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
                 total += _write_shard(out_dir, s, arr)
     meta = {"version": _VERSION, "cols": list(key[0]), "types": list(key[1]),
             "nshards": ns_m, "rows": total_rows, "bytes": total}
-    tmp = os.path.join(out_dir, META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, META_NAME))
+    env.write_bytes(os.path.join(out_dir, META_NAME), json.dumps(meta).encode())
     return meta
 
 

@@ -703,7 +703,8 @@ def _column_stats_from_footers(t, st) -> dict | None:
     out: dict = {c.name: [None, None, 0] for c in st.schema.columns}
     for f in st.files:
         try:
-            md = pq.ParquetFile(_os.path.join(t.root, f.path)).metadata
+            md = pq.ParquetFile(
+                t._env.open_read(_os.path.join(t.root, f.path))).metadata
         except Exception:
             return None
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}

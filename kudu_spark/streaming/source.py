@@ -97,7 +97,11 @@ def _read_change_file(part: ChangeFile, arrow_schema):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(part.path)
+    from kudu_spark.fs import env_for_root
+
+    # the Env resolves executor-side from the path alone (fs.py):
+    # plain open locally, the object store's reader elsewhere
+    tbl = pq.read_table(env_for_root(part.path).open_read(part.path))
     n = tbl.num_rows
     cols = []
     for field in arrow_schema:

@@ -140,9 +140,9 @@ def _canonical_root(root: str) -> str:
     so two handles opened from different working directories would get
     DIFFERENT locks for the same table; filesystem paths canonicalize
     through abspath as before."""
-    if "://" in root:
-        return root
-    return os.path.abspath(root)
+    from kudu_spark.fs import canon_root
+
+    return canon_root(root)
 
 
 def _evict_maint_lock(root: str) -> None:
@@ -194,9 +194,17 @@ def partition_key(f: "FileEntry"):
 
 class Table:
     def __init__(self, spark: SparkSession, name: str, root: str):
+        from kudu_spark import fs
+
         self.spark = spark
         self.name = name
         self.root = root
+        # the storage Env serving this root (fs.py ≈ Kudu's Env,
+        # util/env.h): raises loudly here for unsupported URI schemes;
+        # bind_spark resolves whether Spark scans the data files in
+        # place (the 100 TB path) or through the driver-local mirror
+        self._env = fs.env_for_root(root)
+        fs.bind_spark(self._env, spark)
         self._bucket_cache: dict = {}
         import threading
 
@@ -209,6 +217,13 @@ class Table:
                 _canonical_root(root), threading.Lock()
             )
         self._maint_thread = None
+
+    def _data_path(self, rel: str) -> str:
+        """A path Spark's parquet reader can scan for a table-relative
+        file: the root-joined path itself on local and Hadoop-readable
+        roots (data never funnels through Python), a driver-mirrored
+        local copy on fsspec-only schemes (memory://; dev/test)."""
+        return self._env.spark_path(os.path.join(self.root, rel))
 
     # -- state ---------------------------------------------------------------
 
@@ -523,7 +538,7 @@ class Table:
             key = (f.schema_version, f.seq if with_seq else 0)
             groups.setdefault(key, []).append(f)
         for (sv, seq), group in sorted(groups.items()):
-            df = self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in group])
+            df = self.spark.read.parquet(*[self._data_path(f.path) for f in group])
             old = st.schemas_by_version.get(sv, cur)
             by_id_old = {c.id: c.name for c in old.columns}
             exprs = []
@@ -1217,7 +1232,22 @@ class Table:
             out = out.withColumn(DEL_COL, F.lit(False))
         for n, e in zip(pnames, pexprs):
             out = out.withColumn(n, e)
-        staging = os.path.join(self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
+        # staging location: in-root when Spark can write the scheme
+        # directly (local, hdfs://, s3a://, ... — executors write to
+        # shared storage, nothing moves through the driver); a local
+        # temp dir + driver-side upload only for fsspec-only schemes
+        # (memory:// — dev/test)
+        if self._env.spark_native:
+            staging = os.path.join(
+                self.root, DATA_DIR, f"_staging-{seq}-{uuid.uuid4().hex}")
+            senv = self._env
+        else:
+            import tempfile
+
+            from kudu_spark import fs as _fs
+
+            staging = tempfile.mkdtemp(prefix="pyskudu-stage-")
+            senv = _fs.env_for_root(staging)
         # co-locate each partition in one task, PK-sorted within files so
         # parquet row-group stats give tight PK bounds (≈ Kudu's
         # PK-sorted DiskRowSets + B-tree index, cfile/index_btree.cc).
@@ -1299,22 +1329,17 @@ class Table:
             writer = writer.partitionBy(*pnames)
         writer.mode("overwrite").parquet(staging)
 
-        import shutil
-
         import pyarrow.parquet as pq
 
         staged: list[tuple[str, dict]] = []
-        for dirpath, _dirs, names in os.walk(staging):
-            rel_dir = os.path.relpath(dirpath, staging)
+        for rel in senv.walk_files(staging):
+            if not rel.endswith(".parquet"):
+                continue
             pvals: dict = {}
-            if rel_dir != ".":
-                for piece in rel_dir.split(os.sep):
-                    k, _, v = piece.partition("=")
-                    pvals[k] = int(v)
-            staged += [
-                (os.path.join(dirpath, fname), dict(pvals))
-                for fname in names if fname.endswith(".parquet")
-            ]
+            for piece in rel.split("/")[:-1]:
+                k, _, v = piece.partition("=")
+                pvals[k] = int(v)
+            staged.append((os.path.join(staging, rel), pvals))
         # range coverage is validated DURING the write, not by a
         # pre-write pass over the batch: rows outside every range land
         # in the __r=-1 staging directory, detected from the listing
@@ -1322,17 +1347,21 @@ class Table:
         bad = [src for src, pvals in staged if pvals.get("__r", 0) < 0]
         if bad:
             sample = {
-                k: v for k, v in pq.read_table(bad[0]).slice(0, 1).to_pylist()[0].items()
+                k: v
+                for k, v in pq.read_table(senv.open_read(bad[0]))
+                .slice(0, 1).to_pylist()[0].items()
                 if k not in RESERVED
             }
-            shutil.rmtree(staging, ignore_errors=True)
+            senv.rmtree(staging)
             raise KuduSparkError(f"row does not fall in any range partition: {sample}")
 
         entries: list[FileEntry] = []
+        has_tombstones = False
         for fsrc, pvals in staged:
             newname = f"{seq:012d}-{uuid.uuid4().hex}.parquet"
             dst = os.path.join(self.root, DATA_DIR, newname)
-            md = pq.ParquetFile(fsrc).metadata
+            fbytes = senv.size(fsrc)
+            md = pq.ParquetFile(senv.open_read(fsrc)).metadata
             # per-PK-column footer min/max: each column's bounds are
             # independently valid, so predicates on ANY PK column can
             # prune whole files (>= Kudu's leading-key bounds)
@@ -1362,13 +1391,31 @@ class Table:
                 maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
             if any(v is not None for v in mins_by_col):
                 mn, mx = mins_by_col, maxs_by_col
-            os.replace(fsrc, dst)
+            # tombstone detection from the same footers (no extra job):
+            # decides whether the commit's presence sidecar can be a
+            # live key index (exact probes) or a meta-only tombstone
+            # marker (superset probes until compaction). Missing stats
+            # read as "may hold tombstones" — conservative, never wrong.
+            if not has_tombstones and kind == "delta":
+                di = sch_names.get(DEL_COL)
+                if di is None:
+                    has_tombstones = True
+                else:
+                    for rg in range(md.num_row_groups):
+                        stat = md.row_group(rg).column(di).statistics
+                        if stat is None or not stat.has_min_max or stat.max:
+                            has_tombstones = True
+                            break
+            if senv is self._env:
+                self._env.replace(fsrc, dst)  # same-store atomic move
+            else:
+                self._env.put_file(fsrc, dst)  # local staging -> remote root
             hash_b = [pvals[f"__b{i}"] for i in range(len(st.partition_spec.hash_dims))]
             entries.append(
                 FileEntry(
                     path=os.path.join(DATA_DIR, newname),
                     rows=md.num_rows,
-                    bytes=os.path.getsize(dst),
+                    bytes=fbytes,
                     partition={"hash": hash_b, "range": pvals.get("__r")},
                     seq=seq,
                     schema_version=st.schema.version,
@@ -1377,11 +1424,16 @@ class Table:
                     max_pk=mx,
                 )
             )
-        shutil.rmtree(staging, ignore_errors=True)
-        if kind == "delta":
+        senv.rmtree(staging)
+        # sidecar precedence: pk_bloom_cols tables index EVERY commit —
+        # base and delta alike, so mutating tables keep their O(batch)
+        # key probe (Kudu's per-rowset presence covers deltas too,
+        # tablet/tablet.cc:116-124) — and the fenced delta-key bloom is
+        # only built for tables without a presence index
+        if st.props.get("pk_bloom_cols"):
+            self._attach_presence_index(st, entries, tombstones=has_tombstones)
+        elif kind == "delta":
             self._attach_delta_bloom(st, entries)
-        elif st.props.get("pk_bloom_cols"):
-            self._attach_presence_index(st, entries)
         return entries
 
     # deltas below this many rows skip the sidecar: the grouped
@@ -1418,7 +1470,7 @@ class Table:
         try:
             pk = st.schema.pk
             keys = self.spark.read.parquet(
-                *[os.path.join(self.root, e.path) for e in entries]
+                *[self._data_path(e.path) for e in entries]
             ).select(F.xxhash64(*[F.col(c) for c in pk]).alias("h"))
             fpp = float(st.props.get("delta_bloom_fpp", delta_bloom.DEFAULT_FPP))
             data = delta_bloom.build_bloom(keys, total, fpp)
@@ -1444,21 +1496,27 @@ class Table:
                 "delta bloom sidecar for %s skipped: %s", self.name, ex
             )
 
-    def _attach_presence_index(self, st: TableState, entries: list[FileEntry]) -> None:
-        """Presence-index sidecar for BASE commits of tables with the
-        ``pk_bloom_cols`` property — the write-path analogue of Kudu
-        persisting per-rowset key structures once at DiskRowSet flush
-        (bloomfile + B-tree key index, cfile/bloomfile.cc,
-        cfile/index_btree.cc; consulted by the write path's presence
-        probe, tablet/tablet.cc:116-124). One sorted key-hash index
-        per commit over the configured column tuple
-        (plans/presence.py); ``present_key_probe``/``present_key_check``
-        answer "is this key in the table?" with zero data-file IO and
-        EXACT results (no fpp → no verification scan). Compaction
+    def _attach_presence_index(self, st: TableState, entries: list[FileEntry],
+                               tombstones: bool = False) -> None:
+        """Presence-index sidecar for EVERY commit of tables with the
+        ``pk_bloom_cols`` property — base and delta alike, so mutating
+        tables keep their O(batch) key probe (the write-path analogue
+        of Kudu persisting per-rowset key structures once at flush,
+        deltas included: bloomfile + B-tree key index,
+        cfile/bloomfile.cc, cfile/index_btree.cc; consulted by the
+        write path's presence probe, tablet/tablet.cc:116-124). One
+        sorted key-hash index per commit over the configured column
+        tuple (plans/presence.py); ``present_key_probe``/
+        ``present_key_check`` answer "is this key in the table?" with
+        zero data-file IO and EXACT results (no fpp → no verification
+        scan). ``tombstones=True`` (the commit holds DELETE rows)
+        writes a meta-only marker instead: coverage stays complete but
+        probes degrade honestly to SUPERSET answers until compaction
+        folds the deletes (presence.write_tombstone_meta). Compaction
         rewrites go through _write_files too, so compacted partitions
-        get ONE consolidated sidecar replacing their per-batch ones —
-        the sidecar count tracks the live file-commit count, not
-        history. Failure is non-fatal but LOUD: files without a
+        get ONE consolidated live sidecar replacing their per-batch
+        ones — the sidecar count tracks the live file-commit count,
+        not history. Failure is non-fatal but LOUD: files without a
         sidecar disable the probe for every later reader (callers
         fall back to a join against the scan), so the decline is
         logged at warning and surfaced via statistics()."""
@@ -1471,14 +1529,18 @@ class Table:
         try:
             types = [st.schema.col(c).type for c in cols]
             total = sum(e.rows for e in entries)
-            keys = self.spark.read.parquet(
-                *[os.path.join(self.root, e.path) for e in entries]
-            ).select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
             dirname = f"{entries[0].seq:012d}-{uuid.uuid4().hex}.pidx"
             rel = os.path.join(DATA_DIR, dirname)
-            meta = presence.build_index(
-                keys, total, os.path.join(self.root, rel), cols, types
-            )
+            if tombstones:
+                meta = presence.write_tombstone_meta(
+                    os.path.join(self.root, rel), cols, types, total)
+            else:
+                keys = self.spark.read.parquet(
+                    *[self._data_path(e.path) for e in entries]
+                ).select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
+                meta = presence.build_index(
+                    keys, total, os.path.join(self.root, rel), cols, types
+                )
             if meta is None:
                 raise KuduSparkError("presence.build_index returned None")
             for e in entries:
@@ -1526,16 +1588,18 @@ class Table:
                    if max_live is None else max_live)
         groups: dict[str, list[FileEntry]] = {}
         for f in st.files:
-            if f.kind == "base" and f.bloom and f.bloom.endswith(".pidx"):
+            if f.bloom and f.bloom.endswith(".pidx"):
                 groups.setdefault(f.bloom, []).append(f)
-        if len(groups) <= maxc:
-            return None
         sized = []
         for rel, ents in groups.items():
             meta = presence.read_meta(os.path.join(self.root, rel))
             if meta is None:
                 return None  # unreadable sidecar: probes decline anyway
+            if meta.get("tombstones"):
+                continue  # meta-only markers: nothing to probe or merge
             sized.append((int(meta["bytes"]), rel, ents))
+        if len(sized) <= maxc:
+            return None
         sized.sort(key=lambda x: x[0])
         # merge at least enough smallest sidecars to get back under the
         # cap, then keep absorbing neighbors no bigger than what the
@@ -1573,9 +1637,7 @@ class Table:
             # were about to re-add — recompute from fresh state.
             # Discard ONLY the new sidecar dir (the data files are
             # live; _discard would unlink them).
-            import shutil
-
-            shutil.rmtree(os.path.join(self.root, new_rel), ignore_errors=True)
+            self._env.rmtree(os.path.join(self.root, new_rel))
             if _attempts <= 1:
                 raise
             return self.merge_presence_sidecars(max_live, _attempts - 1)
@@ -1604,17 +1666,21 @@ class Table:
         """Shared machinery of present_key_probe/present_key_check.
         Returns (matches_df, exact) or None when coverage is
         incomplete. ``exact`` is True when the sidecar tuple equals
-        ``cols`` (the match set is the exact present set, up to 64-bit
-        hash collisions); a PK-prefix sidecar (prefix_ok) yields a
-        superset instead — still no false negatives."""
+        ``cols`` AND nothing live can make the union overcount (no
+        tombstone markers from un-compacted DELETEs, and for non-PK
+        tuples no delta commits): the match set is then the exact
+        present set, up to 64-bit hash collisions. A PK-prefix sidecar
+        (prefix_ok) or any overcount source yields a superset instead —
+        still no false negatives, which is the load-bearing half of
+        the contract (novel keys stay zero-IO provably absent)."""
         from kudu_spark.plans import presence
 
         if st is None:
             st = self.state()
         if not st.files:
             return keys_df.limit(0), True  # empty table: nothing present
-        if any(f.kind != "base" or not f.bloom for f in st.files):
-            self._presence_decline("delta files or files without sidecars")
+        if any(not f.bloom for f in st.files):
+            self._presence_decline("files without sidecars")
             return None
         paths = sorted({f.bloom for f in st.files})
         if len(paths) > self.PK_BLOOM_MAX_EXPRS:
@@ -1622,6 +1688,7 @@ class Table:
             return None
         specs = []
         probe_cols = probe_types = None
+        tombstoned = False
         for rel in paths:
             if not rel.endswith(".pidx"):
                 self._presence_decline(f"legacy sidecar format: {rel}")
@@ -1639,7 +1706,26 @@ class Table:
                 # would fabricate false negatives (ADVICE r7, medium)
                 self._presence_decline("sidecars hash different column tuples")
                 return None
+            if meta.get("tombstones"):
+                # un-compacted DELETEs: the live-key union overcounts
+                # their keys, so answers degrade to SUPERSET — still no
+                # false negatives (deletion never ADDS a live key)
+                tombstoned = True
+                continue  # meta-only marker: no shards to probe
             specs.append((os.path.join(self.root, rel), int(meta["nshards"])))
+        # exactness: delete markers overcount; and when the hashed
+        # tuple reaches outside the PK, an upsert/update delta can
+        # retire a tuple value whose old copy still sits in an older
+        # sidecar — both degrade honestly to superset semantics
+        mutated_tuple = (
+            not set(probe_cols) <= set(st.schema.pk)
+            and any(f.kind == "delta" for f in st.files)
+        )
+        inexact = tombstoned or mutated_tuple
+        if not specs:
+            # every sidecar is a tombstone marker → every file holds
+            # only delete rows → no live rows exist: exact empty answer
+            return keys_df.limit(0), True
         # the sidecar's recorded tuple is authoritative — never the
         # CURRENT pk_bloom_cols property (ADVICE r7): a mismatched
         # name, order, or declared type declines instead of probing
@@ -1652,7 +1738,7 @@ class Table:
             self._presence_decline("sidecar column types drifted")
             return None
         if probe_cols == list(cols):
-            exact = True
+            exact = not inexact
         elif prefix_ok and list(cols)[: len(probe_cols)] == probe_cols:
             exact = False  # prefix probe: superset semantics
         else:
@@ -1679,7 +1765,12 @@ class Table:
                 par = 64
             nparts = min(ns_max, max(32, par))
             out = out.repartition(nparts, F.pmod(F.col("__pidx_h"), F.lit(ns_max)))
-        pred = presence.present_udf(tuple(specs))(F.col("__pidx_h"))
+        # driver-local Envs (memory://): executor workers cannot see
+        # the shard bytes — ship them in the closure (dev/test only)
+        preload = (
+            None if self._env.distributed else presence.load_all_shards(specs)
+        )
+        pred = presence.present_udf(tuple(specs), preload)(F.col("__pidx_h"))
         return out.where(pred).drop("__pidx_h"), exact
 
     @staticmethod
@@ -1698,12 +1789,15 @@ class Table:
         sorted-hash index, not a bloom — plans/presence.py); when the
         sidecar covers a proper PREFIX of ``cols`` (e.g. probing a
         full PK against a (band,bkey) sidecar) the result is a
-        superset and positives need exact verification. Returns None —
-        caller falls back to a join against the scan — when coverage
-        is incomplete: sidecar tuple serves neither ``cols`` nor a
-        prefix, any live file lacks a sidecar (e.g. delta files from
-        upsert/delete), types drifted, or the sidecar count exceeds
-        PK_BLOOM_MAX_EXPRS."""
+        superset and positives need exact verification. Mutating
+        tables KEEP the probe: upsert/update delta commits carry live
+        key indexes, DELETE commits carry tombstone markers that flip
+        answers to superset until compaction (per-rowset presence
+        covers deltas in the reference too, tablet/tablet.cc:116-124).
+        Returns None — caller falls back to a join against the scan —
+        when coverage is incomplete: sidecar tuple serves neither
+        ``cols`` nor a prefix, any live file lacks a sidecar, types
+        drifted, or the sidecar count exceeds PK_BLOOM_MAX_EXPRS."""
         r = self._presence_lookup(keys_df, cols, st, prefix_ok=True)
         return None if r is None else r[0]
 
@@ -1840,12 +1934,10 @@ class Table:
         for p in {e.path for e in entries} | {e.bloom for e in entries if e.bloom}:
             full = os.path.join(self.root, p)
             try:
-                if os.path.isdir(full):  # presence-index sidecar dirs
-                    import shutil
-
-                    shutil.rmtree(full, ignore_errors=True)
+                if self._env.isdir(full):  # presence-index sidecar dirs
+                    self._env.rmtree(full)
                 else:
-                    os.unlink(full)
+                    self._env.unlink(full, missing_ok=True)
             except OSError:
                 pass
 
@@ -2576,20 +2668,18 @@ class Table:
                 blooms |= {f.bloom for f in old.files if f.bloom}
         removed = 0
         data_dir = os.path.join(self.root, DATA_DIR)
-        for name in os.listdir(data_dir):
+        for name in self._env.listdir(data_dir):
             rel = os.path.join(DATA_DIR, name)
             if name.endswith(".parquet") and rel not in live:
-                os.unlink(os.path.join(data_dir, name))
+                self._env.unlink(os.path.join(data_dir, name), missing_ok=True)
                 removed += 1
             elif name.endswith(".bloom") and rel not in blooms:
                 # delta-key sidecars GC with their manifests
-                os.unlink(os.path.join(data_dir, name))
+                self._env.unlink(os.path.join(data_dir, name), missing_ok=True)
                 removed += 1
             elif name.endswith(".pidx") and rel not in blooms:
                 # presence-index sidecar dirs GC with their manifests
-                import shutil
-
-                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+                self._env.rmtree(os.path.join(data_dir, name))
                 removed += 1
         return removed
 
@@ -2702,16 +2792,23 @@ class Table:
         if st.props.get("pk_bloom_cols"):
             from kudu_spark.plans import presence
 
-            covered = [f for f in st.files if f.kind == "base" and f.bloom]
+            covered = [f for f in st.files if f.bloom]
             sidecars = sorted({f.bloom for f in covered})
+            metas = {
+                rel: presence.read_meta(os.path.join(self.root, rel)) or {}
+                for rel in sidecars if rel.endswith(".pidx")
+            }
             out["presence_sidecars"] = len(sidecars)
             out["presence_bytes"] = sum(
-                int((presence.read_meta(os.path.join(self.root, rel)) or {})
-                    .get("bytes", 0))
-                for rel in sidecars if rel.endswith(".pidx")
-            )
+                int(m.get("bytes", 0)) for m in metas.values())
             out["presence_coverage"] = (
                 (len(covered) / len(st.files)) if st.files else 1.0
+            )
+            # exact = probes answer membership exactly; False while
+            # un-compacted DELETEs force superset answers
+            out["presence_exact"] = (
+                out["presence_coverage"] == 1.0
+                and not any(m.get("tombstones") for m in metas.values())
             )
         return out
 

@@ -418,7 +418,7 @@ class Transaction:
     def _staged_insert_keys(self, st):
         import os
 
-        paths = [os.path.join(self.table.root, e.path) for e in self._insert_entries]
+        paths = [self.table._data_path(e.path) for e in self._insert_entries]
         return self.table.spark.read.parquet(*paths).select(*st.schema.pk)
 
     def insert(self, df) -> None:
@@ -599,11 +599,12 @@ def _write_cdc_repair(table: Table, paths: list[str], txn_id: str) -> list[str]:
     aborted txn's phantom rows forever. Returns table-relative repair
     paths. Cost is O(txn keys) — the snapshot side is file-pruned by
     the same probe as the write paths."""
-    import shutil
     import uuid as _uuid
 
+    from kudu_spark import fs as _fs
     from kudu_spark.meta import TableState
 
+    env = table._env
     st = table.state()
     removed = set(paths)
     sub = TableState(**{**st.__dict__})
@@ -611,11 +612,12 @@ def _write_cdc_repair(table: Table, paths: list[str], txn_id: str) -> list[str]:
     # txn_abort commit lands after): exclude them = the post-abort view
     sub.files = [f for f in st.files if f.path not in removed]
     pk = st.schema.pk
-    abs_paths = [os.path.join(table.root, p) for p in paths]
-    abs_paths = [p for p in abs_paths if os.path.exists(p)]
-    if not abs_paths:
+    live = [p for p in paths if env.exists(os.path.join(table.root, p))]
+    if not live:
         return []
-    keys = table.spark.read.parquet(*abs_paths).select(*pk).dropDuplicates(pk)
+    keys = table.spark.read.parquet(
+        *[table._data_path(p) for p in live]
+    ).select(*pk).dropDuplicates(pk)
     snap = table._snapshot_overlapping(sub, keys).select(*st.schema.names)
     restored = snap.join(keys, on=pk, how="left_semi").withColumn(
         "__deleted", F.lit(False)
@@ -631,15 +633,27 @@ def _write_cdc_repair(table: Table, paths: list[str], txn_id: str) -> list[str]:
         )
         .withColumn("__deleted", F.lit(True))
     )
-    staging = os.path.join(table.root, "_cdc", f"_staging-{_uuid.uuid4().hex}")
+    if env.spark_native:
+        staging = os.path.join(table.root, "_cdc", f"_staging-{_uuid.uuid4().hex}")
+        senv = env
+    else:
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="pyskudu-cdc-")
+        senv = _fs.env_for_root(staging)
     restored.unionByName(gone).write.mode("overwrite").parquet(staging)
+    env.makedirs(os.path.join(table.root, "_cdc"))
     rels = []
-    for fname in os.listdir(staging):
+    for fname in senv.walk_files(staging):
         if fname.endswith(".parquet"):
             rel = os.path.join("_cdc", f"abort-{txn_id}-{_uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(staging, fname), os.path.join(table.root, rel))
+            src = os.path.join(staging, fname)
+            if senv is env:
+                env.replace(src, os.path.join(table.root, rel))
+            else:
+                env.put_file(src, os.path.join(table.root, rel))
             rels.append(rel)
-    shutil.rmtree(staging, ignore_errors=True)
+    senv.rmtree(staging)
     return rels
 
 
@@ -667,15 +681,13 @@ def _compensate(table: Table, entry_paths: list[str], txn_id: str,
 
 
 def _rewrite_marker(path: str, payload: dict) -> None:
-    """Durably replace a txn marker (fsync'd write + atomic rename)."""
+    """Durably replace a txn marker (fsync'd write + atomic rename,
+    through the warehouse root's Env)."""
     import json
 
-    tmp = path + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from kudu_spark.fs import env_for_root
+
+    env_for_root(path).write_bytes(path, json.dumps(payload).encode(), fsync=True)
 
 
 class EngineTransaction:
@@ -748,8 +760,11 @@ class EngineTransaction:
         parts = {n: t for n, t in self._parts.items() if t._staged}
         if not parts:
             return {}
+        from kudu_spark.fs import env_for_root
+
+        env = env_for_root(self.engine.root)
         txn_id = uuid.uuid4().hex
-        os.makedirs(self._marker_dir(), exist_ok=True)
+        env.makedirs(self._marker_dir())
         marker = os.path.join(self._marker_dir(), f"{txn_id}.json")
         payload = {
             "txn_id": txn_id,
@@ -766,12 +781,7 @@ class EngineTransaction:
                 for n, t in parts.items()
             },
         }
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, marker)
+        env.write_bytes(marker, json.dumps(payload).encode(), fsync=True)
 
         published: dict[str, int] = {}
         try:
@@ -800,9 +810,9 @@ class EngineTransaction:
                 except Exception:
                     ok = False
             if ok:
-                os.unlink(marker)
+                env.unlink(marker, missing_ok=True)
             raise
-        os.unlink(marker)
+        env.unlink(marker, missing_ok=True)
         return published
 
     def rollback(self) -> None:
@@ -828,18 +838,17 @@ class EngineTransaction:
         for the next recover() call. Returns resolved txn ids."""
         import json
 
+        from kudu_spark.fs import env_for_root
         from kudu_spark.meta import FileEntry
 
+        env = env_for_root(engine.root)
         d = os.path.join(engine.root, "_txns")
-        if not os.path.isdir(d):
-            return []
         done = []
-        for name in sorted(os.listdir(d)):
+        for name in sorted(env.listdir(d)):
             if not name.endswith(".json") or ".tmp" in name:
                 continue
             path = os.path.join(d, name)
-            with open(path) as f:
-                m = json.load(f)
+            m = json.loads(env.read_bytes(path))
             txn_id = m["txn_id"]
             parts = m.get("participants", {})
             status = {tname: _txn_ops(part["root"], txn_id)
@@ -852,7 +861,7 @@ class EngineTransaction:
                         continue
                     entries = [FileEntry.from_json(e) for e in part["entries"]]
                     if not all(
-                        os.path.exists(os.path.join(part["root"], e.path))
+                        env.exists(os.path.join(part["root"], e.path))
                         for e in entries
                     ):
                         abort = True  # staged files lost: cannot complete
@@ -876,14 +885,12 @@ class EngineTransaction:
                                         ops=status[tname])
                         else:
                             for p in paths:  # unpublished: reclaim staged files
-                                try:
-                                    os.unlink(os.path.join(part["root"], p))
-                                except FileNotFoundError:
-                                    pass
+                                env.unlink(os.path.join(part["root"], p),
+                                           missing_ok=True)
                     except Exception:
                         ok = False
                 if ok:
-                    os.unlink(path)
+                    env.unlink(path, missing_ok=True)
                     done.append(txn_id)
             else:
                 # per-participant containment (mirrors the abort arm):
@@ -902,7 +909,7 @@ class EngineTransaction:
                     except Exception:
                         ok = False
                 if ok:
-                    os.unlink(path)
+                    env.unlink(path, missing_ok=True)
                     done.append(txn_id)
         return done
 
@@ -915,7 +922,7 @@ class EngineTransaction:
         if not st.files:
             return False
         pk = st.schema.pk
-        paths = [os.path.join(table.root, e.path) for e in base_entries]
+        paths = [table._data_path(e.path) for e in base_entries]
         keys = table.spark.read.parquet(*paths).select(*pk)
         return bool(
             keys.join(table._existing_pks(st, keys), on=pk, how="left_semi")
