@@ -136,17 +136,23 @@ def test_ingest_steady_state_zero_state_io(engine, spark, monkeypatch):
     assert [c for c in calls if c[0] in ("corpus", "corpus_bands")] == []
 
 
-def test_present_key_probe_fallback_on_deltas(engine, spark):
-    """Coverage lapses (a delta file without a presence sidecar) make
-    the probe decline — callers fall back to the join path, results
-    unchanged."""
+def test_present_key_probe_fallback_on_deltas(engine, spark, monkeypatch):
+    """Coverage lapses (a delta file without a presence sidecar — e.g.
+    a failed sidecar build) make the probe decline — callers fall back
+    to the join path, results unchanged. (Healthy delta commits carry
+    sidecars since round 9, so the lapse is forced here.)"""
+    import kudu_spark.table as tbl
+
     docs, bands = create_corpus_tables(engine)
     ingest_batch(engine, docs_df(spark, [(1, LOREM, "en", "s")]))
-    # poke a delta into the bands table: probe must now decline
+    # poke a SIDECAR-LESS delta into the bands table: probe must decline
     bands = engine.table("corpus_bands")
     row = bands.scan().limit(1).collect()[0]
-    bands.upsert(spark.createDataFrame(
-        [(row.band, row.bkey, row.doc_id)], "band int, bkey string, doc_id bigint"))
+    with monkeypatch.context() as mp:
+        mp.setattr(tbl.Table, "_attach_presence_index",
+                   lambda self, st, entries, tombstones=False: None)
+        bands.upsert(spark.createDataFrame(
+            [(row.band, row.bkey, row.doc_id)], "band int, bkey string, doc_id bigint"))
     bands = engine.table("corpus_bands")
     assert bands.present_key_probe(
         bands.scan(columns=["band", "bkey"]).limit(0), ["band", "bkey"]) is None

@@ -125,6 +125,105 @@ def test_shard_cache_lru_and_fd_cap(tmp_path, monkeypatch):
     assert (d, 3) in presence._SHARD_CACHE  # newest retained
 
 
+# -- delta commits keep the probe (VERDICT r8 task #2) -----------------------
+
+
+def test_probe_stays_live_and_exact_through_upsert_deltas(engine, spark):
+    """Upsert/update delta commits carry live presence sidecars, so a
+    mutating table KEEPS its O(batch) key probe — exact, since neither
+    op can retire a PK (Kudu's per-rowset presence covers deltas,
+    tablet/tablet.cc:116-124)."""
+    t = make_table(engine, n=500)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.upsert(spark.range(450, 550).select(
+        F.col("id").alias("k"), F.lit("up").alias("v")))
+    t = engine.table("pt")
+    st = t.state()
+    assert any(f.kind == "delta" for f in st.files)
+    assert all(f.bloom and f.bloom.endswith(".pidx") for f in st.files)
+    probe = spark.range(0, 1200, 10).select(F.col("id").alias("k"))
+    got = t.present_key_check(probe, ["k"])
+    assert got is not None, "probe declined on a table with upsert deltas"
+    assert {r.k for r in got.collect()} == {i for i in range(0, 1200, 10) if i < 550}
+    assert t.statistics()["presence_exact"] is True
+
+
+def test_insert_zero_data_io_with_live_upsert_deltas(engine, spark, monkeypatch):
+    """The money shot of delta sidecars: a novel-key INSERT against a
+    table with live upsert deltas reads ZERO data files — the presence
+    index answers the duplicate probe entirely."""
+    import kudu_spark.table as tbl
+
+    t = make_table(engine, n=500)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.upsert(spark.range(100, 200).select(
+        F.col("id").alias("k"), F.lit("up").alias("v")))
+    t = engine.table("pt")
+    assert any(f.kind == "delta" for f in t.state().files)
+    calls = []
+    orig = tbl.Table._snapshot_df
+
+    def spy(self, st, filters=None, *a, **kw):
+        calls.append((self.name, filters))
+        return orig(self, st, filters, *a, **kw)
+
+    monkeypatch.setattr(tbl.Table, "_snapshot_df", spy)
+    t.insert(spark.range(10_000, 10_100).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")))
+    assert [c for c in calls if c[0] == "pt"] == []
+
+
+def test_delete_flips_probe_to_superset_until_compaction(engine, spark):
+    """DELETE commits carry tombstone markers: the probe stays LIVE
+    (novel keys remain zero-IO provably absent) but answers degrade to
+    a superset — present_key_check declines, statistics say so — and
+    compaction restores exactness."""
+    t = make_table(engine, n=500)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.delete(spark.range(0, 50).select(F.col("id").alias("k")))
+    t = engine.table("pt")
+    s = t.statistics()
+    assert s["presence_coverage"] == 1.0 and s["presence_exact"] is False
+    keys = spark.range(0, 1000, 25).select(F.col("id").alias("k"))
+    got = t.present_key_probe(keys, ["k"])
+    assert got is not None, "probe declined on a table with delete deltas"
+    hits = {r.k for r in got.collect()}
+    live = set(range(50, 500, 25))
+    assert live <= hits <= set(range(0, 500, 25))  # superset, no false negatives
+    assert t.present_key_check(keys, ["k"]) is None  # exactness honestly declined
+    t.compact()
+    t = engine.table("pt")
+    assert t.statistics()["presence_exact"] is True
+    got2 = t.present_key_check(keys, ["k"])
+    assert got2 is not None
+    assert {r.k for r in got2.collect()} == live
+
+
+def test_sidecar_merge_spans_delta_commits(engine, spark):
+    """The size-tiered merge consolidates base AND delta live sidecars
+    (tombstone markers are skipped — meta-only), keeping probe work
+    bounded on mutating tables."""
+    t = make_table(engine, n=200)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    for i in range(6):
+        t.upsert(spark.range(i * 40, i * 40 + 40).select(
+            F.col("id").alias("k"), F.lit(f"u{i}").alias("v")))
+    t = engine.table("pt")
+    v = t.merge_presence_sidecars(max_live=2)
+    assert v is not None
+    t = engine.table("pt")
+    live_sidecars = {f.bloom for f in t.state().files}
+    assert len(live_sidecars) <= 3
+    got = t.present_key_check(
+        spark.range(0, 400, 7).select(F.col("id").alias("k")), ["k"])
+    assert got is not None
+    assert {r.k for r in got.collect()} == {i for i in range(0, 400, 7) if i < 240}
+
+
 # -- Table integration -------------------------------------------------------
 
 
@@ -186,9 +285,17 @@ def test_probe_declines_on_column_drift(engine, spark):
     assert t2.present_key_check(keys, ["k"]) is not None
 
 
-def test_probe_declines_on_delta_files(engine, spark):
+def test_probe_declines_on_sidecarless_delta(engine, spark, monkeypatch):
+    """A delta WITHOUT a sidecar (failed build — healthy deltas carry
+    one since round 9) still declines the probe; compaction rebuilds
+    coverage."""
+    import kudu_spark.table as tbl
+
     t = make_table(engine, n=100)
-    t.upsert(spark.createDataFrame([(1, "vv")], "k bigint, v string"))
+    with monkeypatch.context() as mp:
+        mp.setattr(tbl.Table, "_attach_presence_index",
+                   lambda self, st, entries, tombstones=False: None)
+        t.upsert(spark.createDataFrame([(1, "vv")], "k bigint, v string"))
     t = engine.table("pt")
     keys = spark.range(5).select(F.col("id").alias("k"))
     assert t.present_key_probe(keys, ["k"]) is None
@@ -198,14 +305,25 @@ def test_probe_declines_on_delta_files(engine, spark):
     assert t.present_key_check(keys, ["k"]) is not None
 
 
-def test_statistics_surface_presence_health(engine, spark):
+def test_statistics_surface_presence_health(engine, spark, monkeypatch):
+    import kudu_spark.table as tbl
+
     t = make_table(engine, n=100)
     s = t.statistics()
     assert s["presence_sidecars"] >= 1 and s["presence_bytes"] > 0
-    assert s["presence_coverage"] == 1.0
+    assert s["presence_coverage"] == 1.0 and s["presence_exact"] is True
+    # healthy upsert deltas keep full, exact coverage
     t.upsert(spark.createDataFrame([(1, "vv")], "k bigint, v string"))
     s2 = engine.table("pt").statistics()
-    assert s2["presence_coverage"] < 1.0  # probe is off; user can see it
+    assert s2["presence_coverage"] == 1.0 and s2["presence_exact"] is True
+    # a sidecar-less delta (failed build) drops coverage; user can see it
+    with monkeypatch.context() as mp:
+        mp.setattr(tbl.Table, "_attach_presence_index",
+                   lambda self, st, entries, tombstones=False: None)
+        engine.table("pt").upsert(
+            spark.createDataFrame([(2, "x")], "k bigint, v string"))
+    s3 = engine.table("pt").statistics()
+    assert s3["presence_coverage"] < 1.0
     r = engine.sql("SHOW TABLE STATS pt").collect()[0]
     assert r.presence_coverage < 1.0
 
