@@ -4,10 +4,15 @@
 ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
-Each query runs twice (JVM/codegen warm-up) and reports the faster run
-— matching BASELINE.md's warm-cache methodology (kudu.tex:889).
-Results are fully materialized via the noop sink so the measured time
-covers the whole plan, not just the driver-side fetch of a few rows.
+Each query runs three times (JVM/codegen warm-up) and reports the
+fastest run — matching BASELINE.md's warm-cache methodology
+(kudu.tex:889) AND the bench-adjudication protocol (SCALE.md rounds
+6/8: single runs swing up to ~50% with machine phase, so the recorded
+artifact carries the best-of-3, with the observed spread attached as
+``noise_bracket`` so a reader can tell a real regression from a noisy
+machine; VERDICT r8 task #4). Results are fully materialized via the
+noop sink so the measured time covers the whole plan, not just the
+driver-side fetch of a few rows.
 """
 
 from __future__ import annotations
@@ -146,23 +151,37 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in queries]
 
+    runs = int(os.environ.get("PYSKUDU_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    worsts: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(2):
+        best, worst = float("inf"), 0.0
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            el = time.perf_counter() - t0
+            best, worst = min(best, el), max(worst, el)
         times[name] = round(best, 3)
+        worsts[name] = round(worst, 3)
 
     total = round(sum(times.values()), 3)
+    worst_total = round(sum(worsts.values()), 3)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # the machine-phase bracket: `value` is the per-query best-of-N
+        # (the number to diff across rounds); worst_total tells a reader
+        # how noisy this recording session actually was
+        "noise_bracket": {
+            "runs_per_query": runs,
+            "worst_total": worst_total,
+            "spread_pct": round(100.0 * (worst_total - total) / total, 1)
+            if total else 0.0,
+        },
     }
     if os.environ.get("PYSKUDU_BENCH_ENGINE_RATIO", "1") != "0":
         # engine-vs-parquet time ratio on identical rows (BASELINE.md

@@ -41,6 +41,8 @@ _SHINGLES_LIST_SQL = (
            CAST(ceil(length(text) / 4.0) AS BIGINT)            AS est_bpe_tokens
     FROM documents
     """,
+    gated=False,  # r9 rotation: long-green since r2; text family stays
+    # gated ×2 (language_id/quality); pytest runs the same oracle
 )
 def text_token_count(spark, sf_dir):
     """Whitespace token count + BPE-ish estimate (chars/4)."""
@@ -443,6 +445,8 @@ def multimodal_binary_stats(spark, sf_dir):
            CAST(i * octet_length(encode(text)) // 4 AS BIGINT) AS frame_offset
     FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) idx
     """,
+    gated=False,  # r9 rotation: long-green since r3; multimodal stays
+    # gated via multimodal_binary_stats; pytest runs the same oracle
 )
 def multimodal_frame_positions(spark, sf_dir):
     """Frame-sample planning (video keyframe shape): k byte offsets
@@ -524,7 +528,8 @@ _INCR_DEDUP_SQL = f"""
 @query(
     "dedup_incremental",
     oracle=_INCR_DEDUP_SQL,
-    gated=False,  # dedup family gated via dedup_minhash_lsh
+    # r9 rotation (VERDICT r8 task #8): the streaming-ingest probe's
+    # core operator gets driver verification
 )
 def dedup_incremental(spark, sf_dir):
     """Continuous-crawl dedup: an incoming batch (sources src0/src1)
@@ -665,7 +670,8 @@ def corpus_vocabulary(spark, sf_dir):
           FROM documents
         )""",
     ),
-    gated=False,  # dedup family gated via dedup_exact etc.; pytest-oracled
+    # r9 rotation (VERDICT r8 task #8): the newest pipeline dedup
+    # operator gets driver verification
 )
 def pipeline_line_dedup(spark, sf_dir):
     """Corpus-wide line-level dedup (C4/RefinedWeb boilerplate

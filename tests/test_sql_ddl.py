@@ -733,8 +733,15 @@ def test_explain_statements(eng):
     dml_plan = eng.sql("EXPLAIN INSERT INTO ex VALUES (5, 'x')") \
         .collect()[0].plan
     assert "INSERT target=ex" in dml_plan and "hash(id) buckets=4" in dml_plan
+    # DDL/SHOW explain as catalog statements (Impala explains DDL too)
+    ddl_plan = eng.sql(
+        "EXPLAIN ALTER TABLE ex SET TBLPROPERTIES ('k' = 'v')").collect()[0].plan
+    assert "catalog statement" in ddl_plan and "commit-log" in ddl_plan
+    show_plan = eng.sql("EXPLAIN SHOW TABLE STATS ex").collect()[0].plan
+    assert "metadata" in show_plan
     # EXPLAIN must not have executed anything
     assert eng.table("ex").scan().count() == 1
+    assert "k" not in eng.table("ex").state().props
 
 
 def test_column_stats_formatting_clean_vs_dirty(eng):
