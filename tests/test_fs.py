@@ -95,6 +95,165 @@ def test_env_contract_identity_and_arrays(env_root):
     assert env.identity(os.path.join(root, "gone")) in (None, (None,))
 
 
+# -- FsspecEnv adapter over a fake fsspec -------------------------------------
+
+
+class _FakeFs:
+    """Minimal fsspec-filesystem lookalike over a local directory, so
+    the FsspecEnv adapter logic is exercised even though this
+    container ships no fsspec. Paths arrive as 'fakefs://<rel>'."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def _p(self, path):
+        rel = path.split("://", 1)[-1]
+        return os.path.join(self.base, rel)
+
+    def cat_file(self, path):
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def open(self, path, mode="rb"):
+        return open(self._p(path), mode)
+
+    def pipe_file(self, path, data):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def exists(self, path):
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path):
+        return os.path.isdir(self._p(path))
+
+    def ls(self, path, detail=False):
+        p = self._p(path)
+        if not os.path.exists(p):
+            raise FileNotFoundError(path)
+        return [path.rstrip("/") + "/" + n for n in os.listdir(p)]
+
+    def makedirs(self, path, exist_ok=False):
+        os.makedirs(self._p(path), exist_ok=exist_ok)
+
+    def find(self, path):
+        out = []
+        for dirpath, _d, names in os.walk(self._p(path)):
+            rel = os.path.relpath(dirpath, self.base)
+            out += [f"fakefs://{rel}/{n}" for n in names]
+        return out
+
+    def mv(self, src, dst, recursive=False):
+        d = self._p(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        os.rename(self._p(src), d)
+
+    def put_file(self, local, dst):
+        import shutil
+
+        p = self._p(dst)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        shutil.copyfile(local, p)
+
+    def rm_file(self, path):
+        os.unlink(self._p(path))
+
+    def rm(self, path, recursive=False):
+        import shutil
+
+        p = self._p(path)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.unlink(p)
+        else:
+            raise FileNotFoundError(path)
+
+    def size(self, path):
+        return os.path.getsize(self._p(path))
+
+    def info(self, path):
+        p = self._p(path)
+        if not os.path.exists(p):
+            raise FileNotFoundError(path)
+        s = os.stat(p)
+        return {"size": s.st_size, "mtime": s.st_mtime}
+
+    def get_file(self, path, local):
+        import shutil
+
+        shutil.copyfile(self._p(path), local)
+
+
+@pytest.fixture()
+def fake_fsspec(tmp_path, monkeypatch):
+    """Inject a fake `fsspec` module serving scheme 'fakefs' from a
+    temp dir, and clear the env registry entry afterwards."""
+    import sys
+    import types
+
+    base = str(tmp_path / "fakefs-store")
+    os.makedirs(base)
+    mod = types.ModuleType("fsspec")
+    mod.filesystem = lambda proto, **kw: _FakeFs(base)
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    fs._ENVS.pop("fakefs", None)
+    fs._ENVS.pop("memory", None)  # let memory:// re-resolve without the fake
+    yield base
+    fs._ENVS.pop("fakefs", None)
+    fs._ENVS.pop("memory", None)
+
+
+def test_fsspec_env_contract(fake_fsspec):
+    """The FsspecEnv adapter satisfies the same Env contract the other
+    implementations do (driven through a fake fsspec filesystem)."""
+    env = fs.env_for_root("fakefs://wh")
+    assert type(env).__name__ == "FsspecEnv"
+    root = "fakefs://wh"
+    env.makedirs(os.path.join(root, "d"))
+    p = os.path.join(root, "d/a.json")
+    env.write_bytes(p, b"{}")
+    assert env.read_bytes(p) == b"{}"
+    env.publish_new(os.path.join(root, "d/c1.json"), b"1")
+    with pytest.raises(FileExistsError):
+        env.publish_new(os.path.join(root, "d/c1.json"), b"2")
+    assert sorted(env.listdir(os.path.join(root, "d"))) == ["a.json", "c1.json"]
+    assert env.walk_files(root) == ["d/a.json", "d/c1.json"]
+    env.replace(p, os.path.join(root, "d/b.json"))
+    assert env.read_bytes(os.path.join(root, "d/b.json")) == b"{}"
+    arr = np.arange(16, dtype="<i8")
+    env.write_bytes(os.path.join(root, "d/s.i64"), arr.tobytes())
+    assert np.array_equal(np.asarray(env.read_array(os.path.join(root, "d/s.i64"))), arr)
+    assert env.identity(os.path.join(root, "d/s.i64")) is not None
+    assert env.identity(os.path.join(root, "gone")) is None
+    env.rename_dir(os.path.join(root, "d"), os.path.join(root, "e"))
+    assert env.exists(os.path.join(root, "e/b.json"))
+    env.unlink(os.path.join(root, "e/b.json"))
+    env.rmtree(os.path.join(root, "e"))
+    assert env.walk_files(os.path.join(root, "e")) == []
+
+
+def test_fsspec_env_table_end_to_end(fake_fsspec, spark):
+    """A table running end-to-end on an FsspecEnv root: metadata and
+    sidecars flow through the (fake) fsspec driver; data files mirror
+    through the driver-local cache since Spark can't read fakefs://."""
+    eng = Engine(spark, "fakefs://wh")
+    t = eng.create_table(
+        "et", [("k", "bigint", False), ("v", "string", True)], pk=["k"])
+    t.insert(spark.range(40).select(F.col("id").alias("k"), F.lit("x").alias("v")))
+    t.upsert(spark.createDataFrame([(3, "UP"), (99, "NEW")], "k bigint, v string"))
+    t.delete(spark.createDataFrame([(5,)], "k bigint"))
+    got = {r.k: r.v for r in t.scan(filters=[("k", "<=", 6)]).collect()}
+    assert got == {0: "x", 1: "x", 2: "x", 3: "UP", 4: "x", 6: "x"}
+    assert t.count() == 40  # +1 new, -1 deleted
+    t.compact()
+    assert eng.table("et").count() == 40
+    # the commit log genuinely lives in the fake store
+    assert os.path.isdir(os.path.join(fake_fsspec, "wh/et/_log"))
+
+
 # -- loud rejection ------------------------------------------------------------
 
 
