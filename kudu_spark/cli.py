@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, default=8)
     sp.add_argument("--flush-per-batch", action="store_true",
                     help="one commit per batch (default: one commit total)")
+    sp = sub.add_parser("fsck",
+                        help="warehouse integrity check (= offline ksck + "
+                             "`kudu fs check`): missing/size-mismatched "
+                             "manifest files, bad sidecars, orphans, log gaps")
+    sp.add_argument("table", nargs="?", default=None)
+    sp.add_argument("--repair", action="store_true",
+                    help="delete orphaned files (quiet warehouse only)")
     sp = sub.add_parser("set-replication-factor",
                         help="store a table's replication factor as metadata "
                              "(= `kudu table set_replication_factor`)")
@@ -183,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
             if not any(did.values()):
                 break
         print(json.dumps({"sweeps": sweeps}))
+    elif args.cmd == "fsck":
+        report = eng.fsck(args.table, repair=args.repair)
+        print(json.dumps(report))
+        return 0 if all(r["ok"] for r in report.values()) else 1
     elif args.cmd == "set-replication-factor":
         eng.set_replication_factor(args.table, args.factor,
                                    allow_unsafe=args.allow_unsafe)

@@ -390,6 +390,22 @@ class Engine:
                 "staged writes were rolled back")
         return out
 
+    def _txn_markers(self) -> list[dict]:
+        """Parsed in-flight cross-table transaction markers under
+        ``_txns/`` (torn/concurrently-removed markers are skipped)."""
+        import json
+
+        out = []
+        d = os.path.join(self.root, "_txns")
+        for mname in sorted(self._env.listdir(d)):
+            if not mname.endswith(".json") or ".tmp" in mname:
+                continue
+            try:
+                out.append(json.loads(self._env.read_bytes(os.path.join(d, mname))))
+            except (OSError, ValueError):
+                continue  # marker being written/removed concurrently
+        return out
+
     def consistent_versions(self) -> dict[str, int]:
         """Per-table snapshot versions that exclude every cross-table
         transaction still mid-publish (its durable marker under
@@ -409,19 +425,10 @@ class Engine:
         participant's log — O(commits since the txn staged), never
         O(history). Markers are transient, so this is almost always a
         no-op directory check."""
-        import json
-
         from kudu_spark.meta import head_version, read_log
 
         pins: dict[str, int] = {}
-        d = os.path.join(self.root, "_txns")
-        for mname in sorted(self._env.listdir(d)):
-            if not mname.endswith(".json") or ".tmp" in mname:
-                continue
-            try:
-                m = json.loads(self._env.read_bytes(os.path.join(d, mname)))
-            except (OSError, ValueError):
-                continue  # marker being written/removed concurrently
+        for m in self._txn_markers():
             for tname, part in m.get("participants", {}).items():
                 head = head_version(part["root"]) or 0
                 pin = head  # unpublished as of the probe: freeze here
@@ -714,6 +721,108 @@ class Engine:
                 f"illegal replication factor {factor}: replication "
                 "factor must be odd (pass allow_unsafe=True to override)")
         self.alter_table(name).set_property("replication_factor", factor).apply()
+
+    def fsck(self, name: str | None = None, repair: bool = False) -> dict:
+        """Warehouse integrity check — the offline half of ksck plus
+        `kudu fs check`'s missing/orphaned-block report
+        (tools/tool_action_fs.cc:261-308; ksck.h). Per table:
+
+          - ``missing``: manifest-referenced data files absent from
+            storage (unreadable table versions — the fatal class);
+          - ``size_mismatch``: present but with a size different from
+            the manifest's record (torn/overwritten file);
+          - ``bad_sidecars``: referenced presence/bloom sidecars that
+            are absent or unreadable (probes decline; non-fatal);
+          - ``orphans``: data-dir files referenced by NO commit in the
+            whole log and by no in-flight transaction marker — commit
+            attempts that lost their race and crashed before cleanup.
+            ``repair=True`` deletes them (= `kudu fs check --repair`
+            deleting orphaned blocks; like the reference tool, repair
+            is only safe on a QUIET warehouse — a concurrent writer's
+            just-staged files are indistinguishable from debris).
+            Files referenced only by OLD versions are NOT orphans
+            (vacuum owns those, with its retention guard);
+          - ``log_gaps``: missing commit versions in a hand-pruned log
+            (replays fall back to listing — slower, not wrong).
+
+        O(metadata): one log read + one data-dir listing per table,
+        zero data-file scans. Content verification is ``checksum()``'s
+        job (ksck's CHECKSUM scan), which does scan."""
+        from kudu_spark.meta import LOG_DIR, read_log
+        from kudu_spark.plans import presence
+
+        names = [name] if name else self.list_tables(include_soft_deleted=True)
+        out: dict[str, dict] = {}
+        for tname in names:
+            st = self._state_or_none(tname)
+            if st is None:
+                raise TableNotFoundError(tname)
+            root = self._table_root(tname)
+            rep: dict = {"files": len(st.files), "missing": [],
+                         "size_mismatch": [], "bad_sidecars": [],
+                         "orphans": [], "log_gaps": []}
+            for f in st.files:
+                full = os.path.join(root, f.path)
+                if not self._env.exists(full):
+                    rep["missing"].append(f.path)
+                elif self._env.size(full) != f.bytes:
+                    rep["size_mismatch"].append(f.path)
+            for rel in sorted({f.bloom for f in st.files if f.bloom}):
+                full = os.path.join(root, rel)
+                if rel.endswith(".pidx"):
+                    # read storage directly — a health check must not
+                    # trust the process-level sidecar-meta cache
+                    try:
+                        import json as _json
+
+                        _json.loads(self._env.read_bytes(
+                            os.path.join(full, presence.META_NAME)))
+                    except (OSError, ValueError):
+                        rep["bad_sidecars"].append(rel)
+                elif not self._env.exists(full):
+                    rep["bad_sidecars"].append(rel)
+            # orphans: never referenced by ANY commit (lost-race debris)
+            referenced: set = set()
+            versions = []
+            for c in read_log(root):
+                versions.append(c["version"])
+                for a in c.get("actions", []):
+                    if a["type"] == "add":
+                        referenced.add(a["file"]["path"])
+                        if a["file"].get("bloom"):
+                            referenced.add(a["file"]["bloom"])
+                for rel in c.get("cdc_repair", []):
+                    referenced.add(rel)
+            # staged-but-unpublished txn participants are NOT orphans:
+            # recover() still needs those files
+            for m in self._txn_markers():
+                part = m.get("participants", {}).get(tname)
+                if part:
+                    for e in part.get("entries", []):
+                        referenced.add(e["path"])
+                        if e.get("bloom"):
+                            referenced.add(e["bloom"])
+            data_dir = os.path.join(root, "data")
+            for n in self._env.listdir(data_dir):
+                rel = os.path.join("data", n)
+                if rel not in referenced and (
+                    n.endswith(".parquet") or n.endswith(".bloom")
+                    or n.endswith(".pidx")
+                ):
+                    rep["orphans"].append(rel)
+                    if repair:
+                        full = os.path.join(data_dir, n)
+                        if self._env.isdir(full):
+                            self._env.rmtree(full)
+                        else:
+                            self._env.unlink(full, missing_ok=True)
+            rep["log_gaps"] = sorted(
+                set(range(1, max(versions) + 1)) - set(versions)
+            ) if versions else []
+            rep["ok"] = not (rep["missing"] or rep["size_mismatch"]
+                             or rep["bad_sidecars"])
+            out[tname] = rep
+        return out
 
     def locate_row(self, name: str, pk_values: dict) -> dict:
         """Partition-function evaluation for a row (≈ `kudu table

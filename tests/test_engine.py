@@ -534,3 +534,91 @@ def test_consistent_versions_pins_unpublished_at_probe_head(engine, spark):
     pins2 = engine.consistent_versions()
     assert pins2["pb"] == t_b.state().version - 1
     assert pins2["pa"] == head_a
+
+
+def test_fsck_clean_and_corrupted(engine, spark, tmp_path):
+    """Warehouse integrity check (≈ offline ksck + `kudu fs check`,
+    tools/tool_action_fs.cc:261-308): clean tables report ok; a
+    deleted manifest file, a truncated file, and lost-race debris are
+    each flagged; --repair removes only the debris."""
+    import os
+
+    t = engine.create_table("f1", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(100)))
+    t.upsert(simple_rows(spark, range(50, 60), base=1))
+    rep = engine.fsck()
+    assert rep["f1"]["ok"] and rep["f1"]["orphans"] == []
+    assert rep["f1"]["log_gaps"] == []
+
+    # lost-race debris: a data file no commit references
+    orphan = os.path.join(t.root, "data", "000000000000-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    rep = engine.fsck("f1")
+    assert rep["f1"]["ok"]  # orphans are non-fatal
+    assert rep["f1"]["orphans"] == ["data/000000000000-deadbeef.parquet"]
+    engine.fsck("f1", repair=True)
+    assert not os.path.exists(orphan)
+    assert engine.fsck("f1")["f1"]["orphans"] == []
+
+    # truncate one referenced file -> size_mismatch; delete another -> missing
+    st = t.state()
+    f_trunc = os.path.join(t.root, st.files[0].path)
+    f_gone = os.path.join(t.root, st.files[-1].path)
+    with open(f_trunc, "ab") as f:
+        f.write(b"x")
+    os.unlink(f_gone)
+    rep = engine.fsck("f1")
+    assert not rep["f1"]["ok"]
+    assert rep["f1"]["size_mismatch"] == [st.files[0].path]
+    assert rep["f1"]["missing"] == [st.files[-1].path]
+
+
+def test_fsck_keeps_txn_staged_files(engine, spark):
+    """Files staged by an in-flight cross-table transaction are NOT
+    orphans — recover() still needs them (the marker references them,
+    not the commit log yet)."""
+    import json
+    import os
+
+    engine.create_table("fa", SIMPLE, pk=["key"])
+    t = engine.table("fa")
+    t.insert(simple_rows(spark, range(10)))
+    txn = engine.transaction()
+    txn.insert("fa", simple_rows(spark, range(100, 110)))
+    part = txn._parts["fa"]
+    staged_paths = [e.path for _, es in part._staged for e in es]
+    assert staged_paths
+    # simulate the crash window: marker durable, commit not yet landed
+    d = os.path.join(engine.root, "_txns")
+    os.makedirs(d, exist_ok=True)
+    marker = {
+        "txn_id": "t-fsck", "state": "committing",
+        "participants": {"fa": {
+            "root": t.root, "staged_at": t.state().version,
+            "entries": [e.to_json() for _, es in part._staged for e in es],
+        }},
+    }
+    with open(os.path.join(d, "t-fsck.json"), "w") as f:
+        json.dump(marker, f)
+    rep = engine.fsck("fa", repair=True)
+    assert rep["fa"]["orphans"] == []
+    for p in staged_paths:
+        assert os.path.exists(os.path.join(t.root, p))
+    txn.rollback()
+    os.unlink(os.path.join(d, "t-fsck.json"))
+
+
+def test_fsck_flags_bad_sidecar(engine, spark):
+    import os
+    import shutil
+
+    engine.create_table("f2", [("k", "bigint", False)], pk=["k"])
+    engine.alter_table("f2").set_property("pk_bloom_cols", "k").apply()
+    t = engine.table("f2")
+    t.insert(spark.range(100).select(F.col("id").alias("k")))
+    assert engine.fsck("f2")["f2"]["ok"]
+    rel = t.state().files[0].bloom
+    shutil.rmtree(os.path.join(t.root, rel))
+    rep = engine.fsck("f2")
+    assert not rep["f2"]["ok"] and rep["f2"]["bad_sidecars"] == [rel]
