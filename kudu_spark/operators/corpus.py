@@ -591,3 +591,68 @@ def training_order_sql(seed: str = "", epoch: int = 0) -> str:
         "SELECT doc_id, md5(concat_ws(':', CAST(doc_id AS VARCHAR), "
         f"'{seed}', '{epoch}')) AS shuffle_key FROM documents"
     )
+
+
+def ngram_lm_score(docs: DataFrame, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   model_docs: DataFrame | None = None) -> DataFrame:
+    """Character-n-gram language-model quality score — the CCNet /
+    fastText-perplexity shape of corpus filtering, self-contained: the
+    model is the n-gram frequency table of ``model_docs`` (default:
+    the corpus itself), and each document scores the MEAN LOG
+    PROBABILITY of its character n-grams under that model with
+    add-one smoothing (``avg(ln((c+1)/(N+V)))``). Low scores =
+    out-of-distribution text (boilerplate, non-language, encoding
+    junk); threshold on a corpus quantile like any quality signal.
+    A real KenLM has backoff this deliberately omits — the point is
+    the SCALABLE plumbing a pluggable model slots into.
+
+    Scale: n-grams come from a codegen ``transform(sequence(...))``
+    (no UDF, no Python in the row path); the model is one map-side-
+    combined groupBy whose key space is bounded by the observed
+    charset^n (tens of thousands for text, NOT corpus-sized), so it
+    BROADCASTS to the scoring join; per-doc aggregation is the only
+    data-sized shuffle. Documents shorter than ``n`` have no n-grams
+    and drop out (same as the SQL twin)."""
+    # guard the short-text case explicitly: sequence(1, 0) infers a
+    # NEGATIVE step in Spark and yields [1, 0], not the empty array
+    grams = F.expr(
+        f"case when length(lower({text_col})) >= {n} then "
+        f"transform(sequence(1, length(lower({text_col})) - {n - 1}), "
+        f"i -> substring(lower({text_col}), i, {n})) "
+        f"else array() end"
+    )
+    g = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    src = g if model_docs is None else model_docs.select(
+        F.col(id_col), F.explode(grams).alias("g"))
+    model = src.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    tot = model.agg(F.sum("c").alias("n_total"),
+                    F.count(F.lit(1)).alias("v"))
+    return (
+        g.join(F.broadcast(model), on="g", how="left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.col("n_total") + F.col("v"))
+        )), 4).alias("lm_score"))
+    )
+
+
+def ngram_lm_sql(n: int = 3) -> str:
+    """DuckDB twin of ngram_lm_score (model = the corpus itself)."""
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    grams AS (
+      SELECT doc_id, substring(t, CAST(i AS INT), {n}) AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t) - {n - 1}, 0) + 1)) AS i
+            FROM d)
+    ),
+    model AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT sum(c) AS n_total, count(*) AS v FROM model)
+    SELECT doc_id,
+           round(avg(ln((c + 1.0) / (n_total + v))), 4) AS lm_score
+    FROM grams JOIN model USING (g) CROSS JOIN tot
+    GROUP BY doc_id
+    """

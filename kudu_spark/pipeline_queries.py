@@ -801,3 +801,17 @@ def pipeline_split_assign(spark, sf_dir):
     exact-dup train/test leakage). Zero shuffle."""
     return CP.split_assign(load(spark, sf_dir, "documents"),
                            {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@query(
+    "pipeline_lm_quality",
+    oracle=CP.ngram_lm_sql(3),
+    gated=False,  # quality family gated via text_quality_score; pytest-oracled
+)
+def pipeline_lm_quality(spark, sf_dir):
+    """Character-trigram LM quality score (the CCNet perplexity-filter
+    shape): model = the corpus's own n-gram frequencies (one map-side-
+    combined groupBy, charset^3-bounded so it broadcasts), score = mean
+    log-probability per document with add-one smoothing. No UDFs; the
+    only data-sized shuffle is the per-doc aggregation."""
+    return CP.ngram_lm_score(load(spark, sf_dir, "documents"), n=3)

@@ -262,3 +262,29 @@ def test_training_order_properties(spark):
     assert o1 == o2
     o3 = order_of(docs, epoch=1)
     assert o3 != o1 and sorted(o3) == sorted(o1)
+
+
+def test_ngram_lm_score_properties(spark):
+    """CCNet-shape LM scoring: in-distribution text scores above
+    out-of-distribution junk; docs shorter than n drop out; an
+    external model penalizes unseen n-grams through smoothing."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river"),
+         (2, "the lazy dog sleeps near the quick brown fox by the river"),
+         (3, "zzqx jjkw vvpq xqzj wkjj qpvv zzqx jjkw"),  # OOD junk
+         (4, "ab")],  # shorter than n=3: no n-grams
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.lm_score
+           for r in CP.ngram_lm_score(docs, n=3).collect()}
+    assert 4 not in got and set(got) == {1, 2, 3}
+    assert got[1] > got[3] and got[2] > got[3]
+    # external model: doc 3's n-grams are unseen -> pure smoothing
+    # floor ln(1/(N+V)), strictly below every in-model doc
+    model = docs.where("doc_id IN (1, 2)")
+    got2 = {r.doc_id: r.lm_score
+            for r in CP.ngram_lm_score(docs, n=3, model_docs=model).collect()}
+    assert got2[3] < got2[1] and got2[3] < got2[2]
+    assert all(v < 0 for v in got2.values())  # log-probs
+    assert not math.isnan(got2[3])
