@@ -22,15 +22,26 @@ def df_of(spark, rows, cols="key int, int_val int, string_val string"):
     return spark.createDataFrame(rows, cols)
 
 
-@pytest.mark.parametrize("seed,presence", [(7, False), (42, True)])
-def test_fuzz_mutations_match_model(spark, tmp_path, seed, presence):
+@pytest.mark.parametrize("seed,presence,memroot",
+                         [(7, False, False), (42, True, False),
+                          (99, True, True)])
+def test_fuzz_mutations_match_model(spark, tmp_path, seed, presence, memroot):
     """``presence=True`` runs the same op mix with pk_bloom_cols on,
-    so the presence-index insert short circuit, its decline on deltas,
-    the compaction rebuild, and the tiered sidecar merge all get
-    fuzzed against the model — a wrong "provably absent" answer would
-    show up as a missed DuplicateKeyError or a divergent scan."""
+    so the presence-index insert short circuit, the delta sidecars
+    (live + tombstone markers, superset probes), the compaction
+    rebuild, and the tiered sidecar merge all get fuzzed against the
+    model — a wrong "provably absent" answer would show up as a missed
+    DuplicateKeyError or a divergent scan. ``memroot=True`` runs the
+    whole mix against a memory:// root, fuzzing the storage Env
+    (fs.py) with zero POSIX files underneath."""
     rng = random.Random(seed)
-    eng = Engine(spark, str(tmp_path / f"wh{seed}"))
+    if memroot:
+        from kudu_spark import fs
+
+        fs.MemoryEnv.reset()
+        eng = Engine(spark, f"memory://fuzz{seed}")
+    else:
+        eng = Engine(spark, str(tmp_path / f"wh{seed}"))
     t = eng.create_table(
         "fuzz", SIMPLE, pk=["key"], hash_partitions=[{"columns": ["key"], "buckets": 2}]
     )
