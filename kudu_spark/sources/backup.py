@@ -18,7 +18,11 @@ time-window graph:
 
 Scale: backup writes are straight DataFrame→parquet jobs (executor
 parallel); restore replays each window through the bulk mutation
-path. Nothing iterates rows on the driver.
+path. Nothing iterates rows on the driver. The backup root's METADATA
+goes through the storage Env (fs.py), so any fsspec-served URI works
+for the sidecars; the parquet rows are written/read by Spark
+directly, so the backup root must be a Spark-readable scheme (local,
+file://, hdfs://, s3a://, ... — i.e. anywhere a real backup lives).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 
+from kudu_spark.fs import env_for_root
 from kudu_spark.streaming.sink import apply_changes
 
 META_NAME = "kudu-backup.json"
@@ -36,13 +41,12 @@ def _window_dir(root: str, table_name: str, lo: int, hi: int) -> str:
 
 
 def _windows(root: str, table_name: str) -> list[tuple[int, int, str]]:
+    env = env_for_root(root)
     tdir = os.path.join(root, table_name)
-    if not os.path.isdir(tdir):
-        return []
     out = []
-    for name in sorted(os.listdir(tdir)):
+    for name in sorted(env.listdir(tdir)):
         parts = name.split("-")
-        if len(parts) == 2 and os.path.exists(os.path.join(tdir, name, META_NAME)):
+        if len(parts) == 2 and env.exists(os.path.join(tdir, name, META_NAME)):
             out.append((int(parts[0]), int(parts[1]), os.path.join(tdir, name)))
     return out
 
@@ -78,8 +82,8 @@ def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
         # probes) and its compaction policy
         "props": {k: str(v) for k, v in (st.props or {}).items()},
     }
-    with open(os.path.join(out, META_NAME), "w") as f:
-        json.dump(meta, f, indent=2)
+    env_for_root(backup_root).write_bytes(
+        os.path.join(out, META_NAME), json.dumps(meta, indent=2).encode())
     return meta
 
 
@@ -117,8 +121,7 @@ def prune_backups(backup_root: str, table_name: str) -> int:
     """Delete backup windows no restore needs — everything outside the
     latest full backup's chain (kudu-backup-tools' GC semantics).
     Returns the number of windows removed."""
-    import shutil
-
+    env = env_for_root(backup_root)
     wins = _windows(backup_root, table_name)
     if not wins:
         return 0
@@ -126,7 +129,7 @@ def prune_backups(backup_root: str, table_name: str) -> int:
     removed = 0
     for _lo, _hi, path in wins:
         if path not in keep:
-            shutil.rmtree(path)
+            env.rmtree(path)
             removed += 1
     return removed
 
@@ -145,8 +148,8 @@ def restore(engine, backup_root: str, table_name: str,
         raise ValueError(f"no full backup for {table_name} under {backup_root}")
     wins = _chain(all_wins, through_version)
     spark = engine.spark
-    with open(os.path.join(wins[0][2], META_NAME)) as f:
-        meta = json.load(f)
+    meta = json.loads(env_for_root(backup_root).read_bytes(
+        os.path.join(wins[0][2], META_NAME)))
     sch = Schema.from_json(meta["schema"])
     pk = [c for c in sch.pk if c != AUTO_INC_COL]
     fields = [(c.name, c.type, c.nullable) for c in sch.columns if c.name != AUTO_INC_COL]
