@@ -741,7 +741,10 @@ class Engine:
             is only safe on a QUIET warehouse — a concurrent writer's
             just-staged files are indistinguishable from debris).
             Files referenced only by OLD versions are NOT orphans
-            (vacuum owns those, with its retention guard);
+            (vacuum owns those, with its retention guard), and a
+            hand-pruned log disables repair outright — pruned commits'
+            historical references can't be enumerated, and an
+            integrity checker must never be the thing that loses data;
           - ``log_gaps``: missing commit versions in a hand-pruned log
             (replays fall back to listing — slower, not wrong).
 
@@ -752,6 +755,7 @@ class Engine:
         from kudu_spark.plans import presence
 
         names = [name] if name else self.list_tables(include_soft_deleted=True)
+        markers = self._txn_markers()  # one marker read for the whole run
         out: dict[str, dict] = {}
         for tname in names:
             st = self._state_or_none(tname)
@@ -781,8 +785,14 @@ class Engine:
                         rep["bad_sidecars"].append(rel)
                 elif not self._env.exists(full):
                     rep["bad_sidecars"].append(rel)
-            # orphans: never referenced by ANY commit (lost-race debris)
-            referenced: set = set()
+            # orphans: never referenced by ANY commit (lost-race
+            # debris). Seed with the LIVE file set: a hand-pruned log
+            # prefix must never make a live file (visible only through
+            # a checkpointed replay) read as unreferenced — repair
+            # deleting it would be data loss, the one failure mode an
+            # integrity checker can't have
+            referenced: set = {f.path for f in st.files}
+            referenced |= {f.bloom for f in st.files if f.bloom}
             versions = []
             for c in read_log(root):
                 versions.append(c["version"])
@@ -795,13 +805,17 @@ class Engine:
                     referenced.add(rel)
             # staged-but-unpublished txn participants are NOT orphans:
             # recover() still needs those files
-            for m in self._txn_markers():
+            for m in markers:
                 part = m.get("participants", {}).get(tname)
                 if part:
                     for e in part.get("entries", []):
                         referenced.add(e["path"])
                         if e.get("bloom"):
                             referenced.add(e["bloom"])
+            log_pruned = bool(versions) and (
+                min(versions) > 1
+                or sorted(versions) != list(range(min(versions), max(versions) + 1))
+            )
             data_dir = os.path.join(root, "data")
             for n in self._env.listdir(data_dir):
                 rel = os.path.join("data", n)
@@ -810,7 +824,10 @@ class Engine:
                     or n.endswith(".pidx")
                 ):
                     rep["orphans"].append(rel)
-                    if repair:
+                    # never repair against an incomplete reference set:
+                    # files added by PRUNED commits and referenced only
+                    # by historical versions would read as debris
+                    if repair and not log_pruned:
                         full = os.path.join(data_dir, n)
                         if self._env.isdir(full):
                             self._env.rmtree(full)

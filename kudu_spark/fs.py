@@ -430,11 +430,22 @@ class FsspecEnv:
     def makedirs(self, path: str) -> None:
         self.fs.makedirs(path, exist_ok=True)
 
+    def _norm(self, path: str) -> str:
+        """Normalize a path the way THIS filesystem's own listings
+        spell it: fsspec's _strip_protocol may drop the URI authority
+        and root the path at '/' (hdfs://nn:8020/wh -> /wh), so a
+        naive scheme-strip of OUR path would never prefix-match a
+        find() result (silently empty stagings = lost writes)."""
+        strip = getattr(type(self.fs), "_strip_protocol", None)
+        if strip is not None:
+            return strip(path)
+        return path.split("://", 1)[-1]
+
     def walk_files(self, path: str) -> list[str]:
-        base = path.split("://", 1)[-1].rstrip("/") + "/"
+        base = self._norm(path).rstrip("/") + "/"
         out = []
         for p in self.fs.find(path):
-            p = p.split("://", 1)[-1]
+            p = self._norm(p)
             if p.startswith(base):
                 out.append(p[len(base):])
         return sorted(out)
@@ -470,10 +481,19 @@ class FsspecEnv:
             info = self.fs.info(path)
         except FileNotFoundError:
             return None
+        # a size-only identity is NOT stable per content-version (a
+        # recreated table's commit N can coincide in byte length with
+        # the dead table's) — require a version-ish component (etag /
+        # mtime / created) or decline, so replay skips its state cache
+        # instead of serving a dead table's snapshot
         ident = tuple(
-            info[k] for k in ("ETag", "etag", "mtime", "size") if k in info
+            info[k]
+            for k in ("ETag", "etag", "mtime", "LastModified", "created")
+            if info.get(k) is not None
         )
-        return ident or None
+        if not ident:
+            return None
+        return ident + ((info["size"],) if "size" in info else ())
 
     def read_array(self, path: str, dtype="<i8"):
         import numpy as np

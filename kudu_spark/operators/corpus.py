@@ -610,10 +610,14 @@ def ngram_lm_score(docs: DataFrame, n: int = 3, text_col: str = "text",
     Scale: n-grams come from a codegen ``transform(sequence(...))``
     (no UDF, no Python in the row path); the model is one map-side-
     combined groupBy whose key space is bounded by the observed
-    charset^n (tens of thousands for text, NOT corpus-sized), so it
-    BROADCASTS to the scoring join; per-doc aggregation is the only
-    data-sized shuffle. Documents shorter than ``n`` have no n-grams
-    and drop out (same as the SQL twin)."""
+    charset^n — small for alphabetic text, but tens of MILLIONS for
+    CJK/multilingual corpora, so the scoring join is left UNHINTED:
+    Spark/AQE broadcasts it when the runtime size allows and shuffles
+    it when it doesn't (a forced broadcast would OOM exactly on the
+    CCNet-style multilingual corpus this exists for). Per-doc
+    aggregation is the only unconditionally data-sized shuffle.
+    Documents shorter than ``n`` have no n-grams and drop out (same
+    as the SQL twin)."""
     # guard the short-text case explicitly: sequence(1, 0) infers a
     # NEGATIVE step in Spark and yields [1, 0], not the empty array
     grams = F.expr(
@@ -629,7 +633,7 @@ def ngram_lm_score(docs: DataFrame, n: int = 3, text_col: str = "text",
     tot = model.agg(F.sum("c").alias("n_total"),
                     F.count(F.lit(1)).alias("v"))
     return (
-        g.join(F.broadcast(model), on="g", how="left")
+        g.join(model, on="g", how="left")
         .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
         .agg(F.round(F.avg(F.log(

@@ -152,7 +152,7 @@ def _evict_maint_lock(root: str) -> None:
         _MAINT_LOCKS.pop(_canonical_root(root), None)
 
 
-def observed_metrics(obs, timeout_s: float = 120.0) -> dict | None:
+def observed_metrics(obs, timeout_s: float = 10.0) -> dict | None:
     """Metrics of a completed ``pyspark.sql.Observation``, or None when
     they are unusable — the caller then re-validates with an explicit
     job. Unusable cases, both rare: (a) the observation was completed
@@ -161,7 +161,10 @@ def observed_metrics(obs, timeout_s: float = 120.0) -> dict | None:
     (b) the listener never delivers within ``timeout_s`` (e.g. an
     adaptive replan pruned the CollectMetrics node from an empty
     plan). Polls the non-blocking JVM accessor instead of the
-    unboundedly-blocking ``Observation.get``."""
+    unboundedly-blocking ``Observation.get``. The timeout is short:
+    listener delivery after a completed action is milliseconds, so a
+    pruned-node no-show should cost one quick fallback job, not a
+    long stall of the write path."""
     import time as _time
 
     jo = getattr(obs, "_jo", None)
@@ -1346,14 +1349,23 @@ class Table:
         # before any file is published (one Spark job per write).
         bad = [src for src, pvals in staged if pvals.get("__r", 0) < 0]
         if bad:
-            sample = {
-                k: v
-                for k, v in pq.read_table(senv.open_read(bad[0]))
-                .slice(0, 1).to_pylist()[0].items()
-                if k not in RESERVED
-            }
+            samples = [
+                {k: v for k, v in pq.read_table(senv.open_read(b))
+                 .slice(0, 1).to_pylist()[0].items() if k not in RESERVED}
+                for b in bad
+            ]
             senv.rmtree(staging)
-            raise KuduSparkError(f"row does not fall in any range partition: {sample}")
+            # a NULL PK also routes to no range (every bound compares
+            # NULL): classify it as the schema violation it is, so the
+            # deferred (observed-metrics) validation paths keep raising
+            # the same error class the eager ones do
+            for s in samples:
+                if any(s.get(c) is None for c in st.schema.pk):
+                    raise SchemaError(
+                        f"batch holds row(s) with NULL primary key: {s}"
+                    )
+            raise KuduSparkError(
+                f"row does not fall in any range partition: {samples[0]}")
 
         entries: list[FileEntry] = []
         has_tombstones = False
@@ -2804,11 +2816,23 @@ class Table:
             out["presence_coverage"] = (
                 (len(covered) / len(st.files)) if st.files else 1.0
             )
-            # exact = probes answer membership exactly; False while
-            # un-compacted DELETEs force superset answers
+            # exact = probes answer membership exactly — the SAME
+            # conditions _presence_lookup enforces: full coverage, no
+            # tombstone markers (un-compacted DELETEs), and for hashed
+            # tuples reaching outside the PK no delta commits (an
+            # upsert/update can retire a tuple value an older sidecar
+            # still lists)
+            probe_cols = next(
+                (list(m["cols"]) for m in metas.values() if m.get("cols")), [])
+            mutated_tuple = (
+                bool(probe_cols)
+                and not set(probe_cols) <= set(st.schema.pk)
+                and any(f.kind == "delta" for f in st.files)
+            )
             out["presence_exact"] = (
                 out["presence_coverage"] == 1.0
                 and not any(m.get("tombstones") for m in metas.values())
+                and not mutated_tuple
             )
         return out
 

@@ -101,13 +101,20 @@ def test_env_contract_identity_and_arrays(env_root):
 class _FakeFs:
     """Minimal fsspec-filesystem lookalike over a local directory, so
     the FsspecEnv adapter logic is exercised even though this
-    container ships no fsspec. Paths arrive as 'fakefs://<rel>'."""
+    container ships no fsspec. Mimics the REAL fsspec conventions that
+    bit round 9's review: _strip_protocol drops the scheme and roots
+    paths at '/', and find()/ls() return those rooted spellings, not
+    the caller's URI form."""
 
     def __init__(self, base):
         self.base = base
 
+    @classmethod
+    def _strip_protocol(cls, path):
+        return "/" + path.split("://", 1)[-1] if "://" in path else path
+
     def _p(self, path):
-        rel = path.split("://", 1)[-1]
+        rel = path.split("://", 1)[-1].lstrip("/")
         return os.path.join(self.base, rel)
 
     def cat_file(self, path):
@@ -133,7 +140,8 @@ class _FakeFs:
         p = self._p(path)
         if not os.path.exists(p):
             raise FileNotFoundError(path)
-        return [path.rstrip("/") + "/" + n for n in os.listdir(p)]
+        base = self._strip_protocol(path).rstrip("/")
+        return [base + "/" + n for n in os.listdir(p)]
 
     def makedirs(self, path, exist_ok=False):
         os.makedirs(self._p(path), exist_ok=exist_ok)
@@ -142,7 +150,7 @@ class _FakeFs:
         out = []
         for dirpath, _d, names in os.walk(self._p(path)):
             rel = os.path.relpath(dirpath, self.base)
-            out += [f"fakefs://{rel}/{n}" for n in names]
+            out += [f"/{rel}/{n}" for n in names]  # rooted, scheme-less
         return out
 
     def mv(self, src, dst, recursive=False):

@@ -212,6 +212,21 @@ def test_upsert_rejects_null_pk(engine, spark):
             [(None, 5, "bad")], "key int, int_val int, string_val string"
         ))
     assert [r.key for r in t.scan().collect()] == [1]
+    # a RANGE-partitioned table must raise the same error CLASS: a
+    # NULL key also fails range routing, and the staging check fires
+    # before the observed-metrics validation — it must classify the
+    # NULL as the schema violation it is, not "no range partition"
+    tr = engine.create_table(
+        "null_pk_rng", SIMPLE, pk=["key"],
+        range_partition={"column": "key", "splits": [8]},
+    )
+    tr.insert(rows(spark, [(1, 10)]))
+    with pytest.raises(SchemaError, match="NULL primary key"):
+        tr.upsert(spark.createDataFrame(
+            [(None, 5, "bad"), (2, 6, "ok")],
+            "key int, int_val int, string_val string"
+        ))
+    assert [r.key for r in tr.scan().collect()] == [1]
 
 
 def test_auto_increment_wide_batch_no_stride_overflow(engine, spark):
