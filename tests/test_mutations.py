@@ -290,3 +290,28 @@ def test_diff_scan_across_compaction(engine, spark):
     assert d[3]._is_deleted and not d[1]._is_deleted
     assert d[1].int_val == 15
 
+
+
+def test_write_validation_fallback_when_observation_unusable(engine, spark, monkeypatch):
+    """The defensive path behind the observed-metrics validation: when
+    the observation comes back unusable (completed by a failed
+    execution / pruned from an empty plan), upsert and update_ignore
+    re-validate with an explicit job — same rejections, same accepts."""
+    import kudu_spark.table as tbl
+    from kudu_spark.errors import SchemaError
+
+    monkeypatch.setattr(tbl, "observed_metrics", lambda obs, timeout_s=10.0: None)
+    t = engine.create_table("obs_fb", SIMPLE, pk=["key"])
+    t.insert(rows(spark, [(1, 10)]))
+    ddl = "key int, int_val int, string_val string"
+    with pytest.raises(SchemaError, match="NULL primary key"):
+        t.upsert(spark.createDataFrame([(None, 5, "bad")], ddl))
+    with pytest.raises(SchemaError, match="non-nullable"):
+        t.upsert(spark.createDataFrame([(2, None, "bad")], ddl))
+    t.upsert(spark.createDataFrame([(2, 20, "ok")], ddl))
+    with pytest.raises(SchemaError):
+        t.update_ignore(spark.createDataFrame(
+            [(2, None)], "key int, int_val int"))
+    t.update_ignore(spark.createDataFrame([(2, 22)], "key int, int_val int"))
+    got = {r.key: r.int_val for r in t.scan().collect()}
+    assert got == {1: 10, 2: 22}
