@@ -660,3 +660,60 @@ def ngram_lm_sql(n: int = 3) -> str:
     FROM grams JOIN model USING (g) CROSS JOIN tot
     GROUP BY doc_id
     """
+
+
+def quality_buckets(scored: DataFrame, score_col: str = "lm_score",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: partition a scored corpus into
+    quality thirds (head = best scores). The cutoffs come from the
+    EXACT cumulative distribution of the score HISTOGRAM — scores are
+    already rounded (ngram_lm_score rounds to 4 decimals), so distinct
+    values are bounded and the histogram collects driver-side in one
+    small aggregate; assignment is then a codegen CASE. No global sort,
+    no row_number funnel, no approx_percentile nondeterminism — the
+    100 TB-honest quantile idiom. Ties share a bucket (the rule is a
+    pure function of the score): with inclusive descending cumulative
+    count ``cum``, a score is head when ``3*cum <= n``, middle when
+    ``3*cum <= 2n``, else tail — so boundary-straddling scores fall to
+    the worse bucket, deterministically."""
+    hist = scored.groupBy(score_col).count().collect()
+    hist.sort(key=lambda r: r[score_col], reverse=True)
+    n = sum(r["count"] for r in hist)
+    head_cut = mid_cut = None  # minimum score still in head / middle
+    cum = 0
+    for r in hist:
+        cum += r["count"]
+        if 3 * cum <= n:
+            head_cut = r[score_col]
+        if 3 * cum <= 2 * n:
+            mid_cut = r[score_col]
+    c = F.col(score_col)
+    bucket = F.when(F.lit(head_cut is not None) & (c >= F.lit(head_cut)),
+                    F.lit("head"))
+    bucket = bucket.when(F.lit(mid_cut is not None) & (c >= F.lit(mid_cut)),
+                         F.lit("middle")).otherwise(F.lit("tail"))
+    return scored.select(id_col, score_col, bucket.alias("bucket"))
+
+
+def quality_buckets_sql(scored_sql: str, score_col: str = "lm_score") -> str:
+    """DuckDB twin of quality_buckets over a scored subquery."""
+    return f"""
+    WITH scored AS ({scored_sql}),
+    hist AS (SELECT {score_col}, count(*) AS c FROM scored GROUP BY {score_col}),
+    cum AS (
+      SELECT {score_col},
+             sum(c) OVER (ORDER BY {score_col} DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(c) FROM hist) AS n
+      FROM hist
+    ),
+    lab AS (
+      SELECT {score_col},
+             CASE WHEN 3 * cum <= n THEN 'head'
+                  WHEN 3 * cum <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cum
+    )
+    SELECT doc_id, {score_col}, bucket
+    FROM scored JOIN lab USING ({score_col})
+    """

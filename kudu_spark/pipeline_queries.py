@@ -815,3 +815,18 @@ def pipeline_lm_quality(spark, sf_dir):
     log-probability per document with add-one smoothing. No UDFs; the
     only data-sized shuffle is the per-doc aggregation."""
     return CP.ngram_lm_score(load(spark, sf_dir, "documents"), n=3)
+
+
+@query(
+    "pipeline_quality_buckets",
+    oracle=CP.quality_buckets_sql(CP.ngram_lm_sql(3)),
+    gated=False,  # quality family gated via text_quality_score; pytest-oracled
+)
+def pipeline_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split over the n-gram LM score:
+    bucket cutoffs come from the exact cumulative distribution of the
+    (rounded -> bounded) score histogram — one small driver-side
+    aggregate, then a codegen CASE; no global sort or row_number
+    funnel at any corpus size."""
+    scored = CP.ngram_lm_score(load(spark, sf_dir, "documents"), n=3)
+    return CP.quality_buckets(scored)

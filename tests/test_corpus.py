@@ -288,3 +288,21 @@ def test_ngram_lm_score_properties(spark):
     assert got2[3] < got2[1] and got2[3] < got2[2]
     assert all(v < 0 for v in got2.values())  # log-probs
     assert not math.isnan(got2[3])
+
+
+def test_quality_buckets_thirds_and_ties(spark):
+    """Bucket rule: exact cumulative thirds over the score histogram,
+    ties share a bucket (boundary-straddling scores fall to the worse
+    one), head = best scores."""
+    scored = spark.createDataFrame(
+        [(i, float(-i)) for i in range(1, 10)], "doc_id bigint, lm_score double")
+    got = {r.doc_id: r.bucket for r in CP.quality_buckets(scored).collect()}
+    assert got == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "middle",
+                   7: "tail", 8: "tail", 9: "tail"}
+    # one dominant tied score straddles every cutoff -> everyone tail
+    tied = spark.createDataFrame(
+        [(i, -1.0) for i in range(6)] + [(9, -9.0)],
+        "doc_id bigint, lm_score double")
+    got2 = {r.doc_id: r.bucket for r in CP.quality_buckets(tied).collect()}
+    assert set(got2.values()) == {"tail"}
