@@ -14,6 +14,7 @@ from kudu_spark.functions import text as TX
 from kudu_spark.operators import corpus as CP
 from kudu_spark.operators import dedup as DD
 from kudu_spark.operators import packing as PK
+from kudu_spark.operators import retrieval as RET
 from kudu_spark.operators import similarity as SIM
 from kudu_spark.queries import load, query
 
@@ -830,3 +831,18 @@ def pipeline_quality_buckets(spark, sf_dir):
     funnel at any corpus size."""
     scored = CP.ngram_lm_score(load(spark, sf_dir, "documents"), n=3)
     return CP.quality_buckets(scored)
+
+
+@query(
+    "retrieval_bm25_topk",
+    oracle=RET.bm25_sql("merge compaction vector", k=20),
+    gated=False,  # similarity/retrieval family gated via ann_* queries
+)
+def retrieval_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/retrieval.py): the lexical
+    half of hybrid search next to the ANN operators. Non-matching docs
+    prune via arrays_overlap BEFORE the explode; term stats broadcast;
+    top-k is TakeOrdered (no global sort); rounded scores + id
+    tiebreak make the ranking deterministic across engines."""
+    return RET.bm25_topk(load(spark, sf_dir, "documents"),
+                         "merge compaction vector", k=20)

@@ -55,3 +55,29 @@ def test_arrow_bruteforce_matches_jvm(emb):
     arrow = SIM.brute_force_topk_arrow(emb, qids, k=7).collect()
     key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
     assert key(jvm) == key(arrow)
+
+
+def test_bm25_topk_ranking_properties(spark):
+    """BM25 sanity: a doc with more query-term occurrences outranks a
+    sparser one; rarer terms weigh more than common ones; docs sharing
+    no term never appear; k caps the result."""
+    from kudu_spark.operators import retrieval as RET
+
+    docs = spark.createDataFrame([
+        (1, "zebra zebra zebra apple pear plum peach grape melon fig"),
+        (2, "zebra apple pear plum peach grape melon fig kiwi date"),
+        (3, "apple apple apple pear plum peach grape melon fig kiwi"),
+        (4, "pear plum peach grape melon fig kiwi date mango lime"),
+    ], "doc_id bigint, text string")
+    got = RET.bm25_topk(docs, "zebra apple", k=3).collect()
+    order = [r.doc_id for r in got]
+    assert len(order) == 3 and 4 not in order
+    # doc 1 (3x rare 'zebra') beats doc 2 (1x zebra + 1x common apple)
+    assert order[0] == 1 and order[1] == 2
+    # rarer term dominates: doc 2 (has zebra, df=2) beats doc 3
+    # (3x apple, df=3) despite fewer total query-term hits
+    scores = {r.doc_id: r.score for r in got}
+    assert scores[2] > scores[3]
+    # empty / no-term queries return empty, not an error
+    assert RET.bm25_topk(docs, "   ", k=3).count() == 0
+    assert RET.bm25_topk(docs, "warthog", k=3).count() == 0
