@@ -131,3 +131,44 @@ def bm25_sql(query: str, k: int = 10, k1: float = BM25_K1,
     ORDER BY round(s, 4) DESC, doc_id
     LIMIT {k}
     """
+
+
+RRF_K = 60
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval result lists — the standard
+    hybrid-search combiner (lexical BM25 + semantic ANN):
+    ``score(d) = Σ_lists 1/(k + rank_d)``, k=60 per Cormack et al.
+    Each input is an (``id_col``, ``rank``) frame that is ALREADY
+    top-k sized (a retrieval output), so every step here runs over a
+    few dozen rows regardless of corpus size — fusion adds zero
+    data-sized work. Returns (id, rrf_score, n_lists) with the score
+    rounded and ties broken by id: deterministic across engines."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [df.select(F.col(id_col), F.col("rank")) for df in rankings],
+    )
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))), 6)
+            .alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+    )
+
+
+def with_rank(scored: DataFrame, id_col: str = "doc_id",
+              score_col: str = "score") -> DataFrame:
+    """Attach a 1-based rank to a (small, top-k sized) scored result
+    list: row_number over (score desc, id) — a global window, fine
+    here because retrieval outputs are k rows by construction."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    return scored.select(id_col, F.row_number().over(w).alias("rank"))

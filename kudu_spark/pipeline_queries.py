@@ -846,3 +846,42 @@ def retrieval_bm25_topk(spark, sf_dir):
     tiebreak make the ranking deterministic across engines."""
     return RET.bm25_topk(load(spark, sf_dir, "documents"),
                          "merge compaction vector", k=20)
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH lex AS ({RET.bm25_sql("merge compaction vector", k=20)}),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 10),
+    semscored AS (
+      SELECT e.vec_id AS doc_id, {SIM.cosine_sql('qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 10
+    ),
+    semr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+      FROM semscored QUALIFY r <= 20
+    ),
+    u AS (SELECT doc_id, r FROM lexr UNION ALL SELECT doc_id, r FROM semr)
+    SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+           count(*) AS n_lists
+    FROM u GROUP BY doc_id
+    """,
+    gated=False,  # retrieval family; ann_* gated; pytest runs the oracle
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 lexical top-20 + brute-force-cosine semantic
+    top-20 over the same corpus (vec_id aligns with doc_id in the test
+    data), fused with reciprocal-rank fusion. Retrieval stages carry
+    the corpus-sized work (documented in their own operators); fusion
+    itself touches ~40 rows at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = RET.with_rank(RET.bm25_topk(docs, "merge compaction vector", k=20))
+    sem = SIM.brute_force_topk(emb, [10], k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank")
+    return RET.rrf_fuse([lex, sem])

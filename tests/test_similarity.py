@@ -81,3 +81,19 @@ def test_bm25_topk_ranking_properties(spark):
     # empty / no-term queries return empty, not an error
     assert RET.bm25_topk(docs, "   ", k=3).count() == 0
     assert RET.bm25_topk(docs, "warthog", k=3).count() == 0
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc in both lists outranks single-list docs of similar
+    rank; scores are 1/(60+r) sums; n_lists counts memberships."""
+    from kudu_spark.operators import retrieval as RET
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2), (1, 3)], "doc_id bigint, rank int")
+    got = {r.doc_id: (r.rrf_score, r.n_lists)
+           for r in RET.rrf_fuse([a, b]).collect()}
+    assert got[1][1] == 2 and got[2][1] == 2
+    assert got[3][1] == 1 and got[4][1] == 1
+    # both-list docs beat single-list docs here
+    assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
+    assert got[2][0] == round(1 / 62 + 1 / 61, 6)
