@@ -70,6 +70,64 @@ def strip_file_scheme(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+class _MirrorCache:
+    """Byte-capped LRU of driver-local mirror copies keyed by
+    (path, version): eviction DELETES the temp file, so a long dev/test
+    session's mirrors can't grow without bound (mirrored files are
+    immutable per version — re-fetch after eviction is always correct).
+    Same LRU shape as the presence shard cache (plans/presence.py)."""
+
+    def __init__(self, max_bytes: int | None = None):
+        self.max_bytes = (
+            int(os.environ.get("KUDU_SPARK_MIRROR_CACHE_BYTES", 1 << 30))
+            if max_bytes is None else max_bytes
+        )
+        self._entries: dict[tuple, tuple[str, int]] = {}  # key -> (local, bytes)
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, key) -> str | None:
+        with self._lock:
+            hit = self._entries.pop(key, None)
+            if hit is None:
+                return None
+            if not os.path.exists(hit[0]):
+                self._bytes -= hit[1]
+                return None
+            self._entries[key] = hit  # reinsert at tail: LRU recency
+            return hit[0]
+
+    def put(self, key, local: str) -> None:
+        try:
+            nbytes = os.path.getsize(local)
+        except OSError:
+            nbytes = 0
+        with self._lock:
+            old = self._entries.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self._entries[key] = (local, nbytes)
+            self._bytes += nbytes
+            while self._bytes > self.max_bytes and len(self._entries) > 1:
+                _k, (path, b) = next(iter(self._entries.items()))
+                self._entries.pop(_k)
+                self._bytes -= b
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+    def clear(self) -> None:
+        with self._lock:
+            for path, _b in self._entries.values():
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            self._entries.clear()
+            self._bytes = 0
+
+
 class LocalEnv:
     """POSIX fast path for plain paths and file:// URIs."""
 
@@ -204,7 +262,7 @@ class MemoryEnv:
     _vers: dict[str, int] = {}
     _dirs: set = set()
     _seq = 0
-    _mirror: dict[tuple, str] = {}
+    _mirror = _MirrorCache()
     _mirror_dir: str | None = None
 
     @staticmethod
@@ -339,15 +397,15 @@ class MemoryEnv:
     def read_array(self, path: str, dtype="<i8"):
         import numpy as np
 
-        try:
-            return np.frombuffer(self.read_bytes(path), dtype=dtype)
-        except FileNotFoundError as e:
-            raise OSError(str(e)) from None
+        # FileNotFoundError propagates as-is: callers distinguish
+        # "file never written" (legal empty shard) from real IO errors
+        return np.frombuffer(self.read_bytes(path), dtype=dtype)
 
     def spark_path(self, path: str) -> str:
         """Driver-local mirror for Spark's parquet reader: files are
-        immutable once published, so a mirrored copy is cached by
-        (path, version) forever."""
+        immutable once published, so a mirrored copy is cached per
+        (path, version) in a byte-capped LRU (eviction deletes the
+        temp copy — long test sessions must not leak disk)."""
         import tempfile
 
         with self._lock:
@@ -356,7 +414,7 @@ class MemoryEnv:
                 return path  # let Spark raise its own not-found
             key = (p, self._vers[p])
             hit = self._mirror.get(key)
-            if hit is not None and os.path.exists(hit):
+            if hit is not None:
                 return hit
             if MemoryEnv._mirror_dir is None:
                 MemoryEnv._mirror_dir = tempfile.mkdtemp(prefix="pyskudu-memfs-")
@@ -365,7 +423,7 @@ class MemoryEnv:
             )
             with open(local, "wb") as f:
                 f.write(self._files[p])
-            self._mirror[key] = local
+            self._mirror.put(key, local)
             return local
 
 
@@ -384,7 +442,7 @@ class FsspecEnv:
         self.scheme = scheme
         self.fs = fsspec.filesystem(_FSSPEC_ALIAS.get(scheme, scheme))
         self.spark_native: bool | None = None  # resolved by bind_spark
-        self._mirror: dict = {}
+        self._mirror = _MirrorCache()
         self._mirror_dir: str | None = None
 
     def __reduce__(self):  # picklable into executor closures
@@ -498,10 +556,8 @@ class FsspecEnv:
     def read_array(self, path: str, dtype="<i8"):
         import numpy as np
 
-        try:
-            return np.frombuffer(self.read_bytes(path), dtype=dtype)
-        except FileNotFoundError as e:
-            raise OSError(str(e)) from None
+        # FileNotFoundError propagates as-is (see LocalEnv.read_array)
+        return np.frombuffer(self.read_bytes(path), dtype=dtype)
 
     def spark_path(self, path: str) -> str:
         if self.spark_native:
@@ -511,7 +567,7 @@ class FsspecEnv:
         ident = self.identity(path)
         key = (path, ident)
         hit = self._mirror.get(key)
-        if hit is not None and os.path.exists(hit):
+        if hit is not None:
             return hit
         if self._mirror_dir is None:
             self._mirror_dir = tempfile.mkdtemp(prefix="pyskudu-mirror-")
@@ -519,7 +575,7 @@ class FsspecEnv:
             self._mirror_dir, path.split("://", 1)[-1].replace("/", "_")
         )
         self.fs.get_file(path, local)
-        self._mirror[key] = local
+        self._mirror.put(key, local)
         return local
 
 

@@ -36,8 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kudu_spark.errors import KuduSparkError
 from kudu_spark.functions import text as TX
 from kudu_spark.functions.text import round4, round4_sql
+
+# quality_buckets' exact score histogram collects driver-side; cap it
+# (1M distinct rounded scores ≈ 16 MB — far above any rounded-score
+# corpus, far below driver OOM)
+QUALITY_HIST_MAX_DISTINCT = 1 << 20
 
 
 # ---------------------------------------------------------------------------
@@ -675,8 +681,23 @@ def quality_buckets(scored: DataFrame, score_col: str = "lm_score",
     pure function of the score): with inclusive descending cumulative
     count ``cum``, a score is head when ``3*cum <= n``, middle when
     ``3*cum <= 2n``, else tail — so boundary-straddling scores fall to
-    the worse bucket, deterministically."""
-    hist = scored.groupBy(score_col).count().collect()
+    the worse bucket, deterministically.
+
+    The histogram collect is GUARDED, not assumed bounded: an
+    unrounded double ``score_col`` would make it O(corpus distinct
+    values) — a driver OOM at scale — so the collect is capped at
+    QUALITY_HIST_MAX_DISTINCT distinct scores (a pushed-down LIMIT in
+    the same job, no extra pass) and raises loudly past it, telling
+    the caller to round the score first."""
+    hist = (scored.groupBy(score_col).count()
+            .limit(QUALITY_HIST_MAX_DISTINCT + 1).collect())
+    if len(hist) > QUALITY_HIST_MAX_DISTINCT:
+        raise KuduSparkError(
+            f"quality_buckets: score column {score_col!r} has more than "
+            f"{QUALITY_HIST_MAX_DISTINCT} distinct values — the exact "
+            "histogram would be driver-sized. Round the score first "
+            "(e.g. F.round(col, 4), as ngram_lm_score already does)."
+        )
     hist.sort(key=lambda r: r[score_col], reverse=True)
     n = sum(r["count"] for r in hist)
     head_cut = mid_cut = None  # minimum score still in head / middle

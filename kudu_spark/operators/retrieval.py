@@ -101,7 +101,9 @@ def bm25_sql(query: str, k: int = 10, k1: float = BM25_K1,
              b: float = BM25_B) -> str:
     """DuckDB twin of bm25_topk over the ``documents`` view."""
     terms = _terms_of(query)
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    # escape embedded quotes: a query like "it's" must interpolate as
+    # 'it''s', not break (or inject into) the generated SQL
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
     WITH base AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

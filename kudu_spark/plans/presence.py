@@ -227,8 +227,19 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
         # LocalEnv memory-maps (the fast path described above);
         # remote envs read the shard into memory instead
         arr = env_for_root(dir_abs).read_array(_shard_path(dir_abs, shard))
-    except (OSError, ValueError):
-        arr = np.empty(0, dtype="<i8")  # shard had no keys
+    except FileNotFoundError:
+        arr = np.empty(0, dtype="<i8")  # shard had no keys (never written)
+    except (OSError, ValueError) as e:
+        # any OTHER IO error (a transient object-store failure, a
+        # truncated/odd-length file) must NOT read as "absent": a
+        # swallowed flake here becomes a false negative feeding the
+        # insert duplicate check (ADVICE r9). Fail the probe task
+        # loudly instead — wrong answers are worse than no answer.
+        raise OSError(
+            f"presence shard {_shard_path(dir_abs, shard)} unreadable "
+            f"({type(e).__name__}: {e}); refusing to treat an IO error "
+            "as an empty shard"
+        ) from e
     while _SHARD_CACHE and (
         len(_SHARD_CACHE) >= _SHARD_CACHE_MAX_FDS
         or sum(a.nbytes for a in _SHARD_CACHE.values()) + arr.nbytes
@@ -280,7 +291,7 @@ def load_all_shards(specs) -> dict:
             try:
                 out[(dir_abs, s)] = np.asarray(
                     env.read_array(_shard_path(dir_abs, s)))
-            except (OSError, ValueError):
+            except FileNotFoundError:
                 out[(dir_abs, s)] = np.empty(0, dtype="<i8")
     return out
 
@@ -332,7 +343,10 @@ def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
         if ns_i <= ns_m:
             try:
                 arr = np.asarray(env.read_array(_shard_path(d, s % ns_i)))
-            except OSError:
+            except FileNotFoundError:
+                # shard never written = no keys; any OTHER IO error
+                # propagates — silently dropping keys from a MERGED
+                # sidecar would be a permanent false negative
                 continue
             if ns_m > 1:
                 arr = arr[arr % ns_m == s]
@@ -341,7 +355,7 @@ def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
             for t in range(s, ns_i, ns_m):
                 try:
                     chunks.append(np.asarray(env.read_array(_shard_path(d, t))))
-                except OSError:
+                except FileNotFoundError:
                     pass
             if not chunks:
                 continue

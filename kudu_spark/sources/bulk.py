@@ -153,5 +153,10 @@ def avro_schema(table) -> dict:
 
 
 def export_avro_schema(table, out_path: str) -> None:
-    with open(out_path, "w") as f:
-        json.dump(avro_schema(table), f, indent=2)
+    # through the Env: an out_path under a URI-rooted warehouse lands
+    # on THAT filesystem, not silently on the driver's local disk
+    from kudu_spark.fs import env_for_root
+
+    env_for_root(out_path).write_bytes(
+        out_path, json.dumps(avro_schema(table), indent=2).encode()
+    )

@@ -376,3 +376,49 @@ def test_table_end_to_end_on_file_uri_root(spark, tmp_path):
     assert eng.sql("SELECT count(*) AS n FROM ft").collect()[0].n == 50
     # and the files genuinely live under the stripped path
     assert os.path.isdir(f"{tmp_path}/wh/ft/data")
+
+
+# -- mirror cache bounds (VERDICT r9 minor #3) ---------------------------------
+
+
+def test_mirror_cache_lru_eviction_deletes_temp_copies(tmp_path):
+    """The driver-local mirror caches are byte-capped LRU: eviction
+    deletes the temp copy, a hit refreshes recency, and a re-fetch
+    after eviction is correct (mirrored files are immutable per key)."""
+    cache = fs._MirrorCache(max_bytes=25)
+    paths = {}
+    for i in range(4):
+        p = str(tmp_path / f"m{i}")
+        with open(p, "wb") as f:
+            f.write(b"x" * 10)
+        paths[i] = p
+    cache.put(("a", 1), paths[0])
+    cache.put(("b", 1), paths[1])
+    assert cache.get(("a", 1)) == paths[0]  # refresh recency
+    cache.put(("c", 1), paths[2])           # 30 bytes > 25: evicts LRU=b
+    assert cache.get(("b", 1)) is None
+    assert not os.path.exists(paths[1])     # eviction deleted the copy
+    assert cache.get(("a", 1)) == paths[0]  # hot entry survived
+    cache.clear()
+    assert not os.path.exists(paths[0]) and not os.path.exists(paths[2])
+
+
+def test_memory_env_spark_path_refetches_after_eviction(spark):
+    """End-to-end over MemoryEnv: a spark_path mirror evicted under a
+    tiny byte cap is transparently re-fetched with identical bytes."""
+    fs.MemoryEnv.reset()
+    env = fs.MemoryEnv()
+    old = env._mirror
+    fs.MemoryEnv._mirror = fs._MirrorCache(max_bytes=1)  # evict instantly
+    try:
+        env.write_bytes("memory://wh/a.bin", b"alpha")
+        env.write_bytes("memory://wh/b.bin", b"beta")
+        p1 = env.spark_path("memory://wh/a.bin")
+        env.spark_path("memory://wh/b.bin")  # evicts a.bin's mirror
+        p2 = env.spark_path("memory://wh/a.bin")
+        with open(p2, "rb") as f:
+            assert f.read() == b"alpha"
+        assert p1 == p2  # same deterministic local name
+    finally:
+        fs.MemoryEnv._mirror = old
+        fs.MemoryEnv.reset()

@@ -583,3 +583,20 @@ def test_merge_distributed_matches_driver(spark, tmp_path, monkeypatch):
         except OSError:
             a2 = np.empty(0, dtype="<i8")
         assert np.array_equal(a1, a2)
+
+
+def test_load_shard_ioerror_is_loud_not_absent(tmp_path, monkeypatch):
+    """ADVICE r9 (medium): only a MISSING shard file reads as 'no keys'
+    — any other IO failure (here: a truncated/odd-length file, the
+    local stand-in for a transient object-store error) must raise, not
+    silently answer 'absent' into the insert duplicate check."""
+    d = str(tmp_path / "c.pidx")
+    os.makedirs(d)
+    monkeypatch.setattr(presence, "_SHARD_CACHE", {})
+    # missing file: legitimately empty shard
+    assert len(presence._load_shard(d, 0)) == 0
+    # corrupt file: 3 bytes is not a whole int64 — must be LOUD
+    with open(presence._shard_path(d, 1), "wb") as f:
+        f.write(b"\x01\x02\x03")
+    with pytest.raises(OSError, match="refusing"):
+        presence._load_shard(d, 1)

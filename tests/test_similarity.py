@@ -97,3 +97,22 @@ def test_rrf_fusion_properties(spark):
     # both-list docs beat single-list docs here
     assert min(got[1][0], got[2][0]) > max(got[3][0], got[4][0])
     assert got[2][0] == round(1 / 62 + 1 / 61, 6)
+
+
+def test_bm25_sql_escapes_quotes():
+    """ADVICE r9 (low): query terms interpolate into the DuckDB twin
+    with quotes escaped — "it's" must yield runnable, non-injectable
+    SQL that matches the Spark side."""
+    import duckdb
+
+    from kudu_spark.operators import retrieval as RET
+
+    sql = RET.bm25_sql("it's o'clock", k=5)
+    assert "'it''s'" in sql and "'o''clock'" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'it''s nearly o''clock somewhere'), "
+        "(2, 'nothing relevant here')) AS t(doc_id, text)")
+    got = con.execute(sql).fetchall()
+    assert [r[0] for r in got] == [1]

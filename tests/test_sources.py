@@ -171,3 +171,29 @@ def test_copy_and_backup_preserve_compound_ranges(engine, spark, tmp_path):
     r = restore(engine, broot, "cb", new_name="cb_r")
     assert r.state().partition_spec.range_spec.cols == ["a", "b"]
     assert {(x.a, x.b) for x in r.scan().collect()} == {(a, b) for a in range(10) for b in range(2)}
+
+
+def test_export_avro_schema_through_env(engine, tmp_path):
+    """export_avro_schema routes through the Env (VERDICT r9 minor #4):
+    a memory:// out_path lands in the memory store, a local path on
+    local disk — never silently elsewhere."""
+    import json as _json
+
+    from kudu_spark import fs as _fs
+    from kudu_spark.sources.bulk import export_avro_schema
+
+    t = engine.create_table("ax", [("k", "bigint", False)], pk=["k"])
+    _fs.MemoryEnv.reset()
+    _fs._ENVS.pop("memory", None)
+    try:
+        out = "memory://exports/ax.avsc"
+        export_avro_schema(t, out)
+        env = _fs.env_for_root(out)
+        got = _json.loads(env.read_bytes(out))
+        assert got["name"] == "ax" and got["fields"][0]["name"] == "k"
+    finally:
+        _fs.MemoryEnv.reset()
+    local = str(tmp_path / "ax.avsc")
+    export_avro_schema(t, local)
+    with open(local) as f:
+        assert _json.load(f)["name"] == "ax"
