@@ -34,7 +34,8 @@ def _spark_type_to_ddl(dt: T.DataType) -> str:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, root: str, database: str = "default"):
+    def __init__(self, spark: SparkSession, root: str, database: str = "default",
+                 single_writer: bool = False):
         self.spark = spark
         self.root = root
         # the warehouse is ONE database (Impala's Kudu integration
@@ -52,6 +53,10 @@ class Engine:
         from kudu_spark import fs
 
         self._env = fs.env_for_root(root)
+        # a scheme whose commit publish is not atomic refuses
+        # multi-writer use unless the caller opts into single-writer
+        # discipline (same loud-at-construction philosophy)
+        fs.check_multi_writer_safe(self._env, root, single_writer)
         fs.bind_spark(self._env, spark)
         self._env.makedirs(root)
 

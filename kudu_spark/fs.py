@@ -29,13 +29,23 @@ Unsupported roots fail LOUDLY at ``env_for_root`` (hence at
 
 Atomicity contract: ``publish_new`` (create-if-absent) is what commit
 serialization rests on (meta.append_commit). Local: hardlink
-(POSIX-atomic). Memory: lock + setdefault. fsspec: exists-then-write —
-atomic only on stores with atomic create (HDFS); on S3-like stores two
-racing writers can both "win", so multi-writer deployments there need
-single-writer discipline or an external lock/catalog service (the same
-caveat as Iceberg's HadoopCatalog; Kudu itself solves it with Raft,
-src/kudu/consensus/raft_consensus.h). The limitation is documented
-here and in README rather than hidden.
+(POSIX-atomic). Memory: lock + setdefault. fsspec, in order of
+preference (Kudu itself serializes commits through Raft,
+src/kudu/consensus/raft_consensus.h; the file-format world uses
+conditional puts — S3 ``If-None-Match``, GCS ``if_generation_match=0``
+— which fsspec ≥2024.6 surfaces as ``pipe_file(..., mode="create")``):
+
+1. conditional create via ``pipe_file(mode="create")`` when the
+   installed driver's signature exposes it — a true atomic
+   create-if-absent on S3/GCS/...;
+2. an externally registered per-scheme publish lock
+   (``register_publish_lock``) — the pluggable hook for stores
+   without conditional create (a DynamoDB/ZooKeeper/catalog lock);
+3. exists-then-write with a post-write read-back — NOT atomic. This
+   fallback is gated: ``check_multi_writer_safe`` (called at
+   ``Engine.__init__``) REFUSES a scheme stuck on it unless the
+   caller passes ``single_writer=True`` — loud at construction, same
+   philosophy as the unsupported-scheme error.
 """
 
 from __future__ import annotations
@@ -137,6 +147,8 @@ class LocalEnv:
     distributed = True
     # Spark/Hadoop reads file paths natively
     spark_native = True
+    # publish_new is hardlink-based O_CREAT|O_EXCL: POSIX-atomic
+    atomic_publish = True
 
     @staticmethod
     def _p(path: str) -> str:
@@ -256,6 +268,7 @@ class MemoryEnv:
     scheme = "memory"
     distributed = False
     spark_native = False
+    atomic_publish = True  # lock + create-if-absent under _lock
 
     _lock = threading.RLock()
     _files: dict[str, bytes] = {}
@@ -427,6 +440,29 @@ class MemoryEnv:
             return local
 
 
+# per-scheme publish locks (capability #2 in the module-docstring
+# atomicity ladder): lock_factory(path) returns a context manager held
+# across the exists+write of publish_new. Registered by deployments
+# whose store lacks conditional create (e.g. a DynamoDB or ZooKeeper
+# mutex). Module-global by scheme so pickled Envs re-resolve it.
+_PUBLISH_LOCKS: dict[str, object] = {}
+
+
+def register_publish_lock(scheme: str, lock_factory) -> None:
+    """Install an external mutex for ``scheme``'s commit publishes
+    (``None`` to remove). ``lock_factory(path)`` must return a context
+    manager that provides mutual exclusion across ALL writers of
+    ``path`` — with it held, exists-then-write is serialized and the
+    scheme counts as multi-writer safe."""
+    if lock_factory is None:
+        _PUBLISH_LOCKS.pop(scheme, None)
+    else:
+        _PUBLISH_LOCKS[scheme] = lock_factory
+    env = _ENVS.get(scheme)
+    if env is not None and hasattr(env, "_resolve_atomic"):
+        env._resolve_atomic()
+
+
 class FsspecEnv:
     """Metadata/sidecar IO over any fsspec filesystem. Data-plane:
     Spark scans the URIs directly when Hadoop knows the scheme
@@ -444,6 +480,23 @@ class FsspecEnv:
         self.spark_native: bool | None = None  # resolved by bind_spark
         self._mirror = _MirrorCache()
         self._mirror_dir: str | None = None
+        self._resolve_atomic()
+
+    def _resolve_atomic(self) -> None:
+        """Pick the publish strategy (see module docstring):
+        conditional create if the driver's ``pipe_file`` signature
+        exposes ``mode`` (fsspec ≥2024.6 maps it to the store's
+        conditional put), else an external lock if registered, else
+        the gated non-atomic fallback."""
+        import inspect
+
+        try:
+            params = inspect.signature(self.fs.pipe_file).parameters
+            self._cond_create = "mode" in params
+        except (TypeError, ValueError):
+            self._cond_create = False
+        self.atomic_publish = bool(
+            self._cond_create or self.scheme in _PUBLISH_LOCKS)
 
     def __reduce__(self):  # picklable into executor closures
         return (FsspecEnv, (self.scheme,))
@@ -465,11 +518,46 @@ class FsspecEnv:
         self.fs.pipe_file(path, data)
 
     def publish_new(self, path: str, data: bytes, fsync: bool = True) -> None:
-        # exists-then-write: atomic only on stores with atomic create
-        # (see module docstring for the multi-writer caveat)
+        # strategy 1: the store's conditional put (atomic) — fsspec
+        # maps mode="create" to S3 If-None-Match / GCS generation-match
+        if self._cond_create:
+            try:
+                self.fs.pipe_file(path, data, mode="create")
+                return
+            except FileExistsError:
+                raise
+            except ValueError as e:
+                # a driver that takes mode but rejects "create" drops
+                # to the gated fallback permanently (and loudly, via
+                # check_multi_writer_safe on the next Engine)
+                if "mode" not in str(e).lower():
+                    raise
+                self._cond_create = False
+                self._resolve_atomic()
+        # strategy 2: external per-scheme publish lock (serialized)
+        lock = _PUBLISH_LOCKS.get(self.scheme)
+        if lock is not None:
+            with lock(path):
+                if self.fs.exists(path):
+                    raise FileExistsError(path)
+                self.fs.pipe_file(path, data)
+            return
+        # strategy 3 (gated by check_multi_writer_safe): exists-then-
+        # write plus a post-write read-back. NOT atomic — the read-back
+        # narrows the race window and detects most lost races (commit
+        # payloads are unique per writer), it does not close it.
         if self.fs.exists(path):
             raise FileExistsError(path)
         self.fs.pipe_file(path, data)
+        try:
+            back = self.fs.cat_file(path)
+        except Exception:
+            back = None
+        if back is not None and back != data:
+            raise FileExistsError(
+                f"{path}: lost a publish race (post-write read-back "
+                "differs) — another writer's commit landed"
+            )
 
     def exists(self, path: str) -> bool:
         return self.fs.exists(path)
@@ -620,6 +708,26 @@ def env_for_root(root: str):
                 ) from None
         _ENVS[scheme] = env
         return env
+
+
+def check_multi_writer_safe(env, root: str, single_writer: bool) -> None:
+    """Refuse — loudly, at construction — to run a warehouse on a
+    scheme whose ``publish_new`` is not atomic, unless the caller
+    explicitly claims single-writer discipline. Two racing writers on
+    a non-atomic scheme can both "win" the same commit version and
+    silently lose one commit; Kudu never has this problem because Raft
+    serializes its commits (src/kudu/consensus/raft_consensus.h)."""
+    if getattr(env, "atomic_publish", False) or single_writer:
+        return
+    raise KuduSparkError(
+        f"warehouse root {root!r}: scheme {env.scheme!r} has no atomic "
+        "create-if-absent (its fsspec driver predates conditional "
+        "writes / pipe_file(mode='create')), so concurrent writers can "
+        "silently lose commits. Either upgrade the driver, register an "
+        "external publish lock (kudu_spark.fs.register_publish_lock), "
+        "or opt in with Engine(..., single_writer=True) if exactly one "
+        "process ever writes this warehouse."
+    )
 
 
 def bind_spark(env, spark) -> None:
