@@ -458,13 +458,18 @@ class Engine:
         defaults: dict | None = None,
         non_unique_pk: bool = False,
         if_not_exists: bool = False,
+        owner: str | None = None,
     ) -> Table:
         """≈ KuduTableCreator (client.h:1241). ``hash_partitions`` is a
         list of {"columns": [...], "buckets": N, "seed": 0}; ``range_partition``
         is {"column": c, "ranges": [[lo,hi), ...]} or {"column": c,
         "splits": [s1, s2]} for covering ranges split at the given points.
         ``non_unique_pk`` appends the hidden auto-increment column
-        (common.proto:173, schema.h:263)."""
+        (common.proto:173, schema.h:263). ``owner`` ≈
+        KuduTableCreator::set_owner (client.h:1396): stored as the
+        ``owner`` table property, surfaced by SHOW CREATE TABLE,
+        statistics()/SHOW TABLE STATS, and Engine.describe-style
+        introspection."""
         if self.table_exists(name):
             if if_not_exists:
                 return self.table(name)
@@ -564,16 +569,15 @@ class Engine:
         root = self._table_root(name)
         self._env.makedirs(os.path.join(root, LOG_DIR))
         self._env.makedirs(os.path.join(root, "data"))
-        append_commit(
-            root,
-            1,
-            {
-                "op": "create",
-                "schema": sch.to_json(),
-                "partition_spec": pspec.to_json(),
-                "actions": [],
-            },
-        )
+        payload = {
+            "op": "create",
+            "schema": sch.to_json(),
+            "partition_spec": pspec.to_json(),
+            "actions": [],
+        }
+        if owner:
+            payload["props"] = {"owner": str(owner)}
+        append_commit(root, 1, payload)
         return Table(self.spark, name, root)
 
     # -- drop / soft-delete (python/kudu/client.pyx:527-583) ---------------------
@@ -726,6 +730,16 @@ class Engine:
                 f"illegal replication factor {factor}: replication "
                 "factor must be odd (pass allow_unsafe=True to override)")
         self.alter_table(name).set_property("replication_factor", factor).apply()
+
+    def set_owner(self, name: str, owner: str) -> None:
+        """≈ KuduTableAlterer::SetOwner (client.h:1936; surfaced by
+        `kudu table describe`'s OWNER line,
+        tools/tool_action_table.cc:1975-1976). Owner is table METADATA
+        — stored as the ``owner`` property, shown by SHOW CREATE
+        TABLE's TBLPROPERTIES and statistics()/SHOW TABLE STATS."""
+        if not owner or not str(owner).strip():
+            raise KuduSparkError("table owner must be a non-empty string")
+        self.alter_table(name).set_property("owner", str(owner).strip()).apply()
 
     def fsck(self, name: str | None = None, repair: bool = False) -> dict:
         """Warehouse integrity check — the offline half of ksck plus

@@ -41,13 +41,31 @@ Shard counts are powers of two, so ``h % ns_small`` is a function of
 repartitioning the probe batch by the LARGEST sidecar's shard count
 co-locates each key with its shard in EVERY sidecar at once.
 
-The sidecar is a directory (``<seq>-<uuid>.pidx/``):
+The sidecar is a directory (``<seq>-<uuid>.pidx/``) holding up to TWO
+shard families — live keys and delete-tombstone keys:
 
-  meta.json           {"cols": [...], "types": [...], "nshards": S,
-                       "rows": N, "bytes": B}  — written LAST; its
-                      presence marks the sidecar complete
-  shard-<s>.i64       sorted, deduped int64 little-endian hashes
+  meta.json           {"cols": [...], "types": [...], "seq": Q,
+                       "nshards": S, "rows": N, "bytes": B,
+                       "del_nshards": S', "del_rows": N',
+                       "mixed": bool, "del_unindexed": bool}
+                      — written LAST; its presence marks the sidecar
+                      complete. ``seq`` is the covered commit's
+                      manifest seq: probe answers resolve per key by
+                      the HIGHEST-seq hit (live hit → present, delete
+                      hit → absent), which is how the reference keeps
+                      presence exact through un-compacted deletes —
+                      delete deltas are consulted with timestamps
+                      (tablet/tablet.cc:116-124, tablet/delta_tracker.cc)
+  shard-<s>.i64       sorted, deduped int64 hashes of LIVE keys
+  del-<s>.i64         sorted, deduped int64 hashes of DELETEd keys
                       (shards with no keys have no file)
+
+``mixed`` marks a commit that wrote live AND delete rows at one seq:
+within-commit ordering is unknown, so probes answer live-wins —
+superset semantics, never a false negative. ``del_unindexed`` marks a
+commit whose delete keys could NOT be indexed (the hashed tuple
+reaches outside the PK, and delete tombstones only carry the PK):
+probes degrade to superset, and exactness is declined honestly.
 
 ``cols``/``types`` stamp the hashed tuple (names AND declared types):
 probes decline on any mismatch, so ALTERing ``pk_bloom_cols`` or a
@@ -73,7 +91,7 @@ import numpy as np
 TARGET_SHARD_KEYS = 1 << 19  # ~4 MiB of int64 per shard
 SMALL_BUILD_MAX = 2_000_000  # below this, sort driver-side (no shuffle)
 META_NAME = "meta.json"
-_VERSION = 1
+_VERSION = 2  # v2: seq-stamped metas + delete shard family
 
 # per-worker shard cache: (abs dir, shard) -> sorted int64 array,
 # LRU (dict insertion order + move-to-end on hit — a probe working
@@ -99,89 +117,148 @@ def shards_for(rows: int) -> int:
     return ns
 
 
-def _shard_path(dir_abs: str, shard: int) -> str:
-    return os.path.join(dir_abs, f"shard-{shard:05d}.i64")
+def _shard_path(dir_abs: str, shard: int, prefix: str = "shard") -> str:
+    return os.path.join(dir_abs, f"{prefix}-{shard:05d}.i64")
 
 
-def _write_shard(dir_abs: str, shard: int, arr: np.ndarray) -> int:
+def _write_shard(dir_abs: str, shard: int, arr: np.ndarray,
+                 prefix: str = "shard") -> int:
     """Atomically persist one sorted shard; returns bytes written.
     IO goes through the sidecar root's Env (fs.py) — tmp+rename
     locally, a direct object write elsewhere."""
     from kudu_spark.fs import env_for_root
 
     data = np.ascontiguousarray(arr, dtype="<i8").tobytes()
-    env_for_root(dir_abs).write_bytes(_shard_path(dir_abs, shard), data)
+    env_for_root(dir_abs).write_bytes(_shard_path(dir_abs, shard, prefix), data)
     return len(data)
 
 
-def build_index(hashes_df, rows: int, dir_abs: str,
-                cols: list[str], types: list[str]) -> dict | None:
-    """Build the sidecar directory from a single-column (``h`` BIGINT)
-    DataFrame of key hashes. Returns the meta dict, or None on
-    failure (callers log and fall back — a table without sidecars
-    just loses the O(batch) probe, never correctness)."""
+def _write_family_arrays(dir_abs: str, hv: np.ndarray, ns: int,
+                         prefix: str) -> int:
+    """Driver-side shard write of one family from an in-memory hash
+    array; returns bytes written."""
+    if not len(hv):
+        return 0
+    shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
+    total = 0
+    for s in np.unique(shard):
+        total += _write_shard(dir_abs, int(s), np.unique(hv[shard == s]), prefix)
+    return total
+
+
+def _write_family_distributed(hashes_df, ns: int, dir_abs: str,
+                              prefix: str) -> int:
+    """Executor-side shard build of one family: shard-shuffle the
+    hashes, each group task sorts + writes its own shard file to the
+    table root (the same shared-storage write contract as the parquet
+    data files); returns bytes written."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
+    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(pdf["s"].iloc[0])
+        n = _write_shard(dir_abs, s, np.unique(pdf["h"].to_numpy("int64")),
+                         prefix)
+        return pd.DataFrame({"s": [s], "b": [n]})
+
+    got = (
+        hashes_df.select("h", F.pmod(F.col("h"), F.lit(ns)).alias("s"))
+        .groupBy("s")
+        .applyInPandas(write_group, schema="s int, b long")
+        .collect()
+    )
+    return int(sum(r["b"] for r in got))
+
+
+def build_index(hashes_df, rows: int, dir_abs: str,
+                cols: list[str], types: list[str],
+                seq: int = 0) -> dict | None:
+    """Build a live-only sidecar directory from a single-column
+    (``h`` BIGINT) DataFrame of key hashes. Returns the meta dict, or
+    None on failure (callers log and fall back — a table without
+    sidecars just loses the O(batch) probe, never correctness)."""
     from kudu_spark.fs import env_for_root
 
     env = env_for_root(dir_abs)
     ns = shards_for(rows)
     env.makedirs(dir_abs)
     meta = {"version": _VERSION, "cols": list(cols), "types": list(types),
-            "nshards": ns, "rows": int(rows), "bytes": 0}
+            "seq": int(seq), "nshards": ns, "rows": int(rows), "bytes": 0}
     # executor-side builds need a filesystem every executor can write
     # (the shared-storage contract); driver-local envs (memory://)
     # build driver-side regardless of size
     if rows <= SMALL_BUILD_MAX or not env.distributed:
-        pdf = hashes_df.toPandas()
-        hv = pdf["h"].to_numpy(dtype="int64")
-        shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
-        total = 0
-        for s in np.unique(shard):
-            total += _write_shard(dir_abs, int(s), np.unique(hv[shard == s]))
-        meta["bytes"] = total
+        hv = hashes_df.toPandas()["h"].to_numpy(dtype="int64")
+        meta["bytes"] = _write_family_arrays(dir_abs, hv, ns, "shard")
     else:
-        # executor-side build: shard-shuffle the hashes, each group
-        # task sorts + writes its own shard file to the table root
-        # (the same shared-storage write contract as data files)
-        import pandas as pd
-
-        def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            s = int(pdf["s"].iloc[0])
-            n = _write_shard(dir_abs, s, np.unique(pdf["h"].to_numpy("int64")))
-            return pd.DataFrame({"s": [s], "b": [n]})
-
-        got = (
-            hashes_df.select("h", F.pmod(F.col("h"), F.lit(ns)).alias("s"))
-            .groupBy("s")
-            .applyInPandas(write_group, schema="s int, b long")
-            .collect()
-        )
-        meta["bytes"] = int(sum(r["b"] for r in got))
+        meta["bytes"] = _write_family_distributed(hashes_df, ns, dir_abs, "shard")
     # meta lands last: a crash mid-build leaves no meta.json and the
     # sidecar reads as absent (probe declines, vacuum collects it)
     env.write_bytes(os.path.join(dir_abs, META_NAME), json.dumps(meta).encode())
     return meta
 
 
-def write_tombstone_meta(dir_abs: str, cols: list[str], types: list[str],
-                         rows: int) -> dict:
-    """Meta-only sidecar for a commit whose files hold DELETE
-    tombstones (``{"tombstones": true}``, zero shards, no Spark job).
-    Probes never read tombstone shards — the sidecar's EXISTENCE is
-    what matters: it keeps coverage complete (delta files without any
-    sidecar disable the probe entirely) while flipping the answer from
-    EXACT to SUPERSET, because the live-key union now overcounts the
-    deleted keys until compaction folds them out (Kudu's rowset
-    presence structures stay exact because its MRS/delta stores are
-    consulted per key, tablet/tablet.cc:116-124 — a sorted-run union
-    cannot subtract without ordering, so we report honestly instead)."""
+def build_commit_index(hd_df, total_rows: int, dir_abs: str,
+                       cols: list[str], types: list[str], seq: int,
+                       del_indexed: bool = True) -> dict | None:
+    """Build one commit's sidecar from a two-column DataFrame
+    (``h`` BIGINT key hash, ``d`` BOOLEAN is-delete-tombstone): live
+    keys land in the ``shard-*`` family, delete keys in ``del-*``.
+    A probe hitting the delete family at this commit's ``seq`` answers
+    ABSENT unless a higher-seq live hit exists — the subtraction that
+    keeps presence exact through un-compacted DELETEs (reference:
+    delete deltas consulted with timestamps, tablet/tablet.cc:116-124).
+
+    ``del_indexed=False`` (the hashed tuple reaches outside the PK, so
+    delete tombstones can't be hashed): delete keys are NOT indexed;
+    the meta records ``del_unindexed`` and probes degrade honestly to
+    superset. A commit with both live and delete rows is marked
+    ``mixed`` (within-commit ordering unknown → live-wins superset)."""
+    from pyspark.sql import functions as F
+
     from kudu_spark.fs import env_for_root
 
     env = env_for_root(dir_abs)
     env.makedirs(dir_abs)
     meta = {"version": _VERSION, "cols": list(cols), "types": list(types),
-            "nshards": 1, "rows": int(rows), "bytes": 0, "tombstones": True}
+            "seq": int(seq), "nshards": 1, "rows": 0, "bytes": 0}
+    if total_rows <= SMALL_BUILD_MAX or not env.distributed:
+        pdf = hd_df.toPandas()
+        d = pdf["d"].to_numpy(dtype=bool)
+        live = pdf["h"].to_numpy(dtype="int64")[~d]
+        dele = pdf["h"].to_numpy(dtype="int64")[d]
+        ns = shards_for(len(live))
+        meta.update(nshards=ns, rows=int(len(live)))
+        total = _write_family_arrays(dir_abs, live, ns, "shard")
+        if len(dele):
+            if del_indexed:
+                ns_d = shards_for(len(dele))
+                total += _write_family_arrays(dir_abs, dele, ns_d, "del")
+                meta.update(del_nshards=ns_d, del_rows=int(len(dele)))
+            else:
+                meta.update(del_unindexed=True, del_rows=int(len(dele)))
+            if len(live):
+                meta["mixed"] = True
+        meta["bytes"] = total
+    else:
+        counts = {bool(r["d"]): int(r["cnt"]) for r in
+                  hd_df.groupBy("d").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        n_live, n_del = counts.get(False, 0), counts.get(True, 0)
+        ns = shards_for(n_live)
+        meta.update(nshards=ns, rows=n_live)
+        total = _write_family_distributed(
+            hd_df.where(~F.col("d")), ns, dir_abs, "shard")
+        if n_del:
+            if del_indexed:
+                ns_d = shards_for(n_del)
+                total += _write_family_distributed(
+                    hd_df.where(F.col("d")), ns_d, dir_abs, "del")
+                meta.update(del_nshards=ns_d, del_rows=n_del)
+            else:
+                meta.update(del_unindexed=True, del_rows=n_del)
+            if n_live:
+                meta["mixed"] = True
+        meta["bytes"] = total
     env.write_bytes(os.path.join(dir_abs, META_NAME), json.dumps(meta).encode())
     return meta
 
@@ -207,7 +284,7 @@ def read_meta(dir_abs: str) -> dict | None:
     return meta
 
 
-def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
+def _load_shard(dir_abs: str, shard: int, prefix: str = "shard") -> np.ndarray:
     """Memory-map the shard read-only: every worker process on a host
     shares ONE page-cache copy of the index (np.fromfile would copy
     each shard into each of the ~cores python workers — O(cores x
@@ -216,7 +293,7 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     sidecar files are immutable-once-published, so a mapping can never
     observe a torn write. The cache bounds VIRTUAL bytes — i.e. open
     fds — not RSS; the kernel evicts pages under pressure."""
-    key = (dir_abs, shard)
+    key = (dir_abs, shard, prefix)
     hit = _SHARD_CACHE.pop(key, None)
     if hit is not None:
         _SHARD_CACHE[key] = hit  # reinsert at tail: LRU recency on hit
@@ -226,7 +303,8 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     try:
         # LocalEnv memory-maps (the fast path described above);
         # remote envs read the shard into memory instead
-        arr = env_for_root(dir_abs).read_array(_shard_path(dir_abs, shard))
+        arr = env_for_root(dir_abs).read_array(
+            _shard_path(dir_abs, shard, prefix))
     except FileNotFoundError:
         arr = np.empty(0, dtype="<i8")  # shard had no keys (never written)
     except (OSError, ValueError) as e:
@@ -236,7 +314,7 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
         # insert duplicate check (ADVICE r9). Fail the probe task
         # loudly instead — wrong answers are worse than no answer.
         raise OSError(
-            f"presence shard {_shard_path(dir_abs, shard)} unreadable "
+            f"presence shard {_shard_path(dir_abs, shard, prefix)} unreadable "
             f"({type(e).__name__}: {e}); refusing to treat an IO error "
             "as an empty shard"
         ) from e
@@ -250,57 +328,84 @@ def _load_shard(dir_abs: str, shard: int) -> np.ndarray:
     return arr
 
 
+def _norm_specs(specs):
+    """Normalize + order probe specs. Accepts legacy 2-tuples
+    (dir, nshards) = a live family at seq 0, or full 4-tuples
+    (dir, nshards, seq, live: bool). Returns the resolution order:
+    seq DESCENDING (newest commit answers first), live-before-delete
+    on seq ties (a key both live and deleted at one seq — a mixed
+    commit — reads live: superset-safe, never a false negative)."""
+    full = []
+    for t in specs:
+        if len(t) == 2:
+            full.append((t[0], int(t[1]), 0, True))
+        else:
+            full.append((t[0], int(t[1]), int(t[2]), bool(t[3])))
+    full.sort(key=lambda t: (-t[2], not t[3]))
+    return full
+
+
 def probe_hashes(specs, hv: np.ndarray) -> np.ndarray:
-    """Membership of each int64 hash in ``hv`` against the sidecars in
-    ``specs`` (tuples of (abs dir, nshards)): one binary search per
-    (sidecar, key) not yet resolved. Pure numpy — this is the body of
-    the Arrow-batched UDF, factored out so it is testable without a
-    SparkSession."""
+    """Membership of each int64 hash in ``hv`` against the sidecar
+    families in ``specs`` (see _norm_specs): walking families newest-
+    first, each key resolves at its FIRST hit — a live hit answers
+    present, a delete hit answers absent (the seq subtraction that
+    keeps probes exact through un-compacted DELETEs). One binary
+    search per (family, key) not yet resolved. Pure numpy — this is
+    the body of the Arrow-batched UDF, factored out so it is testable
+    without a SparkSession."""
     hv = np.asarray(hv, dtype="int64")
     out = np.zeros(len(hv), dtype=bool)
-    for dir_abs, ns in specs:
-        todo = ~out
+    resolved = np.zeros(len(hv), dtype=bool)
+    for dir_abs, ns, _seq, live in _norm_specs(specs):
+        todo = ~resolved
         if not todo.any():
             break
+        prefix = "shard" if live else "del"
         shard = hv % ns if ns > 1 else np.zeros(len(hv), dtype="int64")
         for s in np.unique(shard[todo]):
-            arr = _load_shard(dir_abs, int(s))
+            arr = _load_shard(dir_abs, int(s), prefix)
             if not len(arr):
                 continue
             mask = todo & (shard == s)
             vals = hv[mask]
             idx = np.searchsorted(arr, vals)
             idx[idx >= len(arr)] = len(arr) - 1
-            out[mask] |= arr[idx] == vals
+            hit = np.zeros(len(hv), dtype=bool)
+            hit[mask] = arr[idx] == vals
+            out[hit] = live
+            resolved |= hit
     return out
 
 
 def load_all_shards(specs) -> dict:
-    """Every shard of every sidecar in ``specs``, loaded eagerly into
-    {(dir, shard): array} — ONLY for driver-local Envs (memory://),
-    whose bytes executor worker processes cannot see. The arrays then
-    ride the UDF closure; acceptable for dev/test roots, never the
-    100 TB path (distributed Envs load executor-side, nothing in the
-    task binary)."""
+    """Every shard of every sidecar family in ``specs``, loaded
+    eagerly into {(dir, shard, prefix): array} — ONLY for driver-local
+    Envs (memory://), whose bytes executor worker processes cannot
+    see. The arrays then ride the UDF closure; acceptable for dev/test
+    roots, never the 100 TB path (distributed Envs load executor-side,
+    nothing in the task binary)."""
     from kudu_spark.fs import env_for_root
 
     out = {}
-    for dir_abs, ns in specs:
+    for dir_abs, ns, _seq, live in _norm_specs(specs):
         env = env_for_root(dir_abs)
+        prefix = "shard" if live else "del"
         for s in range(ns):
             try:
-                out[(dir_abs, s)] = np.asarray(
-                    env.read_array(_shard_path(dir_abs, s)))
+                out[(dir_abs, s, prefix)] = np.asarray(
+                    env.read_array(_shard_path(dir_abs, s, prefix)))
             except FileNotFoundError:
-                out[(dir_abs, s)] = np.empty(0, dtype="<i8")
+                out[(dir_abs, s, prefix)] = np.empty(0, dtype="<i8")
     return out
 
 
-def present_udf(specs: tuple[tuple[str, int], ...], preload: dict | None = None):
-    """Arrow-batched membership test against the sidecars in
-    ``specs`` (tuples of (abs dir, nshards)). The closure carries only
-    paths and ints — the index bytes load executor-side — except for
-    driver-local Envs, whose shards ship via ``preload``
+def present_udf(specs: tuple, preload: dict | None = None):
+    """Arrow-batched membership test against the sidecar families in
+    ``specs`` (legacy (dir, nshards) live pairs or full
+    (dir, nshards, seq, live) tuples — see _norm_specs). The closure
+    carries only paths and ints — the index bytes load executor-side —
+    except for driver-local Envs, whose shards ship via ``preload``
     (load_all_shards)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -328,66 +433,96 @@ def present_udf(specs: tuple[tuple[str, int], ...], preload: dict | None = None)
 DRIVER_MERGE_MAX_BYTES = 64 << 20
 
 
-def _gather_shard(s: int, srcs: list, ns_m: int) -> np.ndarray | None:
-    """Merged shard ``s``: sorted, deduped union of the source keys
-    congruent to ``s`` mod ``ns_m``. Shard counts are powers of two,
-    so from a coarser source (ns_i <= ns_m) it is the single shard
-    ``s % ns_i`` filtered to ``h % ns_m == s``; from a finer source
-    every shard ``t ≡ s (mod ns_m)`` whole. ``srcs`` is
-    [(dir, nshards)]. Pure numpy — runs on driver or executor."""
+def _gather_family(d: str, ns_i: int, prefix: str, s: int,
+                   ns_m: int) -> np.ndarray:
+    """The keys of one source family congruent to ``s`` mod ``ns_m``.
+    Shard counts are powers of two, so from a coarser source
+    (ns_i <= ns_m) it is the single shard ``s % ns_i`` filtered to
+    ``h % ns_m == s``; from a finer source every shard
+    ``t ≡ s (mod ns_m)`` whole. Missing shard files = no keys; any
+    OTHER IO error propagates — silently dropping keys from a MERGED
+    sidecar would be a permanent false negative."""
     from kudu_spark.fs import env_for_root
 
-    parts = []
-    for d, ns_i in srcs:
-        env = env_for_root(d)
-        if ns_i <= ns_m:
-            try:
-                arr = np.asarray(env.read_array(_shard_path(d, s % ns_i)))
-            except FileNotFoundError:
-                # shard never written = no keys; any OTHER IO error
-                # propagates — silently dropping keys from a MERGED
-                # sidecar would be a permanent false negative
-                continue
-            if ns_m > 1:
-                arr = arr[arr % ns_m == s]
-        else:
-            chunks = []
-            for t in range(s, ns_i, ns_m):
-                try:
-                    chunks.append(np.asarray(env.read_array(_shard_path(d, t))))
-                except FileNotFoundError:
-                    pass
-            if not chunks:
-                continue
-            arr = np.concatenate(chunks)
-        if len(arr):
-            parts.append(arr)
-    if not parts:
-        return None
-    return np.unique(np.concatenate(parts))
+    env = env_for_root(d)
+    if ns_i <= 0:
+        return np.empty(0, dtype="<i8")
+    if ns_i <= ns_m:
+        try:
+            arr = np.asarray(env.read_array(_shard_path(d, s % ns_i, prefix)))
+        except FileNotFoundError:
+            return np.empty(0, dtype="<i8")
+        return arr[arr % ns_m == s] if ns_m > 1 else arr
+    chunks = []
+    for t in range(s, ns_i, ns_m):
+        try:
+            chunks.append(np.asarray(env.read_array(_shard_path(d, t, prefix))))
+        except FileNotFoundError:
+            pass
+    if not chunks:
+        return np.empty(0, dtype="<i8")
+    return np.concatenate(chunks)
 
 
-def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
-    """Merge several sidecars into one (the size-tiered consolidation
-    step — Kudu's rowset-merge compaction applied to the key index
-    only, tablet/compaction_policy.h, WITHOUT rewriting data files:
-    probe cost is per-sidecar, so bounding live sidecars bounds probe
-    work while the parquet files stay put). All sources must hash the
-    same (cols, types) tuple; returns the new meta or None.
+def _replay_shard(s: int, srcs: list, ns_m: int):
+    """Merged shard ``s``: REPLAY the source commits in ascending seq
+    — per commit, first subtract its delete keys from the accumulated
+    live set (and remember them), then union its live keys — exactly
+    merge-on-read's last-write-wins applied to key presence. Returns
+    (live, deletes): ``live`` is the keys present as of the window's
+    max seq; ``deletes`` is the union of delete keys, retained so the
+    merged sidecar keeps subtracting keys from sidecars OLDER than the
+    window (a delete key re-added within the window sits in both —
+    the probe's live-first tie rule reads it present, correctly).
+    ``srcs`` is [(dir, live_ns, del_ns)] ASCENDING seq. Pure numpy —
+    runs on driver or executor."""
+    live = np.empty(0, dtype="<i8")
+    dels = np.empty(0, dtype="<i8")
+    for d, ns_i, ns_d in srcs:
+        dl = _gather_family(d, ns_d, "del", s, ns_m)
+        if len(dl):
+            if len(live):
+                live = live[~np.isin(live, dl, assume_unique=False)]
+            dels = np.union1d(dels, dl)
+        lv = _gather_family(d, ns_i, "shard", s, ns_m)
+        if len(lv):
+            live = np.union1d(live, lv)
+    return live, dels
+
+
+def merge_indexes(src_dirs: list, out_dir: str, spark=None,
+                  drop_deletes: bool = False) -> dict | None:
+    """Merge a SEQ-CONTIGUOUS run of sidecars into one (the size-tiered
+    consolidation step — Kudu's rowset-merge compaction applied to the
+    key index only, tablet/compaction_policy.h, WITHOUT rewriting data
+    files: probe cost is per-sidecar, so bounding live sidecars bounds
+    probe work while the parquet files stay put). ``src_dirs`` must be
+    ordered ascending by commit seq and contiguous — no other live
+    sidecar's seq may fall inside the window — or the replayed
+    subtraction would misorder deletes (the caller,
+    Table.merge_presence_sidecars, enforces both). All sources must
+    hash the same (cols, types) tuple and carry seqs; returns the new
+    meta or None. ``drop_deletes=True`` (the window includes the
+    oldest live sidecar, so nothing older remains to subtract from)
+    omits the delete family from the output.
 
     Small merges (≤ DRIVER_MERGE_MAX_BYTES of sources) run driver-side
     one merged shard at a time — peak memory is one shard's sources,
     not the index. Larger merges with a SparkSession fan the per-shard
-    gathers out to executors (same shared-storage write contract as
+    replays out to executors (same shared-storage write contract as
     the data files and the executor-side build): the driver handles
     metadata only, so merge IO scales with the cluster, not the
     driver — at 1e9 keys a merge moves ~8 GB through executors in
     shard-parallel tasks instead of serially through one process."""
     metas = [read_meta(d) for d in src_dirs]
-    if any(m is None or m.get("tombstones") for m in metas):
-        return None  # tombstone sidecars are meta-only: nothing to merge
+    if any(m is None or m.get("tombstones") or m.get("del_unindexed")
+           or m.get("seq") is None for m in metas):
+        return None  # unmergeable: unknown delete keys / unordered
     key = (tuple(metas[0]["cols"]), tuple(metas[0]["types"]))
     if any((tuple(m["cols"]), tuple(m["types"])) != key for m in metas):
+        return None
+    seqs = [int(m["seq"]) for m in metas]
+    if seqs != sorted(seqs):
         return None
     from kudu_spark.fs import env_for_root
 
@@ -395,9 +530,10 @@ def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
     total_rows = sum(int(m["rows"]) for m in metas)
     src_bytes = sum(int(m.get("bytes", 0)) for m in metas)
     ns_m = shards_for(total_rows)
-    srcs = [(d, int(m["nshards"])) for d, m in zip(src_dirs, metas)]
+    srcs = [(d, int(m["nshards"]), int(m.get("del_nshards", 0)))
+            for d, m in zip(src_dirs, metas)]
     env.makedirs(out_dir)
-    total = 0
+    n_live = n_del = total = 0
     if (spark is not None and src_bytes > DRIVER_MERGE_MAX_BYTES and ns_m > 1
             and env.distributed):
         import pandas as pd
@@ -405,35 +541,47 @@ def merge_indexes(src_dirs: list, out_dir: str, spark=None) -> dict | None:
         def merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
             out = []
             for s in pdf["s"].tolist():
-                arr = _gather_shard(int(s), srcs, ns_m)
-                if arr is not None:
-                    out.append((int(s), _write_shard(out_dir, int(s), arr)))
-            if not out:
-                return pd.DataFrame({"s": pd.Series(dtype="int32"),
-                                     "b": pd.Series(dtype="int64")})
-            return pd.DataFrame(out, columns=["s", "b"])
+                live, dels = _replay_shard(int(s), srcs, ns_m)
+                b = _write_shard(out_dir, int(s), live) if len(live) else 0
+                if not drop_deletes and len(dels):
+                    b += _write_shard(out_dir, int(s), dels, "del")
+                out.append((int(s), b, len(live),
+                            0 if drop_deletes else len(dels)))
+            return pd.DataFrame(out, columns=["s", "b", "nl", "nd"])
 
         got = (
             spark.range(ns_m).selectExpr("cast(id as int) as s")
             .groupBy("s")
-            .applyInPandas(merge_group, schema="s int, b long")
+            .applyInPandas(merge_group, schema="s int, b long, nl long, nd long")
             .collect()
         )
         total = int(sum(r["b"] for r in got))
+        n_live = int(sum(r["nl"] for r in got))
+        n_del = int(sum(r["nd"] for r in got))
     else:
         for s in range(ns_m):
-            arr = _gather_shard(s, srcs, ns_m)
-            if arr is not None:
-                total += _write_shard(out_dir, s, arr)
+            live, dels = _replay_shard(s, srcs, ns_m)
+            if len(live):
+                total += _write_shard(out_dir, s, live)
+                n_live += len(live)
+            if not drop_deletes and len(dels):
+                total += _write_shard(out_dir, s, dels, "del")
+                n_del += len(dels)
     meta = {"version": _VERSION, "cols": list(key[0]), "types": list(key[1]),
-            "nshards": ns_m, "rows": total_rows, "bytes": total}
+            "seq": max(seqs), "nshards": ns_m, "rows": n_live, "bytes": total}
+    if n_del:
+        # the merged delete family routes by the SAME modulus as live
+        meta.update(del_nshards=ns_m, del_rows=n_del)
+    if any(m.get("mixed") for m in metas):
+        # a mixed source's within-commit ambiguity survives the merge
+        meta["mixed"] = True
     env.write_bytes(os.path.join(out_dir, META_NAME), json.dumps(meta).encode())
     return meta
 
 
 def total_bytes(specs) -> int:
     out = 0
-    for dir_abs, _ns in specs:
+    for dir_abs in {t[0] for t in specs}:
         meta = read_meta(dir_abs)
         out += int(meta.get("bytes", 0)) if meta else 0
     return out

@@ -767,10 +767,11 @@ def run_show(engine: "Engine", sql: str):
         return spark.createDataFrame(
             [(s["live_row_count"], s["on_disk_size"], s["num_files"],
               s["version"], s.get("presence_sidecars"),
-              s.get("presence_bytes"), s.get("presence_coverage"))],
+              s.get("presence_bytes"), s.get("presence_coverage"),
+              s.get("owner"))],
             "num_rows bigint, on_disk_size bigint, num_files bigint, "
             "version bigint, presence_sidecars bigint, "
-            "presence_bytes bigint, presence_coverage double")
+            "presence_bytes bigint, presence_coverage double, owner string")
 
     m = re.match(r"SHOW\s+COLUMN\s+STATS\s+([A-Za-z_]\w*)$", text, re.IGNORECASE)
     if m:

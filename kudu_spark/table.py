@@ -1403,11 +1403,14 @@ class Table:
                 maxs_by_col.append(_jsonable(max(maxs)) if mins else None)
             if any(v is not None for v in mins_by_col):
                 mn, mx = mins_by_col, maxs_by_col
-            # tombstone detection from the same footers (no extra job):
-            # decides whether the commit's presence sidecar can be a
-            # live key index (exact probes) or a meta-only tombstone
-            # marker (superset probes until compaction). Missing stats
-            # read as "may hold tombstones" — conservative, never wrong.
+            # tombstone detection from the same footers (no extra
+            # job): when every row group's __deleted stats prove
+            # max=false the commit is ALL-LIVE and the presence build
+            # skips reading __deleted entirely; otherwise the build
+            # reads the actual column and splits live vs delete keys —
+            # footer absence is only a lost fast path now, never a
+            # wrong answer (ADVICE r9: the old meta-only marker could
+            # cover a mixed commit and fabricate false negatives).
             if not has_tombstones and kind == "delta":
                 di = sch_names.get(DEL_COL)
                 if di is None:
@@ -1521,17 +1524,22 @@ class Table:
         tuple (plans/presence.py); ``present_key_probe``/
         ``present_key_check`` answer "is this key in the table?" with
         zero data-file IO and EXACT results (no fpp → no verification
-        scan). ``tombstones=True`` (the commit holds DELETE rows)
-        writes a meta-only marker instead: coverage stays complete but
-        probes degrade honestly to SUPERSET answers until compaction
-        folds the deletes (presence.write_tombstone_meta). Compaction
-        rewrites go through _write_files too, so compacted partitions
-        get ONE consolidated live sidecar replacing their per-batch
-        ones — the sidecar count tracks the live file-commit count,
-        not history. Failure is non-fatal but LOUD: files without a
-        sidecar disable the probe for every later reader (callers
-        fall back to a join against the scan), so the decline is
-        logged at warning and surfaced via statistics()."""
+        scan). ``tombstones=True`` (footer stats could not prove the
+        commit all-live) reads the __deleted column and splits: live
+        keys index into the ``shard-*`` family, DELETE keys into the
+        ``del-*`` family, so probes stay EXACT through un-compacted
+        deletes by seq subtraction — the reference consults delete
+        deltas with timestamps the same way (tablet/tablet.cc:116-124,
+        tablet/delta_tracker.cc). Only when the hashed tuple reaches
+        outside the PK (delete tombstones carry just the PK) do delete
+        keys go unindexed and probes degrade honestly to superset.
+        Compaction rewrites go through _write_files too, so compacted
+        partitions get ONE consolidated live sidecar replacing their
+        per-batch ones — the sidecar count tracks the live file-commit
+        count, not history. Failure is non-fatal but LOUD: files
+        without a sidecar disable the probe for every later reader
+        (callers fall back to a join against the scan), so the decline
+        is logged at warning and surfaced via statistics()."""
         from kudu_spark.plans import presence
 
         cols = [c.strip() for c in str(st.props.get("pk_bloom_cols", "")).split(",")
@@ -1541,17 +1549,23 @@ class Table:
         try:
             types = [st.schema.col(c).type for c in cols]
             total = sum(e.rows for e in entries)
+            seq = max(e.seq for e in entries)
             dirname = f"{entries[0].seq:012d}-{uuid.uuid4().hex}.pidx"
             rel = os.path.join(DATA_DIR, dirname)
+            read = self.spark.read.parquet(
+                *[self._data_path(e.path) for e in entries])
+            h = F.xxhash64(*[F.col(c) for c in cols]).alias("h")
             if tombstones:
-                meta = presence.write_tombstone_meta(
-                    os.path.join(self.root, rel), cols, types, total)
+                hd = read.select(
+                    h, F.coalesce(F.col(DEL_COL), F.lit(False)).alias("d"))
+                meta = presence.build_commit_index(
+                    hd, total, os.path.join(self.root, rel), cols, types,
+                    seq, del_indexed=set(cols) <= set(st.schema.pk),
+                )
             else:
-                keys = self.spark.read.parquet(
-                    *[self._data_path(e.path) for e in entries]
-                ).select(F.xxhash64(*[F.col(c) for c in cols]).alias("h"))
                 meta = presence.build_index(
-                    keys, total, os.path.join(self.root, rel), cols, types
+                    read.select(h), total, os.path.join(self.root, rel),
+                    cols, types, seq,
                 )
             if meta is None:
                 raise KuduSparkError("presence.build_index returned None")
@@ -1592,7 +1606,17 @@ class Table:
         expensive, but the INDEX alone can consolidate cheaply — one
         commit re-points the covered files at the merged sidecar
         (seq preserved: restamp would reorder merge-on-read).
-        Returns the new version, or None if nothing merged."""
+
+        The merge window must be CONTIGUOUS in commit seq — no other
+        live sidecar's seq inside it — because the merge REPLAYS
+        live/delete keys in seq order (presence.merge_indexes); a
+        window that skipped an interleaved delete commit would revive
+        its deleted keys with a higher attributed seq. Within that
+        constraint the pick stays size-tiered: the cheapest window
+        that restores the cap, extended while the next neighbor is no
+        bigger than what the merge already folds (bounded write
+        amplification, log-many rewrites per key). Returns the new
+        version, or None if nothing merged."""
         from kudu_spark.plans import presence
 
         st = self.state()
@@ -1602,36 +1626,62 @@ class Table:
         for f in st.files:
             if f.bloom and f.bloom.endswith(".pidx"):
                 groups.setdefault(f.bloom, []).append(f)
-        sized = []
+        items = []  # (seq, bytes, rel, ents, mergeable), ascending seq
         for rel, ents in groups.items():
             meta = presence.read_meta(os.path.join(self.root, rel))
             if meta is None:
                 return None  # unreadable sidecar: probes decline anyway
-            if meta.get("tombstones"):
-                continue  # meta-only markers: nothing to probe or merge
-            sized.append((int(meta["bytes"]), rel, ents))
-        if len(sized) <= maxc:
+            mergeable = not (meta.get("tombstones") or meta.get("del_unindexed")
+                             or meta.get("seq") is None)
+            items.append((int(meta.get("seq", -1)), int(meta.get("bytes", 0)),
+                          rel, ents, mergeable))
+        if len(items) <= maxc:
             return None
-        sized.sort(key=lambda x: x[0])
-        # merge at least enough smallest sidecars to get back under the
-        # cap, then keep absorbing neighbors no bigger than what the
-        # merge already produces (classic size-tiered policy: bounded
-        # write amplification, log-many rewrites per key)
-        i = len(sized) - maxc + 1
-        while i < len(sized) and sized[i][0] <= sum(b for b, _, _ in sized[:i]):
-            i += 1
-        pick = sized[:i]
+        items.sort(key=lambda x: x[0])
+        runs: list[list] = []
+        cur: list = []
+        for it in items:
+            if it[4]:
+                cur.append(it)
+            else:
+                if len(cur) >= 2:
+                    runs.append(cur)
+                cur = []
+        if len(cur) >= 2:
+            runs.append(cur)
+        if not runs:
+            return None  # nothing contiguous to merge
+        need = len(items) - maxc + 1
+        best = None
+        for run in runs:
+            length = min(need, len(run))
+            for i0 in range(len(run) - length + 1):
+                w = run[i0:i0 + length]
+                b = sum(x[1] for x in w)
+                j = i0 + length
+                while j < len(run) and run[j][1] <= b:
+                    b += run[j][1]
+                    j += 1
+                w = run[i0:j]
+                key = (-len(w), b)  # restore the cap first, then cheap
+                if best is None or key < best[0]:
+                    best = (key, w)
+        pick = best[1]
+        # the window covering the globally-oldest sidecar has nothing
+        # older left to subtract from: drop the merged delete family
+        drop_deletes = pick[0][0] == items[0][0]
         new_dir = f"{seq_for(st.version + 1):012d}-{uuid.uuid4().hex}.pidx"
         new_rel = os.path.join(DATA_DIR, new_dir)
         meta = presence.merge_indexes(
-            [os.path.join(self.root, rel) for _, rel, _ in pick],
+            [os.path.join(self.root, x[2]) for x in pick],  # ascending seq
             os.path.join(self.root, new_rel),
             spark=self.spark,  # big merges gather shards executor-side
+            drop_deletes=drop_deletes,
         )
         if meta is None:
             return None
         entries = []
-        for _, _, ents in pick:
+        for *_x, ents, _m in pick:
             for e in ents:
                 ne = FileEntry.from_json(e.to_json())
                 ne.bloom = new_rel
@@ -1677,14 +1727,19 @@ class Table:
                          st: TableState | None, prefix_ok: bool):
         """Shared machinery of present_key_probe/present_key_check.
         Returns (matches_df, exact) or None when coverage is
-        incomplete. ``exact`` is True when the sidecar tuple equals
-        ``cols`` AND nothing live can make the union overcount (no
-        tombstone markers from un-compacted DELETEs, and for non-PK
-        tuples no delta commits): the match set is then the exact
-        present set, up to 64-bit hash collisions. A PK-prefix sidecar
-        (prefix_ok) or any overcount source yields a superset instead —
-        still no false negatives, which is the load-bearing half of
-        the contract (novel keys stay zero-IO provably absent)."""
+        incomplete. Since r10 the probe resolves per key by HIGHEST
+        commit seq across the sidecar families — a live hit answers
+        present, a delete-family hit answers absent — so the answer
+        stays EXACT through un-compacted DELETE deltas (the reference
+        consults delete deltas with timestamps the same way,
+        tablet/tablet.cc:116-124, tablet/delta_tracker.cc). ``exact``
+        is True when the sidecar tuple equals ``cols`` and no superset
+        source exists (unindexed delete keys, a mixed live+delete
+        commit, seq-less legacy sidecars, or — for non-PK tuples —
+        delta commits that can retire an old tuple value). Superset
+        answers still have NO false negatives, which is the
+        load-bearing half of the contract (novel keys stay zero-IO
+        provably absent)."""
         from kudu_spark.plans import presence
 
         if st is None:
@@ -1698,9 +1753,10 @@ class Table:
         if len(paths) > self.PK_BLOOM_MAX_EXPRS:
             self._presence_decline(f"{len(paths)} sidecars exceed cap")
             return None
-        specs = []
+        specs = []  # (dir, nshards, seq, live) — resolved newest-first
         probe_cols = probe_types = None
-        tombstoned = False
+        superset = False  # answers remain a superset of the live set
+        seqless = False
         for rel in paths:
             if not rel.endswith(".pidx"):
                 self._presence_decline(f"legacy sidecar format: {rel}")
@@ -1719,25 +1775,48 @@ class Table:
                 self._presence_decline("sidecars hash different column tuples")
                 return None
             if meta.get("tombstones"):
-                # un-compacted DELETEs: the live-key union overcounts
-                # their keys, so answers degrade to SUPERSET — still no
-                # false negatives (deletion never ADDS a live key)
-                tombstoned = True
-                continue  # meta-only marker: no shards to probe
-            specs.append((os.path.join(self.root, rel), int(meta["nshards"])))
-        # exactness: delete markers overcount; and when the hashed
-        # tuple reaches outside the PK, an upsert/update delta can
-        # retire a tuple value whose old copy still sits in an older
-        # sidecar — both degrade honestly to superset semantics
+                # pre-v2 meta-only marker: NOT provably delete-only —
+                # answering over the remaining live union could read a
+                # covered live key as provably absent (ADVICE r9,
+                # medium). Decline; compaction rebuilds v2 sidecars.
+                self._presence_decline(
+                    f"legacy tombstone marker {rel}: compact to rebuild")
+                return None
+            full = os.path.join(self.root, rel)
+            seq = meta.get("seq")
+            if seq is None:
+                seqless = True
+                seq = 0
+            if int(meta.get("rows", 0)):
+                specs.append((full, int(meta["nshards"]), int(seq), True))
+            if int(meta.get("del_rows", 0)) and not meta.get("del_unindexed"):
+                specs.append(
+                    (full, int(meta["del_nshards"]), int(seq), False))
+            if meta.get("del_unindexed") or meta.get("mixed"):
+                # unindexed delete keys overcount the union; a mixed
+                # commit's within-commit order is unknown (live-wins) —
+                # both degrade honestly to superset, never false
+                # negatives
+                superset = True
+        if seqless and any(not live for *_x, live in specs):
+            # delete subtraction needs a total seq order; without one
+            # (pre-seq sidecars still live) fall back to the plain
+            # union — superset answers, no false negatives
+            specs = [t for t in specs if t[3]]
+            superset = True
+        # when the hashed tuple reaches outside the PK, an upsert/
+        # update delta can retire a tuple value whose old copy still
+        # sits in an older sidecar — superset semantics
         mutated_tuple = (
             not set(probe_cols) <= set(st.schema.pk)
             and any(f.kind == "delta" for f in st.files)
         )
-        inexact = tombstoned or mutated_tuple
+        inexact = superset or mutated_tuple
         if not specs:
-            # every sidecar is a tombstone marker → every file holds
-            # only delete rows → no live rows exist: exact empty answer
-            return keys_df.limit(0), True
+            # sidecars exist but none carries a live key (pure-delete
+            # history): nothing is present — exact empty answer unless
+            # a superset source said otherwise
+            return keys_df.limit(0), not inexact
         # the sidecar's recorded tuple is authoritative — never the
         # CURRENT pk_bloom_cols property (ADVICE r7): a mismatched
         # name, order, or declared type declines instead of probing
@@ -1762,7 +1841,7 @@ class Table:
             _write_cast(F.col(c), st.schema.col(c).type) for c in probe_cols
         ])
         out = keys_df.withColumn("__pidx_h", h)
-        ns_max = max(ns for _, ns in specs)
+        ns_max = max(t[1] for t in specs)
         if ns_max > 1 and presence.total_bytes(specs) > self.PRESENCE_PARTITION_BYTES:
             # shard-align the (small) probe batch: shard counts are
             # powers of two, so colocating by the largest modulus
@@ -1802,10 +1881,12 @@ class Table:
         sidecar covers a proper PREFIX of ``cols`` (e.g. probing a
         full PK against a (band,bkey) sidecar) the result is a
         superset and positives need exact verification. Mutating
-        tables KEEP the probe: upsert/update delta commits carry live
-        key indexes, DELETE commits carry tombstone markers that flip
-        answers to superset until compaction (per-rowset presence
-        covers deltas in the reference too, tablet/tablet.cc:116-124).
+        tables KEEP the probe — and keep it EXACT: upsert/update delta
+        commits carry live key indexes, DELETE commits carry indexed
+        delete-key families that the probe subtracts by commit seq
+        (per-rowset presence covers deltas in the reference too, and
+        delete deltas are consulted with timestamps,
+        tablet/tablet.cc:116-124, tablet/delta_tracker.cc).
         Returns None — caller falls back to a join against the scan —
         when coverage is incomplete: sidecar tuple serves neither
         ``cols`` nor a prefix, any live file lacks a sidecar, types
@@ -1843,6 +1924,15 @@ class Table:
             if restamp_seq:
                 for e in entries:
                     e.seq = seq_for(version, e.seq & ((1 << SEQ_SHIFT) - 1))
+                # keep presence-sidecar metas stamped with the seqs
+                # actually being committed: a retry bumps entry seqs,
+                # and a STALE meta seq would misorder the probe's
+                # delete subtraction against commits that landed in
+                # between (a concurrent DELETE ordering above a staged
+                # txn INSERT = a false negative). Rewriting BEFORE the
+                # publish is race-free — nothing references the
+                # sidecar until this commit lands.
+                self._sync_sidecar_seq(entries)
             # removes first: a commit may remove and re-add the same path
             # (range-id remap), and replay applies actions in order
             actions = [{"type": "remove", "path": rp} for rp in removes or []]
@@ -1861,6 +1951,29 @@ class Table:
             except ConcurrentCommitError:
                 version = self.state().version + 1
         raise ConcurrentCommitError(f"could not commit to {self.name} after {retries} retries")
+
+    def _sync_sidecar_seq(self, entries: list[FileEntry]) -> None:
+        """Re-stamp each attached presence sidecar's meta ``seq`` to
+        the max seq of the entries it covers (no-op when they already
+        agree — the common, no-retry case reads only the cached meta)."""
+        import json as _json
+
+        from kudu_spark.plans import presence
+
+        groups: dict[str, int] = {}
+        for e in entries:
+            if e.bloom and e.bloom.endswith(".pidx"):
+                groups[e.bloom] = max(groups.get(e.bloom, 0), e.seq)
+        for rel, seq in groups.items():
+            d = os.path.join(self.root, rel)
+            meta = presence.read_meta(d)
+            if meta is None or int(meta.get("seq", -1)) == seq:
+                continue
+            meta = dict(meta, seq=seq)
+            self._env.write_bytes(
+                os.path.join(d, presence.META_NAME),
+                _json.dumps(meta).encode())
+            presence._META_CACHE[d] = meta
 
     # -- PK existence probe -------------------------------------------------------
 
@@ -2797,6 +2910,10 @@ class Table:
             # stored metadata only (no replicas exist here) — parity
             # with `kudu table set_replication_factor`
             out["replication_factor"] = int(st.props["replication_factor"])
+        if st.props.get("owner"):
+            # `kudu table describe` prints an OWNER line
+            # (tools/tool_action_table.cc:1975-1976)
+            out["owner"] = str(st.props["owner"])
         # presence-sidecar health: a user must be able to SEE when the
         # O(batch) key probe is off (VERDICT r7 task #7). coverage = 1.0
         # means every live file carries a sidecar and probes engage;
@@ -2818,10 +2935,13 @@ class Table:
             )
             # exact = probes answer membership exactly — the SAME
             # conditions _presence_lookup enforces: full coverage, no
-            # tombstone markers (un-compacted DELETEs), and for hashed
-            # tuples reaching outside the PK no delta commits (an
-            # upsert/update can retire a tuple value an older sidecar
-            # still lists)
+            # superset source (legacy markers, unindexed delete keys,
+            # mixed live+delete commits, seq-less sidecars alongside
+            # delete families), and for hashed tuples reaching outside
+            # the PK no delta commits (an upsert/update can retire a
+            # tuple value an older sidecar still lists). Indexed
+            # DELETE deltas no longer break exactness: probes subtract
+            # them by commit seq (r10).
             probe_cols = next(
                 (list(m["cols"]) for m in metas.values() if m.get("cols")), [])
             mutated_tuple = (
@@ -2829,9 +2949,14 @@ class Table:
                 and not set(probe_cols) <= set(st.schema.pk)
                 and any(f.kind == "delta" for f in st.files)
             )
+            has_dels = any(int(m.get("del_rows", 0)) for m in metas.values())
+            seqless = any(m.get("seq") is None for m in metas.values())
             out["presence_exact"] = (
                 out["presence_coverage"] == 1.0
-                and not any(m.get("tombstones") for m in metas.values())
+                and not any(
+                    m.get("tombstones") or m.get("del_unindexed")
+                    or m.get("mixed") for m in metas.values())
+                and not (has_dels and seqless)
                 and not mutated_tuple
             )
         return out

@@ -113,8 +113,8 @@ def test_shard_cache_lru_and_fd_cap(tmp_path, monkeypatch):
     presence._load_shard(d, 1)
     presence._load_shard(d, 0)  # hit: must refresh recency
     presence._load_shard(d, 2)  # evicts shard 1 (LRU), NOT shard 0
-    assert (d, 0) in presence._SHARD_CACHE
-    assert (d, 1) not in presence._SHARD_CACHE
+    assert (d, 0, "shard") in presence._SHARD_CACHE
+    assert (d, 1, "shard") not in presence._SHARD_CACHE
     # fd cap binds even with byte budget to spare
     monkeypatch.setattr(presence, "_SHARD_CACHE_BYTES", 1 << 30)
     monkeypatch.setattr(presence, "_SHARD_CACHE_MAX_FDS", 2)
@@ -122,7 +122,7 @@ def test_shard_cache_lru_and_fd_cap(tmp_path, monkeypatch):
     for s in range(4):
         presence._load_shard(d, s)
     assert len(presence._SHARD_CACHE) <= 2
-    assert (d, 3) in presence._SHARD_CACHE  # newest retained
+    assert (d, 3, "shard") in presence._SHARD_CACHE  # newest retained
 
 
 # -- delta commits keep the probe (VERDICT r8 task #2) -----------------------
@@ -175,31 +175,79 @@ def test_insert_zero_data_io_with_live_upsert_deltas(engine, spark, monkeypatch)
     assert [c for c in calls if c[0] == "pt"] == []
 
 
-def test_delete_flips_probe_to_superset_until_compaction(engine, spark):
-    """DELETE commits carry tombstone markers: the probe stays LIVE
-    (novel keys remain zero-IO provably absent) but answers degrade to
-    a superset — present_key_check declines, statistics say so — and
-    compaction restores exactness."""
+def test_probe_stays_exact_through_delete_deltas(engine, spark):
+    """VERDICT r9 task #2: DELETE commits index their tombstone keys
+    as a delete shard family, and the probe subtracts them by commit
+    seq — present_key_check stays EXACT with live delete deltas, zero
+    data-file IO (the reference consults delete deltas with
+    timestamps, tablet/tablet.cc:116-124, tablet/delta_tracker.cc)."""
     t = make_table(engine, n=500)
     engine.alter_table("pt").set_property("auto_compact", "false").apply()
     t = engine.table("pt")
     t.delete(spark.range(0, 50).select(F.col("id").alias("k")))
     t = engine.table("pt")
     s = t.statistics()
-    assert s["presence_coverage"] == 1.0 and s["presence_exact"] is False
+    assert s["presence_coverage"] == 1.0 and s["presence_exact"] is True
     keys = spark.range(0, 1000, 25).select(F.col("id").alias("k"))
-    got = t.present_key_probe(keys, ["k"])
-    assert got is not None, "probe declined on a table with delete deltas"
-    hits = {r.k for r in got.collect()}
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None, "exact probe declined on indexed delete deltas"
     live = set(range(50, 500, 25))
-    assert live <= hits <= set(range(0, 500, 25))  # superset, no false negatives
-    assert t.present_key_check(keys, ["k"]) is None  # exactness honestly declined
+    assert {r.k for r in got.collect()} == live
+    # delete -> re-insert: the newest live commit outranks the delete
+    t.insert(spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("back").alias("v")))
+    t = engine.table("pt")
+    got2 = t.present_key_check(keys, ["k"])
+    assert got2 is not None
+    assert {r.k for r in got2.collect()} == live | {0}  # k=0 re-added
+    # compaction folds everything into one live sidecar, same answers
     t.compact()
     t = engine.table("pt")
     assert t.statistics()["presence_exact"] is True
-    got2 = t.present_key_check(keys, ["k"])
-    assert got2 is not None
-    assert {r.k for r in got2.collect()} == live
+    got3 = t.present_key_check(keys, ["k"])
+    assert {r.k for r in got3.collect()} == live | {0}
+
+
+def test_reinsert_of_deleted_key_runs_zero_data_io(engine, spark, monkeypatch):
+    """The point of exact delete subtraction: INSERTing keys that were
+    DELETEd (plus novel ones) needs no duplicate-scan at all — the
+    probe proves them absent without touching data files (previously
+    the tombstone marker forced the fallback join)."""
+    import kudu_spark.table as tbl
+
+    t = make_table(engine, n=300)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.delete(spark.range(0, 40).select(F.col("id").alias("k")))
+    t = engine.table("pt")
+    calls = []
+    orig = tbl.Table._snapshot_df
+
+    def spy(self, st, filters=None, *a, **kw):
+        calls.append((self.name, filters))
+        return orig(self, st, filters, *a, **kw)
+
+    monkeypatch.setattr(tbl.Table, "_snapshot_df", spy)
+    t.insert(spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit("again").alias("v")))
+    assert [c for c in calls if c[0] == "pt"] == []
+    assert engine.table("pt").scan(
+        filters=[("k", "<", 40)]).count() == 20  # 0..19 back, 20..39 gone
+
+
+def test_duplicate_insert_still_errors_with_delete_deltas(engine, spark):
+    """Exactness must not cut the other way: keys still live (never
+    deleted) keep erroring on duplicate INSERT while delete deltas are
+    live."""
+    from kudu_spark.errors import DuplicateKeyError
+
+    t = make_table(engine, n=100)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.delete(spark.range(0, 10).select(F.col("id").alias("k")))
+    t = engine.table("pt")
+    with pytest.raises(DuplicateKeyError):
+        t.insert(spark.createDataFrame([(50, "dup")], "k bigint, v string"))
 
 
 def test_sidecar_merge_spans_delta_commits(engine, spark):
@@ -474,9 +522,10 @@ _hashes = hst.lists(
 )
 
 
-def _np_sidecar(dir_abs: str, hv: np.ndarray, ns: int) -> None:
+def _np_sidecar(dir_abs: str, hv: np.ndarray, ns: int, seq: int = 0,
+                dels: np.ndarray | None = None, ns_d: int = 1) -> None:
     """Sidecar directory written straight from numpy (the same format
-    build_index produces — asserted equal in
+    build_index/build_commit_index produce — asserted equal in
     test_build_sharded_matches_small for the Spark builders)."""
     import json
 
@@ -485,8 +534,17 @@ def _np_sidecar(dir_abs: str, hv: np.ndarray, ns: int) -> None:
     total = 0
     for s in np.unique(shard):
         total += presence._write_shard(dir_abs, int(s), np.unique(hv[shard == s]))
-    meta = {"version": 1, "cols": ["k"], "types": ["bigint"],
+    meta = {"version": 2, "cols": ["k"], "types": ["bigint"], "seq": int(seq),
             "nshards": int(ns), "rows": int(len(hv)), "bytes": int(total)}
+    if dels is not None and len(dels):
+        dsh = dels % ns_d if ns_d > 1 else np.zeros(len(dels), dtype="int64")
+        for s in np.unique(dsh):
+            total += presence._write_shard(
+                dir_abs, int(s), np.unique(dels[dsh == s]), "del")
+        meta.update(del_nshards=int(ns_d), del_rows=int(len(dels)),
+                    bytes=int(total))
+        if len(hv):
+            meta["mixed"] = True
     with open(os.path.join(dir_abs, presence.META_NAME), "w") as f:
         json.dump(meta, f)
 
@@ -516,7 +574,7 @@ def test_merge_indexes_fuzz_vs_set_union(srcs, tiny_shards):
         for i, (hv_list, ns) in enumerate(srcs):
             hv = np.array(hv_list, dtype="int64")
             d = os.path.join(root, f"s{i}.pidx")
-            _np_sidecar(d, hv, ns)
+            _np_sidecar(d, hv, ns, seq=i + 1)
             dirs.append(d)
             model |= set(int(x) for x in hv)
         out = os.path.join(root, "merged.pidx")
@@ -600,3 +658,195 @@ def test_load_shard_ioerror_is_loud_not_absent(tmp_path, monkeypatch):
         f.write(b"\x01\x02\x03")
     with pytest.raises(OSError, match="refusing"):
         presence._load_shard(d, 1)
+
+# -- delete-family probe + replay merge (VERDICT r9 task #2) -------------------
+
+
+def test_probe_hashes_seq_subtraction(tmp_path):
+    """Per-key resolution by highest seq: live hit → present, delete
+    hit → absent, live-wins on a same-seq (mixed-commit) tie."""
+    root = str(tmp_path)
+    a = lambda *xs: np.array(xs, dtype="int64")  # noqa: E731
+    d1 = os.path.join(root, "c1.pidx")  # seq 1: insert 1,2,3
+    d2 = os.path.join(root, "c2.pidx")  # seq 2: delete 2,3
+    d3 = os.path.join(root, "c3.pidx")  # seq 3: re-insert 3; mixed 4 del+live
+    _np_sidecar(d1, a(1, 2, 3), 2, seq=1)
+    _np_sidecar(d2, a(), 1, seq=2, dels=a(2, 3), ns_d=2)
+    _np_sidecar(d3, a(3, 4), 1, seq=3, dels=a(4), ns_d=1)
+    specs = (
+        (d1, 2, 1, True),
+        (d2, 2, 2, False),
+        (d3, 1, 3, True),
+        (d3, 1, 3, False),
+    )
+    got = presence.probe_hashes(specs, a(1, 2, 3, 4, 5)).tolist()
+    #  1: live@1                      -> present
+    #  2: deleted@2                   -> absent
+    #  3: deleted@2, re-added@3       -> present
+    #  4: mixed commit@3 (live wins)  -> present
+    #  5: never seen                  -> absent
+    assert got == [True, False, True, True, False]
+    presence._SHARD_CACHE.clear()
+    presence._META_CACHE.clear()
+
+
+def test_merge_replay_folds_deletes(tmp_path):
+    """merge_indexes replays live/delete commits in seq order: the
+    merged sidecar answers exactly like the unmerged chain, keeps the
+    delete union for subtracting OLDER sidecars, and drops it with
+    drop_deletes=True (window covers the oldest sidecar)."""
+    root = str(tmp_path)
+    a = lambda *xs: np.array(xs, dtype="int64")  # noqa: E731
+    d0 = os.path.join(root, "c0.pidx")  # seq 1 (older, stays unmerged)
+    d1 = os.path.join(root, "c1.pidx")  # seq 2
+    d2 = os.path.join(root, "c2.pidx")  # seq 3: deletes 2 (from c1) and 10 (from c0!)
+    d3 = os.path.join(root, "c3.pidx")  # seq 4: re-adds 2
+    _np_sidecar(d0, a(10, 11), 1, seq=1)
+    _np_sidecar(d1, a(1, 2, 3), 2, seq=2)
+    _np_sidecar(d2, a(), 1, seq=3, dels=a(2, 10), ns_d=2)
+    _np_sidecar(d3, a(2), 1, seq=4)
+    out = os.path.join(root, "merged.pidx")
+    meta = presence.merge_indexes([d1, d2, d3], out)
+    assert meta is not None and meta["seq"] == 4
+    # merged live = {1,3} ∪ {2 re-added}; delete union kept = {2,10}
+    specs = ((d0, 1, 1, True), (out, meta["nshards"], 4, True),
+             (out, meta["del_nshards"], 4, False))
+    got = presence.probe_hashes(specs, a(1, 2, 3, 10, 11, 99)).tolist()
+    # 10 was deleted at seq 3 and only lives in the OLDER unmerged
+    # sidecar: the merged delete family must still subtract it
+    assert got == [True, True, True, False, True, False]
+    assert meta["del_rows"] == 2
+    # drop_deletes: merging from the oldest sidecar discards the union
+    out2 = os.path.join(root, "merged2.pidx")
+    meta2 = presence.merge_indexes([d0, d1, d2, d3], out2, drop_deletes=True)
+    assert meta2 is not None and not meta2.get("del_rows")
+    got2 = presence.probe_hashes(
+        ((out2, meta2["nshards"], 4, True),), a(1, 2, 3, 10, 11, 99)).tolist()
+    assert got2 == [True, True, True, False, True, False]
+    presence._SHARD_CACHE.clear()
+    presence._META_CACHE.clear()
+
+
+def test_merge_indexes_refuses_unordered_or_unindexed(tmp_path):
+    """The replay contract is guarded: sources out of seq order,
+    missing seqs, or carrying unindexed delete keys refuse to merge."""
+    import json
+
+    root = str(tmp_path)
+    a = lambda *xs: np.array(xs, dtype="int64")  # noqa: E731
+    d1, d2 = os.path.join(root, "a.pidx"), os.path.join(root, "b.pidx")
+    _np_sidecar(d1, a(1), 1, seq=5)
+    _np_sidecar(d2, a(2), 1, seq=3)
+    assert presence.merge_indexes([d1, d2], os.path.join(root, "m")) is None
+    # del_unindexed refuses
+    d3 = os.path.join(root, "c.pidx")
+    _np_sidecar(d3, a(4), 1, seq=6)
+    m = json.loads(open(os.path.join(d3, presence.META_NAME)).read())
+    m["del_unindexed"], m["del_rows"] = True, 3
+    open(os.path.join(d3, presence.META_NAME), "w").write(json.dumps(m))
+    presence._META_CACHE.clear()
+    assert presence.merge_indexes([d2, d3], os.path.join(root, "m2")) is None
+    presence._META_CACHE.clear()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=hst.lists(
+        hst.tuples(
+            hst.booleans(),  # is_delete commit
+            hst.lists(hst.integers(min_value=0, max_value=30),
+                      min_size=0, max_size=12),
+        ),
+        min_size=1, max_size=6,
+    ),
+    tiny_shards=hst.integers(min_value=2, max_value=16),
+    w0=hst.integers(min_value=0, max_value=5),
+    w1=hst.integers(min_value=0, max_value=5),
+)
+def test_presence_delete_fuzz_vs_model(ops, tiny_shards, w0, w1):
+    """Interleaved live/delete commits vs a last-write-wins dict model:
+    the probe over per-commit sidecars must match the model exactly,
+    and merging ANY contiguous window must not change a single
+    answer."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pidx-delfuzz-")
+    old_target = presence.TARGET_SHARD_KEYS
+    try:
+        presence.TARGET_SHARD_KEYS = tiny_shards
+        model: dict[int, bool] = {}  # key -> live?
+        specs = []
+        dirs = []
+        for i, (is_del, keys) in enumerate(ops):
+            seq = i + 1
+            hv = np.array(sorted(set(keys)), dtype="int64")
+            d = os.path.join(root, f"c{i}.pidx")
+            ns = presence.shards_for(len(hv))
+            if is_del:
+                _np_sidecar(d, np.array([], dtype="int64"), 1,
+                            seq=seq, dels=hv, ns_d=ns)
+                if len(hv):
+                    specs.append((d, ns, seq, False))
+                for k in keys:
+                    model[k] = False
+            else:
+                _np_sidecar(d, hv, ns, seq=seq)
+                if len(hv):
+                    specs.append((d, ns, seq, True))
+                for k in keys:
+                    model[k] = True
+            dirs.append((d, seq))
+        probe = np.arange(-2, 33, dtype="int64")
+        want = [bool(model.get(int(k), False)) for k in probe]
+        got = presence.probe_hashes(tuple(specs), probe).tolist()
+        assert got == want
+        # merge a contiguous window [lo, hi) and re-probe
+        lo, hi = sorted((w0 % len(dirs), w1 % len(dirs)))
+        hi += 1
+        if hi - lo >= 2:
+            window = dirs[lo:hi]
+            out = os.path.join(root, "merged.pidx")
+            meta = presence.merge_indexes(
+                [d for d, _ in window], out, drop_deletes=(lo == 0))
+            assert meta is not None
+            merged_specs = [t for t in specs
+                            if t[0] not in {d for d, _ in window}]
+            if meta["rows"]:
+                merged_specs.append((out, meta["nshards"], meta["seq"], True))
+            if meta.get("del_rows"):
+                merged_specs.append(
+                    (out, meta["del_nshards"], meta["seq"], False))
+            got2 = presence.probe_hashes(tuple(merged_specs), probe).tolist()
+            assert got2 == want
+    finally:
+        presence.TARGET_SHARD_KEYS = old_target
+        shutil.rmtree(root, ignore_errors=True)
+        presence._SHARD_CACHE.clear()
+        presence._META_CACHE.clear()
+
+
+def test_nonpk_tuple_delete_degrades_to_superset(engine, spark):
+    """pk_bloom_cols outside the PK: delete tombstones carry only the
+    PK, so delete keys go unindexed — probes stay (superset-) correct,
+    exactness is declined, statistics say so."""
+    t = engine.create_table(
+        "np", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 2}],
+    )
+    engine.alter_table("np").set_property("pk_bloom_cols", "v") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("np")
+    t.insert(spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+    t = engine.table("np")
+    t.delete(spark.range(0, 30).select(F.col("id").alias("k")))
+    t = engine.table("np")
+    assert t.statistics()["presence_exact"] is False
+    probe = spark.createDataFrame([("v5",), ("v50",), ("nope",)], "v string")
+    got = t.present_key_probe(probe, ["v"])
+    assert got is not None
+    hits = {r.v for r in got.collect()}
+    assert "v50" in hits and "nope" not in hits  # no false negatives
+    assert t.present_key_check(probe, ["v"]) is None  # honesty
