@@ -695,6 +695,93 @@ class Engine:
 
         return EngineTransaction.recover(self)
 
+    # -- background maintenance daemon (tablet/maintenance_manager.h) ------------
+
+    def start_maintenance(self, interval_s: float = 5.0) -> None:
+        """Start the background maintenance daemon — the engine-level
+        analogue of Kudu's MaintenanceManager scheduler
+        (util/maintenance_manager.h, tablet/maintenance_manager.h):
+        a daemon thread sweeps every live table each ``interval_s``,
+        applying the existing (budgeted, write-proportional)
+        auto-compaction policy — delta folds, small-file packing and
+        presence-sidecar merges — OFF the write path. Pair it with
+        ``auto_compact_mode='deferred'`` so mutations never pay
+        maintenance IO inline: the daemon drains the backlog instead,
+        removing the tail-latency spikes the inline fold causes
+        (scripts/ingest_scale.py --daemon measures exactly this).
+
+        Per-table overlap with writer-triggered async folds is already
+        excluded by the table maintenance mutex; the daemon skips any
+        table whose mutex is held rather than queueing behind it.
+        Sweep failures are logged, never raised — a maintenance daemon
+        must not die because one table had a transient conflict."""
+        import threading
+
+        if getattr(self, "_maint_daemon", None) is not None:
+            return  # already running
+        stop = threading.Event()
+        stats = {"sweeps": 0, "compactions": 0, "errors": 0}
+
+        def loop():
+            while not stop.wait(interval_s):
+                try:
+                    did = self.maintenance_sweep()
+                    stats["sweeps"] += 1
+                    stats["compactions"] += sum(1 for v in did.values() if v)
+                except Exception:
+                    stats["errors"] += 1
+                    import logging
+
+                    logging.getLogger("kudu_spark.maintenance").warning(
+                        "maintenance sweep failed", exc_info=True)
+
+        th = threading.Thread(target=loop, name="kudu-maintenance-mgr",
+                              daemon=True)
+        self._maint_daemon = (th, stop, stats)
+        th.start()
+
+    def stop_maintenance(self, drain: bool = False) -> dict:
+        """Stop the maintenance daemon; with ``drain=True`` run one
+        final synchronous sweep so shutdown leaves no backlog. Returns
+        the daemon's counters."""
+        d = getattr(self, "_maint_daemon", None)
+        if d is None:
+            return {}
+        th, stop, stats = d
+        stop.set()
+        th.join(timeout=60)
+        self._maint_daemon = None
+        if drain:
+            self.maintenance_sweep()
+        return dict(stats)
+
+    def maintenance_sweep(self) -> dict:
+        """One non-blocking maintenance pass: each live table whose
+        maintenance mutex is free gets one budgeted auto-compaction
+        evaluation (tables mid-fold, or with ``auto_compact=false``,
+        are skipped). Returns {table: did_work}."""
+        out = {}
+        for name in self.list_tables():
+            try:
+                t = self.table(name)
+                st = t.state()
+                if str(st.props.get("auto_compact", "true")).lower() in (
+                        "false", "0", "no"):
+                    out[name] = False
+                    continue
+                if not t._maint_lock.acquire(blocking=False):
+                    out[name] = False  # writer-triggered fold in flight
+                    continue
+                try:
+                    before = st.version
+                    t._auto_compact_once(st)
+                    out[name] = t.state().version != before
+                finally:
+                    t._maint_lock.release()
+            except Exception:
+                out[name] = False
+        return out
+
     # -- alter (client.h:1920-2099 KuduTableAlterer) ------------------------------
 
     def alter_table(self, name: str) -> "Alterer":

@@ -738,3 +738,252 @@ def quality_buckets_sql(scored_sql: str, score_col: str = "lm_score") -> str:
     SELECT doc_id, {score_col}, bucket
     FROM scored JOIN lab USING ({score_col})
     """
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per document group by tf-idf —
+    the standard "what is this source/domain about" profiling step of
+    a training-data pipeline. tf = term count within the group; idf =
+    ``ln((N+1)/(df+1)) + 1`` over N groups (smoothed, always
+    positive); ties break (score desc, term asc) for determinism.
+
+    Scale: the (group, term) and per-term-df tables are map-side-
+    combined groupBys bounded by vocabulary size, never corpus rows;
+    N is a 1-row broadcast; the per-group top-k is a PARTITIONED
+    rank window (Spark plans rank<=k as WindowGroupLimit — per-
+    partition heaps, no global funnel). No UDFs anywhere."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_groups = docs.agg(
+        F.countDistinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(df_t, on="term")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp", "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_groups") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tfidf", "rank")
+    )
+
+
+def tfidf_sql(k: int = 5, group_col: str = "source") -> str:
+    """DuckDB twin of tfidf_top_terms over the ``documents`` view."""
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS grp, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT grp, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY grp, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    ng AS (SELECT count(DISTINCT {group_col}) AS n_groups FROM documents),
+    scored AS (
+      SELECT grp, term,
+             round(tf * (ln((n_groups + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN ng
+    )
+    SELECT grp AS {group_col}, term, tfidf, rank FROM (
+      SELECT grp, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY grp
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def word_pair_pmi(docs: DataFrame, k: int = 20, min_count: int = 5,
+                  text_col: str = "text") -> DataFrame:
+    """Top-``k`` collocations (adjacent word pairs) by pointwise
+    mutual information — ``ln((c_xy/B) / ((c_x/T)^2-ish))`` with
+    unigram probabilities from token counts — the classic phrase-
+    mining / tokenizer-vocab-candidate signal. Pairs below
+    ``min_count`` are cut first (PMI is noise at low counts).
+
+    Scale: bigrams come from a codegen ``transform(sequence(...))``
+    (guarded for 1-token docs — Spark's sequence(0,-1) infers a
+    NEGATIVE step); unigram and bigram counts are map-side-combined
+    groupBys bounded by vocabulary, joined UNHINTED so AQE broadcasts
+    small vocabularies and shuffles huge ones; totals are a 1-row
+    broadcast; the final top-k is TakeOrdered. Determinism: rounded
+    PMI, ties by (w1, w2)."""
+    t = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(t.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = base.select(F.explode(F.expr(
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(0, size(__t) - 2), "
+        "i -> struct(__t[i] AS w1, __t[i + 1] AS w2)) "
+        "ELSE array() END"
+    )).alias("p")).select("p.w1", "p.w2").where(
+        (F.col("w1") != "") & (F.col("w2") != ""))
+    big = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= min_count)
+    )
+    tot = uni.agg(F.sum("c").alias("t_uni")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("t_big")))
+    scored = (
+        big.join(uni.withColumnRenamed("w", "w1")
+                    .withColumnRenamed("c", "c1"), on="w1")
+        .join(uni.withColumnRenamed("w", "w2")
+                 .withColumnRenamed("c", "c2"), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("cxy").alias("pair_count"),
+            F.round(F.log(
+                (F.col("cxy") / F.col("t_big"))
+                / ((F.col("c1") / F.col("t_uni"))
+                   * (F.col("c2") / F.col("t_uni")))
+            ), 4).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+def word_pair_pmi_sql(k: int = 20, min_count: int = 5) -> str:
+    """DuckDB twin of word_pair_pmi over the ``documents`` view."""
+    return f"""
+    WITH base AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(t) AS w FROM base
+      ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+            FROM base)
+    ),
+    fp AS (SELECT * FROM pairs WHERE w1 <> '' AND w2 <> ''),
+    big AS (
+      SELECT w1, w2, count(*) AS cxy FROM fp GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS t_uni,
+             (SELECT count(*) FROM fp) AS t_big
+    )
+    SELECT w1, w2, cxy AS pair_count,
+           round(ln((cxy / t_big) / ((u1.c / t_uni) * (u2.c / t_uni))), 4) AS pmi
+    FROM big
+    JOIN uni u1 ON big.w1 = u1.w
+    JOIN uni u2 ON big.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {k}
+    """
+
+
+def sentence_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document sentence statistics — sentence count, mean
+    sentence length in characters, and the longest sentence — the
+    segmentation-level quality signals next to the token-level ones
+    (functions/text.py quality_cols). Sentences split on ``[.!?]+``
+    runs with whitespace-only fragments dropped; all codegen
+    expressions (filter/transform/aggregate over a split array), no
+    UDFs, zero shuffles beyond the scan."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    d = docs.select(F.col(id_col), sents.alias("__s"))
+    lens = F.transform(F.col("__s"), lambda x: F.length(x))
+    return d.select(
+        id_col,
+        F.size("__s").cast("bigint").alias("n_sentences"),
+        F.when(
+            F.size("__s") > 0,
+            F.round(
+                F.aggregate(lens, F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + x).cast("double")
+                / F.size("__s"), 4),
+        ).otherwise(F.lit(0.0)).alias("avg_sentence_chars"),
+        F.coalesce(
+            F.array_max(lens).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("max_sentence_chars"),
+    )
+
+
+def sentence_stats_sql() -> str:
+    """DuckDB twin of sentence_stats over the ``documents`` view."""
+    return """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        x -> trim(x)),
+                         x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CASE WHEN len(sents) > 0 THEN
+             round(CAST(list_sum(list_transform(sents, x -> length(x)))
+                        AS DOUBLE) / len(sents), 4)
+           ELSE 0.0 END AS avg_sentence_chars,
+           CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+                AS BIGINT) AS max_sentence_chars
+    FROM s
+    """
+
+
+def corpus_profile(docs: DataFrame, group_cols: tuple = ("lang", "source"),
+                   text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus profile — document counts, token
+    totals, and character-length distribution (mean / exact p50 / p95)
+    — the first report any 100 TB ingest run produces to decide
+    sampling weights and quality thresholds. One map-side-combined
+    aggregate over the scan; exact interpolated percentiles computed
+    per group (both engines implement continuous quantiles
+    identically, the agg_percentiles precedent)."""
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    nchr = F.length(F.col(text_col)).cast("bigint")
+    return (
+        docs.select(*group_cols, ntok.alias("__nt"), nchr.alias("__nc"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.avg("__nc"), 4).alias("avg_chars"),
+            F.round(F.expr("percentile(__nc, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(__nc, 0.95)"), 4).alias("p95_chars"),
+        )
+    )
+
+
+def corpus_profile_sql(group_cols: tuple = ("lang", "source")) -> str:
+    """DuckDB twin of corpus_profile over the ``documents`` view."""
+    g = ", ".join(group_cols)
+    return f"""
+    SELECT {g},
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(avg(length(text)), 4) AS avg_chars,
+           round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+           round(quantile_cont(length(text), 0.95), 4) AS p95_chars
+    FROM documents GROUP BY {g}
+    """

@@ -64,7 +64,8 @@ def text_language_id(spark, sf_dir):
     )
 
 
-@query("text_quality_score", oracle=TX.quality_sql())
+@query("text_quality_score", oracle=TX.quality_sql(),    gated=False,  # r10 rotation: quality family now gated via pipeline_lm_quality/_buckets
+)
 def text_quality_score(spark, sf_dir):
     """Length/stopword/shape quality score in rational arithmetic."""
     return load(spark, sf_dir, "documents").select("doc_id", *TX.quality_cols())
@@ -172,6 +173,7 @@ def dedup_duplicate_groups(spark, sf_dir):
                          ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
+    gated=False,
 )
 def dedup_simhash(spark, sf_dir):
     return DD.simhash(load(spark, sf_dir, "documents"))
@@ -807,7 +809,7 @@ def pipeline_split_assign(spark, sf_dir):
 @query(
     "pipeline_lm_quality",
     oracle=CP.ngram_lm_sql(3),
-    gated=False,  # quality family gated via text_quality_score; pytest-oracled
+    gated=True,  # rotated INTO the driver gate in r10
 )
 def pipeline_lm_quality(spark, sf_dir):
     """Character-trigram LM quality score (the CCNet perplexity-filter
@@ -821,7 +823,7 @@ def pipeline_lm_quality(spark, sf_dir):
 @query(
     "pipeline_quality_buckets",
     oracle=CP.quality_buckets_sql(CP.ngram_lm_sql(3)),
-    gated=False,  # quality family gated via text_quality_score; pytest-oracled
+    gated=True,  # rotated INTO the driver gate in r10
 )
 def pipeline_quality_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split over the n-gram LM score:
@@ -836,7 +838,7 @@ def pipeline_quality_buckets(spark, sf_dir):
 @query(
     "retrieval_bm25_topk",
     oracle=RET.bm25_sql("merge compaction vector", k=20),
-    gated=False,  # similarity/retrieval family gated via ann_* queries
+    gated=True,  # rotated INTO the driver gate in r10
 )
 def retrieval_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval (operators/retrieval.py): the lexical
@@ -871,7 +873,7 @@ def retrieval_bm25_topk(spark, sf_dir):
            count(*) AS n_lists
     FROM u GROUP BY doc_id
     """,
-    gated=False,  # retrieval family; ann_* gated; pytest runs the oracle
+    gated=True,  # retrieval family; ann_* gated; pytest runs the oracle
 )
 def retrieval_hybrid_rrf(spark, sf_dir):
     """Hybrid search: BM25 lexical top-20 + brute-force-cosine semantic
@@ -885,3 +887,52 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     sem = SIM.brute_force_topk(emb, [10], k=20).select(
         F.col("neighbor_id").alias("doc_id"), "rank")
     return RET.rrf_fuse([lex, sem])
+
+
+@query(
+    "pipeline_tfidf_terms",
+    oracle=CP.tfidf_sql(k=5),
+    gated=False,  # profiling family; pytest runs the oracle
+)
+def pipeline_tfidf_terms(spark, sf_dir):
+    """Top characteristic terms per source by tf-idf
+    (operators/corpus.py tfidf_top_terms): vocabulary-bounded map-side
+    aggregates, a 1-row broadcast for the group count, and a
+    PARTITIONED rank window (WindowGroupLimit) — no global funnel."""
+    return CP.tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "pipeline_word_pair_pmi",
+    oracle=CP.word_pair_pmi_sql(k=20, min_count=5),
+    gated=False,  # profiling family; pytest runs the oracle
+)
+def pipeline_word_pair_pmi(spark, sf_dir):
+    """Top collocations by PMI (operators/corpus.py word_pair_pmi):
+    codegen bigram transform, vocabulary-bounded counts, AQE-decided
+    unigram joins, TakeOrdered top-k."""
+    return CP.word_pair_pmi(load(spark, sf_dir, "documents"),
+                            k=20, min_count=5)
+
+
+@query(
+    "text_sentence_stats",
+    oracle=CP.sentence_stats_sql(),
+    gated=False,  # quality family gated via pipeline_lm_quality/_buckets
+)
+def text_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats per document (operators/corpus.py
+    sentence_stats): pure codegen array expressions, zero shuffles."""
+    return CP.sentence_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_corpus_profile",
+    oracle=CP.corpus_profile_sql(),
+    gated=False,  # profiling family; pytest runs the oracle
+)
+def pipeline_corpus_profile(spark, sf_dir):
+    """Per-(lang, source) corpus profile — doc counts, token totals,
+    exact char-length percentiles (operators/corpus.py corpus_profile):
+    one map-side-combined aggregate over the scan."""
+    return CP.corpus_profile(load(spark, sf_dir, "documents"))

@@ -512,6 +512,7 @@ def join_returned_item_customers(spark, sf_dir):
     WHERE user_id < 50
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    gated=True,
 )
 def window_user_activity(spark, sf_dir):
     """row_number / lag / running sum per user (SURVEY §2.5 — Spark built-ins)."""

@@ -159,6 +159,7 @@ def tpch_q12_priority_lines(spark, sf_dir):
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'
     """,
+    gated=False,  # r10 rotation: long-green; join family stays gated via q12/q17-19
 )
 def tpch_q14_promo_revenue(spark, sf_dir):
     """Q14: promo revenue share; part dim broadcast."""
@@ -751,6 +752,7 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
            round(quantile_cont(l_quantity, 0.99), 4) AS p99_qty
     FROM lineitem GROUP BY l_returnflag
     """,
+    gated=False,  # r10 rotation: long-green; agg family stays gated via pricing/rollup
 )
 def agg_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (both engines implement the

@@ -327,3 +327,57 @@ def test_quality_buckets_guards_unbounded_histogram(spark, monkeypatch):
     ok = CP.quality_buckets(
         scored.select("doc_id", F.round(F.col("lm_score") / 10, 0).alias("lm_score")))
     assert ok.count() == 50
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana", "a"), (2, "apple cherry", "b"),
+         (3, "cherry cherry cherry", "b")],
+        "doc_id bigint, text string, source string")
+    got = CP.tfidf_top_terms(docs, k=2).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.source, []).append((r.rank, r.term))
+    assert all(len(v) <= 2 for v in by_grp.values())
+    # "apple" appears in both groups (low idf); "banana" only in a
+    a_terms = [t for _, t in sorted(by_grp["a"])]
+    assert a_terms[0] in ("apple", "banana")  # tf=2 apple vs idf-boosted banana
+    # ranks are 1..k, deterministic
+    assert [r for r, _ in sorted(by_grp["b"])] == [1, 2]
+
+
+def test_word_pair_pmi_min_count_and_short_docs(spark):
+    rows = [(i, "new york is big", "en") for i in range(5)]
+    rows += [(100 + i, "word", "en") for i in range(3)]       # 1-token: no pairs
+    rows += [(200, "", "en")]                                  # empty
+    docs = _docs(spark, rows)
+    got = CP.word_pair_pmi(docs, k=10, min_count=5).collect()
+    pairs = {(r.w1, r.w2): r.pair_count for r in got}
+    assert pairs[("new", "york")] == 5
+    assert all(c >= 5 for c in pairs.values())
+    # collocation beats generic adjacency: (new, york) is the top PMI
+    top = max(got, key=lambda r: (r.pmi, ))
+    assert (top.w1, top.w2) == ("new", "york") or top.pmi == got[0].pmi
+
+
+def test_word_pair_pmi_plans_take_ordered(spark):
+    docs = _docs(spark, [(i, "a b c d e", "en") for i in range(30)])
+    plan = CP.word_pair_pmi(docs, k=5, min_count=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sentence_stats_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "One two. Three four five! Six?"),
+         (2, "no terminal punctuation at all"),
+         (3, ""),
+         (4, "...")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.asDict() for r in CP.sentence_stats(docs).collect()}
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["max_sentence_chars"] == len("Three four five")
+    assert got[2]["n_sentences"] == 1  # whole doc = one unterminated sentence
+    assert got[3]["n_sentences"] == 0
+    assert got[3]["avg_sentence_chars"] == 0.0
+    assert got[4]["n_sentences"] == 0  # punctuation-only: no sentences

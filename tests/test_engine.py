@@ -650,3 +650,70 @@ def test_table_owner_roundtrip(engine, spark):
     assert engine.table("owned2").statistics()["owner"] == "bob"
     with pytest.raises(KuduSparkError):
         engine.set_owner("owned", "   ")
+
+
+def test_maintenance_daemon_drains_deferred_backlog(engine, spark):
+    """VERDICT r9 stretch #8: the background maintenance daemon
+    (≈ MaintenanceManager, util/maintenance_manager.h) drains a
+    deferred table's delta backlog off the write path — mutations
+    never fold inline, the daemon does."""
+    import time
+
+    t = engine.create_table(
+        "md", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+    )
+    engine.alter_table("md") \
+        .set_property("auto_compact_mode", "deferred") \
+        .set_property("auto_compact_min_delta_bytes", "1") \
+        .set_property("auto_compact_min_ratio", "0.0001").apply()
+    t = engine.table("md")
+    t.insert(spark.range(2000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+    for i in range(3):
+        t.upsert(spark.range(i * 300, i * 300 + 300).select(
+            F.col("id").alias("k"), F.lit(f"u{i}").alias("v")))
+    t = engine.table("md")
+    assert any(f.kind == "delta" for f in t.state().files)  # deferred: backlog
+    engine.start_maintenance(interval_s=0.2)
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if not any(f.kind == "delta" for f in engine.table("md").state().files):
+                break
+            time.sleep(0.5)
+    finally:
+        stats = engine.stop_maintenance()
+    t = engine.table("md")
+    assert not any(f.kind == "delta" for f in t.state().files), "backlog not drained"
+    assert stats["sweeps"] >= 1 and stats["compactions"] >= 1
+    # row content survived the folds
+    assert t.scan().count() == 2000
+    got = {r.k: r.v for r in t.scan(filters=[("k", "<", 3)]).collect()}
+    assert got == {0: "u0", 1: "u0", 2: "u0"}
+
+
+def test_maintenance_sweep_skips_disabled_and_locked(engine, spark):
+    """The sweep never touches auto_compact=false tables and never
+    queues behind a table whose maintenance mutex is held."""
+    t = engine.create_table(
+        "ms", [("k", "bigint", False), ("v", "string", True)], pk=["k"])
+    engine.alter_table("ms").set_property("auto_compact", "false").apply()
+    t = engine.table("ms")
+    t.insert(spark.range(100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")))
+    t.upsert(spark.range(50).select(
+        F.col("id").alias("k"), F.lit("y").alias("v")))
+    assert engine.maintenance_sweep() == {"ms": False}
+    assert any(f.kind == "delta" for f in engine.table("ms").state().files)
+    # a held mutex skips (no deadlock, no queueing)
+    engine.alter_table("ms").set_property("auto_compact", "true") \
+        .set_property("auto_compact_mode", "deferred") \
+        .set_property("auto_compact_min_delta_bytes", "1") \
+        .set_property("auto_compact_min_ratio", "0.0001").apply()
+    t2 = engine.table("ms")
+    assert t2._maint_lock.acquire(blocking=False)
+    try:
+        assert engine.maintenance_sweep() == {"ms": False}
+    finally:
+        t2._maint_lock.release()
+    assert engine.maintenance_sweep() == {"ms": True}
