@@ -114,12 +114,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         print("\n".join(eng.list_tables()))
     elif args.cmd == "describe":
+        # ≈ `kudu table describe`: schema + partitioning, then OWNER /
+        # REPLICAS / comment (tools/tool_action_table.cc:1975-1978)
         st = eng.table(args.table).state()
-        print(json.dumps({
+        out = {
             "schema": st.schema.to_json(),
             "partition_spec": st.partition_spec.to_json(),
             "version": st.version,
-        }, indent=2))
+            "owner": st.props.get("owner", ""),
+            "replicas": int(st.props.get("replication_factor", 1)),
+        }
+        if st.props.get("comment"):
+            out["comment"] = st.props["comment"]
+        print(json.dumps(out, indent=2))
     elif args.cmd == "statistics":
         print(json.dumps(eng.table(args.table).statistics()))
     elif args.cmd == "checksum":

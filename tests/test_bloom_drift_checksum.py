@@ -121,8 +121,12 @@ def test_cli_roundtrip(engine, spark, tmp_path, capsys):
     assert cli.main(["--warehouse", wh, "restore", "c1", "--dir", bdir,
                      "--as", "c1r"]) == 0
     assert "20 rows" in capsys.readouterr().out
+    engine.set_owner("c1r", "carol")
     assert cli.main(["--warehouse", wh, "describe", "c1r"]) == 0
-    assert json.loads(capsys.readouterr().out)["schema"]["pk"] == ["k"]
+    desc = json.loads(capsys.readouterr().out)
+    assert desc["schema"]["pk"] == ["k"]
+    # `kudu table describe` parity: OWNER + REPLICAS lines
+    assert desc["owner"] == "carol" and desc["replicas"] == 1
     assert cli.main(["--warehouse", wh, "locate-row", "c1", "--pk", '{"k": 5}']) == 0
     assert "hash" in capsys.readouterr().out
 

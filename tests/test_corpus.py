@@ -381,3 +381,18 @@ def test_sentence_stats_edges(spark):
     assert got[3]["n_sentences"] == 0
     assert got[3]["avg_sentence_chars"] == 0.0
     assert got[4]["n_sentences"] == 0  # punctuation-only: no sentences
+
+
+def test_tfidf_plans_window_group_limit(spark):
+    """The per-group top-k must plan as WindowGroupLimit (per-partition
+    k-row heaps per group), and sentence_stats must add ZERO exchanges
+    beyond the scan."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} word", "s%d" % (i % 3)) for i in range(30)],
+        "doc_id bigint, text string, source string")
+    plan = CP.tfidf_top_terms(docs, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    p2 = CP.sentence_stats(docs.selectExpr("doc_id", "text")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p2
