@@ -489,3 +489,78 @@ def substring_dedup_sql(min_tokens: int = 20, source: str = "documents") -> str:
            CAST(b.n_tokens AS BIGINT) AS n_tokens
     FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
     """
+
+
+def exact_dedup_keep_best(docs: DataFrame, score_col: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware exact dedup: among byte-identical documents keep
+    the one with the BEST score (ties → lowest id), not merely the
+    first — real pipelines dedup against quality so a boilerplate
+    copy never shadows the well-sourced one. Returns survivors
+    (id, score).
+
+    Scale: one shuffle keyed by md5(text) (same as exact_duplicates);
+    the keep-one is a rank window partitioned by the hash, which Spark
+    plans as WindowGroupLimit — per-partition 1-row heaps per group,
+    no skew funnel even for a 100M-fold duplicate."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, score_col)
+    )
+
+
+def exact_dedup_keep_best_sql(score_expr: str) -> str:
+    """DuckDB twin over the ``documents`` view; ``score_expr`` is the
+    SQL expression producing the score column (aliased ``score``)."""
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {score_expr} AS score FROM documents
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id, score,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination REPORT: the fraction of each
+    training document's shingles that appear in the benchmark set —
+    the graded signal behind decontaminate()'s hard drop (pipelines
+    threshold it differently per eval suite, and auditors want the
+    distribution, not just the cut). Returns (id, n_shingles,
+    n_contaminated, contamination) for docs with ≥1 shingle.
+
+    Scale: benchmark shingles collapse to a distinct set (eval sets
+    are thousands of docs — the planner broadcasts it); the train side
+    explodes once, marks membership with a LEFT SEMI-shaped join
+    expressed as a left join + flag so one pass yields both counts,
+    then one per-doc aggregate. Rounded ratio, deterministic."""
+    from kudu_spark.functions import text as TX
+
+    t = F.split(F.lower(F.col(text_col)), " ")
+    bench = benchmark.select(
+        F.explode(TX.shingles_from(F.split(F.lower(F.col(text_col)), " ")))
+        .alias("s")).distinct().withColumn("__hit", F.lit(1))
+    tr = train.select(F.col(id_col), F.explode(TX.shingles_from(t)).alias("s"))
+    return (
+        tr.join(F.broadcast(bench), on="s", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col, "n_shingles", "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
+            .alias("contamination"),
+        )
+    )

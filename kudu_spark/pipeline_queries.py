@@ -936,3 +936,53 @@ def pipeline_corpus_profile(spark, sf_dir):
     exact char-length percentiles (operators/corpus.py corpus_profile):
     one map-side-combined aggregate over the scan."""
     return CP.corpus_profile(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_keep_best",
+    oracle=DD.exact_dedup_keep_best_sql("length(text)"),
+    gated=False,  # dedup family gated via dedup_exact/minhash
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (operators/dedup.py
+    exact_dedup_keep_best): among byte-identical documents keep the
+    best-scored one (here: longest — standing in for any quality
+    signal), ties to the lowest id. One md5(text) shuffle; the
+    keep-one is a WindowGroupLimit, skew-safe for any dup fold."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text").cast("bigint"))
+    return DD.exact_dedup_keep_best(docs, "score")
+
+
+@query(
+    "pipeline_contamination_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS contamination
+    FROM sh LEFT JOIN bench ON sh.s = bench.s
+    WHERE sh.source <> 'src0'
+    GROUP BY sh.doc_id
+    """,
+    gated=False,  # decontamination family; pytest runs the oracle
+)
+def pipeline_contamination_report(spark, sf_dir):
+    """Graded contamination signal (operators/dedup.py
+    contamination_report): per training doc, the fraction of its
+    3-gram shingles found in the benchmark set — the distribution
+    auditors threshold, next to decontaminate()'s hard drop. Benchmark
+    shingles broadcast; one explode + one per-doc aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.contamination_report(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"))

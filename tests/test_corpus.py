@@ -396,3 +396,35 @@ def test_tfidf_plans_window_group_limit(spark):
     p2 = CP.sentence_stats(docs.selectExpr("doc_id", "text")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p2
+
+
+def test_exact_dedup_keep_best_picks_best_not_first(spark):
+    from kudu_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.9),
+         (4, "unique", 0.1)],
+        "doc_id bigint, text string, score double")
+    got = {r.doc_id: r.score for r in
+           exact_dedup_keep_best(docs, "score").collect()}
+    # best score wins; score tie breaks to the LOWEST id; uniques kept
+    assert got == {2: 0.9, 4: 0.1}
+    plan = exact_dedup_keep_best(docs, "score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # skew-safe keep-one
+
+
+def test_contamination_report_fractions(spark):
+    from kudu_spark.operators.dedup import contamination_report
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta", "en")])
+    train = _docs(spark, [
+        (1, "alpha beta gamma tail one two", "en"),  # 1 of 4 shingles hit
+        (2, "zero overlap with anything here", "en"),
+        (3, "xx", "en"),  # too short for shingles: absent from report
+    ])
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination)
+           for r in contamination_report(train, bench).collect()}
+    assert got[1] == (4, 1, 0.25)
+    assert got[2][1] == 0 and got[2][2] == 0.0
+    assert 3 not in got
