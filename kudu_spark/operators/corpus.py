@@ -981,7 +981,7 @@ def corpus_profile_sql(group_cols: tuple = ("lang", "source")) -> str:
     return f"""
     SELECT {g},
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg(length(text)), 4) AS avg_chars,
            round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
            round(quantile_cont(length(text), 0.95), 4) AS p95_chars

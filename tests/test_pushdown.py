@@ -220,9 +220,9 @@ def test_vectorized_reader_and_codegen(table):
 
 
 def test_dimension_join_broadcasts(spark, sf_dir):
-    from kudu_spark.queries import get_queries
+    from kudu_spark.queries import get_all_queries
 
-    q = get_queries()["tpch_q14_promo_revenue"]
+    q = get_all_queries()["tpch_q14_promo_revenue"]
     plan = plan_of(q(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
