@@ -17,6 +17,16 @@ and records live-sidecar count + probe engagement. Prints one JSON
 line. Usage:
 
   python scripts/delta_probe_scale.py --rows 2000000 --deltas 24 --batch 20000
+
+``--delete-every N`` makes every Nth delta commit a DELETE of an
+existing slice (round-10: delete commits carry indexed delete-key
+shard families, so the probe must stay ENGAGED **and EXACT** — each
+point then also times an exact `present_key_check` over a half-
+deleted / half-live key batch and asserts both halves answer
+correctly with zero data IO):
+
+  python scripts/delta_probe_scale.py --rows 2000000 --deltas 24 \\
+      --batch 20000 --delete-every 3
 """
 
 from __future__ import annotations
@@ -36,6 +46,9 @@ def main() -> None:
     p.add_argument("--deltas", type=int, default=24)
     p.add_argument("--batch", type=int, default=20_000)
     p.add_argument("--every", type=int, default=4)
+    p.add_argument("--delete-every", type=int, default=0,
+                   help="every Nth delta commit DELETEs an existing "
+                        "slice instead of upserting (0 = never)")
     p.add_argument("--cpus", default="32")
     args = p.parse_args()
 
@@ -83,12 +96,39 @@ def main() -> None:
         novel.join(existing, on=["key"], how="left_semi").count()
         return time.perf_counter() - t0
 
-    out = {"rows": args.rows, "batch": args.batch, "points": []}
+    def probe_exact_mixed(table, deleted_lo: int, live_lo: int):
+        """Exact check over --batch keys: half from a DELETEd slice
+        (must answer absent), half from live base rows (must answer
+        present) — the round-10 delete-subtraction correctness, timed."""
+        half = args.batch // 2
+        dele = rows(deleted_lo, half, "x").select("key")
+        live = rows(live_lo, half, "x").select("key")
+        probe = dele.unionByName(live)
+        t0 = time.perf_counter()
+        got = table.present_key_check(probe, ["key"])
+        if got is None:
+            return None, False
+        hits = got.count()
+        el = time.perf_counter() - t0
+        assert hits == half, (
+            f"exact probe through deletes answered {hits} of {2 * half} "
+            f"(want exactly the {half} live keys)")
+        return round(el, 2), True
+
+    out = {"rows": args.rows, "batch": args.batch,
+           "delete_every": args.delete_every, "points": []}
     rng_lo = 0
+    deleted_los: list[int] = []
     for d in range(args.deltas + 1):
         if d > 0:
-            # upsert an existing slice: a pure delta commit
-            t.upsert(rows(rng_lo % args.rows, args.batch, f"u{d}"))
+            lo = rng_lo % (args.rows - args.batch)
+            if args.delete_every and d % args.delete_every == 0:
+                # DELETE an existing never-before-touched slice: a pure
+                # delete delta commit carrying a del-* shard family
+                t.delete(rows(lo, args.batch, "x").select("key"))
+                deleted_los.append(lo)
+            else:
+                t.upsert(rows(lo, args.batch, f"u{d}"))
             rng_lo += args.batch
             t.merge_presence_sidecars()  # what async maintenance runs
             t = eng.table("m")
@@ -98,11 +138,21 @@ def main() -> None:
             deltas = sum(1 for f in st.files if f.kind == "delta")
             pr, engaged = probe_novel(t)
             fb = probe_fallback(t)
-            out["points"].append({
+            point = {
                 "delta_commits": d, "delta_files": deltas,
                 "live_sidecars": live, "probe_engaged": engaged,
                 "probe_sec": round(pr, 2), "fallback_join_sec": round(fb, 2),
-            })
+            }
+            if deleted_los:
+                ex_s, exact = probe_exact_mixed(
+                    t, deleted_los[-1],
+                    # a live slice no delta has touched
+                    (rng_lo + args.batch) % (args.rows - args.batch))
+                point["exact_check_sec"] = ex_s
+                point["exact_engaged"] = exact
+                point["presence_exact"] = bool(
+                    t.statistics().get("presence_exact"))
+            out["points"].append(point)
     print(json.dumps(out))
 
 
