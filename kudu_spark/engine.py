@@ -881,12 +881,22 @@ class Engine:
                 full = os.path.join(root, rel)
                 if rel.endswith(".pidx"):
                     # read storage directly — a health check must not
-                    # trust the process-level sidecar-meta cache
+                    # trust the process-level sidecar-meta cache — and
+                    # verify the shard FILES against the meta's byte
+                    # count: a truncated/missing shard would otherwise
+                    # only surface as a loud probe-task failure later
                     try:
                         import json as _json
 
-                        _json.loads(self._env.read_bytes(
+                        smeta = _json.loads(self._env.read_bytes(
                             os.path.join(full, presence.META_NAME)))
+                        have = sum(
+                            self._env.size(os.path.join(full, n))
+                            for n in self._env.listdir(full)
+                            if n.endswith(".i64")
+                        )
+                        if have != int(smeta.get("bytes", 0)):
+                            rep["bad_sidecars"].append(rel)
                     except (OSError, ValueError):
                         rep["bad_sidecars"].append(rel)
                 elif not self._env.exists(full):

@@ -24,6 +24,7 @@ routes to the Kudu catalog (docs/kudu_impala_integration.adoc:150-420):
     ALTER TABLE t DROP [COLUMN] col
     ALTER TABLE t CHANGE [COLUMN] old new TYPE            -- rename
     ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
+    ALTER TABLE t SET OWNER [USER] 'name'
     ALTER TABLE t ALTER [COLUMN] col SET DEFAULT lit | SET COMMENT 's'
                                    | DROP DEFAULT
 
@@ -490,6 +491,16 @@ def _run_alter(engine: "Engine", text: str):
     name = m.group(1)
     body = m.group(2).strip()
     bu = body.upper()
+
+    om = re.match(r"SET\s+OWNER\s+(?:USER\s+|ROLE\s+)?('(?:[^']|'')*'|[A-Za-z_]\w*)$",
+                  body, re.IGNORECASE)
+    if om:
+        # Impala: ALTER TABLE t SET OWNER USER 'name' (≈ KuduTableAlterer
+        # ::SetOwner, client.h:1936)
+        raw = om.group(1)
+        owner = str(_parse_literal(raw)) if raw.startswith("'") else raw
+        engine.set_owner(name, owner)
+        return "ALTER TABLE", name, 0, engine.table(name).version
 
     rm = re.match(r"RENAME\s+TO\s+([A-Za-z_]\w*)$", body, re.IGNORECASE)
     if rm:

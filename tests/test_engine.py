@@ -619,6 +619,16 @@ def test_fsck_flags_bad_sidecar(engine, spark):
     t.insert(spark.range(100).select(F.col("id").alias("k")))
     assert engine.fsck("f2")["f2"]["ok"]
     rel = t.state().files[0].bloom
+    # shard-byte drift (a truncated shard) flags before total removal
+    shard = next(n for n in os.listdir(os.path.join(t.root, rel))
+                 if n.endswith(".i64"))
+    spath = os.path.join(t.root, rel, shard)
+    data = open(spath, "rb").read()
+    open(spath, "wb").write(data[:-8])  # drop one key
+    rep = engine.fsck("f2")
+    assert not rep["f2"]["ok"] and rep["f2"]["bad_sidecars"] == [rel]
+    open(spath, "wb").write(data)  # restore
+    assert engine.fsck("f2")["f2"]["ok"]
     shutil.rmtree(os.path.join(t.root, rel))
     rep = engine.fsck("f2")
     assert not rep["f2"]["ok"] and rep["f2"]["bad_sidecars"] == [rel]

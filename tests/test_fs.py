@@ -354,6 +354,14 @@ def test_presence_index_on_memory_root(mem_engine, spark):
     assert got is not None, "probe declined on memory root"
     assert {r.k for r in got.collect()} == set(range(0, 900, 100))
     assert t.statistics()["presence_coverage"] == 1.0
+    # r10: DELETE deltas keep the probe exact on a non-POSIX root too
+    # (delete shard family read through the Env, subtracted by seq)
+    t.delete(spark.range(0, 250).select(F.col("id").alias("k")))
+    t = eng.table("pt")
+    got2 = t.present_key_check(probe, ["k"])
+    assert got2 is not None, "exact probe declined on delete deltas (memory root)"
+    assert {r.k for r in got2.collect()} == set(range(300, 900, 100))
+    assert t.statistics()["presence_exact"] is True
 
 
 def test_txn_and_restore_shapes_on_memory_root(mem_engine, spark):

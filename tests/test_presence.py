@@ -850,3 +850,28 @@ def test_nonpk_tuple_delete_degrades_to_superset(engine, spark):
     hits = {r.v for r in got.collect()}
     assert "v50" in hits and "nope" not in hits  # no false negatives
     assert t.present_key_check(probe, ["v"]) is None  # honesty
+
+
+def test_txn_insert_plus_delete_one_commit_stays_exact(engine, spark):
+    """A single-table transaction staging an INSERT and a DELETE
+    publishes ONE commit carrying two sidecars at distinct sub-seqs
+    (live + delete family): probes must order them correctly — the
+    deleted keys answer absent, the inserted ones present, exactly."""
+    from kudu_spark.writer import Transaction
+
+    t = make_table(engine, n=300)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    txn = Transaction(t)
+    txn.insert(spark.range(1000, 1050).select(
+        F.col("id").alias("k"), F.lit("txn").alias("v")))
+    txn.delete(spark.range(0, 30).select(F.col("id").alias("k")))
+    txn.commit()
+    t = engine.table("pt")
+    keys = spark.range(0, 1100, 10).select(F.col("id").alias("k"))
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None, "exact probe declined after a mixed txn commit"
+    want = ({i for i in range(30, 300, 10)}
+            | {i for i in range(1000, 1050, 10)})
+    assert {r.k for r in got.collect()} == want
+    assert t.statistics()["presence_exact"] is True

@@ -807,3 +807,16 @@ def test_strip_db_qualifiers_fuzz(parts):
         assert "defaultx.t" in out
     if any(p == "t.default_col" for p in parts):
         assert "t.default_col" in out
+
+
+def test_alter_set_owner_sql(eng):
+    """Impala's ALTER TABLE ... SET OWNER [USER] 'name' maps to
+    Engine.set_owner (client.h:1936)."""
+    eng.sql("CREATE TABLE ow (k BIGINT NOT NULL, PRIMARY KEY (k)) "
+            "STORED AS KUDU")
+    eng.sql("ALTER TABLE ow SET OWNER USER 'data-eng'")
+    assert eng.table("ow").statistics()["owner"] == "data-eng"
+    eng.sql("ALTER TABLE ow SET OWNER bob")
+    assert eng.table("ow").statistics()["owner"] == "bob"
+    row = eng.sql("SHOW TABLE STATS ow").collect()[0]
+    assert row.owner == "bob"
