@@ -875,3 +875,78 @@ def test_txn_insert_plus_delete_one_commit_stays_exact(engine, spark):
             | {i for i in range(1000, 1050, 10)})
     assert {r.k for r in got.collect()} == want
     assert t.statistics()["presence_exact"] is True
+
+
+def test_merge_distributed_replay_matches_driver_with_deletes(
+        spark, tmp_path, monkeypatch):
+    """The executor-side merge REPLAY (live + delete families) is
+    byte-identical to the driver-side one."""
+    import pandas as pd
+
+    dirs = []
+    for i, (lo, n, dlo, dn) in enumerate(
+            ((0, 30_000, 0, 0), (15_000, 20_000, 0, 8_000),
+             (0, 0, 20_000, 12_000))):
+        hd = spark.range(lo, lo + n).select(
+            F.xxhash64("id").alias("h"), F.lit(False).alias("d"))
+        if dn:
+            hd = hd.unionByName(spark.range(dlo, dlo + dn).select(
+                F.xxhash64("id").alias("h"), F.lit(True).alias("d")))
+        d = str(tmp_path / f"c{i}.pidx")
+        presence.build_commit_index(hd, n + dn, d, ["id"], ["bigint"], seq=i + 1)
+        dirs.append(d)
+    monkeypatch.setattr(presence, "TARGET_SHARD_KEYS", 4096)  # ns_m > 1
+    d_drv = str(tmp_path / "drv.pidx")
+    m_drv = presence.merge_indexes(dirs, d_drv)
+    monkeypatch.setattr(presence, "DRIVER_MERGE_MAX_BYTES", 0)
+    d_dist = str(tmp_path / "dist.pidx")
+    m_dist = presence.merge_indexes(dirs, d_dist, spark=spark)
+    assert m_drv is not None and m_dist is not None
+    assert (m_drv["rows"], m_drv.get("del_rows"), m_drv["bytes"]) == \
+        (m_dist["rows"], m_dist.get("del_rows"), m_dist["bytes"])
+    for prefix, ns_key in (("shard", "nshards"), ("del", "del_nshards")):
+        for s in range(m_drv[ns_key]):
+            arrs = []
+            for d in (d_drv, d_dist):
+                try:
+                    arrs.append(np.fromfile(
+                        presence._shard_path(d, s, prefix), dtype="<i8"))
+                except OSError:
+                    arrs.append(np.empty(0, dtype="<i8"))
+            assert np.array_equal(arrs[0], arrs[1]), (prefix, s)
+    presence._SHARD_CACHE.clear()
+    presence._META_CACHE.clear()
+
+
+def test_txn_commit_retry_resyncs_sidecar_seq(engine, spark):
+    """The false-negative race the r10 seq-sync closes: a transaction
+    stages an UPSERT of key k, a concurrent DELETE of k lands FIRST
+    (taking the version the txn wanted), the txn retries and commits
+    after — k is live. Without rewriting the staged sidecar's meta seq
+    at retry, the probe would order the stale live seq BELOW the
+    delete and answer k absent: a false negative into the insert
+    duplicate check."""
+    from kudu_spark.writer import Transaction
+
+    t = make_table(engine, n=100)
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    txn = Transaction(t)
+    txn.upsert(spark.createDataFrame([(5, "resurrect")], "k bigint, v string"))
+    # concurrent writer wins the version the txn staged against
+    engine.table("pt").delete(spark.createDataFrame([(5,)], "k bigint"))
+    txn.commit()  # retries; k=5 is live again, AFTER the delete
+    t = engine.table("pt")
+    assert {r.v for r in t.scan(filters=[("k", "=", 5)]).collect()} == \
+        {"resurrect"}
+    got = t.present_key_check(
+        spark.createDataFrame([(5,)], "k bigint"), ["k"])
+    assert got is not None
+    assert [r.k for r in got.collect()] == [5], \
+        "probe ordered the txn's live sidecar below the earlier delete"
+    # and the sidecar metas agree with the committed entry seqs
+    st = t.state()
+    for rel in {f.bloom for f in st.files if f.bloom}:
+        meta = presence.read_meta(os.path.join(t.root, rel))
+        covered = max(f.seq for f in st.files if f.bloom == rel)
+        assert int(meta["seq"]) == covered
