@@ -63,9 +63,11 @@ shard families — live keys and delete-tombstone keys:
 ``mixed`` marks a commit that wrote live AND delete rows at one seq:
 within-commit ordering is unknown, so probes answer live-wins —
 superset semantics, never a false negative. ``del_unindexed`` marks a
-commit whose delete keys could NOT be indexed (the hashed tuple
-reaches outside the PK, and delete tombstones only carry the PK):
-probes degrade to superset, and exactness is declined honestly.
+commit whose delete keys could NOT be indexed — the hashed tuple is
+not the FULL pk: outside it (delete tombstones only carry the PK) or
+a strict prefix of it (sibling rows share a prefix tuple, so one
+row's delete must not subtract it): probes degrade to superset, and
+exactness is declined honestly.
 
 ``cols``/``types`` stamp the hashed tuple (names AND declared types):
 probes decline on any mismatch, so ALTERing ``pk_bloom_cols`` or a

@@ -1530,9 +1530,11 @@ class Table:
         ``del-*`` family, so probes stay EXACT through un-compacted
         deletes by seq subtraction — the reference consults delete
         deltas with timestamps the same way (tablet/tablet.cc:116-124,
-        tablet/delta_tracker.cc). Only when the hashed tuple reaches
-        outside the PK (delete tombstones carry just the PK) do delete
-        keys go unindexed and probes degrade honestly to superset.
+        tablet/delta_tracker.cc). Only when the hashed tuple is NOT
+        the full PK — outside it (tombstones carry just the PK) or a
+        strict prefix of it (sibling rows share the tuple, so one
+        row's delete cannot subtract it) — do delete keys go unindexed
+        and probes degrade honestly to superset.
         Compaction rewrites go through _write_files too, so compacted
         partitions get ONE consolidated live sidecar replacing their
         per-batch ones — the sidecar count tracks the live file-commit
@@ -1558,9 +1560,14 @@ class Table:
             if tombstones:
                 hd = read.select(
                     h, F.coalesce(F.col(DEL_COL), F.lit(False)).alias("d"))
+                # delete keys are only subtractable when the hashed
+                # tuple is the FULL pk (set-equal; order is free): a
+                # strict PK-prefix tuple is shared by sibling rows, so
+                # deleting one row must NOT subtract the tuple — those
+                # commits record del_unindexed and probe as supersets
                 meta = presence.build_commit_index(
                     hd, total, os.path.join(self.root, rel), cols, types,
-                    seq, del_indexed=set(cols) <= set(st.schema.pk),
+                    seq, del_indexed=set(cols) == set(st.schema.pk),
                 )
             else:
                 meta = presence.build_index(

@@ -950,3 +950,36 @@ def test_txn_commit_retry_resyncs_sidecar_seq(engine, spark):
         meta = presence.read_meta(os.path.join(t.root, rel))
         covered = max(f.seq for f in st.files if f.bloom == rel)
         assert int(meta["seq"]) == covered
+
+
+def test_prefix_tuple_delete_never_false_negative(engine, spark):
+    """A sidecar over a STRICT PK-prefix must not subtract delete keys:
+    deleting ONE row of a (a,b) prefix group leaves sibling rows live —
+    the probe must keep answering the prefix present (superset, no
+    false negatives), and exactness must be declined."""
+    t = engine.create_table(
+        "pfx", [("a", "int", False), ("b", "string", False),
+                ("c", "bigint", False)], pk=["a", "b", "c"],
+        hash_partitions=[{"columns": ["a", "b"], "buckets": 2}],
+    )
+    engine.alter_table("pfx").set_property("pk_bloom_cols", "a,b") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("pfx")
+    t.insert(spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 11), (2, "y", 20)],
+        "a int, b string, c bigint"))
+    t = engine.table("pfx")
+    # delete ONE of the two (1, x) rows: the prefix is still live
+    t.delete(spark.createDataFrame([(1, "x", 10)], "a int, b string, c bigint"))
+    t = engine.table("pfx")
+    probe = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")],
+                                  "a int, b string")
+    got = t.present_key_probe(probe, ["a", "b"])
+    assert got is not None
+    hits = {(r.a, r.b) for r in got.collect()}
+    assert (1, "x") in hits, \
+        "FALSE NEGATIVE: sibling row's prefix subtracted by one row's delete"
+    assert (2, "y") in hits and (3, "z") not in hits
+    # exactness honestly declined (delete keys unindexed on this tuple)
+    assert t.present_key_check(probe, ["a", "b"]) is None
+    assert t.statistics()["presence_exact"] is False
