@@ -495,6 +495,14 @@ class FsspecEnv:
             self._cond_create = "mode" in params
         except (TypeError, ValueError):
             self._cond_create = False
+        # signature acceptance is a claim, not proof — a driver could
+        # take mode= and ignore it. The first successful conditional
+        # create VERIFIES the claim (re-create must raise); until then
+        # the capability is provisional, and a caught lie REVOKES it
+        # permanently for this process.
+        if getattr(self, "_cond_revoked", False):
+            self._cond_create = False
+        self._cond_verified = getattr(self, "_cond_verified", False)
         self.atomic_publish = bool(
             self._cond_create or self.scheme in _PUBLISH_LOCKS)
 
@@ -523,6 +531,32 @@ class FsspecEnv:
         if self._cond_create:
             try:
                 self.fs.pipe_file(path, data, mode="create")
+                if not self._cond_verified:
+                    # one-time proof per process: a SECOND create of
+                    # the same path must fail. A driver that accepts
+                    # mode= but ignores it would otherwise defeat the
+                    # atomicity silently; the re-put writes identical
+                    # bytes, so a passing or failing probe never
+                    # corrupts the just-published commit.
+                    try:
+                        self.fs.pipe_file(path, data, mode="create")
+                        ignored = True
+                    except FileExistsError:
+                        ignored = False
+                    if ignored:
+                        self._cond_revoked = True
+                        self._resolve_atomic()
+                        import logging
+
+                        logging.getLogger("kudu_spark.fs").error(
+                            "scheme %s:// ACCEPTS pipe_file(mode='create') "
+                            "but does not enforce it — conditional create "
+                            "is a no-op on this driver. Falling back to "
+                            "gated exists-then-write; new Engines on this "
+                            "scheme will refuse multi-writer use.",
+                            self.scheme)
+                    else:
+                        self._cond_verified = True
                 return
             except FileExistsError:
                 raise
@@ -532,7 +566,7 @@ class FsspecEnv:
                 # check_multi_writer_safe on the next Engine)
                 if "mode" not in str(e).lower():
                     raise
-                self._cond_create = False
+                self._cond_revoked = True
                 self._resolve_atomic()
         # strategy 2: external per-scheme publish lock (serialized)
         lock = _PUBLISH_LOCKS.get(self.scheme)

@@ -563,3 +563,66 @@ def test_registered_publish_lock_restores_multi_writer(legacy_fsspec, spark):
     [t.start() for t in ts]
     [t.join() for t in ts]
     assert len(wins) == 1 and len(losses) == 7
+
+
+class _LyingFakeFs(_FakeFs):
+    """Accepts pipe_file(mode=...) but IGNORES it — the capability lie
+    the one-time self-verification must catch."""
+
+    def pipe_file(self, path, data, mode="overwrite"):
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:  # always overwrite, even mode="create"
+            f.write(data)
+
+
+def test_conditional_create_self_verifies(tmp_path, monkeypatch):
+    """A driver whose pipe_file takes mode= but does not enforce it is
+    detected on the FIRST publish (re-create must raise): the scheme
+    flips to non-atomic, the published commit is untouched, and new
+    Engines refuse multi-writer use."""
+    import sys
+    import types
+
+    base = str(tmp_path / "lying-store")
+    os.makedirs(base)
+    mod = types.ModuleType("fsspec")
+    mod.filesystem = lambda proto, **kw: _LyingFakeFs(base)
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    fs._ENVS.pop("lyingfs", None)
+    try:
+        env = fs.env_for_root("lyingfs://wh")
+        assert env.atomic_publish is True  # the signature's (false) claim
+        env.publish_new("lyingfs://wh/_log/c1.json", b"commit-1")
+        # the commit itself landed intact
+        assert env.read_bytes("lyingfs://wh/_log/c1.json") == b"commit-1"
+        # ...but the lie was caught: capability revoked
+        assert env.atomic_publish is False
+        with pytest.raises(KuduSparkError, match="single_writer"):
+            fs.check_multi_writer_safe(env, "lyingfs://wh", False)
+    finally:
+        fs._ENVS.pop("lyingfs", None)
+
+
+def test_conditional_create_verification_is_one_time(fake_fsspec):
+    """On an honest driver the probe runs once: the first publish pays
+    one extra put, later publishes go straight through."""
+    fs._ENVS.pop("fakefs", None)
+    env = fs.env_for_root("fakefs://wh3")
+    calls = []
+    real = env.fs.pipe_file
+
+    def counting(path, data, mode="overwrite"):
+        calls.append(mode)
+        return real(path, data, mode)
+
+    env.fs.pipe_file = counting
+    try:
+        env.publish_new("fakefs://wh3/a.json", b"1")
+        assert calls == ["create", "create"]  # publish + probe
+        assert env._cond_verified is True
+        env.publish_new("fakefs://wh3/b.json", b"2")
+        assert calls == ["create", "create", "create"]  # no re-probe
+    finally:
+        env.fs.pipe_file = real
+        fs._ENVS.pop("fakefs", None)
