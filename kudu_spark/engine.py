@@ -1202,6 +1202,8 @@ class Alterer:
         } | pspec.hash_overrides  # adds were keyed in the new space already
         entries = []
         removes = []
+        dropped_blooms = {f.bloom for f in st.files
+                          if f.bloom and f.partition.get("range") not in id_map}
         for f in st.files:
             rid = f.partition.get("range")
             removes.append(f.path)
@@ -1210,6 +1212,13 @@ class Alterer:
 
                 nf = FileEntry(**{**f.__dict__})
                 nf.partition = {**f.partition, "range": id_map[rid]}
+                if nf.bloom and nf.bloom in dropped_blooms:
+                    # the sidecar also covered files in a DROPPED range:
+                    # its key set now overcounts vanished rows, so the
+                    # surviving files shed the reference — probes
+                    # decline (loudly, with statistics coverage < 1.0)
+                    # until compaction rebuilds an honest sidecar
+                    nf.bloom = None
                 entries.append(nf)
         # range-drop remaps every file's range id against the state read
         # above; retries=1 because a blind retry would remap a stale

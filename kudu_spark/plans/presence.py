@@ -492,6 +492,78 @@ def _replay_shard(s: int, srcs: list, ns_m: int):
     return live, dels
 
 
+def absorb_delete_families(dir_abs: str, src_dirs: list,
+                           unindexed_rows: int = 0) -> dict | None:
+    """Fold the delete families of DYING sidecars into ``dir_abs``'s
+    own delete family — the compaction hand-off that keeps probes
+    exact through PARTIAL compactions: when a compaction folds delete
+    deltas and removes every file referencing their sidecar, the
+    subtraction those delete keys provided would vanish while OLDER
+    commit-wide live sidecars (with files in untouched partitions)
+    still list the deleted keys — a false "present" claimed exact. The
+    new compacted sidecar inherits the delete keys instead (its seq is
+    the newest, so the subtraction keeps applying to every older
+    sidecar; keys re-inserted before the compaction sit in its live
+    family and win the live-first tie).
+
+    ``unindexed_rows`` > 0 marks the output ``del_unindexed`` (a dying
+    sidecar carried deletes that were never indexed — prefix-tuple
+    tables): the overcount can't be subtracted, so probes degrade
+    honestly to superset instead. Runs driver-side pre-publish (delete
+    families are delta-sized); rewrites the del family and meta in
+    place — the sidecar is unreferenced until its commit lands."""
+    from kudu_spark.fs import env_for_root
+
+    meta = read_meta(dir_abs)
+    if meta is None:
+        return None
+    env = env_for_root(dir_abs)
+    parts = []
+    own_ns = int(meta.get("del_nshards", 0))
+    for s in range(own_ns):
+        try:
+            parts.append(np.asarray(env.read_array(
+                _shard_path(dir_abs, s, "del"))))
+        except FileNotFoundError:
+            pass
+    for d in src_dirs:
+        m = read_meta(d)
+        if m is None:
+            continue
+        for s in range(int(m.get("del_nshards", 0))):
+            try:
+                parts.append(np.asarray(env_for_root(d).read_array(
+                    _shard_path(d, s, "del"))))
+            except FileNotFoundError:
+                pass
+    dels = np.unique(np.concatenate(parts)) if parts else np.empty(0, "<i8")
+    # drop the old del family (stale shard files would double-count in
+    # fsck's byte audit), rewrite under the new modulus
+    old_bytes = 0
+    for n in env.listdir(dir_abs):
+        if n.startswith("del-") and n.endswith(".i64"):
+            old_bytes += env.size(os.path.join(dir_abs, n))
+            env.unlink(os.path.join(dir_abs, n))
+    meta = dict(meta)
+    meta["bytes"] = int(meta.get("bytes", 0)) - old_bytes
+    if len(dels):
+        ns_d = shards_for(len(dels))
+        written = _write_family_arrays(dir_abs, dels, ns_d, "del")
+        meta["del_nshards"] = ns_d
+        meta["del_rows"] = int(len(dels))
+        meta["bytes"] += written
+    else:
+        meta.pop("del_nshards", None)
+        meta.pop("del_rows", None)
+    if unindexed_rows:
+        meta["del_unindexed"] = True
+        meta["del_rows"] = int(meta.get("del_rows", 0)) + int(unindexed_rows)
+    env.write_bytes(os.path.join(dir_abs, META_NAME),
+                    json.dumps(meta).encode())
+    _META_CACHE[dir_abs] = meta
+    return meta
+
+
 def merge_indexes(src_dirs: list, out_dir: str, spark=None,
                   drop_deletes: bool = False) -> dict | None:
     """Merge a SEQ-CONTIGUOUS run of sidecars into one (the size-tiered

@@ -2717,21 +2717,26 @@ class Table:
 
     def compact(self, small_file_bytes: int = 32 << 20, min_small_files: int = 4,
                 io_budget_bytes: int | None = None, partitions: list | None = None,
-                _attempts: int = 5) -> int | None:
+                full: bool = False, _attempts: int = 5) -> int | None:
         """Fold delta files into fresh base files and bin-pack small
         base files (≈ Kudu compaction: tablet/compaction.cc, policy
         tablet/compaction_policy.h:74-129, delta fold-in
         tablet/delta_compaction.cc). Only partitions that need work are
         rewritten — optionally capped by ``io_budget_bytes`` (the
         policy's knapsack picks the highest benefit/IO set) or an
-        explicit ``partitions`` list. Time travel to pre-compaction
-        versions still works because old files are removed from the
-        manifest, not deleted."""
+        explicit ``partitions`` list. ``full=True`` rewrites EVERY
+        partition — the takedown follow-up that leaves one fresh
+        presence sidecar with no inherited delete families or
+        superset flags. Time travel to pre-compaction versions still
+        works because old files are removed from the manifest, not
+        deleted."""
         st = self.state()
 
         pkey = partition_key
 
-        if partitions is None:
+        if full:
+            chosen = {pkey(f) for f in st.files}
+        elif partitions is None:
             plan = self.compaction_plan(small_file_bytes, min_small_files, io_budget_bytes)
             chosen = {c["partition"] for c in plan}
         else:
@@ -2743,6 +2748,12 @@ class Table:
         sub.files = rewrite
         merged = self._snapshot_df(sub)  # dedup + tombstones dropped
         entries = self._write_files(merged, st, seq_for(st.version + 1), "base")
+        # a PARTIAL compaction may remove the last reference to a
+        # delete-carrying sidecar while older commit-wide live sidecars
+        # (files in untouched partitions) still list the deleted keys:
+        # hand the dying delete families to the NEW sidecar so the
+        # subtraction — and probe exactness — survives
+        self._absorb_dying_deletes(st, rewrite, entries)
         # revalidate on conflict: a blind seq-restamp would rank this
         # rewrite ABOVE any delta a concurrent writer committed in the
         # meantime (its merged rows carry the retried, higher seq),
@@ -2753,6 +2764,47 @@ class Table:
                                    io_budget_bytes, partitions, _attempts=a),
             removes=[f.path for f in rewrite], _attempts=_attempts,
         )
+
+    def _absorb_dying_deletes(self, st: TableState, removed: list[FileEntry],
+                              new_entries: list[FileEntry]) -> None:
+        """See compact(): fold the delete families of sidecars DYING in
+        this commit (every referencing file removed) into the new
+        entries' sidecar (presence.absorb_delete_families). Dying
+        sidecars whose delete keys were never indexed (prefix-tuple
+        tables, legacy markers) can't hand keys over — the new sidecar
+        inherits their ``del_unindexed`` so probes stay honest
+        supersets. No-op for tables without presence sidecars."""
+        from kudu_spark.plans import presence
+
+        new_rel = next((e.bloom for e in new_entries
+                        if e.bloom and e.bloom.endswith(".pidx")), None)
+        if new_rel is None:
+            return
+        removed_paths = {f.path for f in removed}
+        survivors_by_bloom: dict[str, int] = {}
+        for f in st.files:
+            if f.bloom and f.path not in removed_paths:
+                survivors_by_bloom[f.bloom] = 1
+        if not survivors_by_bloom:
+            # FULL compaction: the new sidecar is the only one left —
+            # nothing older can overcount, so nothing to hand over
+            # (this is also what finally clears an inherited
+            # del_unindexed flag on prefix-tuple tables)
+            return
+        retained, unindexed_rows = [], 0
+        for rel in {f.bloom for f in removed if f.bloom}:
+            if rel in survivors_by_bloom or not rel.endswith(".pidx"):
+                continue  # sidecar survives (or isn't a presence index)
+            meta = presence.read_meta(os.path.join(self.root, rel))
+            if meta is None:
+                continue  # unreadable: probes decline on it today anyway
+            if meta.get("tombstones") or meta.get("del_unindexed"):
+                unindexed_rows += int(meta.get("del_rows", 0)) or 1
+            elif int(meta.get("del_rows", 0)):
+                retained.append(os.path.join(self.root, rel))
+        if retained or unindexed_rows:
+            presence.absorb_delete_families(
+                os.path.join(self.root, new_rel), retained, unindexed_rows)
 
     # files referenced only by manifests older than this stay on disk
     # through a default vacuum (≈ Kudu's ancient history mark,

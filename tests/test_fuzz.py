@@ -104,6 +104,19 @@ def test_fuzz_mutations_match_model(spark, tmp_path, seed, presence, memroot):
         if step % 10 == 9:
             got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
             assert got == model, f"step {step} op {op}: {got} != {model}"
+            if presence:
+                # the presence probe's own answers vs the model (r10:
+                # exact through delete deltas, partial compactions,
+                # absorbed delete families, sidecar merges). The probe
+                # may honestly DECLINE or go superset mid-history, but
+                # when it claims EXACT it must match the model key set.
+                probe = df_of(spark, [(k,) for k in KEYS], "key int")
+                exact = t.present_key_check(probe, ["key"])
+                if exact is not None:
+                    keys_got = {r.key for r in exact.collect()}
+                    assert keys_got == set(model), (
+                        f"step {step}: exact probe {sorted(keys_got)} != "
+                        f"model {sorted(model)}")
 
     got = {r.key: (r.int_val, r.string_val) for r in t.scan().collect()}
     assert got == model

@@ -160,3 +160,49 @@ def test_present_key_probe_fallback_on_deltas(engine, spark, monkeypatch):
     r = ingest_batch(engine, docs_df(spark, [
         (10, LOREM.replace("tasty", "nasty"), "en", "s")]))
     assert r["accepted"] == 0
+
+
+def test_takedown_then_reingest_stays_zero_state_io(engine, spark, monkeypatch):
+    """The r10 delete-exactness payoff in the pipeline: after a
+    TAKEDOWN (delete doc rows + their band keys; compact only the
+    bands table, whose prefix-tuple sidecar can't index deletes), a
+    re-ingest of the removed content is ACCEPTED again — and the docs
+    table's replay probe answers EXACTLY through its live delete
+    deltas, no compaction and no data-file reads on the docs side."""
+    from pyspark.sql import functions as F
+
+    from kudu_spark.operators.dedup import minhash_band_keys
+
+    docs, bands = create_corpus_tables(engine)
+    for n in ("corpus", "corpus_bands"):
+        engine.alter_table(n).set_property("auto_compact", "false").apply()
+    ingest_batch(engine, docs_df(spark, [
+        (1, LOREM, "en", "s"), (2, OTHER, "en", "s")]))
+    # takedown doc 1: delete its row and its band keys, then compact
+    # ONLY bands (prefix-tuple sidecars degrade on deletes — documented)
+    doomed = docs_df(spark, [(1, LOREM, "en", "s")])
+    engine.table("corpus").delete(doomed.select("doc_id"))
+    keys = minhash_band_keys(doomed.select("doc_id", "text")).select(
+        F.col("band").cast("int"), "bkey", F.col("doc_id").cast("bigint"))
+    engine.table("corpus_bands").delete(keys)
+    engine.table("corpus_bands").compact(full=True)
+    # docs table: delete delta still live, probe EXACT (r10)
+    dt = engine.table("corpus")
+    assert any(f.kind == "delta" for f in dt.state().files)
+    assert dt.statistics()["presence_exact"] is True
+
+    import kudu_spark.table as tbl
+    calls = []
+    orig = tbl.Table._snapshot_df
+
+    def spy(self, st, filters=None, *a, **kw):
+        calls.append((self.name, filters))
+        return orig(self, st, filters, *a, **kw)
+
+    monkeypatch.setattr(tbl.Table, "_snapshot_df", spy)
+    r = ingest_batch(engine, docs_df(spark, [(1, LOREM, "en", "s")]))
+    assert r["accepted"] == 1, "re-ingest after takedown must be accepted"
+    assert [c for c in calls if c[0] in ("corpus", "corpus_bands")] == [], \
+        "takedown re-ingest read state data files (probe fell back)"
+    assert engine.table("corpus").scan(
+        filters=[("doc_id", "=", 1)]).count() == 1

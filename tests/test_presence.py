@@ -983,3 +983,103 @@ def test_prefix_tuple_delete_never_false_negative(engine, spark):
     # exactness honestly declined (delete keys unindexed on this tuple)
     assert t.present_key_check(probe, ["a", "b"]) is None
     assert t.statistics()["presence_exact"] is False
+
+
+def test_partial_compaction_keeps_delete_subtraction(engine, spark):
+    """The r10 partial-compaction hand-off: compacting ONLY the dirty
+    partitions folds the delete deltas and kills their sidecar, but
+    OLDER commit-wide live sidecars (files in untouched partitions)
+    still list the deleted keys — the new sidecar must inherit the
+    delete family or probes would claim dead keys present, exactly."""
+    t = make_table(engine, n=400)  # one commit-wide sidecar, 4 buckets
+    engine.alter_table("pt").set_property("auto_compact", "false").apply()
+    t = engine.table("pt")
+    t.delete(spark.createDataFrame([(8,), (16,), (24,)], "k bigint"))
+    t = engine.table("pt")
+    # compact ONLY the partitions the delete dirtied — the original
+    # base files in clean buckets keep the old commit-wide sidecar
+    dirty = sorted({(tuple(f.partition.get("hash", [])), f.partition.get("range"))
+                    for f in t.state().files if f.kind == "delta"})
+    assert len(dirty) < 4, "test needs untouched partitions to be meaningful"
+    t.compact(partitions=[list(p) for p in dirty])
+    t = engine.table("pt")
+    assert not any(f.kind == "delta" for f in t.state().files)
+    assert len({f.bloom for f in t.state().files}) >= 2  # old + new sidecars
+    keys = spark.createDataFrame([(8,), (16,), (24,), (9,), (399,), (5000,)],
+                                 "k bigint")
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None, "probe declined after partial compaction"
+    assert {r.k for r in got.collect()} == {9, 399}, \
+        "deleted keys leaked back through the old commit-wide sidecar"
+    assert t.statistics()["presence_exact"] is True
+    # inserting the deleted keys again works (exactly-absent short path)
+    t.insert(spark.createDataFrame([(8, "back")], "k bigint, v string"))
+    assert engine.table("pt").scan(filters=[("k", "=", 8)]).count() == 1
+
+
+def test_partial_compaction_prefix_tuple_inherits_superset(engine, spark):
+    """Prefix-tuple tables (delete keys unindexable): a PARTIAL
+    compaction folding those deletes must keep probes SUPERSET (the
+    new sidecar inherits del_unindexed) — and a FULL compaction
+    finally restores exactness."""
+    t = engine.create_table(
+        "pf2", [("a", "int", False), ("b", "bigint", False)], pk=["a", "b"],
+        hash_partitions=[{"columns": ["a"], "buckets": 4}],
+    )
+    engine.alter_table("pf2").set_property("pk_bloom_cols", "a") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("pf2")
+    t.insert(spark.range(100).selectExpr("cast(id % 50 as int) a", "id b"))
+    t = engine.table("pf2")
+    t.delete(spark.createDataFrame([(7, 7)], "a int, b bigint"))
+    t = engine.table("pf2")
+    dirty = sorted({(tuple(f.partition.get("hash", [])), f.partition.get("range"))
+                    for f in t.state().files if f.kind == "delta"})
+    t.compact(partitions=[list(p) for p in dirty])
+    t = engine.table("pf2")
+    assert t.statistics()["presence_exact"] is False  # inherited, honest
+    probe = spark.createDataFrame([(7,), (8,), (500,)], "a int")
+    got = t.present_key_probe(probe, ["a"])
+    assert got is not None
+    hits = {r.a for r in got.collect()}
+    assert 8 in hits and 500 not in hits  # superset, no false negatives
+    assert t.present_key_check(probe, ["a"]) is None
+    t.compact(full=True)
+    t = engine.table("pf2")
+    assert t.statistics()["presence_exact"] is True
+    got2 = t.present_key_check(probe, ["a"])
+    # a=7 still live: row (7, 57) survives the (7, 7) delete
+    assert {r.a for r in got2.collect()} == {7, 8}
+
+
+def test_range_drop_sheds_punctured_sidecars(engine, spark):
+    """Dropping a range partition vanishes its rows while commit-wide
+    sidecars still list their keys: surviving files shed the punctured
+    sidecar reference, probes DECLINE (statistics show it), and
+    compaction rebuilds honest coverage."""
+    t = engine.create_table(
+        "rd", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+        range_partition={"column": "k", "ranges": [[0, 100], [100, 200]]},
+    )
+    engine.alter_table("rd").set_property("pk_bloom_cols", "k") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("rd")
+    t.insert(spark.range(200).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")))
+    t = engine.table("rd")
+    assert t.present_key_check(
+        spark.range(150, 160).select(F.col("id").alias("k")), ["k"]) is not None
+    engine.alter_table("rd").drop_range_partition(100, 200).apply()
+    t = engine.table("rd")
+    assert t.scan().count() == 100
+    keys = spark.createDataFrame([(50,), (150,)], "k bigint")
+    # punctured sidecar shed: probe declines rather than answering 150
+    # present; statistics surface the lapse
+    assert t.present_key_probe(keys, ["k"]) is None
+    assert t.statistics()["presence_coverage"] < 1.0
+    t.compact(full=True)
+    t = engine.table("rd")
+    got = t.present_key_check(keys, ["k"])
+    assert got is not None
+    assert {r.k for r in got.collect()} == {50}
+    assert t.statistics()["presence_exact"] is True
