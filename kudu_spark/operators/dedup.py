@@ -564,3 +564,53 @@ def contamination_report(train: DataFrame, benchmark: DataFrame,
             .alias("contamination"),
         )
     )
+
+
+def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                            max_shingle_freq: int = 50) -> DataFrame:
+    """Asymmetric near-dup: exact n-gram CONTAINMENT
+    (``|A∩B| / |A|`` per direction) over the same freq-capped shingle
+    inverted index as ngram_jaccard_pairs. Jaccard misses the
+    quote/aggregator case — a short document wholly embedded in a long
+    one scores low symmetric similarity but containment ≈ 1 for the
+    short side — which is exactly the pair a dedup pipeline wants to
+    collapse. Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for
+    pairs whose LARGER direction clears ``threshold``.
+
+    Scale shape is identical to the Jaccard operator: candidates come
+    only from shared rare shingles (hot shingles capped — they
+    generate quadratic candidates and discriminate nothing), the
+    inverted-index self-join shuffles 8-byte hash ints, and the size/
+    frequency tables are vocabulary-bounded map-side aggregates left
+    unhinted for AQE."""
+    sh = (
+        _spread(docs).withColumn("__t", tokens_expr())
+        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                .cast("bigint").alias("s"))
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(freq.where(F.col("df") <= max_shingle_freq), "s").select(
+        "doc_id", "s"
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .where((F.col("inter") / F.least("na", "nb")) >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            r4(F.col("inter") / F.col("na")).alias("cont_a_in_b"),
+            r4(F.col("inter") / F.col("nb")).alias("cont_b_in_a"),
+        )
+    )

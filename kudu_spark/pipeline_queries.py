@@ -986,3 +986,39 @@ def pipeline_contamination_report(spark, sf_dir):
     return DD.contamination_report(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"))
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_SHINGLES_LIST_SQL}) AS s FROM toks
+    ), freq AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), rare AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE freq.df <= 50
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(inter / sa.n * 10000.0 + 0.5) / 10000.0 AS cont_a_in_b,
+           floor(inter / sb.n * 10000.0 + 0.5) / 10000.0 AS cont_b_in_a
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / least(sa.n, sb.n) >= 0.8
+    """,
+    gated=False,  # dedup family gated via dedup_exact/minhash
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.py
+    ngram_containment_pairs): catches a short doc embedded in a long
+    one, which symmetric Jaccard under-scores. Same freq-capped
+    inverted-index shape as the Jaccard operator."""
+    return DD.ngram_containment_pairs(load(spark, sf_dir, "documents"))

@@ -428,3 +428,28 @@ def test_contamination_report_fractions(spark):
     assert got[1] == (4, 1, 0.25)
     assert got[2][1] == 0 and got[2][2] == 0.0
     assert 3 not in got
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """The asymmetric case Jaccard misses: a short doc fully embedded
+    in a much longer one — containment of the short side ≈ 1 while
+    Jaccard sits far below any dedup threshold."""
+    from kudu_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("intro words here " + short
+            + " plus a very long unique tail " +
+            " ".join(f"tail{i}" for i in range(40)))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely unrelated text body")],
+        "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in ngram_containment_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)][0] == 1.0  # every shingle of the short doc is in the long
+    assert got[(1, 2)][1] < 0.2
+    # symmetric Jaccard at the same threshold finds nothing
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0

@@ -1012,6 +1012,8 @@ def test_partial_compaction_keeps_delete_subtraction(engine, spark):
     assert {r.k for r in got.collect()} == {9, 399}, \
         "deleted keys leaked back through the old commit-wide sidecar"
     assert t.statistics()["presence_exact"] is True
+    # the absorbed sidecar's byte bookkeeping stays audit-consistent
+    assert engine.fsck("pt")["pt"]["ok"], "fsck flags the absorbed sidecar"
     # inserting the deleted keys again works (exactly-absent short path)
     t.insert(spark.createDataFrame([(8, "back")], "k bigint, v string"))
     assert engine.table("pt").scan(filters=[("k", "=", 8)]).count() == 1
