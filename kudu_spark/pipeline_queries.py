@@ -967,7 +967,8 @@ def dedup_keep_best(spark, sf_dir):
     bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
     SELECT sh.doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
            round(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 4) AS contamination
     FROM sh LEFT JOIN bench ON sh.s = bench.s
