@@ -126,10 +126,20 @@ def engine_vs_parquet(spark, sf_dir: str) -> dict:
     )
     t.upsert(tenth)
     mutated = ratio()
+    # delete ~2% on TOP of the live upsert deltas (r10: delete deltas
+    # carry indexed tombstone-key sidecars): the merge window now
+    # subtracts deletions too — the worst merge-on-read state a table
+    # passes through between maintenance passes. Parquet side is
+    # unchanged (its rows don't shrink), so the ratio honestly charges
+    # the engine for the deleted rows it no longer returns.
+    t = eng.table("lineitem")
+    t.delete(t.scan(columns=["l_rowid"]).where(F.col("l_rowid") % 50 == 3))
+    deleted = ratio()
     t.compact()
     compacted = ratio()
     shutil.rmtree(wh, ignore_errors=True)
-    return {"clean": clean, "mutated": mutated, "compacted": compacted}
+    return {"clean": clean, "mutated": mutated, "deleted": deleted,
+            "compacted": compacted}
 
 
 def main() -> None:
