@@ -952,6 +952,32 @@ class Engine:
             rep["log_gaps"] = sorted(
                 set(range(1, max(versions) + 1)) - set(versions)
             ) if versions else []
+            if repair and rep["bad_sidecars"] and not log_pruned:
+                # repair = shed the unreadable sidecar references in one
+                # re-point commit: probes DECLINE cleanly (coverage <
+                # 1.0 in statistics) instead of failing mid-task, and
+                # compact(full=True) rebuilds honest coverage. A direct
+                # rebuild from the current files could silently DROP an
+                # absorbed delete family (keys whose source files are
+                # gone), resurrecting deleted keys in older sidecars —
+                # an integrity tool must never trade corruption for a
+                # wrong answer.
+                from kudu_spark.meta import FileEntry
+                from kudu_spark.table import Table
+
+                t = Table(self.spark, tname, root)
+                bad = set(rep["bad_sidecars"])
+                entries = []
+                for f in st.files:
+                    if f.bloom in bad:
+                        nf = FileEntry.from_json(f.to_json())
+                        nf.bloom = None
+                        entries.append(nf)
+                if entries:
+                    t._commit(st, "fsck_repair", entries,
+                              removes=[e.path for e in entries],
+                              retries=1, restamp_seq=False)
+                    rep["repaired_sidecars"] = sorted(bad)
             rep["ok"] = not (rep["missing"] or rep["size_mismatch"]
                              or rep["bad_sidecars"])
             out[tname] = rep

@@ -727,3 +727,34 @@ def test_maintenance_sweep_skips_disabled_and_locked(engine, spark):
     finally:
         t2._maint_lock.release()
     assert engine.maintenance_sweep() == {"ms": True}
+
+
+def test_fsck_repair_sheds_bad_sidecar_refs(engine, spark):
+    """fsck(repair=True) on a corrupt sidecar: the references are shed
+    in one re-point commit — probes decline cleanly, a follow-up fsck
+    is OK, and compact(full=True) rebuilds exact coverage. Never a
+    direct rebuild (it could drop an absorbed delete family and
+    resurrect deleted keys)."""
+    import os
+    import shutil
+
+    engine.create_table("fr", [("k", "bigint", False)], pk=["k"])
+    engine.alter_table("fr").set_property("pk_bloom_cols", "k").apply()
+    t = engine.table("fr")
+    t.insert(spark.range(100).select(F.col("id").alias("k")))
+    t = engine.table("fr")
+    rel = t.state().files[0].bloom
+    shutil.rmtree(os.path.join(t.root, rel))
+    rep = engine.fsck("fr", repair=True)["fr"]
+    assert rep["bad_sidecars"] == [rel]
+    assert rep["repaired_sidecars"] == [rel]
+    t = engine.table("fr")
+    assert all(f.bloom is None for f in t.state().files)
+    assert t.scan().count() == 100  # data untouched
+    probe = spark.range(5).select(F.col("id").alias("k"))
+    assert t.present_key_probe(probe, ["k"]) is None  # declines, not crashes
+    assert engine.fsck("fr")["fr"]["ok"]  # clean after repair
+    t.compact(full=True)
+    t = engine.table("fr")
+    got = t.present_key_check(probe, ["k"])
+    assert got is not None and got.count() == 5
