@@ -100,6 +100,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--max-sweeps", type=int, default=64)
     sp = sub.add_parser(
+        "log-dump",
+        help="print a table's commit log entries as JSON lines "
+             "(≈ `kudu wal dump` / `kudu local_replica dump wals`, "
+             "tools/tool_action_wal.cc — our WAL is the commit log)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("--min-version", type=int, default=None)
+    sp.add_argument("--max-version", type=int, default=None)
+    sp.add_argument("--ops-only", action="store_true",
+                    help="one summary line per commit instead of full payloads")
+    sp = sub.add_parser(
         "sql",
         help="run SQL statement(s) over the warehouse (SELECT + the "
              "Impala-on-Kudu DML/DDL surface; ';'-separated scripts ok)",
@@ -162,6 +173,24 @@ def main(argv: list[str] | None = None) -> int:
         print(f"restored {args.table} as {t.name} ({t.scan().count()} rows)")
     elif args.cmd == "locate-row":
         print(json.dumps(eng.locate_row(args.table, json.loads(args.pk))))
+    elif args.cmd == "log-dump":
+        from kudu_spark.meta import read_log
+
+        t = eng.table(args.table)
+        for c in read_log(t.root, max_version=args.max_version,
+                          min_version=args.min_version):
+            if args.ops_only:
+                adds = sum(1 for a in c.get("actions", []) if a["type"] == "add")
+                rms = sum(1 for a in c.get("actions", []) if a["type"] == "remove")
+                rows = sum(a["file"].get("rows", 0)
+                           for a in c.get("actions", []) if a["type"] == "add")
+                print(json.dumps({
+                    "version": c["version"], "op": c.get("op"),
+                    "timestamp_ms": c.get("timestamp_ms"),
+                    "adds": adds, "removes": rms, "rows_added": rows,
+                }))
+            else:
+                print(json.dumps(c))
     elif args.cmd == "loadgen":
         import time as _time
 

@@ -537,3 +537,96 @@ def kmeans_oracle_sql(query_ids: list[int], k: int = 5, n_centroids: int = 8,
     FROM scored QUALIFY rank <= {k}
     """
     )
+
+
+def quantize_expr(col, scale_col):
+    """Symmetric int8 scalar quantization: round(v * scale) with the
+    floor(x+0.5) rounding both engines implement identically, clamped
+    to [-127, 127]. ``scale_col`` is the per-vector 127/max|v|."""
+    return F.transform(
+        _dbl(col),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x * scale_col + 0.5)),
+        ),
+    )
+
+
+def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k over symmetric INT8-quantized vectors —
+    the memory-side half of a production ANN deployment (4x smaller
+    vectors; IVF cells or GPU shards hold 4x more of the corpus), with
+    the recall cost made measurable: the output schema matches
+    brute_force_topk, so overlap@k against the exact ranking IS the
+    quantization recall. Quantization is per-vector symmetric
+    (scale = 127/max|v|), dequantized on the fly; cosine is scale-
+    invariant per side so only the ROUNDING perturbs the ranking.
+
+    Scale shape matches brute_force_topk: queries broadcast, corpus
+    streams once, per-query top-k is a partitioned rank window
+    (WindowGroupLimit). Quantization is a codegen transform — at a
+    real deployment the int8 arrays would be the STORED column and
+    this operator's scan side reads 4x fewer bytes."""
+    mx = F.aggregate(
+        F.transform(_dbl(F.col("embedding")), lambda x: F.abs(x)),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    qe = emb.select(
+        "vec_id", quantize_expr(F.col("embedding"), scale).alias("qv8"))
+    q = qe.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv8").alias("qq"))
+    cand = qe.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("qv8").alias("cv"))
+    # zero vectors quantize to all-zero: guard the norm product so the
+    # cosine reads NULL (sorts last under DESC) instead of an ANSI
+    # divide-by-zero failing the job
+    nn = norm_expr("qq") * norm_expr("cv")
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.when(nn > 0, dot_expr("qq", "cv") / nn).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("c", 6).alias("cosine_q8"))
+    )
+
+
+def quantized_topk_sql(query_ids: list[int], k: int = 10,
+                       dims: int = DIMS) -> str:
+    """DuckDB twin of quantized_topk over the ``embeddings`` view."""
+    ids = ", ".join(str(i) for i in query_ids)
+    q8 = (f"list_transform(embedding, x -> greatest(-127.0, least(127.0, "
+          f"floor(CAST(x AS DOUBLE) * sc + 0.5))))")
+    return f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc
+      FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings
+      )
+    ),
+    qe AS (SELECT vec_id, {q8} AS qv8 FROM scaled),
+    q AS (SELECT vec_id AS query_id, qv8 AS qq FROM qe WHERE vec_id IN ({ids})),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CASE WHEN sqrt({dot_sql('q.qq', 'q.qq', dims)})
+                       * sqrt({dot_sql('e.qv8', 'e.qv8', dims)}) > 0
+                  THEN {cosine_sql('q.qq', 'e.qv8', dims)} END AS c
+      FROM qe e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(c, 6) AS cosine_q8 FROM (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

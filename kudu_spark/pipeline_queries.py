@@ -1023,3 +1023,17 @@ def dedup_ngram_containment(spark, sf_dir):
     one, which symmetric Jaccard under-scores. Same freq-capped
     inverted-index shape as the Jaccard operator."""
     return DD.ngram_containment_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_quantized_topk",
+    oracle=SIM.quantized_topk_sql([3, 11], k=10),
+    gated=False,  # ANN family gated via ann_bruteforce/ivf/kmeans
+)
+def ann_quantized_topk(spark, sf_dir):
+    """INT8-quantized brute-force cosine top-k (operators/similarity.py
+    quantized_topk): the 4x-memory half of a production ANN stack with
+    the recall cost measurable against ann_bruteforce_topk's exact
+    ranking. Codegen quantize transform, broadcast queries, one corpus
+    pass, WindowGroupLimit per-query top-k."""
+    return SIM.quantized_topk(load(spark, sf_dir, "embeddings"), [3, 11], k=10)

@@ -129,6 +129,16 @@ def test_cli_roundtrip(engine, spark, tmp_path, capsys):
     assert desc["owner"] == "carol" and desc["replicas"] == 1
     assert cli.main(["--warehouse", wh, "locate-row", "c1", "--pk", '{"k": 5}']) == 0
     assert "hash" in capsys.readouterr().out
+    # log-dump (≈ `kudu wal dump`): one JSON line per commit
+    assert cli.main(["--warehouse", wh, "log-dump", "c1", "--ops-only"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [d["version"] for d in lines] == list(range(1, len(lines) + 1))
+    assert lines[0]["op"] == "create" and lines[1]["op"] == "insert"
+    assert lines[1]["rows_added"] == 20
+    assert cli.main(["--warehouse", wh, "log-dump", "c1",
+                     "--min-version", "1", "--max-version", "2"]) == 0
+    full = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(full) == 1 and full[0]["version"] == 2 and "actions" in full[0]
 
 
 def test_cli_maintenance_drains_deferred_backlog(engine, spark, capsys):

