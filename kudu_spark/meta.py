@@ -325,6 +325,15 @@ class FileEntry:
     # rows without rebuilding O(delta) state per query. Shared by every
     # delta file of the commit; GC'd by vacuum when unreferenced.
     bloom: str | None = None
+    # delete-mark classification derived from the file's own parquet
+    # __deleted footer stats at flush (kind == "delta" only): "L" =
+    # every row group proves max(__deleted)=false (all-live), "D" =
+    # every row group proves min(__deleted)=true (pure tombstones),
+    # None = mixed or unprovable. Lets the snapshot planner separate
+    # DELETE application from row materialization (≈ Kudu's delta
+    # relevancy, tablet/delta_relevancy.h, tablet/delta_applier.h:52)
+    # without opening a single data file.
+    dmark: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -340,6 +349,8 @@ class FileEntry:
         }
         if self.bloom:
             d["bloom"] = self.bloom
+        if self.dmark:
+            d["dmark"] = self.dmark
         return d
 
     @staticmethod
@@ -347,7 +358,7 @@ class FileEntry:
         return FileEntry(
             d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
             d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
-            d.get("bloom"),
+            d.get("bloom"), d.get("dmark"),
         )
 
 

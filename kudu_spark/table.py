@@ -608,6 +608,42 @@ class Table:
             if len(delta_seqs if seqs is None else seqs) == 1:
                 return df if include_deleted else df.where(~F.col(DEL_COL))
             return merge(df)
+
+        def merge_delta_files(files, df=None):
+            # Delete-aware delta materialization (≈ Kudu separating
+            # DELETE application from row projection,
+            # tablet/delta_relevancy.h, tablet/delta_applier.h:52).
+            # A pure-delete commit (manifest dmark "D", proven from
+            # the file's own __deleted footer stats at flush)
+            # contributes no OUTPUT rows — only a key set. When every
+            # pure-delete commit outranks every live delta (the steady
+            # state: deletes land after the mutations they shadow),
+            # subtract the delete keys with a broadcast anti join and
+            # keep the LIVE deltas on the single-seq tombstone-filter
+            # fast path — predicates keep pushing into the live delta
+            # scan, which the global row_number fallback blocks.
+            live = [f for f in files if f.dmark == "L"]
+            dels = [f for f in files if f.dmark == "D"]
+            if (include_deleted                      # ghosts must survive
+                    or len(live) + len(dels) != len(files)  # mixed/unmarked
+                    or not dels
+                    or (live and min(f.seq for f in dels)
+                        <= max(f.seq for f in live))):  # delete predates a live delta
+                d = self._read_files(st, files) if df is None else df
+                return merge_deltas(d, {f.seq for f in files})
+            if not live:
+                # every delta row is a tombstone: zero output rows
+                # (Catalyst folds the false filter to an empty
+                # relation — the delete files are never scanned here;
+                # their keys still ride the caller's base anti join)
+                return self._read_files(st, dels).where(F.lit(False))
+            merged_live = merge_deltas(self._read_files(st, live),
+                                       {f.seq for f in live})
+            keys = self._read_files(st, dels).select(*pk)
+            del_key_bytes = sum(f.rows for f in dels) * 64 * max(1, len(pk))
+            keys = (F.broadcast(keys) if 0 < del_key_bytes <= max(bcast, 0)
+                    else keys.hint("SHUFFLE_HASH"))
+            return merged_live.join(keys, on=pk, how="left_anti")
         base_rows = sum(f.rows for f in dirty_base)
         delta_rows = sum(f.rows for f in dirty_delta)
         # broadcastability estimate for the delta-key set: a broadcast
@@ -663,7 +699,7 @@ class Table:
                 parts = []
                 for base_g, delta_g in groups:
                     df_delta_g = self._read_files(st, delta_g)
-                    merged_g = merge_deltas(df_delta_g, {f.seq for f in delta_g})
+                    merged_g = merge_delta_files(delta_g)
                     df_base_g = self._read_files(st, base_g)
                     if df_base_g is None:
                         parts.append(merged_g)
@@ -694,7 +730,7 @@ class Table:
                 # shared JVM.
                 df_dirty = (
                     self._bloom_split_plan(st, dirty_base, dirty_delta,
-                                           merge_deltas, pk)
+                                           merge_delta_files, pk)
                     if plan_pref == "bloom" else None
                 )
                 if df_dirty is None:
@@ -712,7 +748,7 @@ class Table:
                     keys = df_delta.select(*pk).hint("SHUFFLE_HASH")
                     df_dirty = (
                         df_base.join(keys, on=pk, how="left_anti")
-                        .unionByName(merge_deltas(df_delta))
+                        .unionByName(merge_delta_files(dirty_delta, df_delta))
                     )
         elif (dirty_base and dirty_delta
               and delta_rows * 4 <= base_rows and 0 < key_bytes <= max(bcast, 0)):
@@ -730,7 +766,8 @@ class Table:
             # delta-heavy partitions (or delta-only): one global window
             df_dirty = self._read_files(st, dirty)
             if df_dirty is not None:
-                df_dirty = merge_deltas(df_dirty) if not dirty_base else merge(df_dirty)
+                df_dirty = (merge_delta_files(dirty, df_dirty)
+                            if not dirty_base else merge(df_dirty))
         if df_clean is None and df_dirty is None:
             # empty table: zero-row frame with the right schema
             ddl = st.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"
@@ -818,7 +855,7 @@ class Table:
     DELTA_BLOOM_MAX_EXPRS = 6
 
     def _bloom_split_plan(self, st: TableState, dirty_base: list["FileEntry"],
-                          dirty_delta: list["FileEntry"], merge_deltas, pk):
+                          dirty_delta: list["FileEntry"], merge_delta_files, pk):
         """Merge plan over the commit-time delta-key bloom sidecars
         (plans/delta_bloom.py; ≈ Kudu consulting rowset bloomfiles,
         tablet/tablet.cc:116-124):
@@ -862,7 +899,7 @@ class Table:
         return (
             df_base.where(~contested)
             .unionByName(df_base.where(contested).join(keys, on=pk, how="left_anti"))
-            .unionByName(merge_deltas(df_delta))
+            .unionByName(merge_delta_files(dirty_delta, df_delta))
         )
 
     def _split_disjoint_bases(self, st: TableState, clean: list[FileEntry],
@@ -1411,16 +1448,21 @@ class Table:
             # footer absence is only a lost fast path now, never a
             # wrong answer (ADVICE r9: the old meta-only marker could
             # cover a mixed commit and fabricate false negatives).
-            if not has_tombstones and kind == "delta":
+            dmark = None
+            if kind == "delta":
                 di = sch_names.get(DEL_COL)
-                if di is None:
-                    has_tombstones = True
-                else:
+                if di is not None:
+                    all_live = all_del = True
                     for rg in range(md.num_row_groups):
                         stat = md.row_group(rg).column(di).statistics
-                        if stat is None or not stat.has_min_max or stat.max:
-                            has_tombstones = True
+                        if stat is None or not stat.has_min_max:
+                            all_live = all_del = False
                             break
+                        all_live = all_live and not stat.max
+                        all_del = all_del and bool(stat.min)
+                    dmark = "L" if all_live else ("D" if all_del else None)
+                if dmark != "L":
+                    has_tombstones = True
             if senv is self._env:
                 self._env.replace(fsrc, dst)  # same-store atomic move
             else:
@@ -1437,6 +1479,7 @@ class Table:
                     kind=kind,
                     min_pk=mn,
                     max_pk=mx,
+                    dmark=dmark,
                 )
             )
         senv.rmtree(staging)

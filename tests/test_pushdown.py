@@ -656,3 +656,64 @@ def test_no_cartesian_or_row_udf_anywhere(spark, sf_dir):
         if hits:
             bad[name] = hits
     assert not bad, f"plan contract violations: {bad}"
+
+
+def test_pure_delete_deltas_keep_pushdown(engine, spark):
+    """Delete-aware dirty planning (≈ Kudu separating DELETE
+    application from row materialization, tablet/delta_relevancy.h):
+    a live-delta commit followed by a newer pure-delete commit must
+    NOT fall back to the global row_number window — non-key predicates
+    keep pushing into both the base and the live-delta parquet scans,
+    and the delete keys ride an anti join."""
+    t = engine.create_table(
+        "pdel", SCHEMA, pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    engine.alter_table("pdel").set_property("auto_compact", "false").apply()
+    t = engine.table("pdel")  # keep the deltas live
+    t.insert(spark.createDataFrame(
+        [(k, k * 10, f"s{k}") for k in range(1000)], "k bigint, v int, s string"
+    ))
+    t.upsert(spark.createDataFrame(
+        [(k, k * 10 + 1, f"u{k}") for k in range(0, 1000, 10)],
+        "k bigint, v int, s string",
+    ))
+    t.delete(spark.createDataFrame([(k,) for k in range(0, 1000, 50)], "k bigint"))
+    st = t.state()
+    kinds = {(f.kind, f.dmark) for f in st.files}
+    assert ("delta", "D") in kinds, kinds  # delete commit marked pure-delete
+    assert ("delta", "L") in kinds, kinds  # upsert commit marked all-live
+    df = t.scan(filters=[("v", ">=", 100)])
+    plan = plan_of(df)
+    assert "row_number" not in plan and "Window" not in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(v,100)" in plan
+    # values: upserts win, deleted keys gone
+    rows = {r["k"]: (r["v"], r["s"]) for r in df.collect()}
+    assert 50 not in rows and 0 not in rows
+    assert rows[10] == (101, "u10")
+    assert rows[11] == (110, "s11")
+    assert len(rows) == {k for k in range(1000) if k * 10 >= 100 or (
+        k % 10 == 0 and k * 10 + 1 >= 100)} .__len__() - len(
+        [k for k in range(0, 1000, 50) if k * 10 >= 100 or k * 10 + 1 >= 100])
+
+
+def test_delete_only_dirty_state_is_single_anti_join(engine, spark):
+    """After compaction absorbs live deltas, a remaining pure-delete
+    delta must plan as ONE broadcast anti join over the base scan —
+    no union arms, no window (the empty live side folds away)."""
+    t = engine.create_table(
+        "pdel2", SCHEMA, pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    engine.alter_table("pdel2").set_property("auto_compact", "false").apply()
+    t = engine.table("pdel2")
+    t.insert(spark.createDataFrame(
+        [(k, k * 10, f"s{k}") for k in range(1000)], "k bigint, v int, s string"
+    ))
+    t.delete(spark.createDataFrame([(k,) for k in range(0, 1000, 50)], "k bigint"))
+    df = t.scan()
+    plan = plan_of(df)
+    assert "row_number" not in plan and "Window" not in plan
+    assert plan.count("BroadcastHashJoin LeftAnti") == 1, plan
+    assert "Union" not in plan
+    assert df.count() == 1000 - 20
