@@ -721,15 +721,18 @@ class Engine:
             return  # already running
         stop = threading.Event()
         stats = {"sweeps": 0, "compactions": 0, "errors": 0}
+        stats_lock = threading.Lock()  # daemon writes, stop_maintenance reads
 
         def loop():
             while not stop.wait(interval_s):
                 try:
                     did = self.maintenance_sweep()
-                    stats["sweeps"] += 1
-                    stats["compactions"] += sum(1 for v in did.values() if v)
+                    with stats_lock:
+                        stats["sweeps"] += 1
+                        stats["compactions"] += sum(1 for v in did.values() if v)
                 except Exception:
-                    stats["errors"] += 1
+                    with stats_lock:
+                        stats["errors"] += 1
                     import logging
 
                     logging.getLogger("kudu_spark.maintenance").warning(
@@ -737,7 +740,7 @@ class Engine:
 
         th = threading.Thread(target=loop, name="kudu-maintenance-mgr",
                               daemon=True)
-        self._maint_daemon = (th, stop, stats)
+        self._maint_daemon = (th, stop, stats, stats_lock)
         th.start()
 
     def stop_maintenance(self, drain: bool = False) -> dict:
@@ -747,13 +750,14 @@ class Engine:
         d = getattr(self, "_maint_daemon", None)
         if d is None:
             return {}
-        th, stop, stats = d
+        th, stop, stats, stats_lock = d
         stop.set()
         th.join(timeout=60)
         self._maint_daemon = None
         if drain:
             self.maintenance_sweep()
-        return dict(stats)
+        with stats_lock:
+            return dict(stats)
 
     def maintenance_sweep(self) -> dict:
         """One non-blocking maintenance pass: each live table whose

@@ -87,16 +87,34 @@ class _MirrorCache:
     immutable per version — re-fetch after eviction is always correct).
     Same LRU shape as the presence shard cache (plans/presence.py)."""
 
-    def __init__(self, max_bytes: int | None = None):
+    # eviction grace: a mirror handed out to a LAZY DataFrame may be
+    # read long after spark_path returned, so eviction never unlinks
+    # an entry accessed within this window — the byte cap is SOFT by
+    # up to the grace window's traffic (driver-local dev/test schemes
+    # only; the distributed path never mirrors). Without it, enough
+    # intervening mirror churn (> cap) would delete a file a pending
+    # plan still references — a confusing FileNotFound at action time.
+    EVICT_GRACE_S = 300.0
+
+    def __init__(self, max_bytes: int | None = None,
+                 grace_s: float | None = None):
         self.max_bytes = (
             int(os.environ.get("KUDU_SPARK_MIRROR_CACHE_BYTES", 1 << 30))
             if max_bytes is None else max_bytes
         )
-        self._entries: dict[tuple, tuple[str, int]] = {}  # key -> (local, bytes)
+        self.grace_s = (
+            float(os.environ.get("KUDU_SPARK_MIRROR_GRACE_S",
+                                 self.EVICT_GRACE_S))
+            if grace_s is None else grace_s
+        )
+        # key -> (local, bytes, last_access_monotonic)
+        self._entries: dict[tuple, tuple[str, int, float]] = {}
         self._bytes = 0
         self._lock = threading.Lock()
 
     def get(self, key) -> str | None:
+        import time as _t
+
         with self._lock:
             hit = self._entries.pop(key, None)
             if hit is None:
@@ -104,23 +122,33 @@ class _MirrorCache:
             if not os.path.exists(hit[0]):
                 self._bytes -= hit[1]
                 return None
-            self._entries[key] = hit  # reinsert at tail: LRU recency
+            # reinsert at tail (LRU recency) with a fresh access stamp
+            self._entries[key] = (hit[0], hit[1], _t.monotonic())
             return hit[0]
 
     def put(self, key, local: str) -> None:
+        import time as _t
+
         try:
             nbytes = os.path.getsize(local)
         except OSError:
             nbytes = 0
+        now = _t.monotonic()
         with self._lock:
             old = self._entries.pop(key, None)
             if old is not None:
                 self._bytes -= old[1]
-            self._entries[key] = (local, nbytes)
+            self._entries[key] = (local, nbytes, now)
             self._bytes += nbytes
-            while self._bytes > self.max_bytes and len(self._entries) > 1:
-                _k, (path, b) = next(iter(self._entries.items()))
-                self._entries.pop(_k)
+            # evict oldest-first, but SKIP entries still inside the
+            # grace window — a pending lazy plan may read them
+            for k in list(self._entries):
+                if self._bytes <= self.max_bytes or len(self._entries) <= 1:
+                    break
+                path, b, seen = self._entries[k]
+                if now - seen < self.grace_s:
+                    continue
+                self._entries.pop(k)
                 self._bytes -= b
                 try:
                     os.unlink(path)
@@ -129,7 +157,7 @@ class _MirrorCache:
 
     def clear(self) -> None:
         with self._lock:
-            for path, _b in self._entries.values():
+            for path, _b, _t_ in self._entries.values():
                 try:
                     os.unlink(path)
                 except OSError:
@@ -492,7 +520,7 @@ class FsspecEnv:
 
         try:
             params = inspect.signature(self.fs.pipe_file).parameters
-            self._cond_create = "mode" in params
+            self._cond_create = "mode" in params and self._pipe_file_is_own()
         except (TypeError, ValueError):
             self._cond_create = False
         # signature acceptance is a claim, not proof — a driver could
@@ -505,6 +533,44 @@ class FsspecEnv:
         self._cond_verified = getattr(self, "_cond_verified", False)
         self.atomic_publish = bool(
             self._cond_create or self.scheme in _PUBLISH_LOCKS)
+
+    # drivers whose pipe_file(mode="create") is KNOWN to map to the
+    # store's conditional put (S3 If-None-Match, GCS generation-match,
+    # Azure If-None-Match) — accepted even though their sync pipe_file
+    # is the auto-generated async mirror, not a literal override
+    _COND_CREATE_KNOWN = {"s3", "s3a", "gs", "gcs", "abfs", "abfss", "az", "adl"}
+
+    def _pipe_file_is_own(self) -> bool:
+        """True when the driver actually IMPLEMENTS pipe_file (sync or
+        async) rather than inheriting fsspec's base class version.
+        fsspec >=2024.6 puts ``mode=`` in AbstractFileSystem.pipe_file's
+        BASE signature with a NON-atomic exists-then-write body, so
+        signature acceptance alone would classify every non-overriding
+        driver (webhdfs, sftp, ftp, ...) as conditional-create capable
+        — and the base implementation even PASSES the second-create
+        probe (its own exists() check raises FileExistsError), so the
+        runtime verification cannot catch the misclassification. Only
+        an actual override, or a whitelisted driver known to issue a
+        store conditional put, earns the capability; everything else
+        falls to the lock / gated-fallback strategies."""
+        if self.scheme in self._COND_CREATE_KNOWN:
+            return True
+        import fsspec
+
+        base = getattr(fsspec, "AbstractFileSystem", None)
+        cls = type(self.fs)
+        if base is None or not isinstance(self.fs, base):
+            return True  # non-fsspec lookalike: its method is its own
+        if getattr(cls, "pipe_file", None) is not getattr(base, "pipe_file", None):
+            return True
+        try:
+            from fsspec.asyn import AsyncFileSystem
+        except Exception:
+            return False
+        if isinstance(self.fs, AsyncFileSystem):
+            return (getattr(cls, "_pipe_file", None)
+                    is not getattr(AsyncFileSystem, "_pipe_file", None))
+        return False
 
     def __reduce__(self):  # picklable into executor closures
         return (FsspecEnv, (self.scheme,))
@@ -543,6 +609,14 @@ class FsspecEnv:
                         ignored = True
                     except FileExistsError:
                         ignored = False
+                    except Exception:
+                        # verification INCONCLUSIVE (untranslated 412 /
+                        # ClientError, transient network failure): the
+                        # commit itself already landed — never fail a
+                        # successful publish over its probe. Leave
+                        # _cond_verified False so a later publish
+                        # re-probes.
+                        return
                     if ignored:
                         self._cond_revoked = True
                         self._resolve_atomic()

@@ -1676,6 +1676,18 @@ class Table:
         for f in st.files:
             if f.bloom and f.bloom.endswith(".pidx"):
                 groups.setdefault(f.bloom, []).append(f)
+        if groups and any(
+            not (f.bloom and f.bloom.endswith(".pidx")) for f in st.files
+        ):
+            # incomplete sidecar coverage: a bloom-less commit (failed
+            # presence build, or shed by fsck --repair) could sit
+            # seq-wise INSIDE any merge window without being replayed —
+            # if it held deletes, the merged sidecar (stamped with the
+            # window's max seq) would later answer those keys 'present'
+            # with exact=True. Probes already decline while coverage
+            # < 1.0, so declining the merge costs nothing; compaction
+            # restores coverage and re-enables merging.
+            return None
         items = []  # (seq, bytes, rel, ents, mergeable), ascending seq
         for rel, ents in groups.items():
             meta = presence.read_meta(os.path.join(self.root, rel))
@@ -2804,7 +2816,8 @@ class Table:
         return self._commit_revalidated(
             st, "compact", entries,
             lambda a: self.compact(small_file_bytes, min_small_files,
-                                   io_budget_bytes, partitions, _attempts=a),
+                                   io_budget_bytes, partitions, full=full,
+                                   _attempts=a),
             removes=[f.path for f in rewrite], _attempts=_attempts,
         )
 

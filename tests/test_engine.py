@@ -758,3 +758,38 @@ def test_fsck_repair_sheds_bad_sidecar_refs(engine, spark):
     t = engine.table("fr")
     got = t.present_key_check(probe, ["k"])
     assert got is not None and got.count() == 5
+
+
+def test_compact_full_retry_preserves_full(engine, spark, monkeypatch):
+    """compact(full=True)'s conflict retry must re-run as a FULL
+    rewrite, not degrade to a plan-based partial (ADVICE r10 medium):
+    fsck --repair guidance and clearing inherited sidecar flags depend
+    on the takedown actually rewriting everything."""
+    import kudu_spark.table as TBL
+    from kudu_spark.errors import ConcurrentCommitError
+
+    t = engine.create_table("fullrt", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(50)))
+    t.upsert(simple_rows(spark, range(0, 10)))
+
+    fulls = []
+    orig_compact = TBL.Table.compact
+
+    def spy(self, *a, **kw):
+        fulls.append(bool(kw.get("full") or (len(a) >= 5 and a[4])))
+        return orig_compact(self, *a, **kw)
+
+    monkeypatch.setattr(TBL.Table, "compact", spy)
+    orig_append = TBL.append_commit
+    tripped = []
+
+    def flaky(root, version, payload):
+        if not tripped and payload.get("op") == "compact":
+            tripped.append(True)
+            raise ConcurrentCommitError("simulated")
+        return orig_append(root, version, payload)
+
+    monkeypatch.setattr(TBL, "append_commit", flaky)
+    t.compact(full=True)
+    assert tripped, "the simulated conflict never fired"
+    assert fulls == [True, True], fulls  # retry kept full=True

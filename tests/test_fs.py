@@ -401,7 +401,7 @@ def test_mirror_cache_lru_eviction_deletes_temp_copies(tmp_path):
     """The driver-local mirror caches are byte-capped LRU: eviction
     deletes the temp copy, a hit refreshes recency, and a re-fetch
     after eviction is correct (mirrored files are immutable per key)."""
-    cache = fs._MirrorCache(max_bytes=25)
+    cache = fs._MirrorCache(max_bytes=25, grace_s=0.0)
     paths = {}
     for i in range(4):
         p = str(tmp_path / f"m{i}")
@@ -425,7 +425,7 @@ def test_memory_env_spark_path_refetches_after_eviction(spark):
     fs.MemoryEnv.reset()
     env = fs.MemoryEnv()
     old = env._mirror
-    fs.MemoryEnv._mirror = fs._MirrorCache(max_bytes=1)  # evict instantly
+    fs.MemoryEnv._mirror = fs._MirrorCache(max_bytes=1, grace_s=0.0)  # evict instantly
     try:
         env.write_bytes("memory://wh/a.bin", b"alpha")
         env.write_bytes("memory://wh/b.bin", b"beta")
@@ -435,6 +435,50 @@ def test_memory_env_spark_path_refetches_after_eviction(spark):
         with open(p2, "rb") as f:
             assert f.read() == b"alpha"
         assert p1 == p2  # same deterministic local name
+    finally:
+        fs.MemoryEnv._mirror = old
+        fs.MemoryEnv.reset()
+
+
+def test_mirror_cache_grace_pins_recent_entries(tmp_path, spark):
+    """Eviction must not unlink a mirror a pending LAZY plan may still
+    read (VERDICT r10 minor #2): entries accessed within the grace
+    window survive churn past the byte cap (the cap is soft by the
+    window's traffic), and an action planned before the churn still
+    executes. Entries past the grace age evict as before."""
+    cache = fs._MirrorCache(max_bytes=25, grace_s=60.0)
+    paths = {}
+    for i in range(4):
+        p = str(tmp_path / f"g{i}")
+        with open(p, "wb") as f:
+            f.write(b"x" * 10)
+        paths[i] = p
+    for i in range(4):
+        cache.put(("k", i), paths[i])  # 40 bytes > 25-byte cap
+    assert all(os.path.exists(paths[i]) for i in range(4))  # all in grace
+    # age the oldest entry out of its grace window, then churn again
+    loc, b, _seen = cache._entries[("k", 0)]
+    cache._entries[("k", 0)] = (loc, b, -1e9)
+    cache.put(("k", 4), paths[3])
+    assert not os.path.exists(paths[0])  # aged entry evicted + deleted
+    cache.clear()
+
+    # end-to-end: plan over a mirrored file, churn past the cap, run
+    fs.MemoryEnv.reset()
+    env = fs.MemoryEnv()
+    old = env._mirror
+    fs.MemoryEnv._mirror = fs._MirrorCache(max_bytes=1)  # default grace
+    try:
+        import pandas as pd
+
+        buf = __import__("io").BytesIO()
+        pd.DataFrame({"k": [1, 2, 3]}).to_parquet(buf)
+        env.write_bytes("memory://wh/t.parquet", buf.getvalue())
+        df = spark.read.parquet(env.spark_path("memory://wh/t.parquet"))
+        for i in range(5):  # churn well past the 1-byte cap
+            env.write_bytes(f"memory://wh/churn{i}.bin", b"z" * 64)
+            env.spark_path(f"memory://wh/churn{i}.bin")
+        assert df.count() == 3  # the lazy plan still finds its mirror
     finally:
         fs.MemoryEnv._mirror = old
         fs.MemoryEnv.reset()
@@ -626,3 +670,64 @@ def test_conditional_create_verification_is_one_time(fake_fsspec):
     finally:
         env.fs.pipe_file = real
         fs._ENVS.pop("fakefs", None)
+
+
+@pytest.fixture()
+def inherited_fsspec(tmp_path, monkeypatch):
+    """A fake fsspec where AbstractFileSystem.pipe_file carries mode=
+    in its BASE signature with a NON-atomic exists-then-write body
+    (fsspec >=2024.6), and the driver does NOT override it — the shape
+    ADVICE r10 flagged: signature detection alone would classify it
+    conditional-create capable, and the runtime second-create probe
+    PASSES (the base body's own exists() check raises), so only the
+    override check catches it."""
+    import sys
+    import types
+
+    base = str(tmp_path / "inherited-store")
+    os.makedirs(base)
+
+    class _AbstractFileSystem:
+        def pipe_file(self, path, data, mode="overwrite"):
+            # fsspec's base: exists-then-write, NOT atomic
+            if mode == "create" and self.exists(path):
+                raise FileExistsError(path)
+            p = self._p(path)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(data)
+
+    class _InheritingFs(_AbstractFileSystem, _FakeFs):
+        pass  # inherits base pipe_file — no driver override
+
+    mod = types.ModuleType("fsspec")
+    mod.AbstractFileSystem = _AbstractFileSystem
+    mod.filesystem = lambda proto, **kw: _InheritingFs(base)
+    asyn = types.ModuleType("fsspec.asyn")
+
+    class _AsyncFileSystem(_AbstractFileSystem):
+        def _pipe_file(self, path, data, mode="overwrite"):
+            raise NotImplementedError
+
+    asyn.AsyncFileSystem = _AsyncFileSystem
+    mod.asyn = asyn
+    monkeypatch.setitem(sys.modules, "fsspec", mod)
+    monkeypatch.setitem(sys.modules, "fsspec.asyn", asyn)
+    fs._ENVS.pop("inheritfs", None)
+    yield base
+    fs._ENVS.pop("inheritfs", None)
+
+
+def test_inherited_base_pipe_file_not_classified_atomic(inherited_fsspec, spark):
+    """A driver that merely INHERITS fsspec's base pipe_file (mode= in
+    the signature, non-atomic body) must not earn atomic_publish — and
+    Engine must refuse multi-writer use on it (ADVICE r10 high)."""
+    env = fs.env_for_root("inheritfs://wh")
+    assert env.atomic_publish is False
+    assert env._cond_create is False
+    with pytest.raises(KuduSparkError, match="single_writer"):
+        fs.check_multi_writer_safe(env, "inheritfs://wh", single_writer=False)
+    fs.check_multi_writer_safe(env, "inheritfs://wh", single_writer=True)
+    # whitelisted protocols keep the capability even without a literal
+    # sync override (their sync pipe_file is the generated async mirror)
+    assert "s3" in fs.FsspecEnv._COND_CREATE_KNOWN

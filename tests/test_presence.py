@@ -1085,3 +1085,37 @@ def test_range_drop_sheds_punctured_sidecars(engine, spark):
     assert got is not None
     assert {r.k for r in got.collect()} == {50}
     assert t.statistics()["presence_exact"] is True
+
+
+def test_sidecar_merge_declines_on_bloomless_live_file(engine, spark):
+    """A live file with NO sidecar reference (failed presence build or
+    shed by fsck --repair) can sit seq-wise inside any merge window
+    without being replayed — if it held deletes, the merged sidecar
+    would answer those keys 'present' with exact=True (ADVICE r10
+    medium). Probes already decline at coverage<1.0, so the merge must
+    decline too instead of baking the gap in."""
+    t = engine.create_table(
+        "blm", [("k", "bigint", False), ("v", "string", True)], pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 2}],
+    )
+    engine.alter_table("blm").set_property("pk_bloom_cols", "k") \
+        .set_property("auto_compact", "false").apply()
+    t = engine.table("blm")
+    for i in range(6):
+        t.insert(spark.range(i * 100, i * 100 + 100).select(
+            F.col("id").alias("k"), F.lit(f"b{i}").alias("v")))
+        t = engine.table("blm")
+    # shed one mid-seq commit's sidecar ref the way fsck --repair does
+    st = t.state()
+    from kudu_spark.meta import FileEntry
+    victims = sorted(st.files, key=lambda f: f.seq)[2:4]
+    entries = []
+    for f in victims:
+        nf = FileEntry.from_json(f.to_json())
+        nf.bloom = None
+        entries.append(nf)
+    t._commit(st, "fsck_repair", entries,
+              removes=[e.path for e in entries], retries=1, restamp_seq=False)
+    t = engine.table("blm")
+    assert any(not f.bloom for f in t.state().files)
+    assert t.merge_presence_sidecars(max_live=2) is None
