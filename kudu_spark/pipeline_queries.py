@@ -204,6 +204,8 @@ def dedup_simhash(spark, sf_dir):
       JOIN sizes sb ON sb.doc_id = doc_b
     WHERE inter / (sa.n + sb.n - inter) >= 0.8
     """,
+    gated=False,  # r11 rotation: long-green since r4; the asymmetric
+    # containment variant takes the driver slot
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
@@ -304,6 +306,8 @@ def ann_bruteforce_topk(spark, sf_dir):
     FROM scored
     QUALIFY rank <= 5
     """,
+    gated=False,  # r11 rotation: long-green; the IVF path stays gated
+    # via ann_ivf_kmeans_topk (trained-centroid superset)
 )
 def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
@@ -531,8 +535,8 @@ _INCR_DEDUP_SQL = f"""
 @query(
     "dedup_incremental",
     oracle=_INCR_DEDUP_SQL,
-    # r9 rotation (VERDICT r8 task #8): the streaming-ingest probe's
-    # core operator gets driver verification
+    gated=False,  # r11 rotation: driver-verified r9-r10 (VERDICT r8
+    # task #8); the streaming-ingest probe pins it in pytest too
 )
 def dedup_incremental(spark, sf_dir):
     """Continuous-crawl dedup: an incoming batch (sources src0/src1)
@@ -809,7 +813,8 @@ def pipeline_split_assign(spark, sf_dir):
 @query(
     "pipeline_lm_quality",
     oracle=CP.ngram_lm_sql(3),
-    gated=True,  # rotated INTO the driver gate in r10
+    gated=False,  # r11 rotation: driver-verified r10; quality family
+    # stays gated via the profiling entries below
 )
 def pipeline_lm_quality(spark, sf_dir):
     """Character-trigram LM quality score (the CCNet perplexity-filter
@@ -823,7 +828,7 @@ def pipeline_lm_quality(spark, sf_dir):
 @query(
     "pipeline_quality_buckets",
     oracle=CP.quality_buckets_sql(CP.ngram_lm_sql(3)),
-    gated=True,  # rotated INTO the driver gate in r10
+    gated=False,  # r11 rotation: driver-verified r10
 )
 def pipeline_quality_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split over the n-gram LM score:
@@ -873,7 +878,8 @@ def retrieval_bm25_topk(spark, sf_dir):
            count(*) AS n_lists
     FROM u GROUP BY doc_id
     """,
-    gated=True,  # retrieval family; ann_* gated; pytest runs the oracle
+    gated=False,  # r11 rotation: driver-verified r10; retrieval family
+    # keeps retrieval_bm25_topk gated
 )
 def retrieval_hybrid_rrf(spark, sf_dir):
     """Hybrid search: BM25 lexical top-20 + brute-force-cosine semantic
@@ -892,7 +898,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
 @query(
     "pipeline_tfidf_terms",
     oracle=CP.tfidf_sql(k=5),
-    gated=False,  # profiling family; pytest runs the oracle
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def pipeline_tfidf_terms(spark, sf_dir):
     """Top characteristic terms per source by tf-idf
@@ -905,7 +911,7 @@ def pipeline_tfidf_terms(spark, sf_dir):
 @query(
     "pipeline_word_pair_pmi",
     oracle=CP.word_pair_pmi_sql(k=20, min_count=5),
-    gated=False,  # profiling family; pytest runs the oracle
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def pipeline_word_pair_pmi(spark, sf_dir):
     """Top collocations by PMI (operators/corpus.py word_pair_pmi):
@@ -918,7 +924,7 @@ def pipeline_word_pair_pmi(spark, sf_dir):
 @query(
     "text_sentence_stats",
     oracle=CP.sentence_stats_sql(),
-    gated=False,  # quality family gated via pipeline_lm_quality/_buckets
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def text_sentence_stats(spark, sf_dir):
     """Sentence segmentation stats per document (operators/corpus.py
@@ -929,7 +935,7 @@ def text_sentence_stats(spark, sf_dir):
 @query(
     "pipeline_corpus_profile",
     oracle=CP.corpus_profile_sql(),
-    gated=False,  # profiling family; pytest runs the oracle
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def pipeline_corpus_profile(spark, sf_dir):
     """Per-(lang, source) corpus profile — doc counts, token totals,
@@ -941,7 +947,7 @@ def pipeline_corpus_profile(spark, sf_dir):
 @query(
     "dedup_keep_best",
     oracle=DD.exact_dedup_keep_best_sql("length(text)"),
-    gated=False,  # dedup family gated via dedup_exact/minhash
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def dedup_keep_best(spark, sf_dir):
     """Quality-aware exact dedup (operators/dedup.py
@@ -975,7 +981,7 @@ def dedup_keep_best(spark, sf_dir):
     WHERE sh.source <> 'src0'
     GROUP BY sh.doc_id
     """,
-    gated=False,  # decontamination family; pytest runs the oracle
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def pipeline_contamination_report(spark, sf_dir):
     """Graded contamination signal (operators/dedup.py
@@ -1015,7 +1021,7 @@ def pipeline_contamination_report(spark, sf_dir):
       JOIN sizes sb ON sb.doc_id = doc_b
     WHERE inter / least(sa.n, sb.n) >= 0.8
     """,
-    gated=False,  # dedup family gated via dedup_exact/minhash
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def dedup_ngram_containment(spark, sf_dir):
     """Asymmetric containment near-dup (operators/dedup.py
@@ -1028,7 +1034,7 @@ def dedup_ngram_containment(spark, sf_dir):
 @query(
     "ann_quantized_topk",
     oracle=SIM.quantized_topk_sql([3, 11], k=10),
-    gated=False,  # ANN family gated via ann_bruteforce/ivf/kmeans
+    gated=True,  # r11 rotation: new-in-r10 operator gets driver verification
 )
 def ann_quantized_topk(spark, sf_dir):
     """INT8-quantized brute-force cosine top-k (operators/similarity.py

@@ -512,7 +512,8 @@ def join_returned_item_customers(spark, sf_dir):
     WHERE user_id < 50
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
-    gated=True,
+    gated=False,  # r11 rotation: long-green since r1; window family
+    # keeps window_session_events + window_tumbling_events gated
 )
 def window_user_activity(spark, sf_dir):
     """row_number / lag / running sum per user (SURVEY §2.5 — Spark built-ins)."""
@@ -531,7 +532,7 @@ def window_user_activity(spark, sf_dir):
 
 @query(
     "window_top3_orders_per_customer",
-    gated=False,  # ranking-window family gated via window_user_activity
+    gated=False,  # ranking-window family gated via window_session_events
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice
     FROM (

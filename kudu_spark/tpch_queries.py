@@ -193,6 +193,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
+    gated=False,  # r11 rotation: long-green; six TPC-H entries stay gated
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     """Q15: view + scalar-subquery max (rounded before the compare so
