@@ -148,6 +148,17 @@ class Schema:
 
         return re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string", self.ddl())
 
+    def read_ddl(self) -> str:
+        """All-nullable frame_ddl for EXPLICIT-schema parquet reads
+        (skips the reader's footer-inference round trip): NOT NULL is
+        dropped because delta tombstone rows store NULL non-PK values,
+        and a non-nullable read schema would let codegen assume what
+        the data violates."""
+        import re
+
+        cols = ", ".join(f"`{c.name}` {c.type}" for c in self.columns)
+        return re.sub(r"(?:var)?char\s*\(\s*\d+\s*\)", "string", cols)
+
     def to_json(self) -> dict:
         return {
             "columns": [c.to_json() for c in self.columns],
