@@ -431,6 +431,8 @@ def pipeline_pack_sequences(spark, sf_dir):
            CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS est_frames
     FROM documents
     """,
+    gated=False,  # r11 rotation: superseded in the gate by
+    # multimodal_image_headers (real header parsing); pytest-oracled
 )
 def multimodal_binary_stats(spark, sf_dir):
     """Multimodal metadata pass: text re-encoded as an opaque binary
@@ -443,6 +445,36 @@ def multimodal_binary_stats(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return MM.binary_stats(docs)
+
+
+@query(
+    "multimodal_image_headers",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 37 = 0 THEN 'unknown'
+                WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'gif'
+                ELSE 'jpeg' END AS format,
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE CAST(doc_id % 640 + 16 AS INT) END AS width,
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE CAST(doc_id % 480 + 16 AS INT) END AS height,
+           doc_id % 37 != 0 AS parse_ok
+    FROM documents
+    """,
+)
+def multimodal_image_headers(spark, sf_dir):
+    """REAL image metadata without a codec (operators/multimodal.py
+    image_header_info): sniff PNG/GIF/BMP/JPEG magic and parse
+    dimensions from the header bytes — the pre-filter a multimodal
+    pipeline runs corpus-wide BEFORE paying any decode. Payloads are
+    synthesized deterministically from doc_id (synth_image_payloads),
+    so the oracle derives the expected parse from doc_id arithmetic
+    alone: a parser bug hash-mismatches."""
+    from kudu_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return MM.image_header_info(MM.synth_image_payloads(docs))
 
 
 @query(

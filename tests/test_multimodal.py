@@ -66,3 +66,47 @@ def test_resize_stub(media):
     out = {r.doc_id: r for r in MM.resize_stub(media, 16, 8).collect()}
     assert all(len(bytes(r.payload)) == 128 for r in out.values())
     assert out[0].width == 16 and out[0].height == 8
+
+def test_image_header_parser_units():
+    """Header parser against hand-built container bytes (no codec)."""
+    import struct
+
+    from kudu_spark.operators.multimodal import _parse_image_header as p
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 123, 456) + b"\x08\x02\x00\x00\x00")
+    assert p(png) == ("png", 123, 456, True)
+    assert p(b"GIF87a" + struct.pack("<HH", 320, 200) + b"\0\0\0") == \
+        ("gif", 320, 200, True)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert p(bmp) == ("bmp", 640, 480, True)  # negative height = top-down
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    assert p(b"\xff\xd8" + app0 + sof2) == ("jpeg", 640, 480, True)
+    # corrupt / truncated payloads never raise
+    assert p(b"") == ("unknown", None, None, False)
+    assert p(b"\x89PNG\r\n\x1a")[3] is False
+    assert p(b"\xff\xd8\xff\xe0\x00\x01") == ("jpeg", None, None, False)
+    assert p(b"\xff\xd8" + app0) == ("jpeg", None, None, False)  # no SOF
+
+
+def test_image_header_info_end_to_end(spark):
+    """Synthesized payloads round-trip through the Arrow-batched
+    parser; dimensions match the doc_id arithmetic the oracle uses,
+    and corrupt rows surface as parse_ok=false instead of failing."""
+    from kudu_spark.operators import multimodal as MM
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = MM.image_header_info(MM.synth_image_payloads(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 200
+    for i, r in rows.items():
+        if i % 37 == 0:
+            assert (r.format, r.width, r.height, r.parse_ok) == \
+                ("unknown", None, None, False)
+        else:
+            want = ["png", "gif", "jpeg"][i % 3]
+            assert r.format == want, (i, r)
+            assert (r.width, r.height) == (i % 640 + 16, i % 480 + 16)
+            assert r.parse_ok
