@@ -282,3 +282,121 @@ def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return src.mapInPandas(synth, "doc_id long, payload binary")
+
+
+AUDIO_HEADER_DDL = ("doc_id long, format string, channels int, "
+                    "sample_rate int, bits int, n_frames bigint, "
+                    "duration_ms bigint, parse_ok boolean")
+
+
+def _parse_audio_header(b: bytes):
+    """(format, channels, sample_rate, bits, n_frames, duration_ms, ok)
+    from a RIFF/WAVE container: walk the chunk list to 'fmt ' (PCM
+    layout) and 'data' (payload size -> frame count -> duration). Pure
+    byte arithmetic — no audio codec involved; corrupt input parses to
+    unknown/ok=False, never raises."""
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return ("unknown", None, None, None, None, None, False)
+        ch = rate = bits = block = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                rate = int.from_bytes(b[i + 12:i + 16], "little")
+                block = int.from_bytes(b[i + 20:i + 22], "little")
+                if i + 24 <= len(b):
+                    bits = int.from_bytes(b[i + 22:i + 24], "little")
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if ch and rate and block and data_size is not None:
+            frames = data_size // block
+            return ("wav", ch, rate, bits, frames,
+                    frames * 1000 // rate, True)
+        return ("wav", ch, rate, bits, None, None, False)
+    except Exception:
+        return ("unknown", None, None, None, None, None, False)
+
+
+def audio_header_info(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide audio metadata without decoding a sample: channel
+    count, sample rate, bit depth and duration parsed from the
+    RIFF/WAVE chunk list — the pre-filter for duration/sample-rate
+    bucketing before any resample/feature stage runs. Same Arrow-
+    batched mapInPandas shape as image_header_info."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols = {k: [] for k in ("format", "channels", "sample_rate",
+                                    "bits", "n_frames", "duration_ms",
+                                    "parse_ok")}
+            for payload in pdf["payload"]:
+                fmt, ch, rate, bits, fr, dur, ok = _parse_audio_header(
+                    bytes(payload) if payload is not None else b"")
+                cols["format"].append(fmt)
+                cols["channels"].append(ch)
+                cols["sample_rate"].append(rate)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(fr)
+                cols["duration_ms"].append(dur)
+                cols["parse_ok"].append(ok)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "format": cols["format"],
+                "channels": pd.array(cols["channels"], dtype="Int32"),
+                "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                "bits": pd.array(cols["bits"], dtype="Int32"),
+                "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "parse_ok": cols["parse_ok"],
+            })
+
+    return src.mapInPandas(parse, AUDIO_HEADER_DDL)
+
+
+def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake WAV payloads: doc_id picks channels
+    (1 + id % 2), sample rate (8000 << (id % 3)), 16-bit PCM, and a
+    data chunk of (id % 50 + 1) frames; every 41st row is garbage —
+    so an oracle can derive the expected parse from doc_id arithmetic
+    alone. Headers are structurally valid RIFF/WAVE with fmt+data
+    chunks (and a junk LIST chunk first, so the chunk walk is
+    exercised)."""
+    import struct
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 41 == 0:
+                    payloads.append(b"RIFX\x00\x00")
+                    continue
+                ch = 1 + i % 2
+                rate = 8000 << (i % 3)
+                bits = 16
+                block = ch * bits // 8
+                frames = i % 50 + 1
+                lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+                fmt = (b"fmt " + struct.pack("<I", 16)
+                       + struct.pack("<HHIIHH", 1, ch, rate,
+                                     rate * block, block, bits))
+                data = b"data" + struct.pack("<I", frames * block) \
+                    + b"\x00" * (frames * block)
+                body = b"WAVE" + lst + fmt + data
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(synth, "doc_id long, payload binary")

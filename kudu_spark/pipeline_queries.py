@@ -478,6 +478,41 @@ def multimodal_image_headers(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_headers",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 41 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 41 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+           CASE WHEN doc_id % 41 = 0 THEN NULL
+                ELSE CAST(8000 * (1 << CAST(doc_id % 3 AS INT)) AS INT)
+                END AS sample_rate,
+           CASE WHEN doc_id % 41 = 0 THEN NULL ELSE 16 END AS bits,
+           CASE WHEN doc_id % 41 = 0 THEN NULL
+                ELSE doc_id % 50 + 1 END AS n_frames,
+           CASE WHEN doc_id % 41 = 0 THEN NULL
+                ELSE (doc_id % 50 + 1) * 1000
+                     // (8000 * (1 << CAST(doc_id % 3 AS INT)))
+                END AS duration_ms,
+           doc_id % 41 != 0 AS parse_ok
+    FROM documents
+    """,
+    gated=False,  # multimodal family gated via multimodal_image_headers
+)
+def multimodal_audio_headers(spark, sf_dir):
+    """REAL audio metadata without a codec (operators/multimodal.py
+    audio_header_info): channels / sample rate / bit depth / duration
+    parsed from the RIFF/WAVE chunk list. Payloads synthesized
+    deterministically from doc_id (synth_audio_payloads, with a junk
+    LIST chunk so the walk is exercised); the oracle derives the
+    expected parse from doc_id arithmetic alone."""
+    from kudu_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return MM.audio_header_info(MM.synth_audio_payloads(docs))
+
+
+@query(
     "multimodal_frame_positions",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -110,3 +110,42 @@ def test_image_header_info_end_to_end(spark):
             assert r.format == want, (i, r)
             assert (r.width, r.height) == (i % 640 + 16, i % 480 + 16)
             assert r.parse_ok
+
+
+def test_audio_header_parser_units():
+    import struct
+
+    from kudu_spark.operators.multimodal import _parse_audio_header as p
+
+    ch, rate, bits, frames = 2, 16000, 16, 25
+    block = ch * bits // 8
+    fmt = (b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits))
+    data = b"data" + struct.pack("<I", frames * block) + b"\x00" * (frames * block)
+    body = b"WAVE" + b"LIST" + struct.pack("<I", 4) + b"INFO" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert p(wav) == ("wav", 2, 16000, 16, 25, 1, True)
+    assert p(b"RIFX\x00") == ("unknown", None, None, None, None, None, False)
+    assert p(b"RIFF\x00\x00\x00\x00WAVE")[7 - 1] is False  # no chunks
+    # odd-sized chunk: word alignment must not derail the walk
+    odd = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    body2 = b"WAVE" + odd + fmt + data
+    assert p(b"RIFF" + struct.pack("<I", len(body2)) + body2)[0] == "wav"
+
+
+def test_audio_header_info_end_to_end(spark):
+    from kudu_spark.operators import multimodal as MM
+
+    docs = spark.range(120).select(F.col("id").alias("doc_id"))
+    rows = {r.doc_id: r
+            for r in MM.audio_header_info(MM.synth_audio_payloads(docs)).collect()}
+    assert len(rows) == 120
+    for i, r in rows.items():
+        if i % 41 == 0:
+            assert (r.format, r.parse_ok) == ("unknown", False)
+        else:
+            assert (r.format, r.channels, r.sample_rate, r.bits) == \
+                ("wav", 1 + i % 2, 8000 << (i % 3), 16)
+            assert r.n_frames == i % 50 + 1
+            assert r.duration_ms == (i % 50 + 1) * 1000 // (8000 << (i % 3))
+            assert r.parse_ok
