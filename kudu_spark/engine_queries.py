@@ -503,3 +503,42 @@ def engine_sql_txn_scan(spark, sf_dir):
     """)
     assert eng.table("sqltxn").version == v0 + 1, "txn must be ONE commit"
     return eng.table("sqltxn").scan()
+
+
+@query(
+    "engine_quantized_scan",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS sc, embedding
+      FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings
+      )
+    )
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor(CAST(x AS DOUBLE) * sc + 0.5))) AS TINYINT)) AS __q8_embedding,
+           CAST(sc AS FLOAT) AS __q8s_embedding
+    FROM scaled
+    """,
+    gated=False,  # ANN family gated via ann_quantized_topk; pytest-oracled
+)
+def engine_quantized_scan(spark, sf_dir):
+    """Stored int8 vector columns on an ENGINE table
+    (vector_quantize_cols): every write derives __q8_<col> +
+    __q8s_<col> into the data files, and scan_quantized reads ONLY
+    (pk, q8, scale) — the full-precision embedding column never leaves
+    parquet. The oracle recomputes the quantization from the raw
+    embeddings, so a stale or wrong stored pair hash-mismatches."""
+    eng = _engine(spark)
+    t = eng.create_table(
+        "emq", [("vec_id", "bigint", False), ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    eng.alter_table("emq").set_property(
+        "vector_quantize_cols", "embedding").apply()
+    t = eng.table("emq")
+    t.insert(load(spark, sf_dir, "embeddings"))
+    return t.scan_quantized("embedding")

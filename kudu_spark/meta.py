@@ -345,6 +345,13 @@ class FileEntry:
     # relevancy, tablet/delta_relevancy.h, tablet/delta_applier.h:52)
     # without opening a single data file.
     dmark: str | None = None
+    # vector columns whose STORED int8 quantization (__q8_<col> +
+    # __q8s_<col>) was written into this file (table prop
+    # vector_quantize_cols): scan_quantized prunes the scan to the
+    # int8 columns only when EVERY live file carries the stored pair
+    # — older files fall the whole scan back to on-the-fly
+    # quantization until compaction rewrites them.
+    vq: list | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -362,6 +369,8 @@ class FileEntry:
             d["bloom"] = self.bloom
         if self.dmark:
             d["dmark"] = self.dmark
+        if self.vq:
+            d["vq"] = self.vq
         return d
 
     @staticmethod
@@ -369,7 +378,7 @@ class FileEntry:
         return FileEntry(
             d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
             d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
-            d.get("bloom"), d.get("dmark"),
+            d.get("bloom"), d.get("dmark"), d.get("vq"),
         )
 
 

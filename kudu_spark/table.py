@@ -46,6 +46,7 @@ from kudu_spark.errors import (
 )
 from kudu_spark.meta import (
     DATA_DIR,
+    ColumnSpec,
     FileEntry,
     Schema,
     TableState,
@@ -57,6 +58,11 @@ from kudu_spark.meta import (
 SEQ_COL = "__seq"
 DEL_COL = "__deleted"
 RESERVED = {SEQ_COL, DEL_COL}
+# stored int8 quantization of vector columns (table prop
+# vector_quantize_cols): per column <name>, files carry
+# __q8_<name> (array<tinyint>) + __q8s_<name> (float, 127/max|v|)
+Q8_PREFIX = "__q8_"
+Q8S_PREFIX = "__q8s_"
 AUTO_INC_COL = "auto_incrementing_id"  # hidden PK suffix, common.proto:173
 AUTO_INC_STRIDE = 1 << 40  # id space reserved per insert commit
 
@@ -1098,6 +1104,71 @@ class Table:
     def to_df(self, version: int | None = None) -> DataFrame:
         return self.scan(version=version)
 
+    def _vector_quantize_cols(self, st: TableState) -> list[str]:
+        return [c.strip()
+                for c in str(st.props.get("vector_quantize_cols", "")).split(",")
+                if c.strip()]
+
+    def _augment_state(self, st: TableState, extras: list[tuple[str, str]]):
+        """A shallow TableState copy whose schemas (current AND every
+        historical version) carry ``extras`` as ordinary nullable
+        columns with fixed synthetic ids (>= 1e6, far above real column
+        ids), so the whole snapshot machinery — schema-versioned reads,
+        merge windows, anti joins — projects stored physical columns
+        (e.g. __q8_*) without special cases. Files lacking the column
+        read as NULL via the explicit read schema."""
+        import dataclasses
+
+        def aug(sch):
+            cols = list(sch.columns) + [
+                ColumnSpec(id=1_000_000 + i, name=n, type=t, nullable=True)
+                for i, (n, t) in enumerate(extras)
+            ]
+            return dataclasses.replace(sch, columns=cols)
+
+        return dataclasses.replace(
+            st,
+            schema=aug(st.schema),
+            schemas_by_version={v: aug(s)
+                                for v, s in st.schemas_by_version.items()},
+        )
+
+    def scan_quantized(self, column: str, filters: list | None = None,
+                       version: int | None = None) -> DataFrame:
+        """Snapshot scan of a vector column's STORED int8 quantization
+        (table prop ``vector_quantize_cols``; maintained by every
+        write and compaction rewrite in _write_files): returns
+        (pk..., __q8_<column>, __q8s_<column>) with full merge-on-read
+        semantics. When every live file carries the stored pair (the
+        steady state — compaction converges older files), the plan
+        never touches the full-precision column: ~4x fewer bytes per
+        ANN/dedup scan. Files predating the property fall the scan
+        back to on-the-fly quantization (correct, no byte saving) until
+        a compaction rewrites them."""
+        st = self.state(version)
+        if column not in self._vector_quantize_cols(st):
+            raise KuduSparkError(
+                f"column {column!r} is not in vector_quantize_cols "
+                f"({st.props.get('vector_quantize_cols', '')!r})")
+        qn, sn = Q8_PREFIX + column, Q8S_PREFIX + column
+        pk = list(st.schema.pk)
+        if all(f.vq and column in f.vq for f in st.files):
+            st2 = self._augment_state(
+                st, [(qn, "array<tinyint>"), (sn, "float")])
+            return self._snapshot_df(st2, filters).select(*pk, qn, sn)
+        from kudu_spark.operators.similarity import quantize_expr
+
+        df = self._snapshot_df(st, filters)
+        mx = F.aggregate(
+            F.transform(F.col(column), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+        scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+        return df.select(
+            *pk,
+            quantize_expr(F.col(column), scale).cast("array<tinyint>").alias(qn),
+            scale.cast("float").alias(sn),
+        )
+
     # -- diff scan ---------------------------------------------------------------
 
     def diff_scan(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -1301,6 +1372,25 @@ class Table:
             out = out.withColumn(DEL_COL, F.lit(False))
         for n, e in zip(pnames, pexprs):
             out = out.withColumn(n, e)
+        # vector_quantize_cols: maintain the STORED int8 columns at
+        # every write (ingest, upsert, compaction rewrite alike) — one
+        # codegen transform per vector column, so scan_quantized reads
+        # ~4x fewer bytes without a derive step. Deletes carry NULL
+        # vectors -> NULL q8, harmless (tombstones are never scored).
+        vq_written = []
+        for vc in self._vector_quantize_cols(st):
+            if vc in out.columns:
+                from kudu_spark.operators.similarity import quantize_expr
+
+                mx = F.aggregate(
+                    F.transform(F.col(vc), lambda x: F.abs(x.cast("double"))),
+                    F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+                scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+                out = out.withColumn(
+                    Q8_PREFIX + vc,
+                    quantize_expr(F.col(vc), scale).cast("array<tinyint>"),
+                ).withColumn(Q8S_PREFIX + vc, scale.cast("float"))
+                vq_written.append(vc)
         # staging location: in-root when Spark can write the scheme
         # directly (local, hdfs://, s3a://, ... — executors write to
         # shared storage, nothing moves through the driver); a local
@@ -1509,6 +1599,7 @@ class Table:
                     min_pk=mn,
                     max_pk=mx,
                     dmark=dmark,
+                    vq=vq_written or None,
                 )
             )
         senv.rmtree(staging)

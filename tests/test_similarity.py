@@ -178,3 +178,66 @@ def test_quantized_index_banks_the_byte_saving(spark, tmp_path):
         (F2.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
     SIM.build_quantized_index(newb, idx_path, mode="append")
     assert spark.read.parquet(idx_path).count() == emb.count() + 5
+
+
+def test_engine_table_stored_quantized_columns(spark, tmp_path):
+    """vector_quantize_cols on an ENGINE table: every write maintains
+    the stored int8 pair, scan_quantized reads ONLY (pk, q8, scale)
+    with merge-on-read semantics, files predating the property fall
+    back to on-the-fly quantization (correct, no pruning), and
+    compaction converges them back to the pruned plan."""
+    from kudu_spark.engine import Engine
+    from kudu_spark.operators.similarity import quantize_expr
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "emq", [("vec_id", "bigint", False), ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    # first commit BEFORE the property: no stored q8
+    t.insert(emb.where(F.col("vec_id") < 100))
+    eng.alter_table("emq").set_property("vector_quantize_cols", "embedding") \
+        .set_property("auto_compact", "false").apply()
+    t = eng.table("emq")
+    t.insert(emb.where(F.col("vec_id") >= 100))
+
+    def read_schemas(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        return [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+
+    def expected(df):
+        mx = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0), lambda a, x: F.greatest(a, x))
+        sc = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+        return {r.vec_id: list(r.q) for r in df.select(
+            "vec_id",
+            quantize_expr(F.col("embedding"), sc).cast("array<tinyint>").alias("q"),
+        ).collect()}
+
+    # mixed coverage: fallback path (reads embedding), still correct
+    q = t.scan_quantized("embedding")
+    assert any("embedding" in ln for ln in read_schemas(q))
+    assert {r.vec_id: list(r["__q8_embedding"]) for r in q.collect()} == expected(emb)
+
+    # compaction rewrites the pre-property files -> stored everywhere
+    t.compact(full=True)
+    t = eng.table("emq")
+    assert all(f.vq == ["embedding"] for f in t.state().files), \
+        [(f.path, f.vq) for f in t.state().files]
+    q = t.scan_quantized("embedding")
+    assert all("embedding:" not in ln.replace("__q8_embedding", "")
+               .replace("__q8s_embedding", "") for ln in read_schemas(q)), \
+        read_schemas(q)
+    assert {r.vec_id: list(r["__q8_embedding"]) for r in q.collect()} == expected(emb)
+
+    # mutation keeps the stored pair fresh (upsert re-derives q8)
+    bumped = emb.where(F.col("vec_id") < 5).withColumn(
+        "embedding", F.transform(F.col("embedding"),
+                                 lambda x: (x * 2).cast("float")))
+    t.upsert(bumped)
+    t = eng.table("emq")
+    q = t.scan_quantized("embedding")
+    want = expected(emb.where(F.col("vec_id") >= 5).unionByName(bumped))
+    assert {r.vec_id: list(r["__q8_embedding"]) for r in q.collect()} == want
