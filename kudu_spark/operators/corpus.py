@@ -987,3 +987,132 @@ def corpus_profile_sql(group_cols: tuple = ("lang", "source")) -> str:
            round(quantile_cont(length(text), 0.95), 4) AS p95_chars
     FROM documents GROUP BY {g}
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 500,
+             text_col: str = "text") -> DataFrame:
+    """Per-language Zipf fit: regress log(freq) on log(rank) over the
+    top-N terms and report the slope — the standard sanity check that
+    a scraped corpus is natural language (slope near -1) rather than
+    templated/boilerplate spam (much steeper) or shredded tokens
+    (much flatter). One row per lang: (lang, n_terms, zipf_slope).
+
+    Plan: explode -> map-side-combined (lang, token) counts (exchange
+    bounded by |vocab| per partition, not token count) -> per-lang
+    row_number with a deterministic (freq DESC, token ASC) tiebreak,
+    which Spark plans as WindowGroupLimit under the rank <= N filter
+    (per-partition top-N heaps, no global funnel) -> one tiny
+    covar/var aggregate over <= N rows per language."""
+    toks = docs.select(
+        F.col("lang"), F.explode(TX.tokens_expr(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("freq").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        round4(F.covar_pop(lr, lf) / F.var_pop(lr)).alias("zipf_slope"),
+    )
+
+
+def zipf_fit_sql(top_n: int = 500) -> str:
+    """DuckDB twin (regr_slope(y, x) = covar_pop / var_pop)."""
+    return f"""
+    WITH tf AS (
+      SELECT lang, tok, count(*) AS freq
+      FROM (SELECT lang, unnest({TX.tokens_sql()}) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY lang, tok
+    ), ranked AS (
+      SELECT lang, freq,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY freq DESC, tok ASC) AS rank
+      FROM tf
+    )
+    SELECT lang, count(*) AS n_terms,
+           {round4_sql('regr_slope(ln(freq), ln(rank))')} AS zipf_slope
+    FROM ranked WHERE rank <= {top_n} GROUP BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap (corpus-mix contamination diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def source_ngram_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise source-level shingle containment: for each ordered
+    source pair (a, b), |shingles(a) INTERSECT shingles(b)| /
+    |shingles(a)| — how much of source a's n-gram inventory also
+    appears in b. The mix-design diagnostic that catches one slice of
+    a 100 TB corpus silently mirroring another (a crawl that re-ingests
+    a curated set, a dump syndicated across sites) BEFORE per-document
+    dedup spends the big join.
+
+    Plan: explode shingles -> distinct (source, 60-bit md5 prefix)
+    (the shuffle carries 8-byte ints, not gram strings; distinct-ness
+    is per source, so the hot-shingle quadratic blowup of document
+    pairing cannot occur — each gram appears once per source) ->
+    self-join on the hash (sources-bounded output) -> containment vs
+    per-source totals. Output rows = |sources|^2 at most."""
+    sh = (
+        docs.withColumn("__t", TX.tokens_expr(text_col))
+        .select("source", F.explode(TX.shingles_from(F.col("__t"))).alias("g"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.source") != F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.join(
+        tot.withColumnRenamed("source", "source_a"), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_common",
+        round4(F.col("n_common") / F.col("__n")).alias("containment"),
+    )
+
+
+def source_ngram_overlap_sql(shingles_list_sql: str) -> str:
+    """DuckDB twin — joins raw gram strings (the Spark side's 60-bit
+    md5 prefix is collision-free at oracle scale, the
+    ngram_jaccard_pairs precedent)."""
+    return f"""
+    WITH toks AS (
+      SELECT source, {TX.tokens_sql()} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, unnest({shingles_list_sql}) AS g FROM toks
+    ), tot AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           {round4_sql('n_common / tot.n')} AS containment
+    FROM inter JOIN tot ON tot.source = inter.source_a
+    """

@@ -614,3 +614,36 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.8,
             r4(F.col("inter") / F.col("nb")).alias("cont_b_in_a"),
         )
     )
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Normalization-invariant exact dedup: documents that differ only
+    in case, punctuation, or whitespace collapse into one group —
+    the cheap middle ground between byte-exact dedup (misses trivially
+    reformatted copies) and MinHash (pays a shingle explode). The
+    normal form is lower -> non-alphanumeric runs to one space ->
+    trim; groups hash on md5 of the normal form.
+
+    Returns one row per group: the canonical (minimum) surviving id
+    and the group size. Scale: identical to exact dedup — a single
+    shuffle keyed by the 128-bit hash; the normalization is one
+    codegen regexp pass over the scan, no second pass over text."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.groupBy(F.md5(norm).alias("__h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+"""

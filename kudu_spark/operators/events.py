@@ -1,0 +1,186 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Kudu's own tablet layer delegates these to the SQL engines above it
+(Impala/Spark — SURVEY §2.3); they are first-class here because the
+events table is the engine's time-series surface and both operators
+are staples of the analytics workloads Kudu was built to serve
+(kudu.tex's "time series" + "online reporting" design goals,
+/root/reference/docs/kudu.tex).
+
+Scale shapes (the 100 TB lens):
+
+- window_funnel: ClickHouse's windowFunnel re-expressed as ONE
+  shuffle keyed by user, then a codegen array-fold per user. The
+  naive SQL formulation (k chained self-joins, one per funnel step)
+  shuffles the events table k times; here events shuffle once into
+  per-user sorted arrays and the k-step walk is an F.aggregate lambda
+  — whole-stage codegen, no Python. Per-user event counts bound the
+  array (product analytics: thousands, not billions, of events per
+  user; the same bound ClickHouse assumes).
+- retention_cohorts: two aggregations keyed by user_id, then a
+  distinct + count on (cohort, week). The user-keyed join reuses the
+  first groupBy's partitioning (no second full shuffle of events on a
+  different key), and the cohort table is user-sized, not event-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+def _funnel_level(evs: Column, n_steps: int) -> Column:
+    """Fold a ts-sorted array of (ts, step) structs into the deepest
+    funnel level reached: advance when the event IS the next step and
+    happens strictly AFTER the level was reached (first step needs no
+    predecessor). Ties in ts sort by step ascending, and the strict
+    ``>`` means a same-timestamp pair can never count as ordered —
+    matching the oracle's ``ts > prev`` CTE chain exactly."""
+    init = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        adv = (ev["step"] == acc["level"]) & (
+            (acc["level"] == 0) | (ev["ts"] > acc["ts"])
+        )
+        return F.when(
+            adv,
+            F.struct((acc["level"] + 1).alias("level"), ev["ts"].alias("ts")),
+        ).otherwise(acc)
+
+    return F.aggregate(evs, init, step)["level"]
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = DEFAULT_FUNNEL,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel: for each user, walk their events in time
+    order and count how deep into ``steps`` they got (each step must
+    happen strictly after the previous step's first occurrence — the
+    greedy earliest-match semantics of ClickHouse windowFunnel with
+    strict_increase). Returns one row per step:
+    (step_no, step, users) where users = #users reaching >= step_no.
+
+    Equivalent to the chained min-ts CTE formulation (each step's
+    reach time is the MIN eligible ts): the fold advances at the
+    first eligible event in global ts order, which IS that minimum.
+    """
+    step_map = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    e = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("ts"),
+        step_map[F.col(type_col)].alias("step"),
+    )
+    per_user = e.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "step"))).alias("__evs")
+    )
+    levels = per_user.select(
+        _funnel_level(F.col("__evs"), len(steps)).alias("__lv")
+    )
+    counts = levels.agg(
+        *[
+            F.sum((F.col("__lv") >= k).cast("bigint")).alias(f"__s{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        counts.select(
+            F.posexplode(
+                F.array(*[F.col(f"__s{k}") for k in range(1, len(steps) + 1)])
+            ).alias("__pos", "users")
+        )
+        .select(
+            (F.col("__pos") + 1).cast("int").alias("step_no"),
+            F.element_at(names, F.col("__pos") + 1).alias("step"),
+            F.coalesce(F.col("users"), F.lit(0)).alias("users"),
+        )
+    )
+
+
+def window_funnel_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL) -> str:
+    """DuckDB twin: the classic chained-CTE funnel (min eligible ts
+    per step, strictly after the previous step's ts)."""
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{i} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.t "
+            f"GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT {i + 1} AS step_no, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the week of their
+    first event; for each (cohort_week, week_no) count distinct users
+    active that many weeks later. The product-analytics retention
+    triangle.
+
+    Plan: groupBy(user) min(ts) -> join back on user (reuses the
+    user-hash partitioning; AQE broadcasts the cohort side only while
+    it fits) -> distinct (cohort, week_no, user) -> count. Weeks are
+    date_trunc('week') deltas, exact integers in both engines."""
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(ts_col).alias("__first_ts")
+    )
+    cohorted = events.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+    ).join(first, "__u")
+    act = cohorted.select(
+        F.date_trunc("week", F.col("__first_ts")).alias("cohort_week"),
+        (
+            F.datediff(
+                F.to_date(F.date_trunc("week", F.col("__ts"))),
+                F.to_date(F.date_trunc("week", F.col("__first_ts"))),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_no"),
+        F.col("__u"),
+    ).distinct()
+    return act.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH first_ev AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT
+         date_trunc('week', f.first_ts) AS cohort_week,
+         CAST(date_diff('day', date_trunc('week', f.first_ts),
+                        date_trunc('week', e.ts)) / 7 AS INT) AS week_no,
+         e.user_id
+  FROM events e JOIN first_ev f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_no, count(*) AS active_users
+FROM act GROUP BY cohort_week, week_no
+"""

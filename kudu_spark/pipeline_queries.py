@@ -1129,3 +1129,43 @@ def ann_quantized_indexed_topk(spark, sf_dir):
     idx = tempfile.mkdtemp(prefix="kudu-q8idx-") + "/q8"
     SIM.build_quantized_index(load(spark, sf_dir, "embeddings"), idx)
     return SIM.quantized_index_topk(spark.read.parquet(idx), [3, 11], k=10)
+
+
+@query(
+    "dedup_normalized",
+    oracle=DD.NORMALIZED_DEDUP_SQL,
+    gated=False,  # new in r11: pytest-oracled first, rotation candidate
+)
+def dedup_normalized(spark, sf_dir):
+    """Normalization-invariant exact dedup (operators/dedup.py
+    normalized_dedup): case/punctuation/whitespace-insensitive groups,
+    one md5-keyed shuffle — catches trivially reformatted copies that
+    byte-exact dedup misses without MinHash's shingle explode."""
+    return DD.normalized_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_zipf_fit",
+    oracle=CP.zipf_fit_sql(),
+    gated=False,  # new in r11: pytest-oracled first
+)
+def pipeline_zipf_fit(spark, sf_dir):
+    """Per-language Zipf rank-frequency slope (operators/corpus.py
+    zipf_fit): the corpus-health diagnostic separating natural text
+    (slope ~ -1) from templated spam; vocabulary-bounded counts, a
+    WindowGroupLimit top-N, then a <=N-row regression per language."""
+    return CP.zipf_fit(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipeline_source_overlap",
+    oracle=CP.source_ngram_overlap_sql(_SHINGLES_LIST_SQL),
+    gated=False,  # new in r11: pytest-oracled first
+)
+def pipeline_source_overlap(spark, sf_dir):
+    """Pairwise source-level shingle containment (operators/corpus.py
+    source_ngram_overlap): which corpus slices mirror which — the mix
+    diagnostic run before per-document dedup spends the big join.
+    Distinct-per-source 8-byte shingle hashes; output bounded by
+    |sources|^2."""
+    return CP.source_ngram_overlap(load(spark, sf_dir, "documents"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from kudu_spark.operators import events as EV
 from kudu_spark.queries import load, query
 
 
@@ -969,3 +970,30 @@ def window_tumbling_events(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "window_funnel_conversion",
+    oracle=EV.window_funnel_sql(),
+    gated=False,  # new in r11: pytest-oracled first, rotated into the
+    # driver gate once green a round (50-slot cap discipline)
+)
+def window_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup -> view -> click -> purchase) counted
+    per user with strict time ordering — ClickHouse windowFunnel
+    re-expressed as one user-keyed shuffle + a codegen array fold
+    (operators/events.py window_funnel; the oracle is the classic
+    chained min-ts CTE formulation, provably the same greedy walk)."""
+    return EV.window_funnel(load(spark, sf_dir, "events"))
+
+
+@query(
+    "window_retention_cohorts",
+    oracle=EV.RETENTION_COHORTS_SQL,
+    gated=False,  # new in r11: pytest-oracled first
+)
+def window_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle over the events table
+    (operators/events.py retention_cohorts): cohort by week of first
+    activity, distinct active users per week offset."""
+    return EV.retention_cohorts(load(spark, sf_dir, "events"))

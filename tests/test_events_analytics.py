@@ -1,0 +1,120 @@
+"""Semantic tests for operators/events.py (funnel + retention) and
+the r11 corpus diagnostics — hand-built fixtures where the expected
+answer is derivable on paper (the oracle comparison in
+test_queries_oracle covers engine parity; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kudu_spark.operators import corpus as CP
+from kudu_spark.operators import dedup as DD
+from kudu_spark.operators import events as EV
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, T0 + dt.timedelta(minutes=m)) for u, t, m in rows],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_strict_order(spark):
+    # u1 completes all 4 steps in order; u2 clicks BEFORE viewing
+    # (click must not count); u3 signup only; u4 never signs up.
+    rows = [
+        (1, "signup", 0), (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (2, "signup", 0), (2, "click", 1), (2, "view", 2), (2, "purchase", 3),
+        (3, "signup", 5),
+        (4, "view", 0), (4, "click", 1), (4, "purchase", 2),
+    ]
+    out = {r["step"]: r["users"] for r in EV.window_funnel(_ev(spark, rows)).collect()}
+    # u2's click at minute 1 precedes their view at minute 2, so their
+    # funnel stalls at view; the purchase at minute 3 needs a click
+    # AFTER the view and there is none.
+    assert out == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_timestamp_not_ordered(spark):
+    # strict ordering: a view at the same instant as the signup does
+    # not advance the funnel.
+    rows = [(1, "signup", 0), (1, "view", 0), (1, "view", 7)]
+    out = {r["step"]: r["users"] for r in EV.window_funnel(_ev(spark, rows)).collect()}
+    assert out["signup"] == 1 and out["view"] == 1  # the minute-7 view counts
+    rows2 = [(1, "signup", 0), (1, "view", 0)]
+    out2 = {r["step"]: r["users"] for r in EV.window_funnel(_ev(spark, rows2)).collect()}
+    assert out2["signup"] == 1 and out2["view"] == 0
+
+
+def test_funnel_greedy_earliest_is_optimal(spark):
+    # two signups: the walk anchors on the EARLIEST (minute 0), so the
+    # view at minute 5 counts even though a later signup (minute 10)
+    # would miss it.
+    rows = [(1, "signup", 0), (1, "signup", 10), (1, "view", 5)]
+    out = {r["step"]: r["users"] for r in EV.window_funnel(_ev(spark, rows)).collect()}
+    assert out["view"] == 1
+
+
+def test_retention_cohorts_weeks(spark):
+    # u1 first active week 0, returns week 1 and week 3 (two events in
+    # week 1 count once); u2 first active week 1 only.
+    rows = [
+        (1, "view", 0),
+        (1, "view", 60 * 24 * 7 + 5),      # week 1
+        (1, "click", 60 * 24 * 7 + 300),   # week 1 again (dedup)
+        (1, "view", 60 * 24 * 21 + 1),     # week 3
+        (2, "view", 60 * 24 * 8),          # first event in week 1
+    ]
+    out = EV.retention_cohorts(_ev(spark, rows)).collect()
+    tri = {(r["cohort_week"], r["week_no"]): r["active_users"] for r in out}
+    w0 = dt.datetime(2024, 1, 1)   # 2024-01-01 is a Monday
+    w1 = w0 + dt.timedelta(weeks=1)
+    assert tri == {(w0, 0): 1, (w0, 1): 1, (w0, 3): 1, (w1, 0): 1}
+
+
+def test_normalized_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in DD.normalized_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_zipf_fit_slope_sign_and_terms(spark):
+    # A synthetic Zipf corpus: token k appears ~N/k times -> slope
+    # should be strongly negative and n_terms == vocabulary size.
+    words = []
+    for k in range(1, 21):
+        words += [f"w{k:02d}"] * (200 // k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en")], "doc_id bigint, text string, lang string"
+    )
+    row = CP.zipf_fit(docs, top_n=20).collect()[0]
+    assert row["lang"] == "en" and row["n_terms"] == 20
+    assert -1.3 < row["zipf_slope"] < -0.7  # ~ -1 by construction
+
+
+def test_source_overlap_containment(spark):
+    # source A: one doc of 6 tokens -> 4 trigram shingles; source B
+    # shares exactly the first 3 tokens of A (1 shingle) plus noise.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "A"),
+            (2, "a b c x y z", "B"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): (r["n_common"], r["containment"])
+           for r in CP.source_ngram_overlap(docs).collect()}
+    assert out[("A", "B")] == (1, 0.25)   # 1 of A's 4 shingles
+    assert out[("B", "A")] == (1, 0.25)
