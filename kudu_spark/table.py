@@ -29,7 +29,9 @@ java/kudu-spark/.../KuduWriteOptions.scala:31-46).
 
 from __future__ import annotations
 
+import json
 import os
+import time as _time
 import uuid
 from dataclasses import dataclass
 
@@ -241,6 +243,20 @@ class Table:
             version = version_at_timestamp(self.root, timestamp_ms)
             if version is None:
                 raise KuduSparkError(f"no commit at or before timestamp {timestamp_ms}")
+        if version is not None:
+            # fail time travel below the ancient history mark EARLY
+            # and clearly (Kudu: "snapshot scan end timestamp is
+            # earlier than the ancient history mark") — the vacuumed
+            # files would otherwise surface as FileNotFound at action
+            # time, long after the plan was handed out
+            ahm = self.ancient_history_mark()
+            if ahm is not None and version < ahm:
+                raise KuduSparkError(
+                    f"version {version} of table {self.name} is earlier "
+                    f"than the ancient history mark {ahm}: vacuum pruned "
+                    f"its data files (Kudu tablet history GC). Time "
+                    f"travel reaches back only to version {ahm}."
+                )
         st = replay(self.name, self.root, version)
         if st is None:
             raise KuduSparkError(f"table {self.name} has no commits")
@@ -2988,6 +3004,41 @@ class Table:
     # remain readable; older ones are out of the read contract)
     VACUUM_RETENTION_SECONDS = 900
 
+    # advisory marker recording the oldest version vacuum left fully
+    # readable — the table's ancient history mark. Time-travel reads
+    # below it fail EARLY with Kudu's contract error ("snapshot scan
+    # end timestamp is earlier than the ancient history mark",
+    # tablet/tablet.cc ValidateOpOrThrow / tablet_history_gc-itest.cc)
+    # instead of a confusing FileNotFound at action time, long after
+    # the plan was built.
+    AHM_FILE = "_ahm.json"
+
+    def ancient_history_mark(self) -> int | None:
+        """Oldest version still inside the read contract, or None if
+        no vacuum has ever pruned history. Advisory: a torn/unreadable
+        marker degrades to the legacy late-failure behavior, never
+        blocks a read."""
+        try:
+            raw = self._env.read_bytes(os.path.join(self.root, self.AHM_FILE))
+            return int(json.loads(raw)["horizon"])
+        except FileNotFoundError:
+            return None
+        except Exception:
+            return None
+
+    def _publish_ahm(self, horizon: int) -> None:
+        """Advance (never retreat) the ancient history mark. Plain
+        write, not publish_new: the marker is advisory metadata —
+        losing a racing update merely delays the friendly error."""
+        prev = self.ancient_history_mark()
+        if prev is not None and prev >= horizon:
+            return
+        payload = json.dumps(
+            {"horizon": int(horizon),
+             "wall_ms": int(_time.time() * 1000)}
+        ).encode()
+        self._env.write_bytes(os.path.join(self.root, self.AHM_FILE), payload)
+
     def vacuum(self, keep_versions: int = 0,
                retention_seconds: int | None = None,
                force: bool = False) -> int:
@@ -3041,6 +3092,23 @@ class Table:
                 # presence-index sidecar dirs GC with their manifests
                 self._env.rmtree(os.path.join(data_dir, name))
                 removed += 1
+        # record the oldest version this vacuum left fully readable as
+        # the table's ancient history mark (advances monotonically).
+        # Versions below min(retained) can still be complete when they
+        # share every file with a retained snapshot (e.g. a base-only
+        # version under a later delta commit), so walk downward while
+        # that holds — the mark must never claim a readable snapshot
+        # is out of contract.
+        horizon = min(retained | {head.version})
+        while horizon > 1:
+            older = replay(self.name, self.root, horizon - 1)
+            if older is None or not all(
+                f.path in live and (not f.bloom or f.bloom in blooms)
+                for f in older.files
+            ):
+                break
+            horizon -= 1
+        self._publish_ahm(horizon)
         return removed
 
     def count(self, version: int | None = None) -> int:
@@ -3149,6 +3217,11 @@ class Table:
             # `kudu table describe` prints an OWNER line
             # (tools/tool_action_table.cc:1975-1976)
             out["owner"] = str(st.props["owner"])
+        ahm = self.ancient_history_mark()
+        if ahm is not None:
+            # oldest version inside the read contract (tablet history
+            # GC / --tablet_history_max_age_sec)
+            out["ancient_history_mark"] = ahm
         # presence-sidecar health: a user must be able to SEE when the
         # O(batch) key probe is off (VERDICT r7 task #7). coverage = 1.0
         # means every live file carries a sidecar and probes engage;

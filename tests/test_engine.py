@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from kudu_spark.engine import Engine
 from kudu_spark.errors import (
     DuplicateKeyError,
+    KuduSparkError,
     RowNotFoundError,
     SchemaError,
     TableExistsError,
@@ -386,6 +387,32 @@ def test_scan_token_external_engine(engine, spark):
         total += rel.df().shape[0]
     want = t.scan(filters=[("int_val", ">=", 1000)]).count()
     assert total == want == 100
+
+
+def test_vacuum_ancient_history_mark(engine, spark):
+    """Time travel below the vacuum horizon fails EARLY with Kudu's
+    contract error (tablet history GC: "earlier than the ancient
+    history mark"), not a FileNotFound at action time."""
+    t = engine.create_table("ahm", SIMPLE, pk=["key"])
+    t.insert(simple_rows(spark, range(20)))
+    v1 = t.version
+    t.upsert(simple_rows(spark, range(20), base=1))
+    t.compact()
+    assert t.ancient_history_mark() is None  # no vacuum yet
+    t.vacuum(keep_versions=0, force=True)
+    head = t.version
+    assert t.ancient_history_mark() == head
+    with pytest.raises(KuduSparkError, match="ancient history mark"):
+        t.scan(version=v1)
+    # the SQL AS-OF path surfaces the same contract error
+    with pytest.raises(KuduSparkError, match="ancient history mark"):
+        engine.sql(f"SELECT * FROM ahm VERSION AS OF {v1}")
+    assert t.scan().count() == 20  # HEAD unaffected
+    # the mark never retreats: a later default vacuum (which retains
+    # everything inside the live-reader window) keeps the horizon
+    t.insert(simple_rows(spark, range(100, 110)))
+    assert t.vacuum() == 0
+    assert t.ancient_history_mark() == head
 
 
 def test_vacuum_keep_versions(engine, spark):
