@@ -97,6 +97,8 @@ def text_fingerprint(spark, sf_dir):
 
 @query(
     "dedup_exact",
+    gated=False,  # r12 rotation: long-green since r1; exact-dedup family
+    # stays gated via dedup_keep_best + dedup_normalized; pytest oracles
     oracle="""
     SELECT doc_id,
            min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -1134,7 +1136,7 @@ def ann_quantized_indexed_topk(spark, sf_dir):
 @query(
     "dedup_normalized",
     oracle=DD.NORMALIZED_DEDUP_SQL,
-    gated=False,  # new in r11: pytest-oracled first, rotation candidate
+    gated=True,  # rotated into the driver gate for r11 verification
 )
 def dedup_normalized(spark, sf_dir):
     """Normalization-invariant exact dedup (operators/dedup.py
@@ -1147,7 +1149,7 @@ def dedup_normalized(spark, sf_dir):
 @query(
     "pipeline_zipf_fit",
     oracle=CP.zipf_fit_sql(),
-    gated=False,  # new in r11: pytest-oracled first
+    gated=True,  # rotated into the driver gate for r11 verification
 )
 def pipeline_zipf_fit(spark, sf_dir):
     """Per-language Zipf rank-frequency slope (operators/corpus.py
@@ -1160,7 +1162,7 @@ def pipeline_zipf_fit(spark, sf_dir):
 @query(
     "pipeline_source_overlap",
     oracle=CP.source_ngram_overlap_sql(_SHINGLES_LIST_SQL),
-    gated=False,  # new in r11: pytest-oracled first
+    gated=True,  # rotated into the driver gate for r11 verification
 )
 def pipeline_source_overlap(spark, sf_dir):
     """Pairwise source-level shingle containment (operators/corpus.py

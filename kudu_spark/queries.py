@@ -120,6 +120,8 @@ def scan_key_lookup(spark, sf_dir):
 @query(
     "scan_count_star",
     oracle="SELECT count(*) AS n_rows FROM lineitem",
+    gated=False,  # r12 rotation: long-green since r1; scan family stays
+    # gated via key_lookup/project_predicate/json_props; pytest oracles
 )
 def scan_count_star(spark, sf_dir):
     """Zero-column scan / COUNT(*) fast path (whitepaper Q2, kudu.tex:979)."""
@@ -290,6 +292,8 @@ def agg_revenue_filter(spark, sf_dir):
 
 @query(
     "agg_distinct_counts",
+    gated=False,  # r12 rotation: long-green since r1; agg family stays
+    # gated via pricing_summary/rollup; pytest runs the same oracle
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_orderkey)  AS n_orders,
@@ -334,6 +338,8 @@ def agg_rollup(spark, sf_dir):
 
 @query(
     "join_shipping_priority",
+    gated=False,  # r12 rotation: long-green since r1; join family stays
+    # gated ×4 (volume/returned/anti/semi-bloom); pytest oracles
     oracle="""
     SELECT o_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

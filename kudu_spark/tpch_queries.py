@@ -36,6 +36,8 @@ def _ts(lit: str):
 
 @query(
     "tpch_q4_order_priority",
+    gated=False,  # r12 rotation: long-green since r1; TPC-H family stays
+    # gated ×5 (q7/q12/q17/q18/q19); pytest runs the same oracle
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
@@ -975,8 +977,7 @@ def window_tumbling_events(spark, sf_dir):
 @query(
     "window_funnel_conversion",
     oracle=EV.window_funnel_sql(),
-    gated=False,  # new in r11: pytest-oracled first, rotated into the
-    # driver gate once green a round (50-slot cap discipline)
+    gated=True,  # rotated into the driver gate for r11 verification
 )
 def window_funnel_conversion(spark, sf_dir):
     """Ordered funnel (signup -> view -> click -> purchase) counted
@@ -990,7 +991,7 @@ def window_funnel_conversion(spark, sf_dir):
 @query(
     "window_retention_cohorts",
     oracle=EV.RETENTION_COHORTS_SQL,
-    gated=False,  # new in r11: pytest-oracled first
+    gated=True,  # rotated into the driver gate for r11 verification
 )
 def window_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention triangle over the events table
