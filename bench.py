@@ -41,6 +41,7 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
     "window_tumbling_events",
+    "window_funnel_conversion",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "engine_upsert_scan",

@@ -81,3 +81,68 @@ def running_user_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id bigint, level int, reached_ts timestamp"
+FUNNEL_STATE_SCHEMA = "level int, reached_us bigint"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental strict-order funnel: the streaming twin of
+    operators/events.py window_funnel. Per-user state carries
+    (deepest level reached, its timestamp) across micro-batches; each
+    batch's events are walked in ts order and the user's updated
+    (level, reached_ts) is emitted whenever it changes — a funnel
+    dashboard aggregates `level` downstream.
+
+    Cross-batch semantics: state makes an advance durable, so a click
+    in batch 9 completes a signup->view from batch 1 without any
+    re-aggregation. Like every funnel-over-stream, an event arriving
+    AFTER a later-step event was already processed (out of order
+    ACROSS batches) cannot rewind history — within a batch, the sort
+    handles reordering; across batches, bound disorder with a
+    watermark upstream. Same state-store scale shape as
+    running_user_stats: O(1) ints per user."""
+    import pandas as pd
+
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        level, reached_us = state.get if state.exists else (0, None)
+        before = level
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            if level >= len(steps):
+                break
+            if step_of.get(et) != level:
+                continue
+            ts_us = int(ts.value // 1000)
+            if level == 0 or ts_us > reached_us:
+                level += 1
+                reached_us = ts_us
+        state.update((level, reached_us))
+        if level != before:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "level": [level],
+                    "reached_ts": [pd.Timestamp(reached_us * 1000)],
+                }
+            )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -459,3 +459,56 @@ def test_changelog_and_diff_see_transactions(engine, spark):
     assert (1, False) in got and (2, False) in got and (3, True) in got
     d = {r.k: r._is_deleted for r in t.diff_scan(v0).collect()}
     assert d == {1: False, 2: False, 3: True}
+
+
+def test_stateful_streaming_funnel(spark, tmp_path):
+    """Incremental funnel: per-user level carried across micro-batches
+    (a later batch's click completes an earlier batch's signup->view),
+    strict time ordering enforced within and across batches."""
+    import datetime
+
+    from kudu_spark.streaming import streaming_funnel
+
+    base = datetime.datetime(2024, 1, 1, 9, 0)
+
+    def ev(user, minutes, et):
+        return (user, et, base + datetime.timedelta(minutes=minutes))
+
+    ddl = "user_id bigint, event_type string, ts timestamp"
+    src = tmp_path / "fn-in"
+    # batch 1: u1 signup+view; u2 signup and a view at the SAME instant
+    # (strict ordering: must not advance)
+    spark.createDataFrame(
+        [ev(1, 0, "signup"), ev(1, 5, "view"), ev(2, 0, "signup"), ev(2, 0, "view")],
+        ddl,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # batch 2: u1's click lands out of order with a purchase in the
+    # same batch (purchase at t8 precedes the click at t10, so it
+    # cannot complete the funnel); u2 makes no progress (click needs
+    # a view first)
+    spark.createDataFrame(
+        [ev(1, 8, "purchase"), ev(1, 10, "click"), ev(2, 7, "click")], ddl
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory").queryName("fn_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fn-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM fn_mem").collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.level > latest[r.user_id].level:
+            latest[r.user_id] = r
+    # u1: signup -> view (batch 1), click (batch 2, via carried state);
+    # the same-batch purchase at an EARLIER ts must not have counted
+    assert latest[1].level == 3 and latest[1].reached_ts.minute == 10
+    # u2: the same-instant view never advanced; the click can't skip it
+    assert latest[2].level == 1
