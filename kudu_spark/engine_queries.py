@@ -542,3 +542,74 @@ def engine_quantized_scan(spark, sf_dir):
     t = eng.table("emq")
     t.insert(load(spark, sf_dir, "embeddings"))
     return t.scan_quantized("embedding")
+
+
+@query(
+    "engine_timeseries_scan",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    gated=True,
+)
+def engine_timeseries_scan(spark, sf_dir):
+    """Kudu's flagship time-series layout (kudu.tex's metrics use
+    case): hash(series) x range(time) partitioning, with retention
+    enforced by DROPPING the oldest time range — the O(metadata)
+    age-out idiom Kudu documents for time-series tables (ALTER TABLE
+    DROP RANGE PARTITION; rows vanish with the partition, no
+    tombstones, no compaction debt). Scan side: the dropped week never
+    appears, remaining predicates and the daily rollup push into the
+    surviving ranges' files."""
+    def d(day):
+        # ISO strings: JSON-safe in the manifest, cast to timestamp in
+        # the bound expressions; fixed format keeps lexicographic ==
+        # chronological for overlap validation
+        return f"2024-01-{day:02d} 00:00:00"
+
+    eng = _engine(spark)
+    t = eng.create_table(
+        "events_ts",
+        [
+            ("user_id", "bigint", False),
+            ("ts", "timestamp", False),
+            ("event_id", "bigint", False),
+            ("event_type", "string", True),
+            ("value", "double", True),
+        ],
+        pk=["user_id", "ts", "event_id"],
+        hash_partitions=[{"columns": ["user_id"], "buckets": 4}],
+        range_partition={
+            "column": "ts",
+            "ranges": [
+                [d(1), d(8)], [d(8), d(15)], [d(15), d(22)],
+                [d(22), "2024-02-01 00:00:00"],
+            ],
+        },
+    )
+    t.insert(
+        load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+    )
+    # retention age-out: drop the oldest week (metadata-only delete)
+    eng.alter_table("events_ts").drop_range_partition(d(1), d(8)).apply()
+    t = eng.table("events_ts")
+    e = t.scan(filters=[("value", "not_null", None)])
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

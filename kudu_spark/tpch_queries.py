@@ -906,6 +906,8 @@ def join_salted_volume(spark, sf_dir):
 
 @query(
     "window_session_events",
+    gated=False,  # r12 rotation: long-green since r2; window family stays
+    # gated via tumbling + funnel/retention; pytest runs the same oracle
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,
