@@ -780,6 +780,17 @@ class Engine:
                     before = st.version
                     t._auto_compact_once(st)
                     out[name] = t.state().version != before
+                    # tablet history GC rides the maintenance pass
+                    # (Kudu's UndoDeltaBlockGCOp under
+                    # --tablet_history_max_age_sec): tables that SET
+                    # history_max_age_sec opt into automatic vacuum —
+                    # retention-guarded (never force), so snapshots
+                    # younger than the age stay readable and the
+                    # ancient history mark advances with the GC
+                    age = st.props.get("history_max_age_sec")
+                    if age is not None:
+                        removed = t.vacuum(retention_seconds=int(age))
+                        out[name] = out[name] or removed > 0
                 finally:
                     t._maint_lock.release()
             except Exception:

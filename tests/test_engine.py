@@ -756,6 +756,38 @@ def test_maintenance_sweep_skips_disabled_and_locked(engine, spark):
     assert engine.maintenance_sweep() == {"ms": True}
 
 
+def test_maintenance_history_gc(engine, spark):
+    """Tablet history GC rides the maintenance sweep (Kudu's
+    UndoDeltaBlockGCOp under --tablet_history_max_age_sec): a table
+    that SET history_max_age_sec gets vacuumed each pass — old
+    versions' files deleted, ancient history mark advanced — while
+    tables without the property keep full history."""
+    schema = [("k", "bigint", False), ("v", "string", True)]
+    rows = lambda n, s: spark.range(n).select(
+        F.col("id").alias("k"), F.lit(s).alias("v"))
+    gc = engine.create_table("hgc", schema, pk=["k"])
+    keep = engine.create_table("hkeep", schema, pk=["k"])
+    for t in (gc, keep):
+        t.insert(rows(100, "a"))
+        t.upsert(rows(50, "b"))
+        t.compact()
+    engine.alter_table("hgc").set_property("history_max_age_sec", "0").apply()
+    engine.maintenance_sweep()
+    gc, keep = engine.table("hgc"), engine.table("hkeep")
+    mark = gc.ancient_history_mark()
+    # GC ran: pre-compaction history is out of contract (the mark may
+    # sit one below HEAD — the ALTER commit shares the compacted
+    # file set, so that snapshot stays readable)
+    assert mark is not None and mark > 1
+    assert gc.scan(version=mark).count() == 100     # mark itself readable
+    assert keep.ancient_history_mark() is None      # untouched
+    assert gc.scan().count() == 100                 # HEAD intact
+    from kudu_spark.errors import KuduSparkError
+    with pytest.raises(KuduSparkError, match="ancient history mark"):
+        gc.scan(version=1)
+    assert keep.scan(version=2).count() == 100      # post-insert history retained
+
+
 def test_fsck_repair_sheds_bad_sidecar_refs(engine, spark):
     """fsck(repair=True) on a corrupt sidecar: the references are shed
     in one re-point commit — probes decline cleanly, a follow-up fsck
