@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time as _time
 import uuid
 from dataclasses import dataclass
@@ -60,6 +61,9 @@ from kudu_spark.meta import (
 SEQ_COL = "__seq"
 DEL_COL = "__deleted"
 RESERVED = {SEQ_COL, DEL_COL}
+
+# `cluster_by = zorder(a, b, ...)` — multi-dimension clustering
+_ZORDER_RE = re.compile(r"^\s*zorder\s*\(([^)]*)\)\s*$", re.I)
 # stored int8 quantization of vector columns (table prop
 # vector_quantize_cols): per column <name>, files carry
 # __q8_<name> (array<tinyint>) + __q8s_<name> (float, 127/max|v|)
@@ -1377,6 +1381,61 @@ class Table:
                 exprs.append(F.lit(c.default).cast(c.type).alias(c.name))
         return df.select(*exprs)
 
+    # z-order quantization resolution: 16 bits per dimension — finer
+    # than any row-group count a file can hold, coarse enough that the
+    # interleaved key fits 4 dimensions in a bigint
+    ZORDER_BITS = 16
+
+    def _with_zvalue(self, df: DataFrame, st: TableState, cols: list[str]) -> DataFrame:
+        """Append the interleaved-bit z-value column for
+        ``cluster_by = zorder(...)``. Each dimension is min/max-scaled
+        to ZORDER_BITS bits over THIS batch (one tiny extra aggregate —
+        the pass is O(batch) and the write job dwarfs it; Delta's
+        OPTIMIZE ZORDER computes ranges the same way), then bits
+        interleave round-robin so a sort by the key gives every listed
+        column tight, independent footer min/max bounds. The scaling is
+        only a sort key: a skewed batch degrades pruning selectivity,
+        never correctness. Numeric, date and timestamp dimensions only
+        (strings have no bounded-width order-preserving embedding)."""
+        if len(cols) > 4:
+            raise KuduSparkError("cluster_by zorder supports at most 4 columns")
+        exprs = {}
+        aggs = []
+        for c in cols:
+            t = st.schema.col(c).type
+            e = F.col(c)
+            if t == "timestamp":
+                e = F.unix_micros(e)
+            elif t == "date":
+                e = F.datediff(e, F.to_date(F.lit("1970-01-01")))
+            elif t in ("string", "varchar", "binary") or t.startswith("varchar"):
+                raise KuduSparkError(
+                    f"cluster_by zorder column {c} has type {t}; only "
+                    f"numeric, date and timestamp dimensions are supported")
+            e = e.cast("double")
+            exprs[c] = e
+            aggs += [F.min(e).alias(f"lo_{c}"), F.max(e).alias(f"hi_{c}")]
+        stats = df.agg(*aggs).collect()[0]
+        n = len(cols)
+        # keep the interleaved key out of the bigint sign bit (a shift
+        # into bit 63 would make the top half sort NEGATIVE-first)
+        bits = min(self.ZORDER_BITS, 63 // n)
+        top = (1 << bits) - 1
+        z = F.lit(0).cast("bigint")
+        for j, c in enumerate(cols):
+            lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+            if lo is None or hi is None or not hi > lo:
+                continue  # constant/empty dimension: contributes nothing
+            q = F.floor((exprs[c] - F.lit(float(lo)))
+                        * F.lit(top / (float(hi) - float(lo)))).cast("bigint")
+            q = F.coalesce(F.least(F.lit(top).cast("bigint"),
+                                   F.greatest(F.lit(0).cast("bigint"), q)),
+                           F.lit(0).cast("bigint"))
+            for i in range(bits):
+                bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        return df.withColumn("__zv", z)
+
     def _write_files(
         self, df: DataFrame, st: TableState, seq: int, kind: str
     ) -> list[FileEntry]:
@@ -1436,15 +1495,35 @@ class Table:
         # lacks (its DiskRowSets are always PK-ordered); equivalent to
         # a clustering-columns/ZORDER-lite declaration.
         pk_cols = list(st.schema.pk)
-        cluster = [c.strip() for c in str(st.props.get("cluster_by", "")).split(",")
-                   if c.strip()]
-        for c in cluster:
-            st.schema.col(c)  # raises SchemaError on an unknown column
-        sort_cols = cluster + [c for c in pk_cols if c not in cluster]
+        zdrop: list[str] = []
+        zm = _ZORDER_RE.match(str(st.props.get("cluster_by", "")))
+        if zm:
+            # `cluster_by = zorder(a, b, ...)`: multi-dimension
+            # clustering — rows sort by an interleaved-bit key so
+            # footer min/max stay selective on EVERY listed dimension,
+            # not just the sort prefix (linear cluster_by's limit).
+            # Same contract as linear clustering: PK demoted to minor
+            # sort key, exactness preserved via the per-file PK blooms.
+            zcols = [c.strip() for c in zm.group(1).split(",") if c.strip()]
+            for c in zcols:
+                st.schema.col(c)
+            out = self._with_zvalue(out, st, zcols)
+            cluster, sort_cols, zdrop = zcols, ["__zv"], ["__zv"]
+            sort_cols += [c for c in pk_cols]
+        else:
+            cluster = [c.strip() for c in str(st.props.get("cluster_by", "")).split(",")
+                       if c.strip()]
+            for c in cluster:
+                st.schema.col(c)  # raises SchemaError on an unknown column
+            sort_cols = cluster + [c for c in pk_cols if c not in cluster]
         if pnames:
             out = out.repartition(*pnames).sortWithinPartitions(*pnames, *sort_cols)
         else:
             out = out.sortWithinPartitions(*sort_cols)
+        if zdrop:
+            # projection after the sort: order within partitions is
+            # preserved, the z-key never lands in the files
+            out = out.drop(*zdrop)
         writer = out.write.option("maxRecordsPerFile", 10_000_000)
         # row-group size: clustering is only as good as the pruning
         # granularity — a 600k-row file is 1-2 default (128 MB) row

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Z-order vs linear clustering A/B: selective scans on the SECOND
+dimension.
+
+Builds the same table three ways — unclustered (PK sort), linear
+`cluster_by = a`, and `cluster_by = zorder(a, b)` — then times a
+selective predicate on `a` and on `b` against each. Linear clustering
+should win dim a and lose dim b (its row groups span b's full range);
+z-order should be competitive on BOTH (the multi-dim pruning claim of
+table.py _with_zvalue).
+
+    python scripts/zorder_ab.py --rows 4000000
+
+Prints one JSON line:
+  {"rows": N, "layouts": {layout: {"a_sec": s, "b_sec": s}},
+   "counts": {"a": n, "b": n}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kudu_spark.engine import Engine  # noqa: E402
+from kudu_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    n = args.rows
+
+    spark = get_spark(app_name="zorder-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="zab-"))
+
+    src = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % n).alias("a"),
+        ((F.col("id") * 104729) % n).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("pad1"),
+        F.sha1(F.col("id").cast("string")).alias("pad2"),
+    )
+
+    layouts = {
+        "pk": None,
+        "linear_a": "a",
+        "zorder_ab": "zorder(a, b)",
+    }
+    sel = n // 100  # 1% selectivity per dim
+    out = {"rows": n, "layouts": {}, "counts": {}}
+    for name, cluster in layouts.items():
+        t = eng.create_table(
+            name, [("k", "bigint", False), ("a", "bigint", True),
+                   ("b", "bigint", True), ("pad1", "string", True),
+                   ("pad2", "string", True)],
+            pk=["k"], hash_partitions=[{"columns": ["k"], "buckets": 8}],
+        )
+        if cluster:
+            eng.alter_table(name).set_property("cluster_by", cluster).apply()
+            t = eng.table(name)
+        t.insert(src)
+        for dim in ("a", "b"):
+            best = None
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                c = t.scan(filters=[(dim, "<", sel)]).agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("a").alias("s")
+                ).collect()[0]["n"]
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out["layouts"].setdefault(name, {})[f"{dim}_sec"] = round(best, 3)
+            out["counts"][dim] = c
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
