@@ -31,25 +31,42 @@ from pyspark.sql import functions as F
 DEFAULT_FUNNEL = ("signup", "view", "click", "purchase")
 
 
-def _funnel_level(evs: Column, n_steps: int) -> Column:
+def _funnel_level(evs: Column, n_steps: int,
+                  within: str | None = None) -> Column:
     """Fold a ts-sorted array of (ts, step) structs into the deepest
     funnel level reached: advance when the event IS the next step and
     happens strictly AFTER the level was reached (first step needs no
     predecessor). Ties in ts sort by step ascending, and the strict
     ``>`` means a same-timestamp pair can never count as ordered —
-    matching the oracle's ``ts > prev`` CTE chain exactly."""
+    matching the oracle's ``ts > prev`` CTE chain exactly.
+
+    ``within`` (an INTERVAL literal, e.g. ``'7 days'``) bounds the
+    whole chain to a conversion window anchored at the user's FIRST
+    first-step event — first-touch attribution, the deterministic
+    subset of ClickHouse windowFunnel(window) (a chain only a later
+    anchor would catch does not count; document over cleverness)."""
     init = F.struct(
         F.lit(0).alias("level"),
         F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("t0"),
     )
 
     def step(acc: Column, ev: Column) -> Column:
         adv = (ev["step"] == acc["level"]) & (
             (acc["level"] == 0) | (ev["ts"] > acc["ts"])
         )
+        if within is not None:
+            adv = adv & (
+                (acc["level"] == 0)
+                | (ev["ts"] <= acc["t0"] + F.expr(f"INTERVAL {within}"))
+            )
         return F.when(
             adv,
-            F.struct((acc["level"] + 1).alias("level"), ev["ts"].alias("ts")),
+            F.struct(
+                (acc["level"] + 1).alias("level"),
+                ev["ts"].alias("ts"),
+                F.coalesce(acc["t0"], ev["ts"]).alias("t0"),
+            ),
         ).otherwise(acc)
 
     return F.aggregate(evs, init, step)["level"]
@@ -61,6 +78,7 @@ def window_funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within: str | None = None,
 ) -> DataFrame:
     """Strict-order funnel: for each user, walk their events in time
     order and count how deep into ``steps`` they got (each step must
@@ -85,7 +103,7 @@ def window_funnel(
         F.array_sort(F.collect_list(F.struct("ts", "step"))).alias("__evs")
     )
     levels = per_user.select(
-        _funnel_level(F.col("__evs"), len(steps)).alias("__lv")
+        _funnel_level(F.col("__evs"), len(steps), within).alias("__lv")
     )
     counts = levels.agg(
         *[
@@ -108,18 +126,22 @@ def window_funnel(
     )
 
 
-def window_funnel_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL) -> str:
+def window_funnel_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL,
+                      within: str | None = None) -> str:
     """DuckDB twin: the classic chained-CTE funnel (min eligible ts
-    per step, strictly after the previous step's ts)."""
+    per step, strictly after the previous step's ts; with ``within``,
+    every step also bounded to the window after the s1 anchor)."""
     ctes = [
         f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
         f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
     ]
     for i in range(1, len(steps)):
+        wpred = (f" AND e.ts <= a.t + INTERVAL {within}" if within else "")
+        wjoin = (f" JOIN s1 a ON e.user_id = a.user_id" if within else "")
         ctes.append(
             f"s{i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
-            f"JOIN s{i} p ON e.user_id = p.user_id "
-            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.t "
+            f"JOIN s{i} p ON e.user_id = p.user_id{wjoin} "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.t{wpred} "
             f"GROUP BY e.user_id)"
         )
     selects = [

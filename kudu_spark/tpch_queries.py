@@ -1000,3 +1000,16 @@ def window_retention_cohorts(spark, sf_dir):
     (operators/events.py retention_cohorts): cohort by week of first
     activity, distinct active users per week offset."""
     return EV.retention_cohorts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "window_funnel_within",
+    oracle=EV.window_funnel_sql(within="2 DAY"),
+    gated=False,  # funnel family gated via window_funnel_conversion
+)
+def window_funnel_within(spark, sf_dir):
+    """Conversion-window funnel: the whole chain must land within 2
+    days of the user's first signup (first-touch attribution —
+    ClickHouse windowFunnel(window)'s deterministic subset). Same
+    one-shuffle fold; the window is one more codegen predicate."""
+    return EV.window_funnel(load(spark, sf_dir, "events"), within="2 DAY")

@@ -118,3 +118,19 @@ def test_source_overlap_containment(spark):
            for r in CP.source_ngram_overlap(docs).collect()}
     assert out[("A", "B")] == (1, 0.25)   # 1 of A's 4 shingles
     assert out[("B", "A")] == (1, 0.25)
+
+
+def test_funnel_conversion_window(spark):
+    # u1 converts inside the window; u2's click lands past it (the
+    # chain is anchored at the FIRST signup)
+    rows = [
+        (1, "signup", 0), (1, "view", 10), (1, "click", 20),
+        (2, "signup", 0), (2, "view", 10), (2, "click", 120),
+    ]
+    out = {r["step"]: r["users"]
+           for r in EV.window_funnel(_ev(spark, rows), within="1 HOUR").collect()}
+    assert out == {"signup": 2, "view": 2, "click": 1, "purchase": 0}
+    # without the window both clicks count
+    out2 = {r["step"]: r["users"]
+            for r in EV.window_funnel(_ev(spark, rows)).collect()}
+    assert out2["click"] == 2
