@@ -769,28 +769,34 @@ class Engine:
             try:
                 t = self.table(name)
                 st = t.state()
-                if str(st.props.get("auto_compact", "true")).lower() in (
-                        "false", "0", "no"):
+                compact_on = str(st.props.get("auto_compact", "true")).lower() not in (
+                    "false", "0", "no")
+                age = st.props.get("history_max_age_sec")
+                if not compact_on and age is None:
                     out[name] = False
                     continue
                 if not t._maint_lock.acquire(blocking=False):
                     out[name] = False  # writer-triggered fold in flight
                     continue
                 try:
-                    before = st.version
-                    t._auto_compact_once(st)
-                    out[name] = t.state().version != before
+                    did = False
+                    if compact_on:
+                        before = st.version
+                        t._auto_compact_once(st)
+                        did = t.state().version != before
                     # tablet history GC rides the maintenance pass
                     # (Kudu's UndoDeltaBlockGCOp under
-                    # --tablet_history_max_age_sec): tables that SET
-                    # history_max_age_sec opt into automatic vacuum —
-                    # retention-guarded (never force), so snapshots
-                    # younger than the age stay readable and the
-                    # ancient history mark advances with the GC
-                    age = st.props.get("history_max_age_sec")
+                    # --tablet_history_max_age_sec) and is INDEPENDENT
+                    # of the compaction policy: tables that SET
+                    # history_max_age_sec get a retention-guarded
+                    # vacuum (never force — snapshots younger than the
+                    # age stay readable, concurrent writers protected
+                    # by the in-flight seq slack) even with
+                    # auto_compact=false
                     if age is not None:
                         removed = t.vacuum(retention_seconds=int(age))
-                        out[name] = out[name] or removed > 0
+                        did = did or removed > 0
+                    out[name] = did
                 finally:
                     t._maint_lock.release()
             except Exception:

@@ -31,14 +31,16 @@ from pyspark.sql import functions as F
 DEFAULT_FUNNEL = ("signup", "view", "click", "purchase")
 
 
-def _funnel_level(evs: Column, n_steps: int,
-                  within: str | None = None) -> Column:
+def _funnel_level(evs: Column, within: str | None = None) -> Column:
     """Fold a ts-sorted array of (ts, step) structs into the deepest
     funnel level reached: advance when the event IS the next step and
     happens strictly AFTER the level was reached (first step needs no
     predecessor). Ties in ts sort by step ascending, and the strict
     ``>`` means a same-timestamp pair can never count as ordered —
-    matching the oracle's ``ts > prev`` CTE chain exactly.
+    matching the oracle's ``ts > prev`` CTE chain exactly
+    (NULL-ts events are filtered before the fold — SQL aggregates and
+    comparisons skip them, and an unfiltered NULL would otherwise
+    stall the walk at its level forever).
 
     ``within`` (an INTERVAL literal, e.g. ``'7 days'``) bounds the
     whole chain to a conversion window anchored at the user's FIRST
@@ -94,7 +96,9 @@ def window_funnel(
     step_map = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
-    e = events.where(F.col(type_col).isin(list(steps))).select(
+    e = events.where(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("ts"),
         step_map[F.col(type_col)].alias("step"),
@@ -103,7 +107,7 @@ def window_funnel(
         F.array_sort(F.collect_list(F.struct("ts", "step"))).alias("__evs")
     )
     levels = per_user.select(
-        _funnel_level(F.col("__evs"), len(steps), within).alias("__lv")
+        _funnel_level(F.col("__evs"), within).alias("__lv")
     )
     counts = levels.agg(
         *[

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -116,7 +117,8 @@ def streaming_funnel(
     def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         level, reached_us = state.get if state.exists else (0, None)
         before = level
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[ts_col].notna()].sort_values(ts_col)
         for ts, et in zip(rows[ts_col], rows[type_col]):
             if level >= len(steps):
                 break
@@ -126,7 +128,11 @@ def streaming_funnel(
             if level == 0 or ts_us > reached_us:
                 level += 1
                 reached_us = ts_us
-        state.update((level, reached_us))
+        if level != before or not state.exists:
+            # write state only when it changed (or to materialize the
+            # group's first state) — a user spamming non-advancing
+            # events costs no state-store write per batch
+            state.update((level, reached_us))
         if level != before:
             yield pd.DataFrame(
                 {
@@ -137,7 +143,8 @@ def streaming_funnel(
             )
 
     return (
-        events.groupBy(user_col)
+        events.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
         .applyInPandasWithState(
             update,
             outputStructType=FUNNEL_OUTPUT_SCHEMA,

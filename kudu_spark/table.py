@@ -1397,6 +1397,8 @@ class Table:
         only a sort key: a skewed batch degrades pruning selectivity,
         never correctness. Numeric, date and timestamp dimensions only
         (strings have no bounded-width order-preserving embedding)."""
+        if not cols:
+            raise KuduSparkError("cluster_by zorder requires at least one column")
         if len(cols) > 4:
             raise KuduSparkError("cluster_by zorder supports at most 4 columns")
         exprs = {}
@@ -3158,8 +3160,34 @@ class Table:
                 blooms |= {f.bloom for f in old.files if f.bloom}
         removed = 0
         data_dir = os.path.join(self.root, DATA_DIR)
+        # Never touch files from versions NEAR OR BEYOND this vacuum's
+        # snapshot head: every artifact is named {seq:012d}-{uuid}, and
+        # a concurrent writer moves its files into data/ BEFORE
+        # publishing the manifest — without a guard a background
+        # vacuum (maintenance history GC) could delete a commit's data
+        # in that window and the publish would then reference vanished
+        # files. Two cases: (1) files stamped seq_for(head+1)+ are the
+        # plain in-flight window; (2) a writer losing commit races
+        # REUSES its moved files under their original (now old) names
+        # while restamping entry seqs (_commit restamp_seq), so names
+        # can lag the version that finally references them by up to
+        # the retry budget. Default vacuums therefore keep a slack of
+        # recent versions untouchable; force=True (documented: no
+        # concurrent readers/writers) keeps only the head+1 cap so a
+        # just-compacted table still reclaims immediately.
+        VACUUM_INFLIGHT_SLACK = 8  # > _commit retries + revalidation attempts
+        inflight_cap = (seq_for(head.version + 1) if force
+                        else seq_for(max(1, head.version - VACUUM_INFLIGHT_SLACK)))
+
+        def _fseq(n: str) -> int | None:
+            lead = n.split("-", 1)[0]
+            return int(lead) if lead.isdigit() else None
+
         for name in self._env.listdir(data_dir):
             rel = os.path.join(DATA_DIR, name)
+            fs = _fseq(name)
+            if fs is not None and fs >= inflight_cap:
+                continue
             if name.endswith(".parquet") and rel not in live:
                 self._env.unlink(os.path.join(data_dir, name), missing_ok=True)
                 removed += 1
@@ -3187,7 +3215,10 @@ class Table:
             ):
                 break
             horizon -= 1
-        self._publish_ahm(horizon)
+        if horizon > 1:
+            # horizon 1 == full history readable: keep the marker's
+            # "None until a vacuum actually pruned history" contract
+            self._publish_ahm(horizon)
         return removed
 
     def count(self, version: int | None = None) -> int:
