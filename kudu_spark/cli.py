@@ -100,6 +100,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--max-sweeps", type=int, default=64)
     sp = sub.add_parser(
+        "vacuum",
+        help="physically delete files no retained snapshot references "
+             "(tablet history GC; records the ancient history mark)",
+    )
+    sp.add_argument("table")
+    sp.add_argument("--keep-versions", type=int, default=0)
+    sp.add_argument("--retention-seconds", type=int, default=None)
+    sp.add_argument("--force", action="store_true",
+                    help="skip the live-reader/in-flight-writer guards "
+                         "(only HEAD safe to read afterwards)")
+    sp = sub.add_parser(
         "log-dump",
         help="print a table's commit log entries as JSON lines "
              "(≈ `kudu wal dump` / `kudu local_replica dump wals`, "
@@ -243,6 +254,13 @@ def main(argv: list[str] | None = None) -> int:
         else:
             v = t.compact(io_budget_bytes=args.io_budget_bytes)
             print(json.dumps({"compacted": v is not None, "version": v}))
+    elif args.cmd == "vacuum":
+        t = eng.table(args.table)
+        removed = t.vacuum(keep_versions=args.keep_versions,
+                           retention_seconds=args.retention_seconds,
+                           force=args.force)
+        print(json.dumps({"removed": removed,
+                          "ancient_history_mark": t.ancient_history_mark()}))
     elif args.cmd == "sql":
         if args.file:
             with open(args.file) as f:

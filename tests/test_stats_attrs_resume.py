@@ -393,3 +393,30 @@ def test_prefix_and_bitshuffle_encodings_reach_parquet(engine, spark):
     assert "PLAIN_DICTIONARY" in enc_s or "RLE_DICTIONARY" in enc_s, enc_s
     # round trip intact
     assert t.scan(filters=[("k", "=", 7)]).collect()[0].url.endswith("/7")
+
+
+def test_cli_vacuum(spark, tmp_path, capsys):
+    """`vacuum` CLI: compact-then-vacuum reclaims files and records the
+    ancient history mark (tablet history GC admin surface)."""
+    import json
+
+    from kudu_spark import cli
+    from kudu_spark.engine import Engine
+
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "whv")
+    eng = Engine(spark, wh)
+    t = eng.create_table("vt", [("k", "bigint", False), ("v", "string", True)],
+                         pk=["k"])
+    rows = lambda s_: spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(s_).alias("v"))
+    t.insert(rows("a"))
+    t.upsert(rows("b"))
+    t.compact()  # leaves the pre-compaction files unreferenced
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "vacuum", "vt", "--force"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] > 0
+    assert out["ancient_history_mark"] == eng.table("vt").version
+    assert eng.table("vt").count() == 2000
