@@ -727,9 +727,14 @@ class Engine:
             while not stop.wait(interval_s):
                 try:
                     did = self.maintenance_sweep()
+                    table_errs = did.pop("__errors__", {})
                     with stats_lock:
                         stats["sweeps"] += 1
                         stats["compactions"] += sum(1 for v in did.values() if v)
+                        # per-table failures count alongside whole-sweep
+                        # ones: a persistently faulty table shows up in
+                        # the daemon's counters, not just the log
+                        stats["errors"] += len(table_errs)
                 except Exception:
                     with stats_lock:
                         stats["errors"] += 1
@@ -763,8 +768,16 @@ class Engine:
         """One non-blocking maintenance pass: each live table whose
         maintenance mutex is free gets one budgeted auto-compaction
         evaluation (tables mid-fold, or with ``auto_compact=false``,
-        are skipped). Returns {table: did_work}."""
-        out = {}
+        are skipped). Returns {table: did_work}; tables whose pass
+        RAISED (corrupt manifest, unreadable sidecar, malformed
+        property) are reported under the reserved ``"__errors__"``
+        key ({table: message}) and logged at warning — a table with a
+        persistent fault must look different from "nothing to do", or
+        it silently never receives maintenance (VERDICT r11 #4)."""
+        import logging
+
+        out: dict = {}
+        errors: dict[str, str] = {}
         for name in self.list_tables():
             try:
                 t = self.table(name)
@@ -772,6 +785,17 @@ class Engine:
                 compact_on = str(st.props.get("auto_compact", "true")).lower() not in (
                     "false", "0", "no")
                 age = st.props.get("history_max_age_sec")
+                if age is not None:
+                    # validate BEFORE doing any work: a malformed value
+                    # must surface as this table's error, not silently
+                    # disable its maintenance every sweep (ADVICE r11)
+                    try:
+                        age = int(float(str(age).strip()))
+                    except ValueError:
+                        raise KuduSparkError(
+                            f"history_max_age_sec={st.props.get('history_max_age_sec')!r}"
+                            " is not a number of seconds"
+                        )
                 if not compact_on and age is None:
                     out[name] = False
                     continue
@@ -794,13 +818,18 @@ class Engine:
                     # by the in-flight seq slack) even with
                     # auto_compact=false
                     if age is not None:
-                        removed = t.vacuum(retention_seconds=int(age))
+                        removed = t.vacuum(retention_seconds=age)
                         did = did or removed > 0
                     out[name] = did
                 finally:
                     t._maint_lock.release()
-            except Exception:
+            except Exception as e:
                 out[name] = False
+                errors[name] = f"{type(e).__name__}: {e}"
+                logging.getLogger("kudu_spark.maintenance").warning(
+                    "maintenance of table %s failed: %s", name, e)
+        if errors:
+            out["__errors__"] = errors
         return out
 
     # -- alter (client.h:1920-2099 KuduTableAlterer) ------------------------------

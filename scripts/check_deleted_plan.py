@@ -34,6 +34,10 @@ t = eng.create_table(
     hash_partitions=[{"columns": ["l_rowid"], "buckets": 8}],
 )
 t.insert(li.withColumn("l_rowid", F.monotonically_increasing_id()))
+# keep the deltas live: at sf0.01 the write-proportional inline fold
+# would otherwise absorb them and the plan checks would be vacuous
+eng.alter_table("lineitem").set_property("auto_compact", "false").apply()
+t = eng.table("lineitem")
 tenth = t.scan().where(F.col("l_rowid") % 10 == 0).withColumn(
     "l_quantity", F.col("l_quantity") + 1)
 t.upsert(tenth)
@@ -56,15 +60,33 @@ def q6(df):
         & (F.col("l_quantity") < 24)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("rev"))
 
+# default mode: the merged dirty state is under the resident budget,
+# so the plan serves it from an InMemoryRelation (no window, no
+# per-query broadcast stage — round 12)
 plan = q6(t.scan())._jdf.queryExecution().executedPlan().toString()
 n_windows = plan.count("WindowGroupLimit") + plan.count("Window ")
-print("windows in deleted-state q6 plan:", n_windows)
-print("pushed filters present:", "PushedFilters: [IsNotNull(l_shipdate)" in plan
-      or "PushedFilters" in plan)
+print("windows in deleted-state q6 plan (resident):", n_windows)
+print("resident dirty cache in plan:", "InMemoryTableScan" in plan)
 if "row_number" in plan:
     print("!! row_number window still present")
     print(plan[:4000])
     sys.exit(1)
+
+# at-scale mode (dirty_cache=false ~ past the resident budget): the
+# anti-join plan with predicates pushed into the parquet scans
+eng.alter_table("lineitem").set_property("dirty_cache", "false").apply()
+t = eng.table("lineitem")
+plan2 = q6(t.scan())._jdf.queryExecution().executedPlan().toString()
+n_windows2 = plan2.count("WindowGroupLimit") + plan2.count("Window ")
+print("windows in deleted-state q6 plan (at-scale):", n_windows2)
+pushed = "PushedFilters: [IsNotNull(l_shipdate)" in plan2
+print("pushed filters present (at-scale):", pushed)
+if "row_number" in plan2 or not pushed:
+    print("!! at-scale deleted plan regressed")
+    print(plan2[:4000])
+    sys.exit(1)
+eng.alter_table("lineitem").set_property("dirty_cache", "true").apply()
+t = eng.table("lineitem")
 
 # engine q6 value must match a duckdb-free oracle: parquet source with
 # the same mutations applied via plain DataFrame ops

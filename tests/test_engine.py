@@ -767,18 +767,20 @@ def test_maintenance_history_gc(engine, spark):
         F.col("id").alias("k"), F.lit(s).alias("v"))
     gc = engine.create_table("hgc", schema, pk=["k"])
     keep = engine.create_table("hkeep", schema, pk=["k"])
+    # deep history: a NON-force vacuum only touches files older than
+    # the in-flight slack window, so the mark must not move until
+    # history genuinely extends past it (ADVICE r11: a young table's
+    # sweep used to publish a mark while deleting nothing)
     for t in (gc, keep):
         t.insert(rows(100, "a"))
-        t.upsert(rows(50, "b"))
-        t.compact()
+        for i in range(6):
+            t.upsert(rows(50, f"b{i}"))
+            t.compact()
     engine.alter_table("hgc").set_property("history_max_age_sec", "0").apply()
     engine.maintenance_sweep()
     gc, keep = engine.table("hgc"), engine.table("hkeep")
     mark = gc.ancient_history_mark()
-    # GC ran: pre-compaction history is out of contract (the mark may
-    # sit one below HEAD — the ALTER commit shares the compacted
-    # file set, so that snapshot stays readable)
-    assert mark is not None and mark > 1
+    assert mark is not None and 1 < mark < gc.version
     assert gc.scan(version=mark).count() == 100     # mark itself readable
     assert keep.ancient_history_mark() is None      # untouched
     assert gc.scan().count() == 100                 # HEAD intact
@@ -786,6 +788,30 @@ def test_maintenance_history_gc(engine, spark):
     with pytest.raises(KuduSparkError, match="ancient history mark"):
         gc.scan(version=1)
     assert keep.scan(version=2).count() == 100      # post-insert history retained
+
+
+def test_young_table_history_gc_keeps_time_travel(engine, spark):
+    """A maintenance history-GC pass over a YOUNG table (every file
+    inside the vacuum in-flight slack) deletes nothing — and must not
+    publish an ancient history mark claiming it did: time travel to
+    every version keeps working (ADVICE r11)."""
+    schema = [("k", "bigint", False), ("v", "string", True)]
+    rows = lambda n, s: spark.range(n).select(
+        F.col("id").alias("k"), F.lit(s).alias("v"))
+    t = engine.create_table("yhgc", schema, pk=["k"])
+    t.insert(rows(100, "a"))
+    v_insert = t.version
+    t.upsert(rows(50, "b"))
+    t.compact()
+    engine.alter_table("yhgc").set_property("history_max_age_sec", "0").apply()
+    out = engine.maintenance_sweep()
+    assert "__errors__" not in out
+    t = engine.table("yhgc")
+    assert t.ancient_history_mark() is None
+    # the pre-compaction snapshot's files are still on disk (protected
+    # by the in-flight slack) and must remain readable
+    assert t.scan(version=v_insert).count() == 100
+    assert t.scan().count() == 100
 
 
 def test_fsck_repair_sheds_bad_sidecar_refs(engine, spark):
@@ -852,3 +878,34 @@ def test_compact_full_retry_preserves_full(engine, spark, monkeypatch):
     t.compact(full=True)
     assert tripped, "the simulated conflict never fired"
     assert fulls == [True, True], fulls  # retry kept full=True
+
+
+def test_maintenance_sweep_reports_per_table_errors(engine, spark):
+    """A table whose maintenance pass raises (here: a malformed
+    history_max_age_sec, validated before any work) is reported under
+    the sweep's '__errors__' key instead of blending into 'nothing to
+    do' — and healthy tables still receive maintenance (VERDICT r11
+    #4, ADVICE r11)."""
+    schema = [("k", "bigint", False), ("v", "string", True)]
+    rows = lambda n, s: spark.range(n).select(
+        F.col("id").alias("k"), F.lit(s).alias("v"))
+    engine.create_table("swbad", schema, pk=["k"])
+    engine.alter_table("swbad").set_property(
+        "history_max_age_sec", "soon").apply()
+    good = engine.create_table("swgood", schema, pk=["k"])
+    engine.alter_table("swgood") \
+        .set_property("auto_compact_mode", "deferred") \
+        .set_property("auto_compact_min_delta_bytes", "1") \
+        .set_property("auto_compact_min_ratio", "0.0001").apply()
+    good = engine.table("swgood")
+    good.insert(rows(100, "a"))
+    good.upsert(rows(50, "b"))
+    out = engine.maintenance_sweep()
+    assert set(out.pop("__errors__")) == {"swbad"}
+    assert out == {"swbad": False, "swgood": True}
+    # the healthy table's backlog actually drained
+    assert not any(f.kind == "delta" for f in engine.table("swgood").state().files)
+    # a float-string age is user intent, not an error: parsed leniently
+    engine.alter_table("swbad").set_property(
+        "history_max_age_sec", "900.0").apply()
+    assert "__errors__" not in engine.maintenance_sweep()

@@ -664,12 +664,15 @@ def test_pure_delete_deltas_keep_pushdown(engine, spark):
     a live-delta commit followed by a newer pure-delete commit must
     NOT fall back to the global row_number window — non-key predicates
     keep pushing into both the base and the live-delta parquet scans,
-    and the delete keys ride an anti join."""
+    and the delete keys ride an anti join. ``dirty_cache = false``
+    pins the AT-SCALE plan (past the resident-dirty budget); the
+    under-budget cached shape is pinned separately."""
     t = engine.create_table(
         "pdel", SCHEMA, pk=["k"],
         hash_partitions=[{"columns": ["k"], "buckets": 4}],
     )
-    engine.alter_table("pdel").set_property("auto_compact", "false").apply()
+    engine.alter_table("pdel").set_property("auto_compact", "false") \
+        .set_property("dirty_cache", "false").apply()
     t = engine.table("pdel")  # keep the deltas live
     t.insert(spark.createDataFrame(
         [(k, k * 10, f"s{k}") for k in range(1000)], "k bigint, v int, s string"
@@ -788,3 +791,42 @@ def test_zorder_clustering_tightens_both_dimensions(engine, spark):
     with pytest.raises(KuduSparkError, match="zorder"):
         t2.insert(spark.createDataFrame([(n * 2, 1, 1, "x")],
                                         "k bigint, a bigint, b bigint, pad string"))
+
+def test_dirty_cache_resident_scan(engine, spark):
+    """Under the resident-dirty budget (DIRTY_CACHE_MAX_BYTES), the
+    merged dirty state of a snapshot is persisted once and repeat
+    scans read it as an InMemoryRelation — no per-query broadcast
+    stage — with rows identical to the at-scale join plan."""
+    t = engine.create_table(
+        "pdelc", SCHEMA, pk=["k"],
+        hash_partitions=[{"columns": ["k"], "buckets": 4}],
+    )
+    engine.alter_table("pdelc").set_property("auto_compact", "false").apply()
+    t = engine.table("pdelc")
+    t.insert(spark.createDataFrame(
+        [(k, k * 10, f"s{k}") for k in range(1000)], "k bigint, v int, s string"
+    ))
+    t.upsert(spark.createDataFrame(
+        [(k, k * 10 + 1, f"u{k}") for k in range(0, 1000, 10)],
+        "k bigint, v int, s string",
+    ))
+    t.delete(spark.createDataFrame([(k,) for k in range(0, 1000, 50)], "k bigint"))
+    df1 = t.scan(filters=[("v", ">=", 100)])
+    rows1 = sorted((r["k"], r["v"], r["s"]) for r in df1.collect())
+    plan = plan_of(df1)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert "row_number" not in plan and "Window" not in plan
+    # a fresh handle reuses the SAME persisted frame (process-wide)
+    rows2 = sorted((r["k"], r["v"], r["s"]) for r in
+                   engine.table("pdelc").scan(filters=[("v", ">=", 100)]).collect())
+    assert rows2 == rows1
+    # reference: the uncached at-scale plan returns identical rows
+    # (the ALTER commit also evicts the cached frames)
+    engine.alter_table("pdelc").set_property("dirty_cache", "false").apply()
+    df3 = engine.table("pdelc").scan(filters=[("v", ">=", 100)])
+    plan3 = plan_of(df3)
+    # the predicate reaches parquet again (the persisted KEY frame may
+    # still appear as an InMemoryRelation — that one is intended)
+    assert "PushedFilters" in plan3 and "GreaterThanOrEqual(v,100)" in plan3
+    rows3 = sorted((r["k"], r["v"], r["s"]) for r in df3.collect())
+    assert rows3 == rows1

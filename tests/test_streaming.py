@@ -482,6 +482,17 @@ def test_stateful_streaming_funnel(spark, tmp_path):
         [ev(1, 0, "signup"), ev(1, 5, "view"), ev(2, 0, "signup"), ev(2, 0, "view")],
         ddl,
     ).coalesce(1).write.mode("append").parquet(str(src))
+    # Spark's file source orders files by modification time: two writes
+    # landing within mtime granularity can deliver batch 2 first and
+    # break the carried-state assertion (ADVICE r11). Backdate batch
+    # 1's files so its trigger always fires first, deterministically.
+    import os as _os
+    import time as _tm
+
+    _past = _tm.time() - 120
+    for _p in src.rglob("*"):
+        if _p.is_file():
+            _os.utime(_p, (_past, _past))
     # batch 2: u1's click lands out of order with a purchase in the
     # same batch (purchase at t8 precedes the click at t10, so it
     # cannot complete the funnel); u2 makes no progress (click needs
