@@ -343,7 +343,7 @@ def engine_decimal_pk_scan(spark, sf_dir):
 
 @query(
     "engine_clustered_scan",
-    gated=False,  # layout variant of gated engine_* scans; pytest-oracled
+    gated=True,  # r12 rotation: strongest not-yet-driver-verified layout entry
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal
     FROM customer WHERE c_nationkey = 7
@@ -524,7 +524,7 @@ def engine_sql_txn_scan(spark, sf_dir):
            CAST(sc AS FLOAT) AS __q8s_embedding
     FROM scaled
     """,
-    gated=False,  # ANN family gated via ann_quantized_topk; pytest-oracled
+    gated=True,  # r12 rotation: stored-q8 engine columns get driver verification
 )
 def engine_quantized_scan(spark, sf_dir):
     """Stored int8 vector columns on an ENGINE table

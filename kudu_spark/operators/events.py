@@ -74,6 +74,47 @@ def _funnel_level(evs: Column, within: str | None = None) -> Column:
     return F.aggregate(evs, init, step)["level"]
 
 
+def _funnel_level_any(evs: Column, within: str) -> Column:
+    """Deepest funnel level over ANY anchor placement — full
+    ClickHouse windowFunnel(window, strict_increase) semantics: every
+    first-step event is a candidate chain anchor, the chain must land
+    inside ``within`` of ITS anchor, and the user's level is the max
+    depth over anchors (a chain only a LATER anchor satisfies now
+    counts — the case first-touch attribution misses).
+
+    Shape: a nested codegen fold — outer over the user's first-step
+    events (anchors), inner the same greedy earliest-eligible walk as
+    _funnel_level pinned to that anchor. Greedy-per-anchor is optimal
+    by the standard exchange argument, so max-over-anchors is exact.
+    O(anchors x events) per user, both bounded by the per-user event
+    count the one-shuffle design already assumes."""
+    w = F.expr(f"INTERVAL {within}")
+
+    def depth_from(anchor: Column) -> Column:
+        init = F.struct(
+            F.lit(1).alias("level"), anchor["ts"].alias("ts")
+        )
+
+        def step(acc: Column, ev: Column) -> Column:
+            adv = (
+                (ev["step"] == acc["level"])
+                & (ev["ts"] > acc["ts"])
+                & (ev["ts"] <= anchor["ts"] + w)
+            )
+            return F.when(
+                adv,
+                F.struct((acc["level"] + 1).alias("level"),
+                         ev["ts"].alias("ts")),
+            ).otherwise(acc)
+
+        return F.aggregate(evs, init, step)["level"]
+
+    anchors = F.filter(evs, lambda e: e["step"] == 0)
+    return F.aggregate(
+        anchors, F.lit(0), lambda acc, a: F.greatest(acc, depth_from(a))
+    )
+
+
 def window_funnel(
     events: DataFrame,
     steps: tuple[str, ...] = DEFAULT_FUNNEL,
@@ -81,6 +122,7 @@ def window_funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within: str | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
     """Strict-order funnel: for each user, walk their events in time
     order and count how deep into ``steps`` they got (each step must
@@ -92,7 +134,19 @@ def window_funnel(
     Equivalent to the chained min-ts CTE formulation (each step's
     reach time is the MIN eligible ts): the fold advances at the
     first eligible event in global ts order, which IS that minimum.
+
+    With ``within``, ``anchor`` picks the attribution model:
+    ``"first"`` bounds the chain to the window after the user's FIRST
+    first-step event (first-touch — deterministic subset);
+    ``"any"`` scores chains from EVERY first-step anchor and keeps
+    the deepest — full ClickHouse windowFunnel(window) semantics
+    (_funnel_level_any). ``anchor`` is ignored without ``within``
+    (anchor choice cannot change an unbounded chain's greedy depth:
+    any chain from a later anchor is a suffix-extension the
+    first-anchor greedy walk also reaches).
     """
+    if anchor not in ("first", "any"):
+        raise ValueError(f"unknown funnel anchor mode {anchor!r}")
     step_map = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
@@ -106,9 +160,10 @@ def window_funnel(
     per_user = e.groupBy("__u").agg(
         F.array_sort(F.collect_list(F.struct("ts", "step"))).alias("__evs")
     )
-    levels = per_user.select(
-        _funnel_level(F.col("__evs"), within).alias("__lv")
-    )
+    lv = (_funnel_level_any(F.col("__evs"), within)
+          if within is not None and anchor == "any"
+          else _funnel_level(F.col("__evs"), within))
+    levels = per_user.select(lv.alias("__lv"))
     counts = levels.agg(
         *[
             F.sum((F.col("__lv") >= k).cast("bigint")).alias(f"__s{k}")
@@ -156,6 +211,35 @@ def window_funnel_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL,
     return (
         "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
     )
+
+
+def window_funnel_any_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL,
+                          within: str = "2 DAY") -> str:
+    """DuckDB twin of window_funnel(anchor="any"): the chained min-ts
+    CTEs carry the (user, anchor_ts) pair — one chain PER ANCHOR, each
+    bounded to its own window — and a user counts at step k when ANY
+    of their anchors' chains reaches it. Greedy-per-anchor is optimal
+    (exchange argument), so this is exact, like the nested fold."""
+    ctes = [
+        f"s1 AS (SELECT user_id, ts AS a FROM events "
+        f"WHERE event_type = '{steps[0]}' AND ts IS NOT NULL)"
+    ]
+    prev_t = "a"
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT p.user_id, p.a, min(e.ts) AS t FROM events e "
+            f"JOIN s{i} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.{prev_t} "
+            f"AND e.ts <= p.a + INTERVAL {within} "
+            f"GROUP BY p.user_id, p.a)"
+        )
+        prev_t = "t"
+    selects = [
+        f"SELECT {i + 1} AS step_no, '{s}' AS step, "
+        f"(SELECT count(DISTINCT user_id) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 def retention_cohorts(

@@ -693,3 +693,103 @@ def quantized_topk_sql(query_ids: list[int], k: int = 10,
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# -- persisted IVF model (VERDICT r11 next #2) ----------------------------------
+
+
+def build_ivf_index(emb: DataFrame, out_path: str, n_centroids: int = 8,
+                    n_iters: int = 3) -> None:
+    """Persist the IVF model as an index artifact, mirroring
+    build_quantized_index's build-once / append-per-batch contract
+    (and FAISS's IVF inverted-list layout): ``out_path/centroids`` is
+    the trained k-means model (k x dims, one tiny file) and
+    ``out_path/cells`` holds (vec_id, embedding) parquet PARTITIONED
+    BY cell — so serving reads ONLY the probed cells' files via
+    static partition pruning, ~(n_probes / n_centroids) of the corpus
+    bytes. The Lloyd training (5 scans + k x dims driver collects per
+    iteration, kmeans_centroids) runs ONCE here instead of per query
+    — the wrong-shape-at-100TB recompute ivf_kmeans_topk pays.
+
+    Maintenance: centroids are frozen at build; a new ingest batch is
+    assigned with ``append_ivf_index`` (one scan of the batch, no
+    retraining), and drift is handled by an idempotent rebuild —
+    Kudu's compaction contract, applied to an index."""
+    cents = kmeans_centroids(emb, n_centroids, n_iters)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centv array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(out_path + "/centroids")
+    _assign_cells(emb, cent_df, "overwrite").parquet(out_path + "/cells")
+
+
+def append_ivf_index(emb_batch: DataFrame, out_path: str) -> None:
+    """Assign ONE new batch to the existing (frozen) centroids and
+    append its cells — O(batch), no retraining, no corpus rescan."""
+    cent_df = emb_batch.sparkSession.read.parquet(out_path + "/centroids")
+    _assign_cells(emb_batch, cent_df, "append").parquet(out_path + "/cells")
+
+
+def _assign_cells(emb: DataFrame, cent_df: DataFrame, mode: str):
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "embedding", "centroid_id",
+                cosine_expr("embedding", "centv").alias("c"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    return assigned.write.mode(mode).partitionBy("cell")
+
+
+def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
+                   n_probes: int = 2) -> DataFrame:
+    """ANN serving over the PERSISTED IVF index: row-identical to
+    ivf_kmeans_topk (same centroids — training is deterministic — same
+    probe and ranking order), but the corpus is touched ONLY through
+    the index's cell files: probe cells are chosen from the tiny
+    centroid model, query vectors come from the queries' own cell
+    partitions (vec_id pushdown), and the candidate scan is statically
+    partition-pruned to the probed cells."""
+    cent_df = spark.read.parquet(index_path + "/centroids")
+    cells = spark.read.parquet(index_path + "/cells")
+    qv = cells.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    # per-query probe cells from the k x dims model (no corpus scan)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    probes = (
+        qv.crossJoin(F.broadcast(cent_df))
+        .select("query_id", "centroid_id", cosine_expr("qv", "centv").alias("c"))
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= n_probes)
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    )
+    # STATIC partition prune: the probed-cell id set is tiny
+    # (|queries| x n_probes) and already driver-adjacent, so collect
+    # it and push an IN filter on the partition column — the candidate
+    # read provably opens only those cells' files (asserted from file
+    # sizes in tests), independent of DPP support
+    probe_rows = probes.collect()
+    probe_cells = sorted({r["cell"] for r in probe_rows})
+    probes_df = F.broadcast(spark.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in probe_rows],
+        "query_id long, cell int"))
+    cand = cells.where(F.col("cell").isin(probe_cells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"), "cell")
+    scored = (
+        cand.join(probes_df, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 6).alias("cosine"))
+    )

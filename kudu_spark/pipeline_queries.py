@@ -327,6 +327,34 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return SIM.ivf_kmeans_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+@query(
+    "ann_ivf_indexed_topk",
+    oracle=SIM.kmeans_oracle_sql(ANN_QUERY_IDS, k=5, n_centroids=8, n_iters=3, n_probes=2),
+    gated=True,  # r12 rotation: new persisted-IVF path gets driver verification
+)
+def ann_ivf_indexed_topk(spark, sf_dir):
+    """ANN over the PERSISTED IVF index (similarity.py build_ivf_index
+    / ivf_index_topk, VERDICT r11 next #2): k-means trains ONCE at
+    build, the model lands as a centroid artifact + cell-partitioned
+    (vec_id, embedding) parquet, and serving statically partition-
+    prunes to the probed cells — no per-query Lloyd recompute, no full
+    corpus scan. Output is row-identical to ann_ivf_kmeans_topk (the
+    training is deterministic), so it shares its unrolled-CTE oracle;
+    the bytes-read saving is asserted from file sizes in pytest."""
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="kudu-ivfidx-") + "/ivf"
+    SIM.build_ivf_index(load(spark, sf_dir, "embeddings"), idx,
+                        n_centroids=8, n_iters=3)
+    out = SIM.ivf_index_topk(spark, idx, ANN_QUERY_IDS, k=5, n_probes=2)
+    # materialization must precede cleanup (lazy plans read the index)
+    out = out.cache()
+    out.count()
+    shutil.rmtree(idx.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus cleaning (quality filter -> exact dedup -> LSH dedup)
 # ---------------------------------------------------------------------------
@@ -499,7 +527,7 @@ def multimodal_image_headers(spark, sf_dir):
            doc_id % 41 != 0 AS parse_ok
     FROM documents
     """,
-    gated=False,  # multimodal family gated via multimodal_image_headers
+    gated=True,  # r12 rotation: audio header parser gets driver verification
 )
 def multimodal_audio_headers(spark, sf_dir):
     """REAL audio metadata without a codec (operators/multimodal.py

@@ -78,6 +78,7 @@ def _ts(lit: str):
 
 @query(
     "scan_project_predicate",
+    gated=False,  # r12 rotation: long-green since r1; scan family stays via engine_* scans
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
     FROM lineitem
@@ -104,6 +105,7 @@ def scan_project_predicate(spark, sf_dir):
 
 @query(
     "scan_key_lookup",
+    gated=False,  # r12 rotation: long-green since r1; point-lookup covered by engine_decimal_pk_scan
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
     FROM lineitem WHERE l_orderkey = 2000
@@ -314,6 +316,7 @@ def agg_distinct_counts(spark, sf_dir):
 
 @query(
     "agg_rollup",
+    gated=False,  # r12 rotation: long-green since r1; agg family stays via agg_pricing_summary
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
@@ -448,6 +451,7 @@ def join_semi_bloom(spark, sf_dir):
 
 @query(
     "join_anti_orders_without_lineitems",
+    gated=False,  # r12 rotation: long-green since r1; anti-join shape stays via join_semi_bloom
     oracle="""
     SELECT count(*) AS n_rows
     FROM orders
@@ -567,6 +571,7 @@ def window_top3_orders_per_customer(spark, sf_dir):
 
 @query(
     "setop_except_intersect",
+    gated=False,  # r12 rotation: long-green since r1; pytest-oracled
     oracle="""
     SELECT 'only_open' AS side, count(*) AS n FROM (
       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'

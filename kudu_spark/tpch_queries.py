@@ -1004,12 +1004,17 @@ def window_retention_cohorts(spark, sf_dir):
 
 @query(
     "window_funnel_within",
-    oracle=EV.window_funnel_sql(within="2 DAY"),
-    gated=False,  # funnel family gated via window_funnel_conversion
+    oracle=EV.window_funnel_any_sql(within="2 DAY"),
+    gated=True,  # r12 rotation: upgraded to full any-anchor semantics
 )
 def window_funnel_within(spark, sf_dir):
-    """Conversion-window funnel: the whole chain must land within 2
-    days of the user's first signup (first-touch attribution —
-    ClickHouse windowFunnel(window)'s deterministic subset). Same
-    one-shuffle fold; the window is one more codegen predicate."""
-    return EV.window_funnel(load(spark, sf_dir, "events"), within="2 DAY")
+    """Conversion-window funnel with FULL ClickHouse
+    windowFunnel(window, strict_increase) semantics (VERDICT r11 next
+    #3): every signup is a candidate anchor, each chain is bounded to
+    2 days of ITS anchor, and a user scores the deepest chain over
+    all anchors — catching conversions only a later anchor satisfies,
+    which first-touch attribution misses. One user-keyed shuffle +
+    a nested codegen fold (operators/events.py _funnel_level_any);
+    the oracle unrolls the per-anchor min-ts chain as CTEs."""
+    return EV.window_funnel(load(spark, sf_dir, "events"), within="2 DAY",
+                            anchor="any")

@@ -134,3 +134,53 @@ def test_funnel_conversion_window(spark):
     out2 = {r["step"]: r["users"]
             for r in EV.window_funnel(_ev(spark, rows)).collect()}
     assert out2["click"] == 2
+
+
+def test_funnel_any_anchor_beats_first_touch(spark):
+    """Full windowFunnel semantics (anchor='any'): a chain that only a
+    LATER signup anchor satisfies must count — exactly the case
+    first-touch attribution misses (VERDICT r11 next #3)."""
+    rows = [
+        # u1: early signup whose 1-hour window expires, then a second
+        # signup whose window contains a full chain
+        (1, "signup", 0),
+        (1, "signup", 200), (1, "view", 210), (1, "click", 220),
+        (1, "purchase", 230),
+        # u2: single signup, chain past the window — must NOT count
+        (2, "signup", 0), (2, "view", 120), (2, "click", 130),
+        # u3: the early anchor is the only converting one (later
+        # signup has nothing after it) — still counts under any-anchor
+        (3, "signup", 0), (3, "view", 10), (3, "signup", 500),
+    ]
+    ev = _ev(spark, rows)
+    first = {r["step"]: r["users"]
+             for r in EV.window_funnel(ev, within="1 HOUR").collect()}
+    any_ = {r["step"]: r["users"]
+            for r in EV.window_funnel(ev, within="1 HOUR",
+                                      anchor="any").collect()}
+    # first-touch: u1 stalls at their minute-0 anchor (window over by
+    # minute 200), u3's early chain works
+    assert first == {"signup": 3, "view": 1, "click": 0, "purchase": 0}
+    # any-anchor: u1's second signup carries the full chain
+    assert any_ == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_funnel_any_anchor_strict_ties(spark):
+    """Strict ordering holds per anchor: a view at the same instant as
+    its anchor never advances, even when an earlier anchor exists whose
+    window has expired."""
+    rows = [
+        (1, "signup", 0), (1, "signup", 100), (1, "view", 100),
+    ]
+    out = {r["step"]: r["users"]
+           for r in EV.window_funnel(_ev(spark, rows), within="1 HOUR",
+                                     anchor="any").collect()}
+    # anchor@0: view@100 outside the window; anchor@100: same-instant
+    # view fails strict ordering
+    assert out == {"signup": 1, "view": 0, "click": 0, "purchase": 0}
+    # one minute later and the second anchor's chain counts
+    rows2 = [(1, "signup", 0), (1, "signup", 100), (1, "view", 101)]
+    out2 = {r["step"]: r["users"]
+            for r in EV.window_funnel(_ev(spark, rows2), within="1 HOUR",
+                                      anchor="any").collect()}
+    assert out2["view"] == 1
