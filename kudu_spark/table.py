@@ -160,6 +160,10 @@ _KEY_FRAMES_GUARD = _threading.Lock()
 # sets, and one snapshot can hold a key frame + a resolved-delta frame
 # per shape — 4 was measured to thrash under two alternating queries
 KEY_FRAME_CACHE_MAX = 12
+# root-level LRU cap: a long-lived process touching many tables (or a
+# test session creating thousands of temp roots) must not pin every
+# table's frames forever — least-recently-used roots evict wholesale
+KEY_FRAME_ROOTS_MAX = 32
 
 
 def _evict_key_frames(root: str) -> None:
@@ -658,9 +662,18 @@ class Table:
         materialized once or per query."""
         from collections import OrderedDict
 
+        def touch_root(root):
+            # roots are themselves LRU-managed (plain dicts iterate in
+            # insertion order; re-inserting = move-to-end)
+            ent = _KEY_FRAMES.pop(root, None)
+            if ent is None:
+                ent = OrderedDict()
+            _KEY_FRAMES[root] = ent
+            return ent
+
         root = _canonical_root(self.root)
         with _KEY_FRAMES_GUARD:
-            ent = _KEY_FRAMES.setdefault(root, OrderedDict())
+            ent = touch_root(root)
             df = ent.get(ck)
             if df is not None and df.sparkSession is self.spark:
                 ent.move_to_end(ck)
@@ -670,7 +683,7 @@ class Table:
             fresh = fresh.persist()
         evicted: list[DataFrame] = []
         with _KEY_FRAMES_GUARD:
-            ent = _KEY_FRAMES.setdefault(root, OrderedDict())
+            ent = touch_root(root)
             cur = ent.get(ck)
             if cur is not None and cur.sparkSession is self.spark:
                 evicted.append(fresh)  # lost a race; keep the incumbent
@@ -682,6 +695,11 @@ class Table:
                 _, old = ent.popitem(last=False)
                 if old is not fresh:
                     evicted.append(old)
+            while len(_KEY_FRAMES) > KEY_FRAME_ROOTS_MAX:
+                stale_root = next(iter(_KEY_FRAMES))
+                if stale_root == root:
+                    break  # never evict the root we just served
+                evicted.extend(_KEY_FRAMES.pop(stale_root).values())
         for old in evicted:
             try:
                 old.unpersist()

@@ -358,3 +358,31 @@ def test_delete_key_frame_cache_reuse_and_eviction(engine, spark):
     got3 = {r.key: r.int_val for r in engine.table("kfc").scan().collect()}
     want[1000] = 1
     assert got3 == want
+
+
+def test_key_frame_root_lru_eviction(engine, spark, monkeypatch):
+    """The process-wide frame cache is LRU-bounded across table ROOTS
+    too: a long-lived process (or test session) touching many tables
+    must not pin every root's persisted frames forever. Evicted roots
+    just recompute — results identical."""
+    import kudu_spark.table as tbl
+
+    monkeypatch.setattr(tbl, "KEY_FRAME_ROOTS_MAX", 2)
+    tables = []
+    for i in range(3):
+        name = f"lru{i}"
+        t = engine.create_table(name, SIMPLE, pk=["key"])
+        engine.alter_table(name).set_property("auto_compact", "false").apply()
+        t = engine.table(name)
+        t.insert(rows(spark, [(k, k) for k in range(50)]))
+        t.upsert(rows(spark, [(k, k + 1) for k in range(0, 50, 5)]))
+        assert t.scan().count() == 50  # populates this root's frames
+        tables.append(t)
+    assert len(tbl._KEY_FRAMES) <= 2
+    root0 = tbl._canonical_root(tables[0].root)
+    root2 = tbl._canonical_root(tables[2].root)
+    assert root0 not in tbl._KEY_FRAMES   # oldest root evicted
+    assert root2 in tbl._KEY_FRAMES      # newest retained
+    # the evicted root's table still answers correctly (recompute)
+    got = {r.key: r.int_val for r in tables[0].scan().collect()}
+    assert got == {k: (k + 1 if k % 5 == 0 else k) for k in range(50)}
