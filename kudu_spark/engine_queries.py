@@ -544,6 +544,46 @@ def engine_quantized_scan(spark, sf_dir):
     return t.scan_quantized("embedding")
 
 
+def _kmeans_oracle():
+    from kudu_spark.operators.similarity import kmeans_oracle_sql
+
+    return kmeans_oracle_sql([10, 20, 30, 40, 50], k=5, n_centroids=8,
+                             n_iters=3, n_probes=2)
+
+
+@query(
+    "engine_ann_cells_topk",
+    oracle=_kmeans_oracle(),
+    gated=False,  # new in r12; pytest-oracled + freshness-tested, rotate next
+)
+def engine_ann_cells_topk(spark, sf_dir):
+    """ANN THROUGH the engine table's stored IVF cells
+    (train_vector_cells / __ivfc_<col> / ann_topk): k-means trains
+    once into a frozen centroid artifact, every later write derives
+    the cell assignment as a stored column, files lay out by cell
+    (cluster_by = __ivfc_embedding) so scan_cells prunes row groups,
+    and serving rides the ordinary merge-on-read snapshot — an
+    upserted vector is scored at its NEW value and a deleted one
+    never returns, for free. Row-identical to the operator family's
+    ivf_kmeans_topk on identical data, so it shares the unrolled-CTE
+    oracle; mutation freshness is pinned in tests/test_similarity.py."""
+    eng = _engine(spark)
+    t = eng.create_table(
+        "emcells", [("vec_id", "bigint", False),
+                    ("embedding", "array<float>", True),
+                    ("label", "int", True)], pk=["vec_id"])
+    t.insert(load(spark, sf_dir, "embeddings"))
+    t = eng.table("emcells")
+    t.train_vector_cells("embedding", n_cells=8, n_iters=3)
+    eng.alter_table("emcells").set_property(
+        "cluster_by", "__ivfc_embedding").apply()
+    # compaction rewrites pre-training files with the stored cell
+    # column in the clustered layout — the convergence step
+    t = eng.table("emcells")
+    t.compact(full=True)
+    return t.ann_topk("embedding", [10, 20, 30, 40, 50], k=5, n_probes=2)
+
+
 @query(
     "engine_timeseries_scan",
     oracle="""

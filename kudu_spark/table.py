@@ -69,6 +69,13 @@ _ZORDER_RE = re.compile(r"^\s*zorder\s*\(([^)]*)\)\s*$", re.I)
 # __q8_<name> (array<tinyint>) + __q8s_<name> (float, 127/max|v|)
 Q8_PREFIX = "__q8_"
 Q8S_PREFIX = "__q8s_"
+# stored IVF cell assignment of vector columns (table prop
+# vector_cell_cols, trained centroid artifact _ivf_<col>.json): per
+# column <name>, files written after training carry __ivfc_<name>
+# (int, argmax-cosine cell against the FROZEN centroids), so ANN
+# serving prunes to probed cells through the ordinary snapshot
+# machinery — updates and deletes stay exact for free
+IVFC_PREFIX = "__ivfc_"
 AUTO_INC_COL = "auto_incrementing_id"  # hidden PK suffix, common.proto:173
 AUTO_INC_STRIDE = 1 << 40  # id space reserved per insert commit
 
@@ -1355,6 +1362,159 @@ class Table:
             scale.cast("float").alias(sn),
         )
 
+    # -- stored IVF cells on engine tables (ANN through the snapshot) -------------
+
+    def _vector_cell_cols(self, st: TableState) -> list[str]:
+        return [c.strip()
+                for c in str(st.props.get("vector_cell_cols", "")).split(",")
+                if c.strip()]
+
+    def _ivf_artifact(self, column: str) -> dict | None:
+        """The frozen centroid model for ``column``, or None before
+        training. Tiny (n_cells x dims doubles) — read per plan."""
+        try:
+            raw = self._env.read_bytes(
+                os.path.join(self.root, f"_ivf_{column}.json"))
+            return json.loads(raw)
+        except Exception:
+            return None
+
+    def _cell_expr(self, column: str, cents: list[list[float]]):
+        """argmax-cosine cell id as a codegen expression: the FIRST
+        position of the max score — identical tie-break (lowest
+        centroid id) to the operator family's rank window. NULL
+        vectors (tombstones) yield NULL cells."""
+        from kudu_spark.operators.similarity import cosine_expr
+
+        scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
+                           for c in cents])
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    def train_vector_cells(self, column: str, n_cells: int = 8,
+                           n_iters: int = 3) -> None:
+        """Train the k-means cell model for ``column`` over the
+        current snapshot and freeze it as a table artifact
+        (_ivf_<col>.json) + the ``vector_cell_cols`` property: every
+        LATER write (ingest batch, upsert, compaction rewrite) derives
+        the stored __ivfc_<col> assignment from the frozen centroids —
+        O(batch), no retraining, Kudu's compaction contract applied to
+        an index. Retrain by calling again (new artifact, next
+        compaction converges old files). Deterministic: init = the
+        embeddings of the ``n_cells`` smallest PKs, integer-sum Lloyd
+        updates (operators/similarity.py kmeans_centroids)."""
+        from kudu_spark.operators.similarity import kmeans_centroids
+
+        st = self.state()
+        if len(st.schema.pk) != 1:
+            raise KuduSparkError(
+                "train_vector_cells requires a single-column PK "
+                "(the deterministic k-means init orders by it)")
+        st.schema.col(column)  # raises SchemaError on unknown column
+        emb = self.scan(columns=[st.schema.pk[0], column]).select(
+            F.col(st.schema.pk[0]).alias("vec_id"),
+            F.col(column).alias("embedding"),
+        ).where(F.col("embedding").isNotNull())
+        cents = kmeans_centroids(emb, k=n_cells, n_iters=n_iters)
+        payload = json.dumps({"n_cells": n_cells, "n_iters": n_iters,
+                              "centroids": cents}).encode()
+        self._env.write_bytes(
+            os.path.join(self.root, f"_ivf_{column}.json"), payload)
+        cols = set(self._vector_cell_cols(st)) | {column}
+        self._commit(st, "alter", [],
+                     props={"vector_cell_cols": ",".join(sorted(cols))})
+
+    def scan_cells(self, column: str, cells: list[int],
+                   filters: list | None = None,
+                   version: int | None = None) -> DataFrame:
+        """Snapshot scan restricted to the given IVF cells of
+        ``column`` — the candidate fetch of ANN serving, with FULL
+        merge-on-read semantics (an upserted vector is scored at its
+        new value, a deleted one never returns). Files written before
+        training read the stored cell as NULL and are conservatively
+        INCLUDED (exact, no pruning) until compaction rewrites them —
+        the same convergence contract as scan_quantized."""
+        st = self.state(version)
+        if column not in self._vector_cell_cols(st):
+            raise KuduSparkError(
+                f"column {column!r} has no trained cell model "
+                f"(vector_cell_cols={st.props.get('vector_cell_cols', '')!r})")
+        cn = IVFC_PREFIX + column
+        st2 = self._augment_state(st, [(cn, "int")])
+        df = self._snapshot_df(st2, filters)
+        return df.where(F.col(cn).isin([int(c) for c in cells])
+                        | F.col(cn).isNull())
+
+    def ann_topk(self, column: str, query_keys: list, k: int = 5,
+                 n_probes: int = 2, version: int | None = None) -> DataFrame:
+        """ANN top-k over the table's stored IVF cells: probe cells
+        come from the tiny frozen centroid model, candidates from a
+        cell-restricted snapshot scan (scan_cells), ranking from the
+        exact cosine — row-compatible with the operator family's
+        ivf_kmeans_topk on identical data. Returns
+        (query_id, neighbor_id, rank, cosine) keyed by the PK."""
+        from kudu_spark.operators.similarity import cosine_expr
+
+        st = self.state(version)
+        art = self._ivf_artifact(column)
+        if art is None:
+            raise KuduSparkError(
+                f"column {column!r} has no trained cell model; call "
+                "train_vector_cells first")
+        cents = art["centroids"]
+        pk0 = st.schema.pk[0]
+        qv = self.scan(
+            columns=[pk0, column], version=version,
+            filters=[(pk0, "in", list(query_keys))],
+        ).select(F.col(pk0).alias("query_id"), F.col(column).alias("qv"))
+        cent_df = F.broadcast(self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id int, centv array<double>"))
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.desc("c"), F.asc("centroid_id"))
+        probes = (
+            qv.crossJoin(cent_df)
+            .select("query_id", "centroid_id",
+                    cosine_expr("qv", "centv").alias("c"))
+            .withColumn("r", F.row_number().over(w1))
+            .where(F.col("r") <= n_probes)
+            .select("query_id", F.col("centroid_id").alias("cell"))
+        )
+        probe_rows = probes.collect()  # bounded: |queries| x n_probes
+        probe_cells = sorted({r["cell"] for r in probe_rows})
+        probes_df = F.broadcast(self.spark.createDataFrame(
+            [(r["query_id"], int(r["cell"])) for r in probe_rows],
+            f"query_id {st.schema.col(pk0).type}, cell int"))
+        cn = IVFC_PREFIX + column
+        cand = self.scan_cells(column, probe_cells, version=version).select(
+            F.col(pk0).alias("neighbor_id"),
+            F.col(column).alias("cv"),
+            F.coalesce(F.col(cn), F.lit(-1)).alias("cell"),
+        )
+        # stored-cell candidates equi-join their probes; NULL-cell
+        # candidates (files predating training) conservatively pair
+        # with EVERY query via a crossJoin against the broadcast
+        # constant-size query list — exact, converges at compaction
+        eq = cand.where(F.col("cell") >= 0).join(probes_df, "cell")
+        legacy = cand.where(F.col("cell") == -1).crossJoin(
+            F.broadcast(probes_df.select("query_id").distinct()))
+        paired = eq.select("query_id", "neighbor_id", "cv").unionByName(
+            legacy.select("query_id", "neighbor_id", "cv"))
+        scored = (
+            paired.where(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "neighbor_id",
+                    cosine_expr("qv", "cv").alias("c"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("c"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("c", 6).alias("cosine"))
+        )
+
     # -- diff scan ---------------------------------------------------------------
 
     def diff_scan(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -1634,6 +1794,17 @@ class Table:
                     quantize_expr(F.col(vc), scale).cast("array<tinyint>"),
                 ).withColumn(Q8S_PREFIX + vc, scale.cast("float"))
                 vq_written.append(vc)
+        # vector_cell_cols: derive the stored IVF cell assignment from
+        # the FROZEN centroid artifact at every write — O(batch), one
+        # codegen argmax per vector column, no retraining (the index
+        # maintenance contract of train_vector_cells)
+        for vc in self._vector_cell_cols(st):
+            if vc in out.columns:
+                art = self._ivf_artifact(vc)
+                if art:
+                    out = out.withColumn(
+                        IVFC_PREFIX + vc,
+                        self._cell_expr(vc, art["centroids"]))
         # staging location: in-root when Spark can write the scheme
         # directly (local, hdfs://, s3a://, ... — executors write to
         # shared storage, nothing moves through the driver); a local
@@ -1685,10 +1856,22 @@ class Table:
             cluster, sort_cols, zdrop = zcols, ["__zv"], ["__zv"]
             sort_cols += [c for c in pk_cols]
         else:
-            cluster = [c.strip() for c in str(st.props.get("cluster_by", "")).split(",")
-                       if c.strip()]
-            for c in cluster:
+            declared = [c.strip() for c in str(st.props.get("cluster_by", "")).split(",")
+                        if c.strip()]
+            cluster = []
+            for c in declared:
+                # derived stored columns (__ivfc_*) are legal cluster
+                # keys when this batch carries them: files laid out by
+                # IVF cell give scan_cells tight footer bounds. A batch
+                # written without the derived column (no artifact yet)
+                # silently demotes to the remaining keys — layout is a
+                # performance property, never a write error.
+                if c.startswith(IVFC_PREFIX):
+                    if c in out.columns:
+                        cluster.append(c)
+                    continue
                 st.schema.col(c)  # raises SchemaError on an unknown column
+                cluster.append(c)
             sort_cols = cluster + [c for c in pk_cols if c not in cluster]
         if pnames:
             out = out.repartition(*pnames).sortWithinPartitions(*pnames, *sort_cols)

@@ -314,3 +314,80 @@ def test_ivf_index_persisted_model(spark, tmp_path):
     assert cells.count() == emb.count() + 5
     # centroid artifact untouched by append
     assert sorted(r.centroid_id for r in cent.collect()) == list(range(8))
+
+
+def test_engine_ann_cells_freshness_and_layout(spark, tmp_path):
+    """Stored IVF cells on an ENGINE table: serving rides the ordinary
+    merge-on-read snapshot, so mutations are fresh by construction —
+    an upserted vector is scored at its new value, a deleted one never
+    returns — and the cell-clustered layout gives scan_cells real
+    row-group pruning (asserted from footers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "vc", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = eng.table("vc")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    eng.alter_table("vc").set_property("cluster_by", "__ivfc_embedding").apply()
+    t = eng.table("vc")
+    t.compact(full=True)
+
+    qids = [10, 20, 30]
+    base = sorted(tuple(r) for r in
+                  t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    want = sorted(tuple(r) for r in
+                  SIM.ivf_kmeans_topk(emb, qids, k=5, n_centroids=4,
+                                      n_iters=2, n_probes=2).collect())
+    assert base == want  # frozen training == per-query training, same data
+
+    # freshness through UPSERT: vec 999000 becomes an exact copy of
+    # vec 20's embedding -> cosine 1.0 -> it must be 20's rank-1
+    twin = emb.where(F.col("vec_id") == 20).select(
+        F.lit(999000).cast("bigint").alias("vec_id"), "embedding",
+        F.lit(0).alias("label"))
+    t.upsert(twin)
+    t = eng.table("vc")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+           for r in t.ann_topk("embedding", qids, k=5, n_probes=2).collect()}
+    assert got[(20, 1)] == (999000, 1.0)
+
+    # freshness through DELETE: remove the twin, it must vanish
+    t.delete(spark.createDataFrame([(999000,)], "vec_id bigint"))
+    t = eng.table("vc")
+    rows = t.ann_topk("embedding", qids, k=5, n_probes=2).collect()
+    assert all(r.neighbor_id != 999000 for r in rows)
+    assert sorted(tuple(r) for r in rows) == want  # back to baseline
+
+    # layout: compaction wrote cell-clustered files -> each cell's
+    # candidates live in a bounded subset of row groups
+    data = os.path.join(t.root, "data")
+    per_cell = {c: 0 for c in range(4)}
+    total = 0
+    for fn in os.listdir(data):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(data, fn)).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "__ivfc_embedding" not in cols:
+            continue
+        ci = cols["__ivfc_embedding"]
+        for rg in range(md.num_row_groups):
+            stat = md.row_group(rg).column(ci).statistics
+            total += 1
+            if stat is not None and stat.has_min_max:
+                for c in range(4):
+                    if stat.min <= c <= stat.max:
+                        per_cell[c] += 1
+    assert total > 0
+    # no single cell needs every row group (the clustered sort bounds
+    # each group's cell span); with 4 cells the average must be < total
+    assert sum(per_cell.values()) / 4 < total
