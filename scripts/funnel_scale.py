@@ -82,13 +82,48 @@ def chained_funnel(events: DataFrame) -> DataFrame:
     )
 
 
+def chained_any_anchor(events: DataFrame, within: str) -> DataFrame:
+    """Any-anchor windowFunnel in the oracle's join form: the chain
+    state is (user, anchor_ts) — EVERY first-step event seeds a chain,
+    each later step min-ts'd per (user, anchor) within the anchor's
+    window. The chained frame is |anchors|-sized (~35% of events
+    here), re-joined and re-shuffled once per step."""
+    w = F.expr(f"INTERVAL {within}")
+    anchors = events.where(F.col("event_type") == STEPS[0]).select(
+        "user_id", F.col("ts").alias("__a"))
+    reach = anchors.withColumn("__t", F.col("__a"))
+    counts = [anchors.select("user_id").distinct().count()]
+    e = events
+    for s in STEPS[1:]:
+        cur = (
+            e.where(F.col("event_type") == s)
+            .join(reach, "user_id")
+            .where((F.col("ts") > F.col("__t")) & (F.col("ts") <= F.col("__a") + w))
+            .groupBy("user_id", "__a").agg(F.min("ts").alias("__t"))
+        )
+        counts.append(cur.select("user_id").distinct().count())
+        reach = cur
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, STEPS[i], counts[i]) for i in range(len(STEPS))],
+        "step_no int, step string, users bigint",
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="+", default=[2_000_000, 20_000_000])
+    ap.add_argument("--within", default=None,
+                    help="INTERVAL literal (e.g. '2 DAY'): also A/B the "
+                         "any-anchor windowFunnel fold vs its per-anchor "
+                         "join form")
     args = ap.parse_args()
 
     spark = get_spark(app_name="funnel-scale")
     out = {"rows": args.rows, "fold_secs": [], "chained_secs": [], "funnel": []}
+    if args.within:
+        out["within"] = args.within
+        out["any_fold_secs"], out["any_chained_secs"] = [], []
     for rows in args.rows:
         ev = synth_events(spark, rows)
         ev.cache().count()  # materialize once so both shapes read the same input
@@ -109,6 +144,20 @@ def main() -> None:
         out["fold_secs"].append(round(fold_s, 3))
         out["chained_secs"].append(round(chained_s, 3))
         out["funnel"].append([fold[s] for s in STEPS])
+
+        if args.within:
+            t0 = time.monotonic()
+            afold = {r["step"]: r["users"]
+                     for r in EV.window_funnel(ev, within=args.within,
+                                               anchor="any").collect()}
+            afold_s = time.monotonic() - t0
+            t0 = time.monotonic()
+            ajoin = {r["step"]: r["users"]
+                     for r in chained_any_anchor(ev, args.within).collect()}
+            ajoin_s = time.monotonic() - t0
+            assert afold == ajoin, (afold, ajoin)
+            out["any_fold_secs"].append(round(afold_s, 3))
+            out["any_chained_secs"].append(round(ajoin_s, 3))
         ev.unpersist()
     print(json.dumps(out))
 
