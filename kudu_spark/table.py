@@ -173,11 +173,20 @@ KEY_FRAME_CACHE_MAX = 12
 KEY_FRAME_ROOTS_MAX = 32
 
 
+# merged-dirty snapshots observed ONCE per root: the big dirty frame
+# only persists on its SECOND encounter, so a one-shot scan (fresh
+# table, selective ad-hoc query) never pays materializing all columns
+# into memory for a reuse that never comes
+_DIRTY_SEEN: dict = {}
+DIRTY_SEEN_MAX = 64
+
+
 def _evict_key_frames(root: str) -> None:
     """Unpersist every cached key frame of a table root (called on
     commit — the file set changed — and on vacuum/drop)."""
     with _KEY_FRAMES_GUARD:
         ent = _KEY_FRAMES.pop(_canonical_root(root), None)
+        _DIRTY_SEEN.pop(_canonical_root(root), None)
     for df in (ent or {}).values():
         try:
             df.unpersist()
@@ -988,10 +997,22 @@ class Table:
                 "false", "0", "no")
             if cache_on and 0 < dirty_bytes <= self.DIRTY_CACHE_MAX_BYTES:
                 sch_ident = tuple((c.name, c.type) for c in st.schema.columns)
-                built = df_dirty
-                df_dirty = self._cached_frame(
-                    ("dirty", tuple(sorted(f.path for f in dirty)), sch_ident),
-                    lambda: built)
+                ck = ("dirty", tuple(sorted(f.path for f in dirty)), sch_ident)
+                # persist only on the SECOND encounter of this exact
+                # snapshot: a one-shot scan keeps the streaming plan
+                # (pushdown intact, no materialize-all-columns cost);
+                # the first REPEAT proves the snapshot is hot
+                root = _canonical_root(self.root)
+                with _KEY_FRAMES_GUARD:
+                    seen = _DIRTY_SEEN.setdefault(root, {})
+                    hot = ck in seen
+                    if not hot:
+                        seen[ck] = None
+                        while len(seen) > DIRTY_SEEN_MAX:
+                            seen.pop(next(iter(seen)))
+                if hot:
+                    built = df_dirty
+                    df_dirty = self._cached_frame(ck, lambda: built)
         if df_clean is None and df_dirty is None:
             # empty table: zero-row frame with the right schema
             ddl = st.schema.frame_ddl() + f", {SEQ_COL} bigint, {DEL_COL} boolean"

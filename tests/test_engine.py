@@ -909,3 +909,29 @@ def test_maintenance_sweep_reports_per_table_errors(engine, spark):
     engine.alter_table("swbad").set_property(
         "history_max_age_sec", "900.0").apply()
     assert "__errors__" not in engine.maintenance_sweep()
+
+
+def test_maintenance_daemon_counts_table_errors(engine, spark):
+    """The daemon's stats count per-table maintenance failures (not
+    just whole-sweep crashes): a persistently faulty table shows up in
+    `errors` while healthy tables keep getting maintained."""
+    import time
+
+    schema = [("k", "bigint", False), ("v", "string", True)]
+    engine.create_table("dbad", schema, pk=["k"])
+    engine.alter_table("dbad").set_property(
+        "history_max_age_sec", "not-a-number").apply()
+    engine.start_maintenance(interval_s=0.1)
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            # peek the live counters through the daemon tuple
+            _th, _stop, stats, lock = engine._maint_daemon
+            with lock:
+                if stats["errors"] >= 2 and stats["sweeps"] >= 2:
+                    break
+            time.sleep(0.2)
+    finally:
+        stats = engine.stop_maintenance()
+    assert stats["sweeps"] >= 2
+    assert stats["errors"] >= 2  # one per sweep, every sweep

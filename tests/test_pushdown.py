@@ -813,12 +813,17 @@ def test_dirty_cache_resident_scan(engine, spark):
     t.delete(spark.createDataFrame([(k,) for k in range(0, 1000, 50)], "k bigint"))
     df1 = t.scan(filters=[("v", ">=", 100)])
     rows1 = sorted((r["k"], r["v"], r["s"]) for r in df1.collect())
-    plan = plan_of(df1)
+    plan1 = plan_of(df1)
+    # FIRST encounter streams (pushdown intact, nothing materialized):
+    # a one-shot scan must never pay the resident materialization
+    assert "GreaterThanOrEqual(v,100)" in plan1, plan1
+    # the SECOND encounter of the same snapshot goes resident — and a
+    # fresh handle (Engine.table returns new objects) shares it
+    df2 = engine.table("pdelc").scan(filters=[("v", ">=", 100)])
+    plan = plan_of(df2)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     assert "row_number" not in plan and "Window" not in plan
-    # a fresh handle reuses the SAME persisted frame (process-wide)
-    rows2 = sorted((r["k"], r["v"], r["s"]) for r in
-                   engine.table("pdelc").scan(filters=[("v", ">=", 100)]).collect())
+    rows2 = sorted((r["k"], r["v"], r["s"]) for r in df2.collect())
     assert rows2 == rows1
     # reference: the uncached at-scale plan returns identical rows
     # (the ALTER commit also evicts the cached frames)
