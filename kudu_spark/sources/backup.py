@@ -82,6 +82,20 @@ def backup(table, backup_root: str, incremental: bool | None = None) -> dict:
         # probes) and its compaction policy
         "props": {k: str(v) for k, v in (st.props or {}).items()},
     }
+    # root-level model artifacts travel too: a vector_cell_cols table
+    # restored without its frozen centroid model (_ivf_<col>.json)
+    # would keep the property but silently stop deriving stored cells
+    # and refuse ann_topk. The artifact is k x dims doubles — small
+    # enough to embed in the window metadata, so it stays atomic with
+    # the schema/props it belongs to (and a retrain between windows is
+    # restored as-of the window being replayed).
+    artifacts = {}
+    for col in getattr(table, "_vector_cell_cols")(st):
+        art = table._ivf_artifact(col)
+        if art is not None:
+            artifacts[f"_ivf_{col}.json"] = art
+    if artifacts:
+        meta["artifacts"] = artifacts
     env_for_root(backup_root).write_bytes(
         os.path.join(out, META_NAME), json.dumps(meta, indent=2).encode())
     return meta
@@ -186,9 +200,17 @@ def restore(engine, backup_root: str, table_name: str,
             alt = alt.set_property(k, v)
         alt.apply()
         dst = engine.table(dst.name)
+    benv = env_for_root(backup_root)
     for lo, hi, path in wins:
         if through_version is not None and lo >= through_version:
             break
+        # publish this window's model artifacts BEFORE replaying its
+        # rows, so the replayed writes derive stored cells from the
+        # same frozen centroids the source table used in that window
+        wmeta = json.loads(benv.read_bytes(os.path.join(path, META_NAME)))
+        for name, art in (wmeta.get("artifacts") or {}).items():
+            dst._env.write_bytes(os.path.join(dst.root, name),
+                                 json.dumps(art).encode())
         df = spark.read.parquet(os.path.join(path, "rows"))
         if AUTO_INC_COL in df.columns:
             df = df.drop(AUTO_INC_COL)

@@ -103,6 +103,25 @@ def copy_table(engine, src_name: str, dst_name: str, dst_engine=None,
         immutable_cols=[c.name for c in sch.columns if c.immutable] or None,
         non_unique_pk=AUTO_INC_COL in sch.pk,
     )
+    # table options and frozen model artifacts ride along BEFORE the
+    # bulk load (mirrors restore(): without them the copy silently
+    # loses its presence-probe config, compaction policy, and the
+    # vector-cell centroid model its writes should derive from)
+    import os
+
+    props = {k: str(v) for k, v in (st.props or {}).items()
+             if k != "auto_inc_next"}
+    if props:
+        alt = dst_engine.alter_table(dst_name)
+        for k, v in props.items():
+            alt = alt.set_property(k, v)
+        alt.apply()
+        dst = dst_engine.table(dst_name)
+    for col in src._vector_cell_cols(st):
+        art = src._ivf_artifact(col)
+        if art is not None:
+            dst._env.write_bytes(os.path.join(dst.root, f"_ivf_{col}.json"),
+                                 json.dumps(art).encode())
     filters = parse_predicates(predicates) if predicates else None
     df = src.scan(filters=filters)
     if AUTO_INC_COL in sch.pk:

@@ -197,3 +197,85 @@ def test_export_avro_schema_through_env(engine, tmp_path):
     export_avro_schema(t, local)
     with open(local) as f:
         assert _json.load(f)["name"] == "ax"
+
+
+def test_backup_restores_vector_cell_model(engine, spark, tmp_path):
+    """A trained IVF cell model travels with the backup: the restored
+    table serves ann_topk identically, and replayed/new writes derive
+    the stored cell column from the SAME frozen centroids (without
+    this, restore kept vector_cell_cols but silently dropped the
+    model)."""
+    from kudu_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = engine.create_table(
+        "vcb", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = engine.table("vcb")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t = engine.table("vcb")
+    # converge pre-training files so source and restored tables serve
+    # from the same (fully derived) cell state
+    t.compact(full=True)
+    t = engine.table("vcb")
+    broot = str(tmp_path / "bk")
+    backup(t, broot)
+    # an incremental window on top (an upserted twin of vec 20)
+    twin = emb.where(F.col("vec_id") == 20).select(
+        F.lit(777000).cast("bigint").alias("vec_id"), "embedding",
+        F.lit(0).alias("label"))
+    t.upsert(twin)
+    t = engine.table("vcb")
+    backup(t, broot, incremental=True)
+
+    dst = restore(engine, broot, "vcb", new_name="vcb2")
+    assert dst._ivf_artifact("embedding") is not None
+    src_rows = sorted(tuple(r) for r in
+                      engine.table("vcb").ann_topk(
+                          "embedding", [10, 20], k=5, n_probes=2).collect())
+    dst_rows = sorted(tuple(r) for r in
+                      engine.table("vcb2").ann_topk(
+                          "embedding", [10, 20], k=5, n_probes=2).collect())
+    assert dst_rows == src_rows
+    # the upserted twin survived the incremental replay and is fresh
+    assert any(r[0] == 20 and r[1] == 777000 and r[3] == 1.0
+               for r in dst_rows)
+    # new writes on the restored table derive the stored cell column
+    d = engine.table("vcb2")
+    d.upsert(emb.where(F.col("vec_id") == 30).select(
+        F.lit(888000).cast("bigint").alias("vec_id"), "embedding",
+        F.lit(0).alias("label")))
+    d = engine.table("vcb2")
+    cells = d.scan_cells("embedding", list(range(4)))
+    assert cells.where(F.col("vec_id") == 888000).count() == 1
+
+
+def test_copy_table_carries_props_and_model(engine, spark):
+    """`kudu table copy` fidelity: table options and the frozen
+    vector-cell model come along, so the copy's writes derive stored
+    cells and ann_topk serves without retraining."""
+    from kudu_spark.queries import load
+    from kudu_spark.sources import copy_table
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = engine.create_table(
+        "vcc", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = engine.table("vcc")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t = engine.table("vcc")
+    t.compact(full=True)
+    t = engine.table("vcc")
+
+    dst = copy_table(engine, "vcc", "vcc2")
+    assert dst.state().props.get("vector_cell_cols") == "embedding"
+    assert dst._ivf_artifact("embedding") is not None
+    src_rows = sorted(tuple(r) for r in
+                      t.ann_topk("embedding", [10, 20], k=5).collect())
+    dst_rows = sorted(tuple(r) for r in
+                      dst.ann_topk("embedding", [10, 20], k=5).collect())
+    assert dst_rows == src_rows
