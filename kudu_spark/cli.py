@@ -111,6 +111,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the live-reader/in-flight-writer guards "
                          "(only HEAD safe to read afterwards)")
     sp = sub.add_parser(
+        "train-cells",
+        help="train/refresh a column's frozen IVF cell model "
+             "(vector_cell_cols): later writes derive the stored "
+             "__ivfc_<col> assignment; ann_topk serves from it",
+    )
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("--cells", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=3)
+    sp = sub.add_parser(
         "log-dump",
         help="print a table's commit log entries as JSON lines "
              "(≈ `kudu wal dump` / `kudu local_replica dump wals`, "
@@ -261,6 +271,12 @@ def main(argv: list[str] | None = None) -> int:
                            force=args.force)
         print(json.dumps({"removed": removed,
                           "ancient_history_mark": t.ancient_history_mark()}))
+    elif args.cmd == "train-cells":
+        t = eng.table(args.table)
+        t.train_vector_cells(args.column, n_cells=args.cells,
+                             n_iters=args.iters)
+        print(json.dumps({"table": args.table, "column": args.column,
+                          "cells": args.cells, "iters": args.iters}))
     elif args.cmd == "sql":
         if args.file:
             with open(args.file) as f:

@@ -420,3 +420,30 @@ def test_cli_vacuum(spark, tmp_path, capsys):
     assert out["removed"] > 0
     assert out["ancient_history_mark"] == eng.table("vt").version
     assert eng.table("vt").count() == 2000
+
+
+def test_cli_train_cells(spark, tmp_path, capsys):
+    """`train-cells` CLI: trains the frozen IVF cell model from the
+    admin surface; ann_topk serves immediately after."""
+    import json
+
+    from kudu_spark import cli
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = str(tmp_path / "whtc")
+    eng = Engine(spark, wh)
+    t = eng.create_table(
+        "tc", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(load(spark, "/root/testdata/sf0.001", "embeddings"))
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "train-cells", "tc", "embedding",
+                     "--cells", "4", "--iters", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"table": "tc", "column": "embedding",
+                   "cells": 4, "iters": 2}
+    t = eng.table("tc")
+    assert t.state().props.get("vector_cell_cols") == "embedding"
+    assert t.ann_topk("embedding", [10, 20], k=3).count() == 6
