@@ -587,9 +587,14 @@ class Engine:
         if not self._env.isdir(root):
             raise TableNotFoundError(name)
         self._env.rmtree(root)
-        from kudu_spark.table import _evict_maint_lock
+        from kudu_spark.table import _evict_key_frames, _evict_maint_lock
 
         _evict_maint_lock(root)
+        # release the dropped root's persisted frames too (SCALE.md's
+        # evict-on-drop contract): without this, up to GBs of resident
+        # dirty/key frames per dropped table would linger in Spark
+        # storage memory until 32 other roots churn the LRU
+        _evict_key_frames(root)
 
     def rename_table(self, old: str, new: str) -> None:
         """Table rename (client.h KuduTableAlterer::RenameTo). The
@@ -601,7 +606,12 @@ class Engine:
         dst = self._table_root(new)
         if self._env.exists(dst):
             raise TableExistsError(new)
-        self._env.rename_dir(self._table_root(old), dst)
+        src = self._table_root(old)
+        self._env.rename_dir(src, dst)
+        from kudu_spark.table import _evict_key_frames
+
+        # cached frames reference the OLD root's file paths
+        _evict_key_frames(src)
 
     # default recall window, matching Kudu's
     # --default_deleted_table_reserve_seconds behavior (7 days)

@@ -352,6 +352,13 @@ class FileEntry:
     # — older files fall the whole scan back to on-the-fly
     # quantization until compaction rewrites them.
     vq: list | None = None
+    # IVF cell-model stamp: {column: model_id} of the frozen centroid
+    # artifact whose assignments (__ivfc_<col>) this file carries.
+    # A retrain mints a NEW model_id, so scan_cells can tell current
+    # assignments from stale ones without opening a data file — stale
+    # or missing stamps fall the scan back to on-the-fly assignment
+    # until compaction rewrites (mirrors the vq contract above).
+    ivfm: dict | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -371,6 +378,8 @@ class FileEntry:
             d["dmark"] = self.dmark
         if self.vq:
             d["vq"] = self.vq
+        if self.ivfm:
+            d["ivfm"] = self.ivfm
         return d
 
     @staticmethod
@@ -378,7 +387,7 @@ class FileEntry:
         return FileEntry(
             d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
             d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
-            d.get("bloom"), d.get("dmark"), d.get("vq"),
+            d.get("bloom"), d.get("dmark"), d.get("vq"), d.get("ivfm"),
         )
 
 

@@ -201,13 +201,29 @@ def restore(engine, backup_root: str, table_name: str,
         alt.apply()
         dst = engine.table(dst.name)
     benv = env_for_root(backup_root)
+    applied_props = dict(props)
     for lo, hi, path in wins:
         if through_version is not None and lo >= through_version:
             break
-        # publish this window's model artifacts BEFORE replaying its
-        # rows, so the replayed writes derive stored cells from the
-        # same frozen centroids the source table used in that window
+        # publish this window's model artifacts AND props BEFORE
+        # replaying its rows, so the replayed writes derive stored
+        # cells from the same frozen centroids/options the source
+        # table used in that window. Props set AFTER the full backup
+        # (e.g. vector_cell_cols from a later train_vector_cells)
+        # would otherwise be lost even though the artifact restored.
+        # (Props REMOVED between windows stay set — the alter surface
+        # is additive here; removal between backups is rare and
+        # harmless for every prop we ship.)
         wmeta = json.loads(benv.read_bytes(os.path.join(path, META_NAME)))
+        wprops = {k: v for k, v in (wmeta.get("props") or {}).items()
+                  if k != "auto_inc_next"}
+        if wprops != applied_props:
+            alt = engine.alter_table(dst.name)
+            for k, v in wprops.items():
+                alt = alt.set_property(k, v)
+            alt.apply()
+            dst = engine.table(dst.name)
+            applied_props = wprops
         for name, art in (wmeta.get("artifacts") or {}).items():
             dst._env.write_bytes(os.path.join(dst.root, name),
                                  json.dumps(art).encode())

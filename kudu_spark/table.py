@@ -666,16 +666,14 @@ class Table:
             out = part if out is None else out.unionByName(part)
         return out
 
-    def _cached_frame(self, ck: tuple, build, persist: bool = True) -> DataFrame:
-        """Cached DataFrame keyed by an immutable identity (file-path
-        sets + the schema identity of the projected columns),
-        process-wide so every handle of a table shares it. With
-        ``persist=False`` the DataFrame itself is the cached artifact
-        (a driver-local relation that must NOT become an
-        InMemoryRelation — scanning one launches a job). LRU-capped;
-        evicted frames just recompute, so the cache can never affect
-        correctness — only whether a snapshot's O(delta) state is
-        materialized once or per query."""
+    def _cached_frame(self, ck: tuple, build) -> DataFrame:
+        """persist()-cached DataFrame keyed by an immutable identity
+        (file-path sets + the schema identity of the projected
+        columns), process-wide so every handle of a table shares it.
+        LRU-capped per root AND across roots; evicted frames just
+        recompute, so the cache can never affect correctness — only
+        whether a snapshot's O(delta) state is materialized once or
+        per query."""
         from collections import OrderedDict
 
         def touch_root(root):
@@ -694,9 +692,7 @@ class Table:
             if df is not None and df.sparkSession is self.spark:
                 ent.move_to_end(ck)
                 return df
-        fresh = build()
-        if persist:
-            fresh = fresh.persist()
+        fresh = build().persist()
         evicted: list[DataFrame] = []
         with _KEY_FRAMES_GUARD:
             ent = touch_root(root)
@@ -716,6 +712,10 @@ class Table:
                 if stale_root == root:
                     break  # never evict the root we just served
                 evicted.extend(_KEY_FRAMES.pop(stale_root).values())
+                # the seen-once markers ride the same lifetime — a
+                # leaked marker dict per stale root would grow without
+                # bound across table roots
+                _DIRTY_SEEN.pop(stale_root, None)
         for old in evicted:
             try:
                 old.unpersist()
@@ -1010,6 +1010,15 @@ class Table:
                         seen[ck] = None
                         while len(seen) > DIRTY_SEEN_MAX:
                             seen.pop(next(iter(seen)))
+                    # bound the ROOT count here too: a root scanned
+                    # once and never again gets a marker dict but no
+                    # _KEY_FRAMES entry, so the frame LRU would never
+                    # prune it
+                    while len(_DIRTY_SEEN) > KEY_FRAME_ROOTS_MAX:
+                        stale = next(iter(_DIRTY_SEEN))
+                        if stale == root:
+                            break
+                        _DIRTY_SEEN.pop(stale)
                 if hot:
                     built = df_dirty
                     df_dirty = self._cached_frame(ck, lambda: built)
@@ -1437,6 +1446,7 @@ class Table:
         ).where(F.col("embedding").isNotNull())
         cents = kmeans_centroids(emb, k=n_cells, n_iters=n_iters)
         payload = json.dumps({"n_cells": n_cells, "n_iters": n_iters,
+                              "model_id": uuid.uuid4().hex,
                               "centroids": cents}).encode()
         self._env.write_bytes(
             os.path.join(self.root, f"_ivf_{column}.json"), payload)
@@ -1450,20 +1460,34 @@ class Table:
         """Snapshot scan restricted to the given IVF cells of
         ``column`` — the candidate fetch of ANN serving, with FULL
         merge-on-read semantics (an upserted vector is scored at its
-        new value, a deleted one never returns). Files written before
-        training read the stored cell as NULL and are conservatively
-        INCLUDED (exact, no pruning) until compaction rewrites them —
-        the same convergence contract as scan_quantized."""
+        new value, a deleted one never returns). When every live file
+        carries assignments from the CURRENT model (manifest ivfm
+        stamp — the steady state; mutations keep it, compaction
+        converges older files), the stored column serves the scan and
+        row groups prune. Files predating training OR stamped by a
+        superseded model (a retrain) fall the whole scan back to
+        on-the-fly assignment from the current centroids — correct,
+        no pruning, same convergence contract as scan_quantized.
+        Rows with a NULL vector belong to no cell in either mode."""
         st = self.state(version)
         if column not in self._vector_cell_cols(st):
             raise KuduSparkError(
                 f"column {column!r} has no trained cell model "
                 f"(vector_cell_cols={st.props.get('vector_cell_cols', '')!r})")
+        art = self._ivf_artifact(column)
+        if art is None:
+            raise KuduSparkError(
+                f"column {column!r} has no trained cell model; call "
+                "train_vector_cells first")
         cn = IVFC_PREFIX + column
-        st2 = self._augment_state(st, [(cn, "int")])
-        df = self._snapshot_df(st2, filters)
-        return df.where(F.col(cn).isin([int(c) for c in cells])
-                        | F.col(cn).isNull())
+        cur = art.get("model_id", "")
+        if all(f.ivfm and f.ivfm.get(column) == cur for f in st.files):
+            st2 = self._augment_state(st, [(cn, "int")])
+            df = self._snapshot_df(st2, filters)
+        else:
+            df = self._snapshot_df(st, filters).withColumn(
+                cn, self._cell_expr(column, art["centroids"]))
+        return df.where(F.col(cn).isin([int(c) for c in cells]))
 
     def ann_topk(self, column: str, query_keys: list, k: int = 5,
                  n_probes: int = 2, version: int | None = None) -> DataFrame:
@@ -1486,7 +1510,8 @@ class Table:
         qv = self.scan(
             columns=[pk0, column], version=version,
             filters=[(pk0, "in", list(query_keys))],
-        ).select(F.col(pk0).alias("query_id"), F.col(column).alias("qv"))
+        ).select(F.col(pk0).alias("query_id"), F.col(column).alias("qv")) \
+         .where(F.col("qv").isNotNull())
         cent_df = F.broadcast(self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
             "centroid_id int, centv array<double>"))
@@ -1506,22 +1531,17 @@ class Table:
             [(r["query_id"], int(r["cell"])) for r in probe_rows],
             f"query_id {st.schema.col(pk0).type}, cell int"))
         cn = IVFC_PREFIX + column
+        # scan_cells excludes NULL-vector rows and transparently falls
+        # back to on-the-fly assignment for stale/pre-training files,
+        # so a plain equi-join on the probed cell is exact
         cand = self.scan_cells(column, probe_cells, version=version).select(
             F.col(pk0).alias("neighbor_id"),
             F.col(column).alias("cv"),
-            F.coalesce(F.col(cn), F.lit(-1)).alias("cell"),
+            F.col(cn).alias("cell"),
         )
-        # stored-cell candidates equi-join their probes; NULL-cell
-        # candidates (files predating training) conservatively pair
-        # with EVERY query via a crossJoin against the broadcast
-        # constant-size query list — exact, converges at compaction
-        eq = cand.where(F.col("cell") >= 0).join(probes_df, "cell")
-        legacy = cand.where(F.col("cell") == -1).crossJoin(
-            F.broadcast(probes_df.select("query_id").distinct()))
-        paired = eq.select("query_id", "neighbor_id", "cv").unionByName(
-            legacy.select("query_id", "neighbor_id", "cv"))
         scored = (
-            paired.where(F.col("neighbor_id") != F.col("query_id"))
+            cand.join(probes_df, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "neighbor_id",
                     cosine_expr("qv", "cv").alias("c"))
@@ -1818,7 +1838,10 @@ class Table:
         # vector_cell_cols: derive the stored IVF cell assignment from
         # the FROZEN centroid artifact at every write — O(batch), one
         # codegen argmax per vector column, no retraining (the index
-        # maintenance contract of train_vector_cells)
+        # maintenance contract of train_vector_cells). The manifest
+        # entry is stamped with the artifact's model_id so a later
+        # RETRAIN can tell these assignments are stale.
+        ivfm_written: dict = {}
         for vc in self._vector_cell_cols(st):
             if vc in out.columns:
                 art = self._ivf_artifact(vc)
@@ -1826,6 +1849,7 @@ class Table:
                     out = out.withColumn(
                         IVFC_PREFIX + vc,
                         self._cell_expr(vc, art["centroids"]))
+                    ivfm_written[vc] = art.get("model_id", "")
         # staging location: in-root when Spark can write the scheme
         # directly (local, hdfs://, s3a://, ... — executors write to
         # shared storage, nothing moves through the driver); a local
@@ -2077,6 +2101,7 @@ class Table:
                     max_pk=mx,
                     dmark=dmark,
                     vq=vq_written or None,
+                    ivfm=ivfm_written or None,
                 )
             )
         senv.rmtree(staging)
@@ -3613,6 +3638,12 @@ class Table:
         # the previous mark (earlier vacuums' damage is unknown below
         # it). By induction the published mark itself is always a
         # readable snapshot.
+        if not removed_rel:
+            # nothing deleted -> readability unchanged -> mark stays;
+            # skipping the walk matters operationally: a history-GC
+            # sweep over a deep table with nothing to reclaim would
+            # otherwise replay its entire version history every pass
+            return removed
         prev_mark = self.ancient_history_mark()
         floor = prev_mark if prev_mark is not None else 1
         horizon = head.version

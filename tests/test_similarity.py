@@ -391,3 +391,62 @@ def test_engine_ann_cells_freshness_and_layout(spark, tmp_path):
     # no single cell needs every row group (the clustered sort bounds
     # each group's cell span); with 4 cells the average must be < total
     assert sum(per_cell.values()) / 4 < total
+
+
+def test_engine_ann_cells_retrain_and_null_vectors(spark, tmp_path):
+    """Retraining mints a new model_id: files stamped by the OLD model
+    are detected as stale from the manifest alone and the scan falls
+    back to on-the-fly assignment against the NEW centroids — exact
+    immediately, converging back to the stored-column path at
+    compaction. NULL vectors belong to no cell and never appear as
+    neighbors."""
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "vr", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    # a legal row with a NULL vector: must be inert for ANN
+    t.insert(spark.createDataFrame([(555000, None, 0)],
+                                   "vec_id bigint, embedding array<float>, label int"))
+    t = eng.table("vr")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t = eng.table("vr")
+    t.compact(full=True)
+    qids = [10, 20, 30]
+    got4 = sorted(tuple(r) for r in
+                  t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    want4 = sorted(tuple(r) for r in
+                   SIM.ivf_kmeans_topk(emb, qids, k=5, n_centroids=4,
+                                       n_iters=2, n_probes=2).collect())
+    assert got4 == want4
+    assert all(r[1] != 555000 for r in got4)
+
+    # RETRAIN with different params: every stored assignment is stale
+    t.train_vector_cells("embedding", n_cells=8, n_iters=3)
+    t = eng.table("vr")
+    art = t._ivf_artifact("embedding")
+    assert art["n_cells"] == 8 and art.get("model_id")
+    st = t.state()
+    assert not all(f.ivfm and f.ivfm.get("embedding") == art["model_id"]
+                   for f in st.files)  # manifest knows they're stale
+    got8 = sorted(tuple(r) for r in
+                  t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    want8 = sorted(tuple(r) for r in
+                   SIM.ivf_kmeans_topk(emb, qids, k=5, n_centroids=8,
+                                       n_iters=3, n_probes=2).collect())
+    assert got8 == want8  # exact against the NEW model, immediately
+
+    # convergence: compaction re-derives with the new model; the
+    # stored-column fast path serves the same rows
+    t.compact(full=True)
+    t = eng.table("vr")
+    st = t.state()
+    assert all(f.ivfm and f.ivfm.get("embedding") == art["model_id"]
+               for f in st.files)
+    got8b = sorted(tuple(r) for r in
+                   t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    assert got8b == got8

@@ -279,3 +279,38 @@ def test_copy_table_carries_props_and_model(engine, spark):
     dst_rows = sorted(tuple(r) for r in
                       dst.ann_topk("embedding", [10, 20], k=5).collect())
     assert dst_rows == src_rows
+
+
+def test_restore_applies_later_window_props(engine, spark, tmp_path):
+    """Props set AFTER the full backup (here: vector_cell_cols from a
+    post-full train_vector_cells) are applied from the incremental
+    window that carries them — previously restore read only the full
+    window's props, so the artifact restored but the property (and
+    with it cell derivation + ann_topk) was silently lost."""
+    from kudu_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = engine.create_table(
+        "vlp", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = engine.table("vlp")
+    broot = str(tmp_path / "bk2")
+    backup(t, broot)                      # full: NO cell model yet
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t = engine.table("vlp")
+    t.compact(full=True)
+    t = engine.table("vlp")
+    backup(t, broot, incremental=True)    # carries the prop + artifact
+
+    dst = restore(engine, broot, "vlp", new_name="vlp2")
+    assert dst.state().props.get("vector_cell_cols") == "embedding"
+    assert dst._ivf_artifact("embedding") is not None
+    src_rows = sorted(tuple(r) for r in
+                      engine.table("vlp").ann_topk(
+                          "embedding", [10, 20], k=5).collect())
+    dst_rows = sorted(tuple(r) for r in
+                      engine.table("vlp2").ann_topk(
+                          "embedding", [10, 20], k=5).collect())
+    assert dst_rows == src_rows
