@@ -608,10 +608,13 @@ class Engine:
             raise TableExistsError(new)
         src = self._table_root(old)
         self._env.rename_dir(src, dst)
-        from kudu_spark.table import _evict_key_frames
+        from kudu_spark.table import _evict_key_frames, _evict_maint_lock
 
-        # cached frames reference the OLD root's file paths
+        # cached frames reference the OLD root's file paths, and the
+        # old root's lock entries would otherwise leak per rename
+        # (the registry's contract: bounded by LIVE tables)
         _evict_key_frames(src)
+        _evict_maint_lock(src)
 
     # default recall window, matching Kudu's
     # --default_deleted_table_reserve_seconds behavior (7 days)

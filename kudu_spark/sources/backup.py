@@ -189,28 +189,20 @@ def restore(engine, backup_root: str, table_name: str,
         immutable_cols=[c.name for c in sch.columns if c.immutable] or None,
         non_unique_pk=AUTO_INC_COL in sch.pk,
     )
-    # re-apply table options BEFORE replaying rows, so the first insert
-    # already builds presence sidecars / honors compaction policy
-    # (internal counters like auto_inc_next stay with the new table)
-    props = {k: v for k, v in (meta.get("props") or {}).items()
-             if k != "auto_inc_next"}
-    if props:
-        alt = engine.alter_table(dst.name)
-        for k, v in props.items():
-            alt = alt.set_property(k, v)
-        alt.apply()
-        dst = engine.table(dst.name)
     benv = env_for_root(backup_root)
-    applied_props = dict(props)
+    applied_props: dict = {}
     for lo, hi, path in wins:
         if through_version is not None and lo >= through_version:
             break
         # publish this window's model artifacts AND props BEFORE
-        # replaying its rows, so the replayed writes derive stored
+        # replaying its rows, so every replayed write — including the
+        # full window's first insert — already builds presence
+        # sidecars, honors the compaction policy, and derives stored
         # cells from the same frozen centroids/options the source
         # table used in that window. Props set AFTER the full backup
         # (e.g. vector_cell_cols from a later train_vector_cells)
-        # would otherwise be lost even though the artifact restored.
+        # would otherwise be lost even though the artifact restored;
+        # internal counters (auto_inc_next) stay with the new table.
         # (Props REMOVED between windows stay set — the alter surface
         # is additive here; removal between backups is rare and
         # harmless for every prop we ship.)

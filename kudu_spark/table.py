@@ -1456,7 +1456,7 @@ class Table:
 
     def scan_cells(self, column: str, cells: list[int],
                    filters: list | None = None,
-                   version: int | None = None) -> DataFrame:
+                   version: int | None = None, _art: dict | None = None) -> DataFrame:
         """Snapshot scan restricted to the given IVF cells of
         ``column`` — the candidate fetch of ANN serving, with FULL
         merge-on-read semantics (an upserted vector is scored at its
@@ -1474,7 +1474,10 @@ class Table:
             raise KuduSparkError(
                 f"column {column!r} has no trained cell model "
                 f"(vector_cell_cols={st.props.get('vector_cell_cols', '')!r})")
-        art = self._ivf_artifact(column)
+        # ``_art`` threads the caller's already-read model through so
+        # ann_topk's probes and candidates are served by ONE consistent
+        # model even if a retrain publishes between the two steps
+        art = _art if _art is not None else self._ivf_artifact(column)
         if art is None:
             raise KuduSparkError(
                 f"column {column!r} has no trained cell model; call "
@@ -1533,8 +1536,14 @@ class Table:
         cn = IVFC_PREFIX + column
         # scan_cells excludes NULL-vector rows and transparently falls
         # back to on-the-fly assignment for stale/pre-training files,
-        # so a plain equi-join on the probed cell is exact
-        cand = self.scan_cells(column, probe_cells, version=version).select(
+        # so a plain equi-join on the probed cell is exact — and every
+        # (query, neighbor) pair is unique by construction (one cell
+        # per snapshot row, unique (query, cell) probes), so no dedup
+        # stage is needed. ``_art`` pins the model read above: a
+        # concurrent retrain cannot serve probes and candidates from
+        # different centroid sets.
+        cand = self.scan_cells(column, probe_cells, version=version,
+                               _art=art).select(
             F.col(pk0).alias("neighbor_id"),
             F.col(column).alias("cv"),
             F.col(cn).alias("cell"),
@@ -1545,7 +1554,6 @@ class Table:
             .join(F.broadcast(qv), "query_id")
             .select("query_id", "neighbor_id",
                     cosine_expr("qv", "cv").alias("c"))
-            .dropDuplicates(["query_id", "neighbor_id"])
         )
         w2 = Window.partitionBy("query_id").orderBy(
             F.desc("c"), F.asc("neighbor_id"))
