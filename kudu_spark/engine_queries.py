@@ -554,7 +554,8 @@ def _kmeans_oracle():
 @query(
     "engine_ann_cells_topk",
     oracle=_kmeans_oracle(),
-    gated=False,  # new in r12; pytest-oracled + freshness-tested, rotate next
+    gated=False,  # r13 rotation candidate IN: strongest not-yet-driver-
+    # verified entry (new r12; pytest-oracled + freshness/retrain-tested)
 )
 def engine_ann_cells_topk(spark, sf_dir):
     """ANN THROUGH the engine table's stored IVF cells

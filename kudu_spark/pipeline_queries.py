@@ -52,6 +52,7 @@ def text_token_count(spark, sf_dir):
 
 @query(
     "text_language_id",
+    # r13 rotation candidate OUT: driver-green since r2
     oracle=f"""
     SELECT doc_id, {TX.langid_sql()} AS lang_pred
     FROM documents

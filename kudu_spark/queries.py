@@ -229,6 +229,8 @@ def scan_limit_topk(spark, sf_dir):
 
 @query(
     "agg_pricing_summary",
+    # r13 rotation candidate OUT: driver-green since r1 (also a bench
+    # headline); agg family would stay covered by pytest oracles
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -428,6 +430,8 @@ def join_local_supplier_volume(spark, sf_dir):
 
 @query(
     "join_semi_bloom",
+    # r13 rotation candidate OUT: driver-green since r2; the bloom scan
+    # predicate stays pytest-oracled + pushdown-tested
     oracle="""
     SELECT count(*) AS n_rows
     FROM lineitem

@@ -771,6 +771,7 @@ def agg_percentiles(spark, sf_dir):
 
 @query(
     "scan_json_props",
+    # r13 rotation candidate OUT: driver-green many rounds
     oracle="""
     SELECT event_type,
            count(*) AS n,
