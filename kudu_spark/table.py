@@ -1499,7 +1499,14 @@ class Table:
         cell-restricted snapshot scan (scan_cells), ranking from the
         exact cosine — row-compatible with the operator family's
         ivf_kmeans_topk on identical data. Returns
-        (query_id, neighbor_id, rank, cosine) keyed by the PK."""
+        (query_id, neighbor_id, rank, cosine) keyed by the PK.
+
+        ``version`` time-travels the DATA; the centroid model is
+        always the table's current artifact (models are not
+        versioned — like Kudu, where an index rebuild serves all
+        reads). Stale stamps on old files then simply route through
+        the on-the-fly fallback, so the answer stays exact for the
+        requested snapshot under the current model."""
         from kudu_spark.operators.similarity import cosine_expr
 
         st = self.state(version)
