@@ -16,7 +16,12 @@ from kudu_spark.session import tune_for_session
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 on our scan layer) at sf0.001."""
+    """Flagship query (TPC-H Q1 on our scan layer) at sf0.001.
+
+    Pinned to agg_pricing_summary INDEPENDENT of the correctness
+    gate's rotation (it left the gate in r13 as long-green): the
+    driver's smoke check should always exercise the same stable
+    flagship plan, gated or not."""
     from kudu_spark.queries import REGISTRY
 
     tune_for_session(spark)

@@ -283,7 +283,8 @@ def engine_txn_scan(spark, sf_dir):
            CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
     FROM customer WHERE NOT c_custkey % 11 = 0
     """,
-    gated=False,  # pytest-oracled (gate capped at 50)
+    gated=True,  # r13 rotation IN: write-triggered compaction (§4's
+    # inline knapsack fold) was never driver-verified
 )
 def engine_autocompact_scan(spark, sf_dir):
     """Write-triggered maintenance (compaction_policy.h knapsack run
@@ -517,12 +518,18 @@ def engine_sql_txn_scan(spark, sf_dir):
                    x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
         FROM embeddings
       )
+    ), q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+                 floor(CAST(x AS DOUBLE) * sc + 0.5))) AS TINYINT)) AS q8,
+             CAST(sc AS FLOAT) AS q8_scale
+      FROM scaled
     )
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
-               floor(CAST(x AS DOUBLE) * sc + 0.5))) AS TINYINT)) AS __q8_embedding,
-           CAST(sc AS FLOAT) AS __q8s_embedding
-    FROM scaled
+           CAST(UNNEST(range(len(q8))) AS INT) AS pos,
+           UNNEST(q8) AS q8_val,
+           q8_scale
+    FROM q
     """,
     gated=True,  # r12 rotation: stored-q8 engine columns get driver verification
 )
@@ -532,7 +539,15 @@ def engine_quantized_scan(spark, sf_dir):
     __q8s_<col> into the data files, and scan_quantized reads ONLY
     (pk, q8, scale) — the full-precision embedding column never leaves
     parquet. The oracle recomputes the quantization from the raw
-    embeddings, so a stale or wrong stored pair hash-mismatches."""
+    embeddings, so a stale or wrong stored pair hash-mismatches.
+
+    The GATED projection posexplodes the q8 array to scalar
+    (vec_id, pos, q8_val, q8_scale) rows: the driver's canonicalizer
+    pandas-sorts raw output columns and cannot hash array cells
+    (CORRECTNESS_r12's one red row) — the DuckDB side zips
+    UNNEST(range(len)) with UNNEST(q8), DuckDB's equivalent of
+    WITH ORDINALITY. scan_quantized itself is unchanged and stays
+    array-valued for programmatic callers."""
     eng = _engine(spark)
     t = eng.create_table(
         "emq", [("vec_id", "bigint", False), ("embedding", "array<float>", True),
@@ -541,7 +556,12 @@ def engine_quantized_scan(spark, sf_dir):
         "vector_quantize_cols", "embedding").apply()
     t = eng.table("emq")
     t.insert(load(spark, sf_dir, "embeddings"))
-    return t.scan_quantized("embedding")
+    q = t.scan_quantized("embedding")
+    return q.select(
+        "vec_id",
+        F.posexplode("__q8_embedding").alias("pos", "q8_val"),
+        F.col("__q8s_embedding").alias("q8_scale"),
+    )
 
 
 def _kmeans_oracle():
@@ -554,8 +574,8 @@ def _kmeans_oracle():
 @query(
     "engine_ann_cells_topk",
     oracle=_kmeans_oracle(),
-    gated=False,  # r13 rotation candidate IN: strongest not-yet-driver-
-    # verified entry (new r12; pytest-oracled + freshness/retrain-tested)
+    gated=True,  # r13 rotation IN: strongest not-yet-driver-verified
+    # entry (new r12; pytest-oracled + freshness/retrain-tested)
 )
 def engine_ann_cells_topk(spark, sf_dir):
     """ANN THROUGH the engine table's stored IVF cells

@@ -52,7 +52,8 @@ def text_token_count(spark, sf_dir):
 
 @query(
     "text_language_id",
-    # r13 rotation candidate OUT: driver-green since r2
+    gated=False,  # r13 rotation: driver-green since r2; text family
+    # stays gated via text_sentence_stats, pytest runs the same oracle
     oracle=f"""
     SELECT doc_id, {TX.langid_sql()} AS lang_pred
     FROM documents
@@ -659,7 +660,9 @@ def dedup_incremental(spark, sf_dir):
     SELECT vec_id FROM embeddings
     WHERE vec_id >= 50 AND vec_id NOT IN (SELECT vec_id FROM hit)
     """,
-    gated=False,  # embedding family gated via dedup_embedding_cosine
+    gated=True,  # r13 rotation IN: the IVF-bucketed semantic variant
+    # was never driver-verified (dedup_embedding_cosine covers only the
+    # threshold-pair shape)
 )
 def pipeline_semantic_decontaminate(spark, sf_dir):
     """Semantic decontamination: drop training items whose embedding

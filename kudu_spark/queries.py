@@ -229,8 +229,9 @@ def scan_limit_topk(spark, sf_dir):
 
 @query(
     "agg_pricing_summary",
-    # r13 rotation candidate OUT: driver-green since r1 (also a bench
-    # headline); agg family would stay covered by pytest oracles
+    gated=False,  # r13 rotation: driver-green since r1 (also a bench
+    # headline and entry()'s smoke query — entry() stays pointed here
+    # regardless of gating); agg family stays pytest-oracled
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -430,7 +431,7 @@ def join_local_supplier_volume(spark, sf_dir):
 
 @query(
     "join_semi_bloom",
-    # r13 rotation candidate OUT: driver-green since r2; the bloom scan
+    gated=False,  # r13 rotation: driver-green since r2; the bloom scan
     # predicate stays pytest-oracled + pushdown-tested
     oracle="""
     SELECT count(*) AS n_rows

@@ -771,7 +771,7 @@ def agg_percentiles(spark, sf_dir):
 
 @query(
     "scan_json_props",
-    # r13 rotation candidate OUT: driver-green many rounds
+    gated=False,  # r13 rotation: driver-green many rounds; stays pytest-oracled
     oracle="""
     SELECT event_type,
            count(*) AS n,
@@ -801,7 +801,8 @@ def scan_json_props(spark, sf_dir):
 
 @query(
     "join_asof_purchase",
-    gated=False,  # join family gated via join_*; pytest runs the oracle
+    gated=True,  # r13 rotation IN: the as-of join (custom temporal
+    # operator Spark lacks) was never driver-verified
     oracle="""
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

@@ -25,10 +25,30 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     compare(QUERIES[name](spark, sf_dir), con, ORACLES[name], name)
 
 
-def test_all_queries_run(spark, sf_dir):
+def test_all_queries_run_and_gated_outputs_are_driver_canonicalizable(spark, sf_dir):
+    """Every registered query must build (lazy plan + any engine-table
+    setup). Additionally, GATED queries must return only scalar
+    columns: the driver's canonicalizer pandas-sorts raw output
+    columns before hashing, and an array/map/struct cell dies with
+    ``TypeError: unhashable type`` before any comparison — exactly how
+    `engine_quantized_scan` burned its r12 gate slot despite being
+    value-correct. Schema-level guard so a rotation can never ship
+    that failure mode again (VERDICT r12 next #1)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from kudu_spark.queries import get_queries
+
+    gated = set(get_queries())
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+        if name in gated:
+            bad = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+            assert not bad, (
+                f"gated query {name} returns nested-typed columns {bad}; "
+                "the driver canonicalizer cannot sort/hash them — "
+                "posexplode/stringify before gating")
 
 
 def test_gated_registry_within_driver_cap():
