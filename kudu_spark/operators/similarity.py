@@ -780,12 +780,15 @@ def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
     cand = cells.where(F.col("cell").isin(probe_cells)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"), "cell")
+    # every (query, neighbor) pair is unique by construction — a vector
+    # lives in exactly ONE cell partition and the (query, cell) probes
+    # are distinct — so no dedup stage (= one whole shuffle) is needed;
+    # same argument that removed it from Table.ann_topk
     scored = (
         cand.join(probes_df, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (

@@ -258,12 +258,17 @@ def test_ivf_index_persisted_model(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     SIM.build_ivf_index(emb, idx, n_centroids=8, n_iters=3)
 
-    got = sorted(tuple(r) for r in
-                 SIM.ivf_index_topk(spark, idx, qids, k=5, n_probes=2).collect())
+    serve = SIM.ivf_index_topk(spark, idx, qids, k=5, n_probes=2)
+    got = sorted(tuple(r) for r in serve.collect())
     want = sorted(tuple(r) for r in
                   SIM.ivf_kmeans_topk(emb, qids, k=5, n_centroids=8,
                                       n_iters=3, n_probes=2).collect())
     assert got == want
+    # (query, neighbor) pairs are unique by construction (one cell per
+    # vector, distinct probes), so the serve plan must NOT pay a dedup
+    # shuffle (VERDICT r12 #2; same argument as Table.ann_topk)
+    plan = serve._jdf.queryExecution().toString()
+    assert "Deduplicate" not in plan, "dead dedup shuffle in ivf_index_topk"
 
     # recall floor vs exact at half-corpus probing (the same shape the
     # on-the-fly IVF recall test pins; 2-of-8 probes is row-identical
