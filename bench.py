@@ -143,6 +143,113 @@ def engine_vs_parquet(spark, sf_dir: str) -> dict:
             "compacted": compacted}
 
 
+def headline_ratios(spark, sf_dir: str) -> dict:
+    """The engine-table headline shapes as engine-vs-equivalent-parquet
+    ratios (VERDICT r12 #4): four consecutive rounds of >=87% noise
+    brackets proved absolute wall-clock totals cannot detect a real
+    1.5x regression on this sandbox, while a paired ratio measured in
+    the SAME process minutes apart cancels the machine phase. Each
+    pair serves IDENTICAL output rows — engine scan/serve vs a plain
+    parquet scan of the same rows — so the lifecycle cells' <=1.3x
+    budget applies. Setup (create/insert/upsert/train) happens ONCE
+    per pair and is excluded: the write path is covered by the
+    headline absolute timings; this block isolates the read path,
+    which is what regresses silently."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = tempfile.mkdtemp(prefix="pyskudu-ratio-")
+    pq_dir = tempfile.mkdtemp(prefix="pyskudu-ratio-pq-")
+    eng = Engine(spark, wh)
+    out: dict = {}
+
+    def pair(name, engine_df_fn, parquet_df_fn):
+        pq_t = min(_bench_once(parquet_df_fn()) for _ in range(3))
+        en_t = min(_bench_once(engine_df_fn()) for _ in range(3))
+        out[name] = {
+            "parquet_sec": round(pq_t, 3),
+            "engine_sec": round(en_t, 3),
+            "ratio": round(en_t / pq_t, 3),
+        }
+
+    # 1. upsert_scan: merge-on-read after ~10% upserted rows vs a clean
+    #    parquet scan of the identical end-state rows (written once)
+    c = load(spark, sf_dir, "customer")
+    cols = [(f.name, f.dataType.simpleString(), True) for f in c.schema.fields]
+    t = eng.create_table(
+        "cust", [(n, ty, n != "c_custkey") for n, ty, _ in cols],
+        pk=["c_custkey"],
+        hash_partitions=[{"columns": ["c_custkey"], "buckets": 4}],
+    )
+    t.insert(c)
+    touched = c.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0)
+    t.upsert(touched)
+    end_state = c.where(F.col("c_custkey") % 10 != 0).unionByName(touched)
+    end_state.write.mode("overwrite").parquet(pq_dir + "/cust")
+    pair("upsert_scan",
+         lambda: t.scan(),
+         lambda: spark.read.parquet(pq_dir + "/cust"))
+
+    # 2. partitioned_scan: bucket+range+footer pruning on a key-range
+    #    predicate vs the same filter over raw parquet (row-group stats
+    #    are parquet's only pruning) — identical rows out
+    hi = c.agg(F.max("c_custkey")).first()[0]
+    splits = [int(hi * f) for f in (0.25, 0.5, 0.75)]
+    tp = eng.create_table(
+        "custpart", [(n, ty, n != "c_custkey") for n, ty, _ in cols],
+        pk=["c_custkey"],
+        hash_partitions=[{"columns": ["c_custkey"], "buckets": 4}],
+        range_partition={"column": "c_custkey", "splits": splits},
+    )
+    tp.insert(c)
+    lo_k, hi_k = int(hi * 0.05), int(hi * 0.20)
+    flt = [("c_custkey", ">=", lo_k), ("c_custkey", "<", hi_k)]
+    pair("partitioned_scan",
+         lambda: tp.scan(columns=["c_custkey", "c_acctbal"], filters=flt),
+         lambda: spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .where((F.col("c_custkey") >= lo_k) & (F.col("c_custkey") < hi_k))
+         .select("c_custkey", "c_acctbal"))
+
+    # 3. ann_serve: stored-cell serving on the engine table
+    #    (train_vector_cells + cluster_by + compacted = steady state)
+    #    vs the persisted-IVF parquet index built from the same frozen
+    #    shape — both serve the rows ivf_kmeans_topk defines
+    from kudu_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    te = eng.create_table(
+        "emb", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True), ("label", "int", True)],
+        pk=["vec_id"])
+    te.insert(emb)
+    te = eng.table("emb")
+    te.train_vector_cells("embedding", n_cells=8, n_iters=3)
+    eng.alter_table("emb").set_property("cluster_by", "__ivfc_embedding").apply()
+    te = eng.table("emb")
+    te.compact(full=True)
+    build_ivf_index(emb, pq_dir + "/ivf", n_centroids=8, n_iters=3)
+    qids = [10, 20, 30, 40, 50]
+    pair("ann_serve",
+         lambda: te.ann_topk("embedding", qids, k=5, n_probes=2),
+         lambda: ivf_index_topk(spark, pq_dir + "/ivf", qids, k=5, n_probes=2))
+
+    shutil.rmtree(wh, ignore_errors=True)
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    return out
+
+
+def _geomean(ratios: list[float]) -> float:
+    import math
+
+    return math.exp(sum(math.log(max(r, 1e-9)) for r in ratios) / len(ratios))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -197,7 +304,19 @@ def main() -> None:
     if os.environ.get("PYSKUDU_BENCH_ENGINE_RATIO", "1") != "0":
         # engine-vs-parquet time ratio on identical rows (BASELINE.md
         # operational target: ≤1.3x clean, ≤2x with ~10% rows mutated)
-        result["engine_vs_parquet"] = engine_vs_parquet(spark, sf_dir)
+        evp = engine_vs_parquet(spark, sf_dir)
+        hr = headline_ratios(spark, sf_dir)
+        result["engine_vs_parquet"] = evp
+        result["headline_ratios"] = hr
+        # the PRIMARY regression signal (VERDICT r12 #4): geomean of
+        # every paired engine/parquet ratio. Paired same-process
+        # measurement cancels the machine phase that makes the absolute
+        # `value` above swing ~60% between sessions with zero code
+        # change — diff THIS number across rounds, not `value`.
+        ratios = [cell["ratio"] for stage in evp.values()
+                  for cell in stage.values()]
+        ratios += [cell["ratio"] for cell in hr.values()]
+        result["ratio_total"] = round(_geomean(ratios), 3)
     print(json.dumps(result))
 
 

@@ -809,7 +809,8 @@ class Engine:
                             f"history_max_age_sec={st.props.get('history_max_age_sec')!r}"
                             " is not a number of seconds"
                         )
-                if not compact_on and age is None:
+                retrain_frac = st.props.get("ivf_retrain_stale_frac")
+                if not compact_on and age is None and retrain_frac is None:
                     out[name] = False
                     continue
                 if not t._maint_lock.acquire(blocking=False):
@@ -833,6 +834,13 @@ class Engine:
                     if age is not None:
                         removed = t.vacuum(retention_seconds=age)
                         did = did or removed > 0
+                    # stale IVF cell-model convergence (VERDICT r12
+                    # #5): tables that SET ivf_retrain_stale_frac get
+                    # their cell models retrained + re-stamped once
+                    # the stale-stamped row fraction crosses the
+                    # threshold; O(metadata) check per sweep otherwise
+                    retrained = t.maybe_retrain_vector_cells()
+                    did = did or any(retrained.values())
                     out[name] = did
                 finally:
                     t._maint_lock.release()

@@ -1571,6 +1571,73 @@ class Table:
                     F.round("c", 6).alias("cosine"))
         )
 
+    def vector_cell_staleness(self, column: str,
+                              st: "TableState | None" = None) -> float:
+        """Fraction of the table's rows living in files whose ``ivfm``
+        stamp is missing or from a superseded model — the rows
+        scan_cells must serve through the on-the-fly fallback (full
+        scan, no pruning). O(metadata): manifest row counts + stamps,
+        zero data IO. Row counts include delta rows (tombstones too),
+        so the fraction is an upper-bound approximation of the live
+        share — the right bias for a maintenance trigger."""
+        st = st or self.state()
+        art = self._ivf_artifact(column)
+        total = sum(f.rows for f in st.files)
+        if art is None or total == 0:
+            return 0.0
+        cur = art.get("model_id", "")
+        stale = sum(f.rows for f in st.files
+                    if not (f.ivfm and f.ivfm.get(column) == cur))
+        return stale / total
+
+    def maybe_retrain_vector_cells(self) -> dict:
+        """Maintenance-path auto-retrain of stale IVF cell models: when
+        ``vector_cell_staleness`` of a trained column exceeds the
+        ``ivf_retrain_stale_frac`` table property (float in (0, 1];
+        unset = feature off), retrain the k-means model from the
+        CURRENT snapshot (same n_cells/n_iters as the frozen artifact)
+        and run the convergence compaction so every file carries
+        assignments stamped by the new model — closing the loop the
+        CLI ``train-cells`` action opened (a manual retrain without
+        its follow-up compaction, or pre-training files, would
+        otherwise serve through the full-scan fallback forever).
+        Deterministic training makes this stable: retraining on an
+        unchanged snapshot reproduces the same centroids, the
+        compaction re-stamps, and the next sweep sees 0% stale.
+        Returns {column: retrained} for every trained cell column."""
+        st = self.state()
+        out: dict = {}
+        raw = st.props.get("ivf_retrain_stale_frac")
+        if raw is None:
+            return out
+        # validate BEFORE any work: a malformed value must surface as
+        # this table's maintenance error, not silently disable the
+        # feature every sweep (same contract as history_max_age_sec)
+        try:
+            frac = float(str(raw).strip())
+        except ValueError:
+            frac = -1.0
+        if not (0.0 < frac <= 1.0):
+            raise KuduSparkError(
+                f"ivf_retrain_stale_frac={raw!r} must be a float in (0, 1]")
+        cols = [c for c in self._vector_cell_cols(st)
+                if self._ivf_artifact(c) is not None]
+        if not cols:
+            return out
+        for col in cols:
+            if self.vector_cell_staleness(col, st) < frac:
+                out[col] = False
+                continue
+            art = self._ivf_artifact(col)
+            self.train_vector_cells(col, n_cells=int(art.get("n_cells", 8)),
+                                    n_iters=int(art.get("n_iters", 3)))
+            # convergence: rewrite every partition so each file stores
+            # assignments from the NEW model and scan_cells prunes again
+            self.compact(full=True)
+            st = self.state()
+            out[col] = True
+        return out
+
     # -- diff scan ---------------------------------------------------------------
 
     def diff_scan(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -455,3 +455,69 @@ def test_engine_ann_cells_retrain_and_null_vectors(spark, tmp_path):
     got8b = sorted(tuple(r) for r in
                    t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
     assert got8b == got8
+
+
+def test_maintenance_auto_retrains_stale_cell_model(spark, tmp_path):
+    """VERDICT r12 #5: tables opting in via ivf_retrain_stale_frac get
+    stale cell models retrained + converged by the maintenance sweep.
+    Files written before training are 100% stale-stamped, so one sweep
+    must (a) mint a new model_id, (b) leave every file stamped by it
+    after the convergence compaction (staleness back to 0), (c) be a
+    no-op on the next sweep (deterministic training => stable, no
+    oscillation), and (d) serve ann_topk rows identical to a fresh
+    manual retrain+compact over the same data. Without the property
+    the sweep must never retrain; a malformed value must surface under
+    __errors__."""
+    from kudu_spark.engine import Engine
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def build(root):
+        eng = Engine(spark, str(root))
+        t = eng.create_table(
+            "vc", [("vec_id", "bigint", False),
+                   ("embedding", "array<float>", True),
+                   ("label", "int", True)], pk=["vec_id"])
+        t.insert(emb)
+        t = eng.table("vc")
+        t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+        return eng, eng.table("vc")
+
+    eng, t = build(tmp_path / "auto")
+    assert t.vector_cell_staleness("embedding") == 1.0  # pre-training files
+    art0 = t._ivf_artifact("embedding")
+
+    # no opt-in property: the sweep must not touch the model
+    out = eng.maintenance_sweep()
+    assert "__errors__" not in out
+    assert eng.table("vc")._ivf_artifact("embedding")["model_id"] == art0["model_id"]
+
+    eng.alter_table("vc").set_property("ivf_retrain_stale_frac", "0.5").apply()
+    out = eng.maintenance_sweep()
+    assert "__errors__" not in out and out["vc"] is True
+    t = eng.table("vc")
+    art1 = t._ivf_artifact("embedding")
+    assert art1["model_id"] != art0["model_id"]
+    st = t.state()
+    assert st.files and all(
+        f.ivfm and f.ivfm.get("embedding") == art1["model_id"] for f in st.files)
+    assert t.vector_cell_staleness("embedding") == 0.0
+
+    # stability: an immediately following sweep must not retrain again
+    eng.maintenance_sweep()
+    assert eng.table("vc")._ivf_artifact("embedding")["model_id"] == art1["model_id"]
+
+    # row-identity vs the manual path (train + convergence compaction)
+    eng2, t2 = build(tmp_path / "manual")
+    t2.compact(full=True)
+    qids = [10, 20, 30]
+    got = sorted(tuple(r) for r in
+                 t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    want = sorted(tuple(r) for r in
+                  t2.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    assert got == want
+
+    # malformed threshold: this table's error, not a silent no-op
+    eng.alter_table("vc").set_property("ivf_retrain_stale_frac", "1.5").apply()
+    out = eng.maintenance_sweep()
+    assert "vc" in out.get("__errors__", {})
