@@ -70,16 +70,27 @@ BANDS_SCHEMA = [
 
 def create_corpus_tables(engine, docs_name: str = "corpus",
                          bands_name: str | None = None,
-                         buckets: int = 8):
+                         buckets: int = 8,
+                         embedding_col: str | None = None):
     """Create the document table and its band-key side table. The
     docs schema mirrors the testdata documents table; extend with
     ``engine.alter_table`` as needed. Both tables opt into presence
     sidecars (pk_bloom_cols) — the O(batch) probe machinery — and
-    small-file auto-compaction, which also consolidates sidecars."""
+    small-file auto-compaction, which also consolidates sidecars.
+
+    ``embedding_col`` adds an ``array<float>`` vector column to the
+    docs schema for the semantic-dedup arm of ``ingest_batch``: once
+    the table's IVF cell model is trained
+    (``table.train_vector_cells(embedding_col, ...)``, ideally with
+    ``cluster_by=__ivfc_<col>``), incoming batches are near-dup
+    checked against the corpus through cell-pruned candidate scans."""
+    cols = [("doc_id", "bigint", False), ("text", "string", True),
+            ("lang", "string", True), ("source", "string", True)]
+    if embedding_col:
+        cols.append((embedding_col, "array<float>", True))
     docs = engine.create_table(
         docs_name,
-        [("doc_id", "bigint", False), ("text", "string", True),
-         ("lang", "string", True), ("source", "string", True)],
+        cols,
         pk=["doc_id"],
         hash_partitions=[{"columns": ["doc_id"], "buckets": buckets}],
     )
@@ -101,12 +112,69 @@ def create_corpus_tables(engine, docs_name: str = "corpus",
     return engine.table(docs.name), engine.table(bands.name)
 
 
+def _semantic_collisions(docs_t, batch: DataFrame, column: str,
+                         threshold: float) -> DataFrame:
+    """Batch doc_ids whose embedding is a near-duplicate (cosine >=
+    threshold) of ANY document already in the corpus — served through
+    the docs table's STORED IVF cells (VERDICT r12 #6):
+
+    1. each batch vector is assigned its cell from the FROZEN centroid
+       artifact (broadcastable k x dims model, O(batch) codegen — the
+       same argmax `train_vector_cells` stamps into `__ivfc_<col>`);
+    2. the candidate fetch is `scan_cells(probed cells)` — the cell
+       predicate pushes into parquet, so with the converged
+       `cluster_by=__ivfc_<col>` layout only the probed cells' row
+       groups are read, NOT the whole corpus; files with stale or
+       missing stamps transparently fall back to on-the-fly assignment
+       from the same centroids (identical results, no pruning);
+    3. candidates join the batch on cell equality — the
+       `ivf_cosine_pairs` within-cell recall contract (near-dups have
+       cosine ~= 1 and co-locate with high probability).
+
+    Requires a trained cell model on the docs table; train on a seed
+    corpus before enabling the arm."""
+    from kudu_spark.errors import KuduSparkError
+    from kudu_spark.table import IVFC_PREFIX
+
+    art = docs_t._ivf_artifact(column)
+    if art is None:
+        raise KuduSparkError(
+            f"semantic dedup needs a trained cell model on "
+            f"{docs_t.name}.{column}: call train_vector_cells first")
+    bv = batch.select(
+        "doc_id", F.col(column).alias("__bv")
+    ).where(F.col("__bv").isNotNull()).withColumn(
+        "__cell", docs_t._cell_expr("__bv", art["centroids"]))
+    # bounded collect: distinct batch cells <= n_cells (model-sized)
+    cells = sorted({r["__cell"] for r in bv.select("__cell").distinct().collect()})
+    if not cells:
+        return batch.select("doc_id").limit(0)
+    cand = docs_t.scan_cells(column, cells, _art=art).select(
+        F.col(column).alias("__cv"),
+        F.col(IVFC_PREFIX + column).alias("__cell"),
+    )
+    from kudu_spark.operators.similarity import cosine_expr
+
+    return (
+        bv.join(cand, "__cell")
+        .where(cosine_expr("__bv", "__cv") >= threshold)
+        .select("doc_id").distinct()
+    )
+
+
 def ingest_batch(engine, batch_df: DataFrame, docs_name: str = "corpus",
                  bands_name: str | None = None,
-                 quality_min: float | None = None) -> dict:
+                 quality_min: float | None = None,
+                 embedding_col: str | None = None,
+                 cosine_threshold: float = 0.35) -> dict:
     """One micro-batch of the ingestion pipeline (callable directly
     for batch backfills; ``ingest_corpus_stream`` wires it into
-    foreachBatch). Returns {'arrived', 'accepted', 'versions'}."""
+    foreachBatch). Returns {'arrived', 'accepted', 'versions'}.
+
+    ``embedding_col`` enables the semantic-dedup arm: batch documents
+    whose vector is within ``cosine_threshold`` of any corpus document
+    are rejected, with the candidate fetch cell-pruned through the
+    docs table's stored IVF cells (see ``_semantic_collisions``)."""
     from kudu_spark.functions.text import quality_cols
     from kudu_spark.writer import EngineTransaction
 
@@ -157,6 +225,10 @@ def ingest_batch(engine, batch_df: DataFrame, docs_name: str = "corpus",
             .select("doc_id").distinct()
         )
     survivors = cand.join(collided, "doc_id", "left_anti")
+    if embedding_col is not None:
+        sem = _semantic_collisions(docs_t, survivors, embedding_col,
+                                   cosine_threshold)
+        survivors = survivors.join(sem, "doc_id", "left_anti")
     # replay absorption: doc_ids already in the corpus (same content
     # re-delivered) are dropped, not errors — the docs table's index
     # answers exactly, never a full doc_id scan
@@ -204,13 +276,18 @@ def ingest_corpus_stream(engine, stream_df: DataFrame,
                          bands_name: str | None = None,
                          quality_min: float | None = None,
                          checkpoint: str | None = None,
-                         available_now: bool = False):
+                         available_now: bool = False,
+                         embedding_col: str | None = None,
+                         cosine_threshold: float = 0.35):
     """Start the streaming ingestion query (readStream source →
-    quality gate → exact + incremental near-dup → one cross-table
-    txn per micro-batch)."""
+    quality gate → exact + incremental near-dup → optional semantic
+    near-dup through stored IVF cells → one cross-table txn per
+    micro-batch)."""
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.isEmpty():
-            ingest_batch(engine, batch_df, docs_name, bands_name, quality_min)
+            ingest_batch(engine, batch_df, docs_name, bands_name, quality_min,
+                         embedding_col=embedding_col,
+                         cosine_threshold=cosine_threshold)
 
     w = stream_df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:
