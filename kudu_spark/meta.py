@@ -359,6 +359,16 @@ class FileEntry:
     # or missing stamps fall the scan back to on-the-fly assignment
     # until compaction rewrites (mirrors the vq contract above).
     ivfm: dict | None = None
+    # per-file [min, max] of each stored cell column (__ivfc_<col>),
+    # read from the file's own parquet footer at flush — zero extra
+    # jobs, same pattern as min_pk/dmark. Lets scan_cells prune BASE
+    # files at the MANIFEST level (no footer IO at plan time): a
+    # cell-clustered corpus opens ~n_probes/n_cells of its files per
+    # ANN serve. Safe under merge-on-read because delta/delete files
+    # are never pruned — a pruned base row either stays outside the
+    # probed cells (filtered post-merge anyway) or is outranked by the
+    # delta row that moved it (last-write-wins).
+    cellr: dict | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -380,6 +390,8 @@ class FileEntry:
             d["vq"] = self.vq
         if self.ivfm:
             d["ivfm"] = self.ivfm
+        if self.cellr:
+            d["cellr"] = self.cellr
         return d
 
     @staticmethod
@@ -388,6 +400,7 @@ class FileEntry:
             d["path"], d["rows"], d.get("bytes", 0), d["partition"], d["seq"],
             d.get("schema_version", 1), d.get("kind", "base"), d.get("min_pk"), d.get("max_pk"),
             d.get("bloom"), d.get("dmark"), d.get("vq"), d.get("ivfm"),
+            d.get("cellr"),
         )
 
 

@@ -1486,7 +1486,25 @@ class Table:
         cur = art.get("model_id", "")
         if all(f.ivfm and f.ivfm.get(column) == cur for f in st.files):
             st2 = self._augment_state(st, [(cn, "int")])
-            df = self._snapshot_df(st2, filters)
+            # manifest-level FILE pruning from the flush-time cell
+            # ranges (FileEntry.cellr): a cell-clustered corpus opens
+            # ~n_probes/n_cells of its base files per serve, before any
+            # footer IO. Only BASE files prune — a pruned base row is
+            # either outside the probed cells (the post-merge filter
+            # would drop it) or outranked by a delta row that moved it
+            # (last-write-wins); delta/delete files always participate
+            # so the merge window stays exact.
+            cset = {int(c) for c in cells}
+
+            def _keep(f):
+                if f.kind != "base":
+                    return True
+                rng = (f.cellr or {}).get(column)
+                return rng is None or any(rng[0] <= c <= rng[1] for c in cset)
+
+            sub = TableState(**{**st2.__dict__})
+            sub.files = [f for f in st2.files if _keep(f)]
+            df = self._snapshot_df(sub, filters)
         else:
             df = self._snapshot_df(st, filters).withColumn(
                 cn, self._cell_expr(column, art["centroids"]))
@@ -1888,10 +1906,20 @@ class Table:
         return df.withColumn("__zv", z)
 
     def _write_files(
-        self, df: DataFrame, st: TableState, seq: int, kind: str
+        self, df: DataFrame, st: TableState, seq: int, kind: str,
+        size_hint_bytes: int | None = None,
     ) -> list[FileEntry]:
         """Partition-route and write one batch as parquet, returning
-        manifest entries with PK stats from the parquet footers."""
+        manifest entries with PK stats from the parquet footers.
+
+        ``size_hint_bytes`` (compaction only — the caller knows the
+        rewritten input bytes) lets clustered UNPARTITIONED tables be
+        range-repartitioned on their cluster keys into
+        ~``cluster_file_bytes``-sized files, so each output file covers
+        a contiguous cluster-key slice and the manifest's per-file
+        bounds (min_pk, cellr) prune whole files — the OPTIMIZE-style
+        global layout, paid once per compaction, never on the ingest
+        hot path."""
         pnames, pexprs = self._partition_exprs(st)
         out = df.withColumn(SEQ_COL, F.lit(seq).cast("bigint"))
         if DEL_COL not in out.columns:
@@ -2002,6 +2030,18 @@ class Table:
             sort_cols = cluster + [c for c in pk_cols if c not in cluster]
         if pnames:
             out = out.repartition(*pnames).sortWithinPartitions(*pnames, *sort_cols)
+        elif (cluster or zdrop) and kind == "base" and size_hint_bytes:
+            # compaction of a clustered unpartitioned table: range-
+            # repartition on the cluster sort key so files cover
+            # CONTIGUOUS key slices — manifest bounds (cellr, min_pk)
+            # then prune whole files, not just row groups. Sized by
+            # the rewritten input bytes (cluster_file_bytes target,
+            # default 64 MB) so big tables split and tiny ones stay
+            # one file; the range shuffle is compaction-only cost.
+            target = int(st.props.get("cluster_file_bytes", 64 << 20))
+            nparts = max(1, min(4096, -(-size_hint_bytes // max(target, 1))))
+            out = out.repartitionByRange(
+                nparts, *sort_cols).sortWithinPartitions(*sort_cols)
         else:
             out = out.sortWithinPartitions(*sort_cols)
         if zdrop:
@@ -2165,6 +2205,25 @@ class Table:
                     dmark = "L" if all_live else ("D" if all_del else None)
                 if dmark != "L":
                     has_tombstones = True
+            # stored-cell ranges from the same footers (no extra job):
+            # [min, max] of each __ivfc_<col> lets scan_cells prune
+            # whole BASE files from the manifest — the file-level
+            # complement of the clustered layout's row-group pruning
+            cellr: dict = {}
+            for vc in ivfm_written:
+                ci = sch_names.get(IVFC_PREFIX + vc)
+                if ci is None:
+                    continue
+                mns, mxs = [], []
+                for rg in range(md.num_row_groups):
+                    stat = md.row_group(rg).column(ci).statistics
+                    if stat is None or not stat.has_min_max or stat.min is None:
+                        mns = []
+                        break
+                    mns.append(int(stat.min))
+                    mxs.append(int(stat.max))
+                if mns:
+                    cellr[vc] = [min(mns), max(mxs)]
             if senv is self._env:
                 self._env.replace(fsrc, dst)  # same-store atomic move
             else:
@@ -2184,6 +2243,7 @@ class Table:
                     dmark=dmark,
                     vq=vq_written or None,
                     ivfm=ivfm_written or None,
+                    cellr=cellr or None,
                 )
             )
         senv.rmtree(staging)
@@ -3511,7 +3571,9 @@ class Table:
         sub = TableState(**{**st.__dict__})
         sub.files = rewrite
         merged = self._snapshot_df(sub)  # dedup + tombstones dropped
-        entries = self._write_files(merged, st, seq_for(st.version + 1), "base")
+        entries = self._write_files(
+            merged, st, seq_for(st.version + 1), "base",
+            size_hint_bytes=sum(f.bytes for f in rewrite))
         # a PARTIAL compaction may remove the last reference to a
         # delete-carrying sidecar while older commit-wide live sidecars
         # (files in untouched partitions) still list the deleted keys:

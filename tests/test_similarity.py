@@ -521,3 +521,71 @@ def test_maintenance_auto_retrains_stale_cell_model(spark, tmp_path):
     eng.alter_table("vc").set_property("ivf_retrain_stale_frac", "1.5").apply()
     out = eng.maintenance_sweep()
     assert "vc" in out.get("__errors__", {})
+
+
+def test_scan_cells_manifest_file_pruning(spark, tmp_path):
+    """FileEntry.cellr + the compaction-time range layout: a full
+    compaction of a clustered UNPARTITIONED table sized to split
+    (cluster_file_bytes) writes files covering contiguous cell slices,
+    each stamped with its footer [min, max] in the manifest, and
+    scan_cells then opens ONLY the files whose range intersects the
+    probed cells (df.inputFiles()) — file-level pruning with zero
+    footer IO at plan time. Results must equal the post-merge filter
+    ground truth, and merge-on-read must stay exact when an upsert
+    moves a vector INTO a probed cell whose old base file is pruned
+    (delta files never prune)."""
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "cp", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = eng.table("cp")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    eng.alter_table("cp").set_property("cluster_by", "__ivfc_embedding") \
+        .set_property("cluster_file_bytes", str(16 << 10)).apply()
+    t = eng.table("cp")
+    t.compact(full=True)
+    t = eng.table("cp")
+    st = t.state()
+    bases = [f for f in st.files if f.kind == "base"]
+    assert len(bases) > 1
+    assert all(f.cellr and "embedding" in f.cellr for f in bases)
+    assert any(f.cellr["embedding"] != [0, 3] for f in bases)  # real slices
+
+    probed = t.scan_cells("embedding", [0])
+    read = {p.rsplit("/", 1)[-1] for p in probed.inputFiles()}
+    all_files = {f.path.rsplit("/", 1)[-1] for f in bases}
+    assert read and read < all_files  # strict subset: files pruned
+
+    # ground truth: on-the-fly assignment over the FULL snapshot,
+    # filtered post-merge (the semantics pruning must preserve)
+    art = t._ivf_artifact("embedding")
+    full = t.scan().withColumn(
+        "__c", t._cell_expr("embedding", art["centroids"]))
+    want = sorted(r.vec_id for r in full.where(F.col("__c") == 0).collect())
+    got = sorted(r.vec_id for r in probed.select("vec_id").collect())
+    assert got == want and want
+
+    # hazard: a key whose base row lives OUTSIDE cell 0 gets upserted
+    # with a cell-0 vector — its base file is pruned, the delta is not
+    donor = full.where(F.col("__c") == 0).select("vec_id").first().vec_id
+    vrow = full.where(F.col("__c") != 0).select("vec_id", "__c").first()
+    victim, old_cell = vrow.vec_id, vrow["__c"]
+    dvec = emb.where(F.col("vec_id") == donor).select("embedding") \
+        .first().embedding
+    t.upsert(spark.createDataFrame(
+        [(victim, dvec, 0)],
+        "vec_id bigint, embedding array<float>, label int"))
+    t = eng.table("cp")
+    got2 = {r.vec_id for r in
+            t.scan_cells("embedding", [0]).select("vec_id").collect()}
+    assert victim in got2 and set(want) <= got2
+    # ...and it left its old cell (the delta outranks the base row)
+    old = {r.vec_id for r in
+           t.scan_cells("embedding", [int(old_cell)])
+           .select("vec_id").collect()}
+    assert victim not in old
