@@ -606,6 +606,41 @@ def engine_ann_cells_topk(spark, sf_dir):
 
 
 @query(
+    "engine_ann_q8_topk",
+    oracle=_kmeans_oracle(),
+    gated=False,  # gate capped at 50; pytest runs the oracle. With
+    # refine covering the probed cells the exact re-rank provably
+    # reproduces ivf_kmeans_topk, so the shared oracle verifies the
+    # whole int8 candidate path (stored __q8 scan, approx scoring,
+    # shortlist, exact re-rank); the recall/byte claims live in
+    # tests/test_similarity.py::test_ann_topk_quantized_refine
+)
+def engine_ann_q8_topk(spark, sf_dir):
+    """IVF + int8-refine ANN THROUGH the engine table's TWO stored
+    vector sidecolumns (ann_topk(quantized=True)): candidates are read
+    as (pk, __ivfc, __q8) — the fp column never leaves parquet —
+    scored approximately from the int8 codes, and only the bounded
+    shortlist is re-ranked against exact vectors fetched by PK. The
+    production IVF-PQ-style serve at ~4x fewer candidate bytes on top
+    of cell/file pruning."""
+    eng = _engine(spark)
+    t = eng.create_table(
+        "emq8", [("vec_id", "bigint", False),
+                 ("embedding", "array<float>", True),
+                 ("label", "int", True)], pk=["vec_id"])
+    t.insert(load(spark, sf_dir, "embeddings"))
+    t = eng.table("emq8")
+    t.train_vector_cells("embedding", n_cells=8, n_iters=3)
+    eng.alter_table("emq8") \
+        .set_property("vector_quantize_cols", "embedding") \
+        .set_property("cluster_by", "__ivfc_embedding").apply()
+    t = eng.table("emq8")
+    t.compact(full=True)
+    return t.ann_topk("embedding", [10, 20, 30, 40, 50], k=5, n_probes=2,
+                      quantized=True, refine=1000)
+
+
+@query(
     "engine_timeseries_scan",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,

@@ -1511,13 +1511,31 @@ class Table:
         return df.where(F.col(cn).isin([int(c) for c in cells]))
 
     def ann_topk(self, column: str, query_keys: list, k: int = 5,
-                 n_probes: int = 2, version: int | None = None) -> DataFrame:
+                 n_probes: int = 2, version: int | None = None,
+                 quantized: bool = False, refine: int = 4) -> DataFrame:
         """ANN top-k over the table's stored IVF cells: probe cells
         come from the tiny frozen centroid model, candidates from a
         cell-restricted snapshot scan (scan_cells), ranking from the
         exact cosine — row-compatible with the operator family's
         ivf_kmeans_topk on identical data. Returns
         (query_id, neighbor_id, rank, cosine) keyed by the PK.
+
+        ``quantized=True`` composes the table's TWO stored vector
+        sidecolumns into IVF+int8-refine serving (the IVF-PQ-style
+        production shape): the candidate pass reads ONLY
+        (pk, __ivfc, __q8) — ~4x fewer vector bytes on top of the cell
+        pruning, the fp column never leaves parquet — scores an
+        approximate cosine from the int8 codes (cosine is per-vector
+        scale-invariant, so no dequantization and no __q8s read), keeps
+        the top ``k * refine`` per query, then re-ranks ONLY that
+        shortlist against the exact vectors fetched by PK (a bounded
+        |queries| x k x refine IN-list scan). Requires the column in
+        BOTH vector_cell_cols (trained) and vector_quantize_cols; files
+        not yet carrying the stored q8 pair fall the serve back to the
+        exact path (correct, no byte saving) until compaction
+        converges, mirroring scan_quantized's contract. The final
+        ranking is exact-cosine over the shortlist, so recall is the
+        int8 shortlist's recall — refine trades candidate bytes for it.
 
         ``version`` time-travels the DATA; the centroid model is
         always the table's current artifact (models are not
@@ -1567,21 +1585,95 @@ class Table:
         # stage is needed. ``_art`` pins the model read above: a
         # concurrent retrain cannot serve probes and candidates from
         # different centroid sets.
-        cand = self.scan_cells(column, probe_cells, version=version,
-                               _art=art).select(
-            F.col(pk0).alias("neighbor_id"),
-            F.col(column).alias("cv"),
-            F.col(cn).alias("cell"),
-        )
-        scored = (
-            cand.join(probes_df, "cell")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .join(F.broadcast(qv), "query_id")
-            .select("query_id", "neighbor_id",
-                    cosine_expr("qv", "cv").alias("c"))
-        )
         w2 = Window.partitionBy("query_id").orderBy(
             F.desc("c"), F.asc("neighbor_id"))
+        qn = Q8_PREFIX + column
+        cur = art.get("model_id", "")
+        q8_ready = (
+            quantized
+            and column in self._vector_quantize_cols(st)
+            and all(f.ivfm and f.ivfm.get(column) == cur
+                    and f.vq and column in f.vq for f in st.files)
+        )
+        if quantized and column not in self._vector_quantize_cols(st):
+            raise KuduSparkError(
+                f"ann_topk(quantized=True) needs column {column!r} in "
+                f"vector_quantize_cols "
+                f"({st.props.get('vector_quantize_cols', '')!r})")
+        if q8_ready:
+            # int8 candidate pass: (pk, cell, q8) only — the fp column
+            # stays in parquet. Same cellr file pruning as scan_cells.
+            st2 = self._augment_state(
+                st, [(cn, "int"), (qn, "array<tinyint>")])
+            cset = {int(c) for c in probe_cells}
+
+            def _keep(f):
+                if f.kind != "base":
+                    return True
+                rng = (f.cellr or {}).get(column)
+                return rng is None or any(
+                    rng[0] <= c <= rng[1] for c in cset)
+
+            sub = TableState(**{**st2.__dict__})
+            sub.files = [f for f in st2.files if _keep(f)]
+            cand8 = self._snapshot_df(sub).where(
+                F.col(cn).isin(list(cset))).select(
+                F.col(pk0).alias("neighbor_id"),
+                F.col(qn).alias("cv8"),
+                F.col(cn).alias("cell"),
+            ).where(F.col("cv8").isNotNull())
+            from kudu_spark.operators.similarity import dot_expr, norm_expr
+
+            # all-zero q8 codes (tiny vectors rounding to zero) have
+            # zero norm: NULL cosine sorts last instead of failing the
+            # job under ANSI division
+            nn = norm_expr("qv") * norm_expr("cv8")
+            approx = (
+                cand8.join(probes_df, "cell")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .join(F.broadcast(qv), "query_id")
+                .select("query_id", "neighbor_id",
+                        F.when(nn > 0, dot_expr("qv", "cv8") / nn)
+                        .alias("c"))
+            )
+            short = (
+                approx.withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= max(int(k) * max(int(refine), 1), k))
+                .select("query_id", "neighbor_id")
+            )
+            # bounded collect: |queries| x k x refine shortlist ids
+            ids = sorted({r["neighbor_id"] for r in
+                          short.select("neighbor_id").distinct().collect()})
+            if not ids:
+                return short.select(
+                    "query_id", "neighbor_id",
+                    F.lit(1).alias("rank"),
+                    F.lit(0.0).alias("cosine")).limit(0)
+            exact = self.scan(
+                columns=[pk0, column], version=version,
+                filters=[(pk0, "in", ids)],
+            ).select(F.col(pk0).alias("neighbor_id"),
+                     F.col(column).alias("cv"))
+            scored = (
+                F.broadcast(short).join(exact, "neighbor_id")
+                .join(F.broadcast(qv), "query_id")
+                .select("query_id", "neighbor_id",
+                        cosine_expr("qv", "cv").alias("c"))
+            )
+        else:
+            cand = self.scan_cells(column, probe_cells, version=version,
+                                   _art=art).select(
+                F.col(pk0).alias("neighbor_id"),
+                F.col(column).alias("cv"),
+                F.col(cn).alias("cell"),
+            )
+            scored = (
+                cand.join(probes_df, "cell")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .join(F.broadcast(qv), "query_id")
+                .select("query_id", "neighbor_id",
+                        cosine_expr("qv", "cv").alias("c"))
+            )
         return (
             scored.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= k)

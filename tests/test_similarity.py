@@ -589,3 +589,109 @@ def test_scan_cells_manifest_file_pruning(spark, tmp_path):
            t.scan_cells("embedding", [int(old_cell)])
            .select("vec_id").collect()}
     assert victim not in old
+
+
+def test_ann_topk_quantized_refine(spark, tmp_path):
+    """IVF + int8-refine serving (ann_topk(quantized=True)): the
+    candidate pass reads only (pk, __ivfc, __q8) — asserted from the
+    plan's ReadSchema — scores approximate cosines from the int8
+    codes, and the exact re-rank runs over the bounded shortlist. With
+    refine covering the whole probed cells the result must EQUAL the
+    exact path; at small refine recall stays high; before the q8
+    columns converge the serve falls back to the exact path verbatim;
+    mutations stay fresh (an upserted twin is rank-1 at cosine 1.0)."""
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "q8c", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = eng.table("q8c")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    eng.alter_table("q8c") \
+        .set_property("vector_quantize_cols", "embedding") \
+        .set_property("cluster_by", "__ivfc_embedding").apply()
+    t = eng.table("q8c")
+    qids = [10, 20, 30]
+    exact_pre = sorted(tuple(r) for r in
+                       t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+
+    # BEFORE convergence: files lack the stored q8 pair -> quantized
+    # serve must take the exact fallback and match verbatim
+    got_fb = sorted(tuple(r) for r in
+                    t.ann_topk("embedding", qids, k=5, n_probes=2,
+                               quantized=True).collect())
+    assert got_fb == exact_pre
+
+    t.compact(full=True)  # converge: q8 + cells stored and stamped
+    t = eng.table("q8c")
+    exact = sorted(tuple(r) for r in
+                   t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    assert exact == exact_pre
+
+    # refine big enough to cover every candidate in the probed cells:
+    # the shortlist IS the candidate set, so the exact re-rank must
+    # reproduce the exact path bit-for-bit
+    got_full = sorted(tuple(r) for r in
+                      t.ann_topk("embedding", qids, k=5, n_probes=2,
+                                 quantized=True, refine=1000).collect())
+    assert got_full == exact
+
+    # production refine: exact-cosine ranking over the int8 shortlist;
+    # recall@5 against the exact path stays high (int8 recall >= 0.8
+    # on this data, test_quantized_topk_recall_vs_exact)
+    got_q = t.ann_topk("embedding", qids, k=5, n_probes=2,
+                       quantized=True, refine=4).collect()
+    ex_sets, q_sets = {}, {}
+    for r in [type("R", (), dict(zip(["query_id", "neighbor_id", "rank", "cosine"], tup)))()
+              for tup in exact]:
+        ex_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got_q:
+        q_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex_sets[q] & q_sets.get(q, set())) / len(ex_sets[q])
+               for q in ex_sets]
+    assert sum(recalls) / len(recalls) >= 0.8
+    # reported cosines are EXACT (re-ranked), not approximations
+    ex_cos = {(a, b): c for a, b, _r, c in exact}
+    for r in got_q:
+        if (r.query_id, r.neighbor_id) in ex_cos:
+            assert abs(r.cosine - ex_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+    # byte claim: the candidate scan reads the int8 codes, never the
+    # fp vectors — some FileScan reads __q8_embedding:array<tinyint>
+    # and no scan reading it also reads embedding:array<float>
+    df = t.ann_topk("embedding", qids, k=5, n_probes=2,
+                    quantized=True, refine=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    q8_reads = [ln for ln in reads if "__q8_embedding" in ln]
+    assert q8_reads, reads
+    assert all("embedding:array<float>" not in ln for ln in q8_reads), q8_reads
+
+    # mutation freshness through the quantized path: an exact twin of
+    # vec 20 appears at rank 1 / cosine 1.0 (write derives fresh q8 +
+    # cell, the serve sees it without any compaction)
+    twin = emb.where(F.col("vec_id") == 20).select(
+        F.lit(888000).cast("bigint").alias("vec_id"), "embedding",
+        F.lit(0).alias("label"))
+    t.upsert(twin)
+    t = eng.table("q8c")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+           for r in t.ann_topk("embedding", qids, k=5, n_probes=2,
+                               quantized=True, refine=4).collect()}
+    assert got[(20, 1)] == (888000, 1.0)
+
+    # misconfiguration: quantized serve without vector_quantize_cols
+    t2 = eng.create_table(
+        "q8x", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True)], pk=["vec_id"])
+    t2.insert(emb.select("vec_id", "embedding"))
+    t2 = eng.table("q8x")
+    t2.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t2 = eng.table("q8x")
+    with pytest.raises(Exception, match="vector_quantize_cols"):
+        t2.ann_topk("embedding", [10], k=3, quantized=True)
