@@ -121,6 +121,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--cells", type=int, default=8)
     sp.add_argument("--iters", type=int, default=3)
     sp = sub.add_parser(
+        "ann",
+        help="serve ANN top-k through a table's stored IVF cells "
+             "(train-cells first); --quantized adds the int8-refine "
+             "candidate pass over the stored __q8 column",
+    )
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("keys", nargs="+",
+                    help="query PK values (int/decimal parsed, else string)")
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--probes", type=int, default=2)
+    sp.add_argument("--quantized", action="store_true")
+    sp.add_argument("--refine", type=int, default=4)
+    sp = sub.add_parser(
         "log-dump",
         help="print a table's commit log entries as JSON lines "
              "(≈ `kudu wal dump` / `kudu local_replica dump wals`, "
@@ -277,6 +291,23 @@ def main(argv: list[str] | None = None) -> int:
                              n_iters=args.iters)
         print(json.dumps({"table": args.table, "column": args.column,
                           "cells": args.cells, "iters": args.iters}))
+    elif args.cmd == "ann":
+        def _key(v):
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+
+        t = eng.table(args.table)
+        rows = t.ann_topk(args.column, [_key(v) for v in args.keys],
+                          k=args.k, n_probes=args.probes,
+                          quantized=args.quantized,
+                          refine=args.refine).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
     elif args.cmd == "sql":
         if args.file:
             with open(args.file) as f:

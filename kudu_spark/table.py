@@ -4058,6 +4058,26 @@ class Table:
                 and not (has_dels and seqless)
                 and not mutated_tuple
             )
+        # vector index health: per trained cell column, the frozen
+        # model's identity and the stale-stamped row fraction — the
+        # number the maintenance auto-retrain thresholds on
+        # (ivf_retrain_stale_frac) and an operator reads to decide a
+        # manual `train-cells`. O(metadata) like everything above.
+        vcols = self._vector_cell_cols(st)
+        if vcols:
+            models = {}
+            for c in vcols:
+                art = self._ivf_artifact(c)
+                if art is None:
+                    continue
+                models[c] = {
+                    "model_id": art.get("model_id", ""),
+                    "n_cells": int(art.get("n_cells", 0)),
+                    "stale_fraction": round(
+                        self.vector_cell_staleness(c, st), 4),
+                }
+            if models:
+                out["vector_cell_models"] = models
         return out
 
     def _live_rows(self, st: TableState) -> int:

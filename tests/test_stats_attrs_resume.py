@@ -447,3 +447,58 @@ def test_cli_train_cells(spark, tmp_path, capsys):
     t = eng.table("tc")
     assert t.state().props.get("vector_cell_cols") == "embedding"
     assert t.ann_topk("embedding", [10, 20], k=3).count() == 6
+
+
+def test_cli_ann_serve_and_model_stats(spark, tmp_path, capsys):
+    """`ann` CLI action serves top-k (exact and int8-refine) as JSON
+    lines, and Table.statistics surfaces per-column vector model
+    health (model_id / n_cells / stale_fraction) — the O(metadata)
+    number the maintenance auto-retrain thresholds on."""
+    import json
+
+    from kudu_spark import cli
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = str(tmp_path / "whann")
+    eng = Engine(spark, wh)
+    t = eng.create_table(
+        "av", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(load(spark, "/root/testdata/sf0.001", "embeddings"))
+    t = eng.table("av")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    eng.alter_table("av").set_property(
+        "vector_quantize_cols", "embedding").apply()
+
+    # pre-convergence: every file predates training -> 100% stale
+    t = eng.table("av")
+    stats = t.statistics()
+    m = stats["vector_cell_models"]["embedding"]
+    assert m["n_cells"] == 4 and m["stale_fraction"] == 1.0
+
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "ann", "av", "embedding",
+                     "10", "20", "-k", "3", "--probes", "2"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 6
+    assert {r["query_id"] for r in rows} == {10, 20}
+    assert all(set(r) == {"query_id", "neighbor_id", "rank", "cosine"}
+               for r in rows)
+
+    t.compact(full=True)
+    t = eng.table("av")
+    assert t.statistics()["vector_cell_models"]["embedding"][
+        "stale_fraction"] == 0.0
+    # quantized serve through the CLI matches the API path
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "ann", "av", "embedding",
+                     "10", "20", "-k", "3", "--probes", "2",
+                     "--quantized", "--refine", "1000"]) == 0
+    got = sorted(tuple(json.loads(ln).values()) for ln in
+                 capsys.readouterr().out.strip().splitlines())
+    want = sorted(tuple(r) for r in
+                  t.ann_topk("embedding", [10, 20], k=3, n_probes=2).collect())
+    assert got == want
