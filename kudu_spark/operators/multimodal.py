@@ -400,3 +400,149 @@ def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return src.mapInPandas(synth, "doc_id long, payload binary")
+
+
+VIDEO_HEADER_DDL = ("doc_id long, format string, brand string, "
+                    "timescale int, duration_ms bigint, n_tracks int, "
+                    "parse_ok boolean")
+
+
+def _parse_video_header(b: bytes):
+    """(format, brand, timescale, duration_ms, n_tracks, ok) from an
+    ISO-BMFF (MP4/MOV) container: walk the top-level box list to
+    `ftyp` (major brand) and `moov`, then walk moov's children to
+    `mvhd` (version 0 and 1 layouts both supported — timescale +
+    duration at different offsets/widths) and count `trak` boxes.
+    Pure byte arithmetic — no video codec involved; corrupt input
+    parses to unknown/ok=False, never raises. Handles the 64-bit
+    `largesize` box encoding (size==1)."""
+    def boxes(buf, i, end):
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i:i + 4], "big")
+            btype = buf[i + 4:i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8:i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    try:
+        brand = None
+        timescale = duration = None
+        n_tracks = 0
+        saw_moov = False
+        for btype, body, bend in boxes(b, 0, len(b)):
+            if btype == b"ftyp" and body + 4 <= bend:
+                brand = b[body:body + 4].decode("ascii", "replace").strip()
+            elif btype == b"moov":
+                saw_moov = True
+                for ctype, cbody, cend in boxes(b, body, bend):
+                    if ctype == b"mvhd" and cbody + 4 <= cend:
+                        ver = b[cbody]
+                        if ver == 1 and cbody + 32 <= cend:
+                            timescale = int.from_bytes(
+                                b[cbody + 20:cbody + 24], "big")
+                            duration = int.from_bytes(
+                                b[cbody + 24:cbody + 32], "big")
+                        elif ver == 0 and cbody + 20 <= cend:
+                            timescale = int.from_bytes(
+                                b[cbody + 12:cbody + 16], "big")
+                            duration = int.from_bytes(
+                                b[cbody + 16:cbody + 20], "big")
+                    elif ctype == b"trak":
+                        n_tracks += 1
+        if brand is None and not saw_moov:
+            return ("unknown", None, None, None, None, False)
+        dur_ms = (duration * 1000 // timescale
+                  if timescale and duration is not None else None)
+        ok = brand is not None and timescale is not None
+        return ("mp4", brand, timescale, dur_ms,
+                n_tracks if saw_moov else None, ok)
+    except Exception:
+        return ("unknown", None, None, None, None, False)
+
+
+def video_header_info(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide video metadata without decoding a frame: container
+    brand, movie timescale/duration and track count parsed from the
+    ISO-BMFF box tree — the pre-filter for duration bucketing and
+    frame-sample planning before any decode stage runs. Same Arrow-
+    batched mapInPandas shape as image/audio_header_info."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(payload_col).alias("payload"))
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols = {k: [] for k in ("format", "brand", "timescale",
+                                    "duration_ms", "n_tracks", "parse_ok")}
+            for payload in pdf["payload"]:
+                fmt, brand, ts, dur, trk, ok = _parse_video_header(
+                    bytes(payload) if payload is not None else b"")
+                cols["format"].append(fmt)
+                cols["brand"].append(brand)
+                cols["timescale"].append(ts)
+                cols["duration_ms"].append(dur)
+                cols["n_tracks"].append(trk)
+                cols["parse_ok"].append(ok)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "format": cols["format"],
+                "brand": cols["brand"],
+                "timescale": pd.array(cols["timescale"], dtype="Int32"),
+                "duration_ms": pd.array(cols["duration_ms"], dtype="Int64"),
+                "n_tracks": pd.array(cols["n_tracks"], dtype="Int32"),
+                "parse_ok": cols["parse_ok"],
+            })
+
+    return src.mapInPandas(parse, VIDEO_HEADER_DDL)
+
+
+def synth_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake MP4 payloads: doc_id picks the major brand
+    (isom/mp42 by id % 2 — which also picks the mvhd VERSION, 0 or 1,
+    so both layouts are exercised), timescale (600 or 1000), a
+    duration of exactly (id % 60 + 1) seconds in movie units, and
+    1 + id % 3 empty trak boxes; every 43rd row is garbage. An oracle
+    derives the expected parse from doc_id arithmetic alone."""
+    import struct
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 43 == 0:
+                    payloads.append(b"\x00\x00\x00\x08free")
+                    continue
+                ver = i % 2
+                brand = b"isom" if ver == 0 else b"mp42"
+                ts = 600 if ver == 0 else 1000
+                dur = (i % 60 + 1) * ts  # exactly (i % 60 + 1) seconds
+                ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+                if ver == 0:
+                    mvhd = box(b"mvhd", bytes([0, 0, 0, 0])
+                               + struct.pack(">IIII", 0, 0, ts, dur))
+                else:
+                    mvhd = box(b"mvhd", bytes([1, 0, 0, 0])
+                               + struct.pack(">QQIQ", 0, 0, ts, dur))
+                traks = b"".join(box(b"trak", b"") for _ in range(1 + i % 3))
+                payloads.append(ftyp + box(b"moov", mvhd + traks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(synth, "doc_id long, payload binary")

@@ -545,6 +545,40 @@ def multimodal_audio_headers(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_headers",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 43 = 0 THEN 'unknown' ELSE 'mp4' END AS format,
+           CASE WHEN doc_id % 43 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+           CASE WHEN doc_id % 43 = 0 THEN NULL
+                WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS timescale,
+           CASE WHEN doc_id % 43 = 0 THEN NULL
+                ELSE (doc_id % 60 + 1) * 1000 END AS duration_ms,
+           CASE WHEN doc_id % 43 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 3 AS INT) END AS n_tracks,
+           doc_id % 43 != 0 AS parse_ok
+    FROM documents
+    """,
+    gated=False,  # gate capped at 50; pytest runs the oracle — the
+    # image/audio family members are the driver-gated representatives
+)
+def multimodal_video_headers(spark, sf_dir):
+    """REAL video metadata without a codec (operators/multimodal.py
+    video_header_info): container brand, movie timescale/duration and
+    track count parsed from the ISO-BMFF (MP4) box tree — including
+    both mvhd version layouts and the 64-bit largesize encoding.
+    Payloads synthesized deterministically from doc_id
+    (synth_video_payloads: brand picks the mvhd VERSION so v0 and v1
+    parse paths both run corpus-wide); the oracle derives the expected
+    parse from doc_id arithmetic alone."""
+    from kudu_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return MM.video_header_info(MM.synth_video_payloads(docs))
+
+
+@query(
     "multimodal_frame_positions",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,

@@ -149,3 +149,39 @@ def test_audio_header_info_end_to_end(spark):
             assert r.n_frames == i % 50 + 1
             assert r.duration_ms == (i % 50 + 1) * 1000 // (8000 << (i % 3))
             assert r.parse_ok
+
+
+def test_video_header_parser_edges():
+    """ISO-BMFF parser edge cases beyond the oracle's synthetic
+    corpus: 64-bit largesize boxes, size==0 (to end-of-file), moov
+    without mvhd (track count but ok=False), truncated boxes, and
+    raw garbage — parse to unknown/partials, never raise."""
+    import struct
+
+    from kudu_spark.operators.multimodal import _parse_video_header as p
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(b"mvhd", bytes([0, 0, 0, 0])
+               + struct.pack(">IIII", 0, 0, 600, 3000))
+    trak = box(b"trak", b"")
+
+    assert p(ftyp + box(b"moov", mvhd + trak)) == (
+        "mp4", "isom", 600, 5000, 1, True)
+    # largesize moov
+    body = mvhd + trak + trak
+    big = (struct.pack(">I", 1) + b"moov"
+           + struct.pack(">Q", 16 + len(body)) + body)
+    assert p(ftyp + big) == ("mp4", "isom", 600, 5000, 2, True)
+    # size==0: box runs to end of file
+    zeroed = struct.pack(">I", 0) + b"moov" + mvhd + trak
+    assert p(ftyp + zeroed) == ("mp4", "isom", 600, 5000, 1, True)
+    # moov without mvhd: tracks counted, not ok (no timescale)
+    fmt, brand, ts, dur, trk, ok = p(ftyp + box(b"moov", trak + trak))
+    assert (fmt, brand, trk, ok) == ("mp4", "isom", 2, False)
+    # truncated mid-box and garbage
+    assert p((ftyp + box(b"moov", mvhd))[:20])[5] is False
+    assert p(b"\x00\x01\x02") == ("unknown", None, None, None, None, False)
+    assert p(b"") == ("unknown", None, None, None, None, False)
