@@ -300,3 +300,122 @@ WITH first_ev AS (
 SELECT cohort_week, week_no, count(*) AS active_users
 FROM act GROUP BY cohort_week, week_no
 """
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse-style sequenceMatch over the max-gap pattern subset
+    ``(?1)(?t<=g1)(?2)(?t<=g2)(?3)...``: per user, does SOME placement
+    of events (strictly increasing ts, like the funnel family) match
+    the whole chain, with each step at most ``gap`` after the
+    previous matched step? ``pattern`` is a list of event types or
+    (event_type, max_gap_interval) tuples, e.g.
+    ``["signup", ("view", "1 HOUR"), ("purchase", "2 DAY")]``.
+    Returns (user_id, depth, matched): depth = longest satisfiable
+    pattern PREFIX, matched = the full chain exists.
+
+    Shape: ONE user-keyed shuffle, then a single-pass codegen fold in
+    ts order carrying, per pattern prefix k, the LATEST ts at which
+    the prefix completes. Latest-completion dominates under max-gap
+    upper bounds: for completions x < y < e.ts of prefix k,
+    e.ts - y < e.ts - x, so any event admissible from x is admissible
+    from y — which is why a backtracking matcher (ClickHouse's) is
+    unnecessary for this subset, and why MIN-gap constraints (t>N,
+    where the dominance flips) are deliberately NOT offered. The
+    per-event update reads the PRE-event state for every slot, so one
+    event can never satisfy two adjacent steps at the same ts; an
+    existential m-way self-join (the DuckDB oracle) is the ground
+    truth it provably equals. O(events x m) per user."""
+    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
+    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
+            for p in pattern]
+    m = len(steps)
+    if m == 0:
+        raise ValueError("sequence_match needs a non-empty pattern")
+    e = events.where(
+        F.col(type_col).isin(list(set(steps))) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("typ"),
+    )
+    # ts-sorted array per user; typ breaks ts ties deterministically
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "typ"))).alias("__evs"))
+
+    init = F.struct(*[
+        F.lit(None).cast("timestamp").alias(f"t{k}") for k in range(1, m + 1)
+    ])
+
+    def step(acc: Column, ev: Column) -> Column:
+        fields = []
+        for k in range(1, m + 1):
+            cond = ev["typ"] == steps[k - 1]
+            if k > 1:
+                prev = acc[f"t{k - 1}"]
+                cond = cond & prev.isNotNull() & (ev["ts"] > prev)
+                if gaps[k - 1] is not None:
+                    cond = cond & (
+                        ev["ts"] <= prev + F.expr(f"INTERVAL {gaps[k - 1]}"))
+            # ascending fold order => ev.ts >= any stored completion,
+            # so "set to ev.ts" IS the latest-completion update
+            fields.append(
+                F.when(cond, ev["ts"]).otherwise(acc[f"t{k}"]).alias(f"t{k}"))
+        return F.struct(*fields)
+
+    state = F.aggregate(F.col("__evs"), init, step)
+    depth = sum(
+        (state[f"t{k}"].isNotNull().cast("int") for k in range(1, m + 1)),
+        F.lit(0))
+    return per_user.select(
+        "user_id",
+        depth.cast("int").alias("depth"),
+        state[f"t{m}"].isNotNull().alias("matched"),
+    )
+
+
+def sequence_match_sql(pattern: list, min_depth: int = 0) -> str:
+    """DuckDB twin of sequence_match: the existential ground truth —
+    prefix k is satisfiable iff a k-way self-join placement exists
+    with strictly increasing ts and each max-gap bound honored.
+    Returns (user_id, depth, matched) for every user with any pattern
+    event, like the fold."""
+    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
+    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
+            for p in pattern]
+    m = len(steps)
+
+    def exists_k(k: int) -> str:
+        froms = ", ".join(f"events e{i}" for i in range(1, k + 1))
+        conds = [f"e1.user_id = u.user_id",
+                 f"e1.event_type = '{steps[0]}'", "e1.ts IS NOT NULL"]
+        for i in range(2, k + 1):
+            conds += [
+                f"e{i}.user_id = u.user_id",
+                f"e{i}.event_type = '{steps[i - 1]}'",
+                f"e{i}.ts > e{i - 1}.ts",
+            ]
+            if gaps[i - 1] is not None:
+                conds.append(
+                    f"e{i}.ts <= e{i - 1}.ts + INTERVAL {gaps[i - 1]}")
+        return (f"EXISTS (SELECT 1 FROM {froms} WHERE "
+                + " AND ".join(conds) + ")")
+
+    depth_expr = "CASE " + " ".join(
+        f"WHEN {exists_k(k)} THEN {k}" for k in range(m, 0, -1)
+    ) + " ELSE 0 END"
+    types = ", ".join(f"'{s}'" for s in set(steps))
+    return f"""
+    SELECT user_id, CAST(depth AS INT) AS depth, depth = {m} AS matched
+    FROM (
+      SELECT u.user_id, {depth_expr} AS depth
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE event_type IN ({types}) AND ts IS NOT NULL) u
+    )
+    WHERE depth >= {min_depth}
+    """

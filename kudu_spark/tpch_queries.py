@@ -1020,3 +1020,25 @@ def window_funnel_within(spark, sf_dir):
     the oracle unrolls the per-anchor min-ts chain as CTEs."""
     return EV.window_funnel(load(spark, sf_dir, "events"), within="2 DAY",
                             anchor="any")
+
+
+_SEQ_PATTERN = ["signup", ("view", "12 HOUR"), ("click", "12 HOUR"),
+                ("purchase", "2 DAY")]
+
+
+@query(
+    "events_sequence_match",
+    oracle=EV.sequence_match_sql(_SEQ_PATTERN),
+    gated=False,  # gate capped at 50; pytest runs the oracle — the
+    # funnel family members are the driver-gated representatives
+)
+def events_sequence_match(spark, sf_dir):
+    """ClickHouse sequenceMatch (max-gap subset) per user: does some
+    strictly-increasing placement of signup -> view (<=12h) ->
+    click (<=12h) -> purchase (<=2d) exist, and how deep does the
+    longest satisfiable prefix go? One user-keyed shuffle + a
+    single-pass latest-completion fold (operators/events.py
+    sequence_match — dominance argument in the docstring makes
+    backtracking unnecessary for max-gap patterns); the oracle is the
+    existential m-way self-join ground truth."""
+    return EV.sequence_match(load(spark, sf_dir, "events"), _SEQ_PATTERN)

@@ -184,3 +184,39 @@ def test_funnel_any_anchor_strict_ties(spark):
             for r in EV.window_funnel(_ev(spark, rows2), within="1 HOUR",
                                       anchor="any").collect()}
     assert out2["view"] == 1
+
+
+def test_sequence_match_dp_beats_greedy_and_edges(spark):
+    """sequence_match's latest-completion fold must catch a chain only
+    a LATER anchor satisfies (where greedy-earliest matching fails),
+    never chain equal timestamps (strict order, like the funnel
+    family), and report depth = longest satisfiable prefix."""
+    from datetime import datetime
+
+    from kudu_spark.operators.events import sequence_match
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    rows = [
+        # user 1: early A->B dies (no C within gap of B@5); the
+        # A@100 -> B@103 -> C@106 placement matches — greedy matching
+        # anchored at A@0's B@5 would report depth 2
+        (1, t(0), "A"), (1, t(5), "B"),
+        (1, t(100), "A"), (1, t(103), "B"), (1, t(106), "C"),
+        # user 2: equal-ts pair can never chain
+        (2, t(10), "A"), (2, t(10), "B"),
+        # user 3: only later-step events -> depth 0
+        (3, t(1), "B"), (3, t(2), "C"),
+        # user 4: full chain at the gap boundary (<= is inclusive)
+        (4, t(0), "A"), (4, t(10), "B"), (4, t(20), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    pat = ["A", ("B", "10 SECOND"), ("C", "10 SECOND")]
+    got = {r.user_id: (r.depth, r.matched)
+           for r in sequence_match(df, pat).collect()}
+    assert got[1] == (3, True)
+    assert got[2] == (1, False)
+    assert got[3] == (0, False)
+    assert got[4] == (3, True)
