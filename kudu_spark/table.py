@@ -1486,29 +1486,34 @@ class Table:
         cur = art.get("model_id", "")
         if all(f.ivfm and f.ivfm.get(column) == cur for f in st.files):
             st2 = self._augment_state(st, [(cn, "int")])
-            # manifest-level FILE pruning from the flush-time cell
-            # ranges (FileEntry.cellr): a cell-clustered corpus opens
-            # ~n_probes/n_cells of its base files per serve, before any
-            # footer IO. Only BASE files prune — a pruned base row is
-            # either outside the probed cells (the post-merge filter
-            # would drop it) or outranked by a delta row that moved it
-            # (last-write-wins); delta/delete files always participate
-            # so the merge window stays exact.
-            cset = {int(c) for c in cells}
-
-            def _keep(f):
-                if f.kind != "base":
-                    return True
-                rng = (f.cellr or {}).get(column)
-                return rng is None or any(rng[0] <= c <= rng[1] for c in cset)
-
-            sub = TableState(**{**st2.__dict__})
-            sub.files = [f for f in st2.files if _keep(f)]
+            sub = self._prune_cell_files(st2, column, cells)
             df = self._snapshot_df(sub, filters)
         else:
             df = self._snapshot_df(st, filters).withColumn(
                 cn, self._cell_expr(column, art["centroids"]))
         return df.where(F.col(cn).isin([int(c) for c in cells]))
+
+    def _prune_cell_files(self, st: TableState, column: str,
+                          cells: list) -> TableState:
+        """Manifest-level FILE pruning from the flush-time cell ranges
+        (FileEntry.cellr): a cell-clustered corpus opens
+        ~n_probes/n_cells of its base files per serve, before any
+        footer IO. Only BASE files prune — a pruned base row is either
+        outside the probed cells (the post-merge filter would drop it)
+        or outranked by a delta row that moved it (last-write-wins);
+        delta/delete files always participate so the merge window
+        stays exact."""
+        cset = {int(c) for c in cells}
+
+        def _keep(f):
+            if f.kind != "base":
+                return True
+            rng = (f.cellr or {}).get(column)
+            return rng is None or any(rng[0] <= c <= rng[1] for c in cset)
+
+        sub = TableState(**{**st.__dict__})
+        sub.files = [f for f in st.files if _keep(f)]
+        return sub
 
     def ann_topk(self, column: str, query_keys: list, k: int = 5,
                  n_probes: int = 2, version: int | None = None,
@@ -1605,19 +1610,9 @@ class Table:
             # stays in parquet. Same cellr file pruning as scan_cells.
             st2 = self._augment_state(
                 st, [(cn, "int"), (qn, "array<tinyint>")])
-            cset = {int(c) for c in probe_cells}
-
-            def _keep(f):
-                if f.kind != "base":
-                    return True
-                rng = (f.cellr or {}).get(column)
-                return rng is None or any(
-                    rng[0] <= c <= rng[1] for c in cset)
-
-            sub = TableState(**{**st2.__dict__})
-            sub.files = [f for f in st2.files if _keep(f)]
+            sub = self._prune_cell_files(st2, column, probe_cells)
             cand8 = self._snapshot_df(sub).where(
-                F.col(cn).isin(list(cset))).select(
+                F.col(cn).isin([int(c) for c in probe_cells])).select(
                 F.col(pk0).alias("neighbor_id"),
                 F.col(qn).alias("cv8"),
                 F.col(cn).alias("cell"),
