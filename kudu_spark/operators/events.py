@@ -320,17 +320,20 @@ def sequence_match(
     pattern PREFIX, matched = the full chain exists.
 
     Shape: ONE user-keyed shuffle, then a single-pass codegen fold in
-    ts order carrying, per pattern prefix k, the LATEST ts at which
-    the prefix completes. Latest-completion dominates under max-gap
-    upper bounds: for completions x < y < e.ts of prefix k,
-    e.ts - y < e.ts - x, so any event admissible from x is admissible
-    from y — which is why a backtracking matcher (ClickHouse's) is
-    unnecessary for this subset, and why MIN-gap constraints (t>N,
-    where the dominance flips) are deliberately NOT offered. The
-    per-event update reads the PRE-event state for every slot, so one
-    event can never satisfy two adjacent steps at the same ts; an
-    existential m-way self-join (the DuckDB oracle) is the ground
-    truth it provably equals. O(events x m) per user."""
+    ts order carrying, per pattern prefix k, the latest ts at which
+    the prefix completes — split into t_k (all completions so far) and
+    p_k (completions STRICTLY BEFORE the current timestamp; p shifts
+    from t whenever the fold crosses to a new ts). Advances read p,
+    not t: among completions x < y < e.ts, e.ts - y < e.ts - x, so the
+    latest STRICTLY-EARLIER completion dominates under max-gap upper
+    bounds — but a completion AT e.ts itself must not be read, or an
+    equal-ts event would shadow an older, still-admissible one (the
+    A@17, A@21, B@21 case: B must match A@17; caught by the randomized
+    exhaustive-search test). This is why a backtracking matcher
+    (ClickHouse's) is unnecessary for this subset, and why MIN-gap
+    constraints (t>N, where the dominance flips) are deliberately NOT
+    offered. An existential m-way self-join (the DuckDB oracle) is the
+    ground truth it provably equals. O(events x m) per user."""
     steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
     gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
             for p in pattern]
@@ -341,24 +344,38 @@ def sequence_match(
         F.col(type_col).isin(list(set(steps))) & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col).alias("user_id"),
-        F.col(ts_col).alias("ts"),
+        # explicit cast: the fold state's timestamp slots must match
+        # the event ts type exactly (a TIMESTAMP_NTZ source otherwise
+        # fails struct reconstruction inside F.aggregate)
+        F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(type_col).alias("typ"),
     )
     # ts-sorted array per user; typ breaks ts ties deterministically
     per_user = e.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "typ"))).alias("__evs"))
 
-    init = F.struct(*[
-        F.lit(None).cast("timestamp").alias(f"t{k}") for k in range(1, m + 1)
-    ])
+    nul = F.lit(None).cast("timestamp")
+    init = F.struct(
+        nul.alias("last"),
+        *[nul.alias(f"p{k}") for k in range(1, m + 1)],
+        *[nul.alias(f"t{k}") for k in range(1, m + 1)],
+    )
 
     def step(acc: Column, ev: Column) -> Column:
-        fields = []
+        # crossing to a new timestamp publishes t -> p: p_k is the
+        # latest completion of prefix k at ts STRICTLY BELOW ev.ts
+        shift = acc["last"].isNull() | (ev["ts"] > acc["last"])
+        p = {k: F.when(shift, acc[f"t{k}"]).otherwise(acc[f"p{k}"])
+             for k in range(1, m + 1)}
+        fields = [ev["ts"].alias("last")]
+        fields += [p[k].alias(f"p{k}") for k in range(1, m + 1)]
         for k in range(1, m + 1):
             cond = ev["typ"] == steps[k - 1]
             if k > 1:
-                prev = acc[f"t{k - 1}"]
-                cond = cond & prev.isNotNull() & (ev["ts"] > prev)
+                prev = p[k - 1]
+                # prev < ev.ts by construction, so strict ordering is
+                # implied; only the gap bound needs checking
+                cond = cond & prev.isNotNull()
                 if gaps[k - 1] is not None:
                     cond = cond & (
                         ev["ts"] <= prev + F.expr(f"INTERVAL {gaps[k - 1]}"))

@@ -220,3 +220,59 @@ def test_sequence_match_dp_beats_greedy_and_edges(spark):
     assert got[2] == (1, False)
     assert got[3] == (0, False)
     assert got[4] == (3, True)
+
+
+def test_sequence_match_randomized_vs_exhaustive(spark):
+    """The latest-completion fold must equal an EXHAUSTIVE placement
+    search (all increasing event subsequences, gaps checked pairwise)
+    on randomized per-user event sets — the dominance argument, pinned
+    empirically across 200 seeded-random users in one Spark pass."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sequence_match
+
+    rng = random.Random(1307)
+    types = ["A", "B", "C", "X"]
+    pat = ["A", ("B", "7 SECOND"), ("C", "9 SECOND")]
+    gaps = [None, 7, 9]
+    base = datetime(2024, 1, 1)
+    rows = []
+    byuser = {}
+    for u in range(200):
+        evs = [(rng.randint(0, 30), rng.choice(types))
+               for _ in range(rng.randint(1, 10))]
+        byuser[u] = evs
+        rows += [(u, base + timedelta(seconds=s), t) for s, t in evs]
+
+    def exhaustive_depth(evs):
+        steps = ["A", "B", "C"]
+
+        def best(i, k, prev_s):
+            # deepest prefix reachable from event index i onward,
+            # having matched k steps, last matched at second prev_s
+            if k == len(steps):
+                return k
+            d = k
+            for j in range(i, len(evs)):
+                s, t = evs[j]
+                if t != steps[k]:
+                    continue
+                if k > 0 and (s <= prev_s or s - prev_s > gaps[k]):
+                    continue
+                d = max(d, best(j + 1, k + 1, s))
+            return d
+
+        evs = sorted(evs)
+        return best(0, 0, None)
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.user_id: (r.depth, r.matched)
+           for r in sequence_match(df, pat).collect()}
+    for u, evs in byuser.items():
+        want = exhaustive_depth(evs)
+        if not any(t in ("A", "B", "C") for _s, t in evs):
+            assert u not in got  # no pattern events -> no row
+            continue
+        assert got[u] == (want, want == 3), (u, sorted(evs), got[u])
