@@ -276,3 +276,58 @@ def test_sequence_match_randomized_vs_exhaustive(spark):
             assert u not in got  # no pattern events -> no row
             continue
         assert got[u] == (want, want == 3), (u, sorted(evs), got[u])
+
+
+def test_funnel_any_anchor_randomized_vs_exhaustive(spark):
+    """window_funnel(anchor='any') claims greedy-per-anchor is optimal
+    (exchange argument). Pin it empirically: 200 seeded-random users
+    compared against an exhaustive search over all increasing
+    placements within [anchor, anchor + window], in one Spark pass —
+    the same harness that caught sequence_match's equal-ts bug."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import window_funnel
+
+    rng = random.Random(2719)
+    steps = ("signup", "view", "click")
+    types = list(steps) + ["noise"]
+    base = datetime(2024, 1, 1)
+    win_s = 8
+    rows, byuser = [], {}
+    for u in range(200):
+        evs = [(rng.randint(0, 25), rng.choice(types))
+               for _ in range(rng.randint(1, 10))]
+        byuser[u] = evs
+        rows += [(u, base + timedelta(seconds=s), t) for s, t in evs]
+
+    def exhaustive_depth(evs):
+        evs = sorted(e for e in evs if e[1] in steps)
+
+        def best(i, k, prev_s, anchor_s):
+            if k == len(steps):
+                return k
+            d = k
+            for j in range(i, len(evs)):
+                s, t = evs[j]
+                if t != steps[k]:
+                    continue
+                if k == 0:
+                    d = max(d, best(j + 1, 1, s, s))
+                elif s > prev_s and s <= anchor_s + win_s:
+                    d = max(d, best(j + 1, k + 1, s, anchor_s))
+            return d
+
+        return best(0, 0, None, None)
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.step_no: r.users
+           for r in window_funnel(df, steps=steps, within=f"{win_s} SECOND",
+                                  anchor="any").collect()}
+    want = {k: 0 for k in (1, 2, 3)}
+    for evs in byuser.values():
+        d = exhaustive_depth(evs)
+        for k in range(1, d + 1):
+            want[k] += 1
+    assert got == want
