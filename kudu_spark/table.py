@@ -1548,21 +1548,62 @@ class Table:
         reads). Stale stamps on old files then simply route through
         the on-the-fly fallback, so the answer stays exact for the
         requested snapshot under the current model."""
-        from kudu_spark.operators.similarity import cosine_expr
-
         st = self.state(version)
         art = self._ivf_artifact(column)
         if art is None:
             raise KuduSparkError(
                 f"column {column!r} has no trained cell model; call "
                 "train_vector_cells first")
-        cents = art["centroids"]
         pk0 = st.schema.pk[0]
         qv = self.scan(
             columns=[pk0, column], version=version,
             filters=[(pk0, "in", list(query_keys))],
         ).select(F.col(pk0).alias("query_id"), F.col(column).alias("qv")) \
          .where(F.col("qv").isNotNull())
+        return self._ann_serve(st, art, column, qv, st.schema.col(pk0).type,
+                               k, n_probes, version, quantized, refine,
+                               exclude_self=True)
+
+    def ann_topk_vectors(self, column: str, queries: list, k: int = 5,
+                         n_probes: int = 2, version: int | None = None,
+                         quantized: bool = False, refine: int = 4) -> DataFrame:
+        """ANN top-k for EXTERNAL query vectors — the production serve
+        shape: queries are arbitrary embeddings (a user's query, a new
+        batch to be matched), not rows of the table. ``queries`` is a
+        list of (query_id, vector) pairs; the ids are result LABELS,
+        not PKs, so no self-exclusion applies and collisions with
+        table keys are irrelevant. Everything else matches ann_topk:
+        probe cells from the frozen centroid model, cell-restricted
+        merge-on-read candidates (cellr file pruning included), and
+        the optional int8-refine candidate pass (``quantized=True``)."""
+        st = self.state(version)
+        art = self._ivf_artifact(column)
+        if art is None:
+            raise KuduSparkError(
+                f"column {column!r} has no trained cell model; call "
+                "train_vector_cells first")
+        qv = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in queries
+             if v is not None],
+            "query_id bigint, qv array<float>")
+        return self._ann_serve(st, art, column, qv, "bigint", k, n_probes,
+                               version, quantized, refine,
+                               exclude_self=False)
+
+    def _ann_serve(self, st: TableState, art: dict, column: str,
+                   qv: DataFrame, qid_type: str, k: int, n_probes: int,
+                   version: int | None, quantized: bool, refine: int,
+                   exclude_self: bool) -> DataFrame:
+        """Shared serve core of ann_topk / ann_topk_vectors: probe the
+        frozen centroids with the (query_id, qv) frame, fetch
+        candidates from the probed cells through the snapshot, score,
+        and rank — with the optional int8 candidate pass. ``qv`` must
+        be bounded (query-sized): it is broadcast and its probe set is
+        collected."""
+        from kudu_spark.operators.similarity import cosine_expr
+
+        cents = art["centroids"]
+        pk0 = st.schema.pk[0]
         cent_df = F.broadcast(self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)],
             "centroid_id int, centv array<double>"))
@@ -1580,7 +1621,7 @@ class Table:
         probe_cells = sorted({r["cell"] for r in probe_rows})
         probes_df = F.broadcast(self.spark.createDataFrame(
             [(r["query_id"], int(r["cell"])) for r in probe_rows],
-            f"query_id {st.schema.col(pk0).type}, cell int"))
+            f"query_id {qid_type}, cell int"))
         cn = IVFC_PREFIX + column
         # scan_cells excludes NULL-vector rows and transparently falls
         # back to on-the-fly assignment for stale/pre-training files,
@@ -1625,7 +1666,8 @@ class Table:
             nn = norm_expr("qv") * norm_expr("cv8")
             approx = (
                 cand8.join(probes_df, "cell")
-                .where(F.col("neighbor_id") != F.col("query_id"))
+                .where(F.col("neighbor_id") != F.col("query_id")
+                       if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
                         F.when(nn > 0, dot_expr("qv", "cv8") / nn)
@@ -1664,7 +1706,8 @@ class Table:
             )
             scored = (
                 cand.join(probes_df, "cell")
-                .where(F.col("neighbor_id") != F.col("query_id"))
+                .where(F.col("neighbor_id") != F.col("query_id")
+                       if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
                         cosine_expr("qv", "cv").alias("c"))

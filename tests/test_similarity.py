@@ -695,3 +695,57 @@ def test_ann_topk_quantized_refine(spark, tmp_path):
     t2 = eng.table("q8x")
     with pytest.raises(Exception, match="vector_quantize_cols"):
         t2.ann_topk("embedding", [10], k=3, quantized=True)
+
+
+def test_ann_topk_external_vectors(spark, tmp_path):
+    """ann_topk_vectors serves arbitrary (non-row) query embeddings:
+    a query equal to a stored vector must return that row at rank 1 /
+    cosine 1.0 (no self-exclusion for external ids) followed by
+    exactly the stored-key serve's top-(k-1); the int8-refine pass
+    agrees at rank 1; None vectors are dropped."""
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "xv", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = eng.table("xv")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    eng.alter_table("xv") \
+        .set_property("vector_quantize_cols", "embedding") \
+        .set_property("cluster_by", "__ivfc_embedding").apply()
+    t = eng.table("xv")
+    t.compact(full=True)
+    t = eng.table("xv")
+
+    donors = {r.vec_id: r.embedding for r in
+              emb.where(F.col("vec_id").isin([10, 20])).collect()}
+    queries = [(900010, donors[10]), (900020, donors[20]), (900099, None)]
+    got = t.ann_topk_vectors("embedding", queries, k=5, n_probes=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.rank] = (r.neighbor_id, r.cosine)
+    assert set(by_q) == {900010, 900020}  # None query dropped
+    assert by_q[900010][1] == (10, 1.0)
+    assert by_q[900020][1] == (20, 1.0)
+
+    # ranks 2..k == the stored-key serve's top-(k-1): identical vector
+    # -> identical probes and candidates, donor itself excluded there
+    keyed = {}
+    for r in t.ann_topk("embedding", [10, 20], k=4, n_probes=2).collect():
+        keyed.setdefault(r.query_id, {})[r.rank] = (r.neighbor_id, r.cosine)
+    for ext, key in ((900010, 10), (900020, 20)):
+        for rank in range(1, 5):
+            assert by_q[ext][rank + 1] == keyed[key][rank]
+
+    # quantized path: donor still rank 1 at exact cosine 1.0 (the
+    # re-rank is exact over the int8 shortlist)
+    gq = {r.query_id: (r.neighbor_id, r.cosine)
+          for r in t.ann_topk_vectors("embedding", queries, k=3,
+                                      n_probes=2, quantized=True,
+                                      refine=8).collect()
+          if r.rank == 1}
+    assert gq[900010] == (10, 1.0) and gq[900020] == (20, 1.0)
