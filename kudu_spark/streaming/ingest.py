@@ -113,7 +113,7 @@ def create_corpus_tables(engine, docs_name: str = "corpus",
 
 
 def _semantic_collisions(docs_t, batch: DataFrame, column: str,
-                         threshold: float) -> DataFrame:
+                         threshold: float, n_probes: int = 1) -> DataFrame:
     """Batch doc_ids whose embedding is a near-duplicate (cosine >=
     threshold) of ANY document already in the corpus — served through
     the docs table's STORED IVF cells (VERDICT r12 #6):
@@ -131,6 +131,12 @@ def _semantic_collisions(docs_t, batch: DataFrame, column: str,
        `ivf_cosine_pairs` within-cell recall contract (near-dups have
        cosine ~= 1 and co-locate with high probability).
 
+    ``n_probes`` > 1 checks each batch vector against its top-p cells
+    instead of only its own (argmax) cell — the recall knob for LOW
+    dedup thresholds, where a near-pair can straddle a cell boundary
+    (the standard IVF multi-probe trade; the stored corpus side always
+    has exactly one cell per row, so candidates stay cell-pruned).
+
     Requires a trained cell model on the docs table; train on a seed
     corpus before enabling the arm."""
     from kudu_spark.errors import KuduSparkError
@@ -141,10 +147,28 @@ def _semantic_collisions(docs_t, batch: DataFrame, column: str,
         raise KuduSparkError(
             f"semantic dedup needs a trained cell model on "
             f"{docs_t.name}.{column}: call train_vector_cells first")
-    bv = batch.select(
+    bq = batch.select(
         "doc_id", F.col(column).alias("__bv")
-    ).where(F.col("__bv").isNotNull()).withColumn(
-        "__cell", docs_t._cell_expr("__bv", art["centroids"]))
+    ).where(F.col("__bv").isNotNull())
+    if n_probes <= 1:
+        bv = bq.withColumn(
+            "__cell", docs_t._cell_expr("__bv", art["centroids"]))
+    else:
+        from kudu_spark.operators.similarity import cosine_expr
+
+        cent_df = F.broadcast(batch.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(art["centroids"])],
+            "__cell int, __centv array<double>"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("__c"), F.asc("__cell"))
+        bv = (
+            bq.crossJoin(cent_df)
+            .select("doc_id", "__bv", "__cell",
+                    cosine_expr("__bv", "__centv").alias("__c"))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n_probes)
+            .select("doc_id", "__bv", "__cell")
+        )
     # bounded collect: distinct batch cells <= n_cells (model-sized)
     cells = sorted({r["__cell"] for r in bv.select("__cell").distinct().collect()})
     if not cells:
@@ -166,7 +190,8 @@ def ingest_batch(engine, batch_df: DataFrame, docs_name: str = "corpus",
                  bands_name: str | None = None,
                  quality_min: float | None = None,
                  embedding_col: str | None = None,
-                 cosine_threshold: float = 0.35) -> dict:
+                 cosine_threshold: float = 0.35,
+                 semantic_probes: int = 1) -> dict:
     """One micro-batch of the ingestion pipeline (callable directly
     for batch backfills; ``ingest_corpus_stream`` wires it into
     foreachBatch). Returns {'arrived', 'accepted', 'versions'}.
@@ -227,7 +252,7 @@ def ingest_batch(engine, batch_df: DataFrame, docs_name: str = "corpus",
     survivors = cand.join(collided, "doc_id", "left_anti")
     if embedding_col is not None:
         sem = _semantic_collisions(docs_t, survivors, embedding_col,
-                                   cosine_threshold)
+                                   cosine_threshold, semantic_probes)
         survivors = survivors.join(sem, "doc_id", "left_anti")
     # replay absorption: doc_ids already in the corpus (same content
     # re-delivered) are dropped, not errors — the docs table's index

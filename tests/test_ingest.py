@@ -321,3 +321,54 @@ def test_ingest_semantic_dedup_via_stored_cells(spark, tmp_path):
             assert stats is not None and stats.has_min_max
             stats_seen += 1
     assert stats_seen > 0
+
+
+def test_ingest_semantic_multiprobe_recall(spark, tmp_path):
+    """semantic_probes > 1 (the IVF multi-probe recall knob): the
+    rejected set must GROW monotonically with probes, stay SOUND
+    (every rejection is a true >= threshold pair — checked against the
+    exact all-pairs ground truth), and at low thresholds catch
+    cross-cell near-pairs the single-probe arm misses."""
+    from pyspark.sql import functions as F
+
+    from kudu_spark.operators.similarity import cosine_expr
+    from kudu_spark.queries import load
+    from kudu_spark.streaming.ingest import _semantic_collisions
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def to_docs(df, offset=0):
+        toks = [F.concat(F.lit(w), (F.col("vec_id") + offset).cast("string"))
+                for w in ("tok", "lex", "gram", "word", "unit", "sig")]
+        return df.select(
+            (F.col("vec_id") + offset).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+            F.lit("en").alias("lang"), F.lit("crawl").alias("source"),
+            F.col("embedding"))
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    create_corpus_tables(eng, "corpus", embedding_col="embedding")
+    ingest_batch(eng, to_docs(emb.where(F.col("vec_id") < 300)))
+    t = eng.table("corpus")
+    t.train_vector_cells("embedding", n_cells=8, n_iters=2)
+    t = eng.table("corpus")
+    batch = to_docs(emb.where(F.col("vec_id") >= 300), offset=20000)
+
+    thr = 0.35
+    r1 = {r.doc_id for r in
+          _semantic_collisions(t, batch, "embedding", thr, 1).collect()}
+    r2 = {r.doc_id for r in
+          _semantic_collisions(t, batch, "embedding", thr, 2).collect()}
+    assert r1 < r2  # monotone recall, strictly more at this threshold
+
+    # soundness: every rejection is a genuine >= thr pair under the
+    # exact all-pairs check (bounded: 200 x 300 vectors)
+    exact = {
+        r.doc_id
+        for r in batch.select("doc_id", F.col("embedding").alias("bv"))
+        .crossJoin(t.scan(columns=["embedding"])
+                   .select(F.col("embedding").alias("cv")))
+        .where(cosine_expr("bv", "cv") >= thr)
+        .select("doc_id").distinct().collect()
+    }
+    assert r2 <= exact
