@@ -436,3 +436,81 @@ def sequence_match_sql(pattern: list, min_depth: int = 0) -> str:
     )
     WHERE depth >= {min_depth}
     """
+
+
+def sequence_count(
+    events: DataFrame,
+    pattern: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse-style sequenceCount over the same max-gap pattern
+    subset as ``sequence_match``: the number of NON-OVERLAPPING chain
+    matches per user, counted left-to-right — each time the full chain
+    first becomes satisfiable the counter increments and the search
+    restarts strictly after that completion event (so matches never
+    share events and never interleave). Returns (user_id, n_matches).
+
+    The fold is sequence_match's p/t two-slot DP plus a reset: t_m
+    first turning non-null IS the minimal completion ts (the DP tracks
+    every feasible prefix), so count-at-first-completion + full state
+    reset equals the leftmost-completion + restart reference the tests
+    brute-force. Same single user-keyed shuffle, O(events x m)."""
+    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
+    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
+            for p in pattern]
+    m = len(steps)
+    if m == 0:
+        raise ValueError("sequence_count needs a non-empty pattern")
+    e = events.where(
+        F.col(type_col).isin(list(set(steps))) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(type_col).alias("typ"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "typ"))).alias("__evs"))
+
+    nul = F.lit(None).cast("timestamp")
+    init = F.struct(
+        F.lit(0).alias("n"),
+        nul.alias("last"),
+        *[nul.alias(f"p{k}") for k in range(1, m + 1)],
+        *[nul.alias(f"t{k}") for k in range(1, m + 1)],
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        shift = acc["last"].isNull() | (ev["ts"] > acc["last"])
+        p = {k: F.when(shift, acc[f"t{k}"]).otherwise(acc[f"p{k}"])
+             for k in range(1, m + 1)}
+        t = {}
+        for k in range(1, m + 1):
+            cond = ev["typ"] == steps[k - 1]
+            if k > 1:
+                prev = p[k - 1]
+                cond = cond & prev.isNotNull()
+                if gaps[k - 1] is not None:
+                    cond = cond & (
+                        ev["ts"] <= prev + F.expr(f"INTERVAL {gaps[k - 1]}"))
+            t[k] = F.when(cond, ev["ts"]).otherwise(acc[f"t{k}"])
+        done = t[m].isNotNull()
+        # completion: count it and restart strictly after this event —
+        # last keeps ev.ts, so pre-reset completions can never leak
+        # into the next chain via the p-shift
+        fields = [
+            F.when(done, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            ev["ts"].alias("last"),
+        ]
+        fields += [F.when(done, nul).otherwise(p[k]).alias(f"p{k}")
+                   for k in range(1, m + 1)]
+        fields += [F.when(done, nul).otherwise(t[k]).alias(f"t{k}")
+                   for k in range(1, m + 1)]
+        return F.struct(*fields)
+
+    return per_user.select(
+        "user_id",
+        F.aggregate(F.col("__evs"), init, step)["n"]
+        .cast("int").alias("n_matches"),
+    )

@@ -331,3 +331,80 @@ def test_funnel_any_anchor_randomized_vs_exhaustive(spark):
         for k in range(1, d + 1):
             want[k] += 1
     assert got == want
+
+
+def test_sequence_count_semantics_and_randomized(spark):
+    """sequence_count = leftmost-completion + restart (non-overlapping
+    chains, ClickHouse sequenceCount shape): pinned on hand cases and
+    on 200 seeded-random users against an independent brute-force
+    reference (recursive minimal-completion-index search + restart)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sequence_count
+
+    base = datetime(2024, 1, 1)
+    pat = ["A", ("B", "10 SECOND")]
+    steps, gaps = ["A", "B"], [None, 10]
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    # hand cases: two disjoint A->B chains; an overlapping B reused by
+    # nothing; a gap-expired pair counts zero
+    rows = [
+        (1, t(0), "A"), (1, t(5), "B"), (1, t(6), "A"), (1, t(9), "B"),
+        (2, t(0), "A"), (2, t(5), "B"), (2, t(7), "B"),  # 2nd B unmatched
+        (3, t(0), "A"), (3, t(20), "B"),                 # gap expired
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.user_id: r.n_matches for r in sequence_count(df, pat).collect()}
+    assert got == {1: 2, 2: 1, 3: 0}
+
+    # randomized vs brute force
+    def min_completion_index(evs):
+        best = [None]
+
+        def dfs(i, k, prev_s):
+            for j in range(i, len(evs)):
+                if best[0] is not None and j >= best[0]:
+                    return
+                s, ty = evs[j]
+                if ty != steps[k]:
+                    continue
+                if k > 0 and (s <= prev_s or s - prev_s > gaps[k]):
+                    continue
+                if k == len(steps) - 1:
+                    best[0] = j
+                    return  # j is minimal for this subtree prefix
+                dfs(j + 1, k + 1, s)
+
+        dfs(0, 0, None)
+        return best[0]
+
+    def ref_count(evs):
+        evs = sorted(e for e in evs if e[1] in steps)
+        n = 0
+        while True:
+            j = min_completion_index(evs)
+            if j is None:
+                return n
+            n += 1
+            evs = evs[j + 1:]
+
+    rng = random.Random(4242)
+    rows, byuser = [], {}
+    for u in range(200):
+        evs = [(rng.randint(0, 25), rng.choice(["A", "B", "X"]))
+               for _ in range(rng.randint(1, 12))]
+        byuser[u] = evs
+        rows += [(u, t(s), ty) for s, ty in evs]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.user_id: r.n_matches for r in sequence_count(df, pat).collect()}
+    for u, evs in byuser.items():
+        if not any(ty in steps for _s, ty in evs):
+            assert u not in got
+            continue
+        assert got[u] == ref_count(evs), (u, sorted(evs), got[u])
