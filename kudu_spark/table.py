@@ -76,6 +76,11 @@ Q8S_PREFIX = "__q8s_"
 # serving prunes to probed cells through the ordinary snapshot
 # machinery — updates and deletes stay exact for free
 IVFC_PREFIX = "__ivfc_"
+# past this many centroids, stored-cell assignment switches from a
+# per-centroid cosine expression array to an Arrow-batched numpy gemm
+# (see Table._cell_expr) — higher-order-function cosines are
+# interpreted, so the expression form stops scaling around here
+ARROW_CELL_ASSIGN_THRESHOLD = 32
 AUTO_INC_COL = "auto_incrementing_id"  # hidden PK suffix, common.proto:173
 AUTO_INC_STRIDE = 1 << 40  # id space reserved per insert commit
 
@@ -1410,18 +1415,64 @@ class Table:
             return None
 
     def _cell_expr(self, column: str, cents: list[list[float]]):
-        """argmax-cosine cell id as a codegen expression: the FIRST
-        position of the max score — identical tie-break (lowest
-        centroid id) to the operator family's rank window. NULL
-        vectors (tombstones) yield NULL cells."""
+        """argmax-cosine cell id: the FIRST position of the max score —
+        identical tie-break (lowest centroid id) to the operator
+        family's rank window. NULL vectors (tombstones) yield NULL
+        cells.
+
+        Two implementations by model size: up to
+        ARROW_CELL_ASSIGN_THRESHOLD centroids, a per-centroid cosine
+        expression array (JVM-side, no Python); past it, an
+        Arrow-batched pandas UDF computing the argmax as one numpy
+        gemm — higher-order-function cosines are NOT whole-stage
+        compiled (~10 us/pair interpreted, measured in
+        scripts/semantic_scale.py), so a single giant expression over
+        hundreds of centroids is the wrong shape at sqrt(N) model
+        sizes. np.argmax takes the first maximum, matching the
+        expression's tie-break; float64 summation order differs
+        (numpy gemm vs left-to-right fold), so exact-tie vectors could
+        in principle land differently across the threshold — harmless
+        for an approximate cell index (every row still has exactly one
+        cell) and pinned empirically in tests on the test corpus."""
         from kudu_spark.operators.similarity import cosine_expr
 
-        scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
-                           for c in cents])
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        if len(cents) <= ARROW_CELL_ASSIGN_THRESHOLD:
+            scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
+                               for c in cents])
+            return (F.array_position(scores, F.array_max(scores)) - 1
+                    ).cast("int")
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(cents, dtype=np.float64)
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0.0] = np.inf  # zero centroid never wins argmax
+
+        def assign(col):
+            vals = col.to_numpy()
+            out = np.full(len(vals), None, dtype=object)
+            live = [i for i, v in enumerate(vals) if v is not None]
+            if live:
+                X = np.asarray([np.asarray(vals[i], dtype=np.float64)
+                                for i in live])
+                Xn = np.linalg.norm(X, axis=1)
+                Xn[Xn == 0.0] = 1.0
+                S = (X @ C.T) / Xn[:, None] / Cn[None, :]
+                idx = np.argmax(S, axis=1)
+                for j, i in enumerate(live):
+                    out[i] = int(idx[j])
+            return pd.Series(out)
+
+        # real class objects (not strings): table.py's `from
+        # __future__ import annotations` would otherwise stringify
+        # hints pyspark cannot resolve in this module's globals
+        assign.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        return pandas_udf(assign, returnType="int")(F.col(column))
 
     def train_vector_cells(self, column: str, n_cells: int = 8,
-                           n_iters: int = 3) -> None:
+                           n_iters: int = 3,
+                           sample_rows: int | None = None) -> None:
         """Train the k-means cell model for ``column`` over the
         current snapshot and freeze it as a table artifact
         (_ivf_<col>.json) + the ``vector_cell_cols`` property: every
@@ -1431,7 +1482,17 @@ class Table:
         an index. Retrain by calling again (new artifact, next
         compaction converges old files). Deterministic: init = the
         embeddings of the ``n_cells`` smallest PKs, integer-sum Lloyd
-        updates (operators/similarity.py kmeans_centroids)."""
+        updates (operators/similarity.py kmeans_centroids).
+
+        ``sample_rows`` trains on a DETERMINISTIC hash-sample of about
+        that many rows instead of the full snapshot — the standard
+        k-means-at-scale move (centroid quality needs a representative
+        sample, not every vector), and the lever that keeps training
+        tractable at the sqrt(N) model sizes big corpora want
+        (training cost ~ rows x n_cells per iteration; measured in
+        scripts/semantic_scale.py). The sample is
+        xxhash64(pk) % m == 0, so retraining over the same snapshot
+        reproduces the same centroids."""
         from kudu_spark.operators.similarity import kmeans_centroids
 
         st = self.state()
@@ -1444,9 +1505,20 @@ class Table:
             F.col(st.schema.pk[0]).alias("vec_id"),
             F.col(column).alias("embedding"),
         ).where(F.col("embedding").isNotNull())
+        sampled = None
+        if sample_rows is not None:
+            if sample_rows < n_cells:
+                raise KuduSparkError(
+                    f"sample_rows={sample_rows} < n_cells={n_cells}")
+            total = emb.count()
+            m = max(1, total // max(sample_rows, 1))
+            if m > 1:
+                emb = emb.where(F.xxhash64(F.col("vec_id")) % m == 0)
+                sampled = m
         cents = kmeans_centroids(emb, k=n_cells, n_iters=n_iters)
         payload = json.dumps({"n_cells": n_cells, "n_iters": n_iters,
                               "model_id": uuid.uuid4().hex,
+                              "sample_mod": sampled,
                               "centroids": cents}).encode()
         self._env.write_bytes(
             os.path.join(self.root, f"_ivf_{column}.json"), payload)
@@ -1777,8 +1849,17 @@ class Table:
                 out[col] = False
                 continue
             art = self._ivf_artifact(col)
+            sample = None
+            if art.get("sample_mod"):
+                # preserve the original training's sampling rate: the
+                # retrain targets roughly the same sample size at the
+                # current row count
+                sample = max(int(art.get("n_cells", 8)),
+                             sum(f.rows for f in st.files)
+                             // int(art["sample_mod"]))
             self.train_vector_cells(col, n_cells=int(art.get("n_cells", 8)),
-                                    n_iters=int(art.get("n_iters", 3)))
+                                    n_iters=int(art.get("n_iters", 3)),
+                                    sample_rows=sample)
             # convergence: rewrite every partition so each file stores
             # assignments from the NEW model and scan_cells prunes again
             self.compact(full=True)

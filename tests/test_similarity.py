@@ -749,3 +749,71 @@ def test_ann_topk_external_vectors(spark, tmp_path):
                                       refine=8).collect()
           if r.rank == 1}
     assert gq[900010] == (10, 1.0) and gq[900020] == (20, 1.0)
+
+
+def test_arrow_cell_assignment_and_sampled_training(spark, tmp_path, monkeypatch):
+    """Past ARROW_CELL_ASSIGN_THRESHOLD centroids, stored-cell
+    assignment switches to an Arrow/numpy gemm (higher-order-function
+    cosines are interpreted and stop scaling — measured in
+    scripts/semantic_scale.py). The two implementations must agree on
+    every test vector at k=40, writes through the arrow path must
+    serve correctly end-to-end, and sampled training
+    (train_vector_cells(sample_rows=...)) must produce a valid,
+    deterministic model recorded in the artifact."""
+    import kudu_spark.table as tbl
+    from kudu_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    t = eng.create_table(
+        "big", [("vec_id", "bigint", False),
+                ("embedding", "array<float>", True),
+                ("label", "int", True)], pk=["vec_id"])
+    t.insert(emb)
+    t = eng.table("big")
+    # k=40 > threshold(32): training still expression-based (the
+    # oracle-parity arithmetic), assignment arrow-based
+    t.train_vector_cells("embedding", n_cells=40, n_iters=2)
+    t = eng.table("big")
+    art = t._ivf_artifact("embedding")
+    assert len(art["centroids"]) == 40
+
+    src = emb.select("vec_id", "embedding")
+    arrow = {r.vec_id: r.c for r in src.select(
+        "vec_id", t._cell_expr("embedding", art["centroids"]).alias("c")
+    ).collect()}
+    with monkeypatch.context() as mp:
+        mp.setattr(tbl, "ARROW_CELL_ASSIGN_THRESHOLD", 10_000)
+        expr = {r.vec_id: r.c for r in src.select(
+            "vec_id", t._cell_expr("embedding", art["centroids"]).alias("c")
+        ).collect()}
+    assert arrow == expr  # identical assignment incl. tie-break
+
+    # end-to-end through the arrow write path: compaction stamps the
+    # stored column, serving returns each probe's own vector at rank 1
+    eng.alter_table("big").set_property(
+        "cluster_by", "__ivfc_embedding").apply()
+    t = eng.table("big")
+    t.compact(full=True)
+    t = eng.table("big")
+    assert t.vector_cell_staleness("embedding") == 0.0
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in t.ann_topk("embedding", [10, 20], k=3,
+                               n_probes=4).collect()}
+    assert len(got) == 6  # both queries served from 40 cells
+
+    # sampled training: deterministic hash-sample, recorded modulus,
+    # model still serves; same sample -> same centroids on retrain
+    t.train_vector_cells("embedding", n_cells=8, n_iters=2,
+                         sample_rows=200)
+    a1 = eng.table("big")._ivf_artifact("embedding")
+    assert a1["sample_mod"] == 2 and len(a1["centroids"]) == 8
+    t.train_vector_cells("embedding", n_cells=8, n_iters=2,
+                         sample_rows=200)
+    a2 = eng.table("big")._ivf_artifact("embedding")
+    assert a2["centroids"] == a1["centroids"]
+    assert eng.table("big").ann_topk(
+        "embedding", [10], k=3, n_probes=2).count() == 3
+
+    with pytest.raises(Exception, match="sample_rows"):
+        t.train_vector_cells("embedding", n_cells=8, sample_rows=4)
