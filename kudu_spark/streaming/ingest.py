@@ -169,8 +169,13 @@ def _semantic_collisions(docs_t, batch: DataFrame, column: str,
             .where(F.col("__r") <= n_probes)
             .select("doc_id", "__bv", "__cell")
         )
-    # bounded collect: distinct batch cells <= n_cells (model-sized)
-    cells = sorted({r["__cell"] for r in bv.select("__cell").distinct().collect()})
+    # bounded collect: distinct batch cells <= n_cells (model-sized).
+    # __cell can be NULL for a non-null zero-norm vector (every cosine
+    # NULL): such a vector matches nothing — drop it before the
+    # collect, or sorted() over None/int raises (ADVICE r13)
+    cells = sorted({r["__cell"] for r in
+                    bv.where(F.col("__cell").isNotNull())
+                    .select("__cell").distinct().collect()})
     if not cells:
         return batch.select("doc_id").limit(0)
     cand = docs_t.scan_cells(column, cells, _art=art).select(
@@ -303,16 +308,19 @@ def ingest_corpus_stream(engine, stream_df: DataFrame,
                          checkpoint: str | None = None,
                          available_now: bool = False,
                          embedding_col: str | None = None,
-                         cosine_threshold: float = 0.35):
+                         cosine_threshold: float = 0.35,
+                         semantic_probes: int = 1):
     """Start the streaming ingestion query (readStream source →
     quality gate → exact + incremental near-dup → optional semantic
     near-dup through stored IVF cells → one cross-table txn per
-    micro-batch)."""
+    micro-batch). ``semantic_probes`` is the multi-probe recall knob
+    of the semantic arm, forwarded to ``ingest_batch`` (ADVICE r13)."""
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.isEmpty():
             ingest_batch(engine, batch_df, docs_name, bands_name, quality_min,
                          embedding_col=embedding_col,
-                         cosine_threshold=cosine_threshold)
+                         cosine_threshold=cosine_threshold,
+                         semantic_probes=semantic_probes)
 
     w = stream_df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

@@ -458,41 +458,63 @@ def test_engine_ann_cells_retrain_and_null_vectors(spark, tmp_path):
 
 
 def test_maintenance_auto_retrains_stale_cell_model(spark, tmp_path):
-    """VERDICT r12 #5: tables opting in via ivf_retrain_stale_frac get
-    stale cell models retrained + converged by the maintenance sweep.
-    Files written before training are 100% stale-stamped, so one sweep
-    must (a) mint a new model_id, (b) leave every file stamped by it
-    after the convergence compaction (staleness back to 0), (c) be a
-    no-op on the next sweep (deterministic training => stable, no
-    oscillation), and (d) serve ann_topk rows identical to a fresh
-    manual retrain+compact over the same data. Without the property
-    the sweep must never retrain; a malformed value must surface under
-    __errors__."""
+    """VERDICT r12 #5, rebudgeted r14: the sweep's two motions.
+
+    CONVERGE: files written before training are 100% stale-STAMPED but
+    0% DRIFTED (the model trained on them), so the sweep must NOT mint
+    a new model — it must restamp them through the budgeted
+    convergence compaction (staleness -> 0, model_id unchanged).
+    RETRAIN: only rows committed AFTER the training snapshot are
+    drift; once their fraction crosses ivf_retrain_stale_frac the
+    sweep retrains (new model_id, trained on the grown corpus) and
+    converges — serving rows identical to a manual retrain+compact
+    over the same data. A following sweep is a no-op (drift resets to
+    0 at training). Without the property the sweep must never touch
+    the model; a malformed value must surface under __errors__."""
     from kudu_spark.engine import Engine
 
     emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    more = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                      "embedding", "label")
 
-    def build(root):
+    def build(root, grown: bool):
         eng = Engine(spark, str(root))
         t = eng.create_table(
             "vc", [("vec_id", "bigint", False),
                    ("embedding", "array<float>", True),
                    ("label", "int", True)], pk=["vec_id"])
         t.insert(emb)
+        if grown:
+            eng.table("vc").insert(more)
         t = eng.table("vc")
         t.train_vector_cells("embedding", n_cells=4, n_iters=2)
         return eng, eng.table("vc")
 
-    eng, t = build(tmp_path / "auto")
+    eng, t = build(tmp_path / "auto", grown=False)
     assert t.vector_cell_staleness("embedding") == 1.0  # pre-training files
+    assert t.vector_cell_drift("embedding") == 0.0      # ...already trained on
     art0 = t._ivf_artifact("embedding")
 
-    # no opt-in property: the sweep must not touch the model
+    # no opt-in property: the sweep must not touch the model or stamps
     out = eng.maintenance_sweep()
     assert "__errors__" not in out
     assert eng.table("vc")._ivf_artifact("embedding")["model_id"] == art0["model_id"]
 
+    # CONVERGE motion: restamp without retraining
     eng.alter_table("vc").set_property("ivf_retrain_stale_frac", "0.5").apply()
+    out = eng.maintenance_sweep()
+    assert "__errors__" not in out and out["vc"] is True
+    t = eng.table("vc")
+    assert t._ivf_artifact("embedding")["model_id"] == art0["model_id"]
+    st = t.state()
+    assert st.files and all(
+        f.ivfm and f.ivfm.get("embedding") == art0["model_id"] for f in st.files)
+    assert t.vector_cell_staleness("embedding") == 0.0
+
+    # RETRAIN motion: grow the corpus past the drift threshold
+    t.insert(more)
+    t = eng.table("vc")
+    assert t.vector_cell_drift("embedding") >= 0.5
     out = eng.maintenance_sweep()
     assert "__errors__" not in out and out["vc"] is True
     t = eng.table("vc")
@@ -502,13 +524,16 @@ def test_maintenance_auto_retrains_stale_cell_model(spark, tmp_path):
     assert st.files and all(
         f.ivfm and f.ivfm.get("embedding") == art1["model_id"] for f in st.files)
     assert t.vector_cell_staleness("embedding") == 0.0
+    assert t.vector_cell_drift("embedding") == 0.0
 
     # stability: an immediately following sweep must not retrain again
     eng.maintenance_sweep()
     assert eng.table("vc")._ivf_artifact("embedding")["model_id"] == art1["model_id"]
 
-    # row-identity vs the manual path (train + convergence compaction)
-    eng2, t2 = build(tmp_path / "manual")
+    # row-identity vs the manual path (train on the grown corpus +
+    # convergence compaction) — deterministic training makes the two
+    # models identical
+    eng2, t2 = build(tmp_path / "manual", grown=True)
     t2.compact(full=True)
     qids = [10, 20, 30]
     got = sorted(tuple(r) for r in
@@ -598,7 +623,8 @@ def test_ann_topk_quantized_refine(spark, tmp_path):
     codes, and the exact re-rank runs over the bounded shortlist. With
     refine covering the whole probed cells the result must EQUAL the
     exact path; at small refine recall stays high; before the q8
-    columns converge the serve falls back to the exact path verbatim;
+    columns converge the serve derives cells/codes on the fly PER
+    FILE (identical to stored codes, same rows as a converged serve);
     mutations stay fresh (an upserted twin is rank-1 at cosine 1.0)."""
     from kudu_spark.engine import Engine
 
@@ -619,8 +645,9 @@ def test_ann_topk_quantized_refine(spark, tmp_path):
     exact_pre = sorted(tuple(r) for r in
                        t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
 
-    # BEFORE convergence: files lack the stored q8 pair -> quantized
-    # serve must take the exact fallback and match verbatim
+    # BEFORE convergence: files lack the stored q8 pair -> the hybrid
+    # serve derives codes on the fly; rows match the exact result here
+    # (the shortlist covers the true top-k on this corpus)
     got_fb = sorted(tuple(r) for r in
                     t.ann_topk("embedding", qids, k=5, n_probes=2,
                                quantized=True).collect())
@@ -817,3 +844,109 @@ def test_arrow_cell_assignment_and_sampled_training(spark, tmp_path, monkeypatch
 
     with pytest.raises(Exception, match="sample_rows"):
         t.train_vector_cells("embedding", n_cells=8, sample_rows=4)
+
+
+def test_budgeted_convergence_and_hybrid_serving(spark, tmp_path):
+    """VERDICT r13 #1: a retrain (or post-training backlog) converges
+    through the BUDGETED compaction knapsack across sweeps — never one
+    full-table rewrite — while per-file hybrid serving keeps the
+    answers exact and the already-converged files on the stored-column
+    path the whole time.
+
+    (i)   mid-convergence, the quantized serve's plan reads the stored
+          __q8 column (the stamped half) — before the r14 fix a single
+          unstamped file forced the whole serve onto the fp column;
+    (ii)  no sweep rewrites more than the budget (here: exactly one
+          partition per sweep);
+    (iii) at EVERY intermediate state, ann_topk (exact and quantized)
+          returns rows identical to a fully-converged twin."""
+    import contextlib
+    import io
+
+    from kudu_spark.engine import Engine
+    from kudu_spark.table import partition_key
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def build(root):
+        eng = Engine(spark, str(root))
+        t = eng.create_table(
+            "hc", [("vec_id", "bigint", False),
+                   ("embedding", "array<float>", True),
+                   ("label", "int", True)], pk=["vec_id"],
+            hash_partitions=[{"columns": ["vec_id"], "buckets": 4}])
+        eng.alter_table("hc") \
+            .set_property("vector_quantize_cols", "embedding") \
+            .set_property("auto_compact", "false").apply()
+        eng.table("hc").insert(emb)
+        t = eng.table("hc")
+        t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+        return eng, eng.table("hc")
+
+    # ground truth: a fully-converged twin
+    eng2, t2 = build(tmp_path / "twin")
+    t2.compact(full=True)
+    t2 = eng2.table("hc")
+    assert t2.vector_cell_staleness("embedding") == 0.0
+    qids = [10, 20, 30]
+    want = sorted(tuple(r) for r in
+                  t2.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+    want_q8 = sorted(tuple(r) for r in
+                     t2.ann_topk("embedding", qids, k=5, n_probes=2,
+                                 quantized=True).collect())
+
+    eng, t = build(tmp_path / "phased")
+    # drift 0 (files predate training) -> the sweep must only CONVERGE;
+    # budget 1 byte -> the knapsack takes exactly its mandatory first
+    # partition per sweep
+    eng.alter_table("hc") \
+        .set_property("ivf_retrain_stale_frac", "0.9") \
+        .set_property("ivf_converge_budget_bytes", "1").apply()
+    t = eng.table("hc")
+    mid = t._ivf_artifact("embedding")["model_id"]
+
+    def stamped_parts():
+        st = eng.table("hc").state()
+        parts: dict = {}
+        for f in st.files:
+            parts.setdefault(partition_key(f), []).append(f)
+        done = sum(1 for fs in parts.values()
+                   if all(f.ivfm and f.ivfm.get("embedding") == mid
+                          and f.vq and "embedding" in f.vq for f in fs))
+        return done, len(parts)
+
+    done0, total0 = stamped_parts()
+    assert done0 == 0 and total0 == 4
+    for sweep in range(1, 5):
+        out = eng.maintenance_sweep()
+        assert "__errors__" not in out and out["hc"] is True
+        t = eng.table("hc")
+        # model never re-minted mid-convergence (drift stays 0)
+        assert t._ivf_artifact("embedding")["model_id"] == mid
+        done, total = stamped_parts()
+        assert done == sweep and total == 4  # (ii) one partition/sweep
+        # (iii) exact rows at every intermediate state, both serve modes
+        got = sorted(tuple(r) for r in
+                     t.ann_topk("embedding", qids, k=5, n_probes=2).collect())
+        assert got == want
+        got_q8 = sorted(tuple(r) for r in
+                        t.ann_topk("embedding", qids, k=5, n_probes=2,
+                                   quantized=True).collect())
+        assert got_q8 == want_q8
+        if sweep == 1:
+            # (i) the stamped partition serves from storage: the plan
+            # has a parquet scan whose ReadSchema carries the stored
+            # int8 codes (and the stale half still reads the fp column)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                t.ann_topk("embedding", qids, k=5, n_probes=2,
+                           quantized=True).explain("formatted")
+            plan = buf.getvalue()
+            assert "__q8_embedding" in plan
+    t = eng.table("hc")
+    assert t.vector_cell_staleness("embedding") == 0.0
+    # converged: the next sweep's converge step is an O(metadata) no-op
+    before = t.state().version
+    out = eng.maintenance_sweep()
+    assert "__errors__" not in out and out["hc"] is False
+    assert eng.table("hc").state().version == before
