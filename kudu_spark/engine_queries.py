@@ -608,7 +608,8 @@ def engine_ann_cells_topk(spark, sf_dir):
 @query(
     "engine_ann_q8_topk",
     oracle=_kmeans_oracle(),
-    gated=False,  # gate capped at 50; pytest runs the oracle. With
+    gated=True,  # rotated INTO the r14 gate (VERDICT r13 #2): the int8
+    # serve is the r13 flagship and deserves driver verification. With
     # refine covering the probed cells the exact re-rank provably
     # reproduces ivf_kmeans_topk, so the shared oracle verifies the
     # whole int8 candidate path (stored __q8 scan, approx scoring,
@@ -636,6 +637,12 @@ def engine_ann_q8_topk(spark, sf_dir):
         .set_property("cluster_by", "__ivfc_embedding").apply()
     t = eng.table("emq8")
     t.compact(full=True)
+    # refine=1000 is ORACLE COVERAGE ONLY: it makes the shortlist span
+    # the whole probed cells so the exact re-rank provably reproduces
+    # ivf_kmeans_topk (the shared oracle). Production serving uses
+    # single-digit refine (the recall/byte trade measured in
+    # tests/test_similarity.py::test_ann_topk_quantized_refine at
+    # refine=4) — do not copy this setting into a pipeline.
     return t.ann_topk("embedding", [10, 20, 30, 40, 50], k=5, n_probes=2,
                       quantized=True, refine=1000)
 

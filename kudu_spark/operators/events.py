@@ -438,6 +438,56 @@ def sequence_match_sql(pattern: list, min_depth: int = 0) -> str:
     """
 
 
+def sequence_count_sql(pattern: list) -> str:
+    """DuckDB twin of sequence_count: the leftmost-completion + restart
+    recursion, literally. Events get the fold's exact order (pos =
+    row_number over (ts, event_type) per user — array_sort's struct
+    order); a recursive CTE repeatedly finds the MINIMAL completion
+    position of the full chain among events strictly after the previous
+    completion (ts strictly increases along a chain, so e1.pos > bpos
+    bounds every step), counts it, and restarts there. max(n) per user
+    is the non-overlapping match count — the reference the fold's
+    count-at-first-completion + full-reset provably equals (pinned by
+    the randomized exhaustive harness in tests)."""
+    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
+    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
+            for p in pattern]
+    m = len(steps)
+    froms = ", ".join(f"evs e{i}" for i in range(1, m + 1))
+    conds = ["e1.user_id = c.user_id", f"e1.event_type = '{steps[0]}'",
+             "e1.pos > c.bpos"]
+    for i in range(2, m + 1):
+        conds += [
+            f"e{i}.user_id = c.user_id",
+            f"e{i}.event_type = '{steps[i - 1]}'",
+            f"e{i}.ts > e{i - 1}.ts",
+        ]
+        if gaps[i - 1] is not None:
+            conds.append(f"e{i}.ts <= e{i - 1}.ts + INTERVAL {gaps[i - 1]}")
+    types = ", ".join(f"'{s}'" for s in set(steps))
+    return f"""
+    WITH RECURSIVE evs AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS pos
+      FROM events WHERE event_type IN ({types}) AND ts IS NOT NULL
+    ),
+    chain AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS bpos, 0 AS n
+      FROM (SELECT DISTINCT user_id FROM evs)
+      UNION ALL
+      SELECT c.user_id, nxt.p, c.n + 1
+      FROM chain c, LATERAL (
+        SELECT min(e{m}.pos) AS p FROM {froms}
+        WHERE {" AND ".join(conds)}
+      ) nxt
+      WHERE nxt.p IS NOT NULL
+    )
+    SELECT user_id, CAST(max(n) AS INT) AS n_matches
+    FROM chain GROUP BY user_id
+    """
+
+
 def sequence_count(
     events: DataFrame,
     pattern: list,

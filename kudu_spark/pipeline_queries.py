@@ -560,8 +560,8 @@ def multimodal_audio_headers(spark, sf_dir):
            doc_id % 43 != 0 AS parse_ok
     FROM documents
     """,
-    gated=False,  # gate capped at 50; pytest runs the oracle — the
-    # image/audio family members are the driver-gated representatives
+    gated=True,  # rotated INTO the r14 gate (VERDICT r13 #2): the
+    # ISO-BMFF parser joins its image/audio siblings under the driver
 )
 def multimodal_video_headers(spark, sf_dir):
     """REAL video metadata without a codec (operators/multimodal.py
@@ -1202,7 +1202,9 @@ def ann_quantized_indexed_topk(spark, sf_dir):
 @query(
     "dedup_normalized",
     oracle=DD.NORMALIZED_DEDUP_SQL,
-    gated=True,  # rotated into the driver gate for r11 verification
+    gated=False,  # r14 rotation: driver-green r11-r13; the dedup
+    # family keeps minhash_lsh/embedding_cosine/ngram_containment/
+    # keep_best gated; pytest runs the same oracle
 )
 def dedup_normalized(spark, sf_dir):
     """Normalization-invariant exact dedup (operators/dedup.py

@@ -124,6 +124,9 @@ def tpch_q7_nation_volume(spark, sf_dir):
 
 @query(
     "tpch_q12_priority_lines",
+    gated=False,  # r14 rotation: driver-green since r2; TPC-H family
+    # keeps q7/q17/q18/q19 gated + q12 is a bench headline; pytest
+    # runs the same oracle
     oracle="""
     SELECT l_returnflag,
            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
@@ -949,6 +952,9 @@ def window_session_events(spark, sf_dir):
 
 @query(
     "window_tumbling_events",
+    gated=False,  # r14 rotation: driver-green since r1; window family
+    # keeps funnel/retention + the new events_sequence_match gated;
+    # pytest runs the same oracle
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
            count(*) AS n_events,
@@ -1029,8 +1035,8 @@ _SEQ_PATTERN = ["signup", ("view", "12 HOUR"), ("click", "12 HOUR"),
 @query(
     "events_sequence_match",
     oracle=EV.sequence_match_sql(_SEQ_PATTERN),
-    gated=False,  # gate capped at 50; pytest runs the oracle — the
-    # funnel family members are the driver-gated representatives
+    gated=True,  # rotated INTO the r14 gate (VERDICT r13 #2) alongside
+    # the funnel family — the r13 fold operator gets driver rows
 )
 def events_sequence_match(spark, sf_dir):
     """ClickHouse sequenceMatch (max-gap subset) per user: does some
@@ -1042,3 +1048,23 @@ def events_sequence_match(spark, sf_dir):
     backtracking unnecessary for max-gap patterns); the oracle is the
     existential m-way self-join ground truth."""
     return EV.sequence_match(load(spark, sf_dir, "events"), _SEQ_PATTERN)
+
+
+_CNT_PATTERN = ["view", ("click", "12 HOUR"), ("purchase", "2 DAY")]
+
+
+@query(
+    "events_sequence_count",
+    oracle=EV.sequence_count_sql(_CNT_PATTERN),
+    gated=False,  # gate capped at 50; pytest runs the oracle —
+    # events_sequence_match is the family's driver-gated
+    # representative (VERDICT r13 #3 asked for this registry entry)
+)
+def events_sequence_count(spark, sf_dir):
+    """ClickHouse sequenceCount (max-gap subset) per user: how many
+    NON-OVERLAPPING view -> click (<=12h) -> purchase (<=2d) chains,
+    counted left-to-right with a restart after each completion. One
+    user-keyed shuffle + the sequence_match DP plus a reset
+    (operators/events.py sequence_count); the oracle is the
+    leftmost-completion + restart recursion as a recursive CTE."""
+    return EV.sequence_count(load(spark, sf_dir, "events"), _CNT_PATTERN)

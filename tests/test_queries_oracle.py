@@ -59,3 +59,18 @@ def test_gated_registry_within_driver_cap():
 
     assert len(get_queries()) <= 50
     assert set(get_queries()) == set(gated), "every gated query needs an oracle"
+
+
+def test_readme_registry_count_matches():
+    """README's headline query count must track len(REGISTRY) —
+    r13's verdict caught it drifting (said 117, was 120)."""
+    import re
+
+    from kudu_spark.queries import REGISTRY
+
+    text = open("README.md").read()
+    m = re.search(r"\| (\d+) registered queries", text)
+    assert m, "README lost its registry-count line"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README says {m.group(1)} registered queries; "
+        f"REGISTRY has {len(REGISTRY)} — update README.md")
