@@ -123,13 +123,21 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "ann",
         help="serve ANN top-k through a table's stored IVF cells "
-             "(train-cells first); --quantized adds the int8-refine "
-             "candidate pass over the stored __q8 column",
+             "(train-cells first): positional PK keys look up stored "
+             "rows; --vector '[...]' serves EXTERNAL query vectors; "
+             "--quantized adds the int8-refine candidate pass over "
+             "the stored __q8 column",
     )
     sp.add_argument("table")
     sp.add_argument("column")
-    sp.add_argument("keys", nargs="+",
+    sp.add_argument("keys", nargs="*",
                     help="query PK values (int/decimal parsed, else string)")
+    sp.add_argument("--vector", action="append", default=None,
+                    metavar="JSON_ARRAY",
+                    help="EXTERNAL query vector as a JSON array, e.g. "
+                         "--vector '[0.1, 0.2, ...]' (repeatable; "
+                         "query_id = position). Mutually exclusive "
+                         "with positional PK keys")
     sp.add_argument("-k", type=int, default=5)
     sp.add_argument("--probes", type=int, default=2)
     sp.add_argument("--quantized", action="store_true")
@@ -302,11 +310,22 @@ def main(argv: list[str] | None = None) -> int:
                     return v
 
         t = eng.table(args.table)
-        rows = t.ann_topk(args.column, [_key(v) for v in args.keys],
-                          k=args.k, n_probes=args.probes,
-                          quantized=args.quantized,
-                          refine=args.refine).collect()
-        for r in rows:
+        if bool(args.keys) == bool(args.vector):
+            p.error("ann takes EITHER positional PK keys OR --vector "
+                    "(at least one, not both)")
+        if args.vector:
+            qs = [(i, [float(x) for x in json.loads(v)])
+                  for i, v in enumerate(args.vector)]
+            df = t.ann_topk_vectors(args.column, qs, k=args.k,
+                                    n_probes=args.probes,
+                                    quantized=args.quantized,
+                                    refine=args.refine)
+        else:
+            df = t.ann_topk(args.column, [_key(v) for v in args.keys],
+                            k=args.k, n_probes=args.probes,
+                            quantized=args.quantized,
+                            refine=args.refine)
+        for r in df.collect():
             print(json.dumps(r.asDict()))
     elif args.cmd == "sql":
         if args.file:

@@ -168,6 +168,12 @@ class Engine:
             raise KuduSparkError(
                 "transaction control statements need a statement sequence — "
                 "use Engine.sql_script('BEGIN; ...; COMMIT')")
+        # ANN_TOPK('table', 'col', ARRAY[...], k[, probes[, quantized
+        # [, refine]]]) — the external-query-vector serve endpoint as a
+        # SQL table source (VERDICT r13 #4): each call is evaluated
+        # through Table.ann_topk_vectors and substituted by a temp
+        # view, so it composes in FROM/JOIN/DML-read positions
+        query = self._rewrite_ann_tvf(query)
         # SQL-level time travel: `t VERSION AS OF n` / `t TIMESTAMP AS
         # OF '<iso>'` (the Delta/Iceberg spelling of READ_AT_SNAPSHOT);
         # inline pins are the most local intent, so they win over both
@@ -211,6 +217,111 @@ class Engine:
                 df = self.table(name).scan(version=version_of.get(name))
                 df.createOrReplaceTempView(name)
             return self.spark.sql(query)
+
+    def _rewrite_ann_tvf(self, text: str) -> str:
+        """Substitute every ``ANN_TOPK('table', 'column', ARRAY[...],
+        k[, probes[, quantized[, refine]]])`` call (quote-aware,
+        paren-balanced, outside string literals) with a temp view over
+        ``Table.ann_topk_vectors`` — SQL's spelling of the
+        external-query-vector ANN serve. Returns (query_id=0,
+        neighbor_id, rank, cosine) rows, identical to the Python API
+        with one query vector; the probe/candidate work runs through
+        the same stored-cell pruned plan, so the view is a bounded
+        k-row relation, never a table scan the optimizer must fence."""
+        import json as _json
+        import re as _re
+
+        out, i, n, view_n = [], 0, len(text), 0
+        upper = text.upper()
+        while i < n:
+            c = text[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if text[j] == "'":
+                        if j + 1 < n and text[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(text[i:j + 1])
+                i = j + 1
+                continue
+            m = _re.match(r"ANN_TOPK\s*\(", upper[i:])
+            if not (m and (i == 0 or not (text[i - 1].isalnum()
+                                          or text[i - 1] == "_"))):
+                out.append(c)
+                i += 1
+                continue
+            # balanced-paren, quote-aware capture of the argument list
+            j = i + m.end()
+            depth, args, cur = 1, [], []
+            while j < n and depth:
+                ch = text[j]
+                if ch == "'":
+                    k2 = j + 1
+                    while k2 < n:
+                        if text[k2] == "'":
+                            if k2 + 1 < n and text[k2 + 1] == "'":
+                                k2 += 2
+                                continue
+                            break
+                        k2 += 1
+                    cur.append(text[j:k2 + 1])
+                    j = k2 + 1
+                    continue
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                if ch == "," and depth == 1:
+                    args.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+                j += 1
+            if depth:
+                raise KuduSparkError("ANN_TOPK: unbalanced parentheses")
+            args.append("".join(cur))
+            args = [a.strip() for a in args if a.strip()]
+            if len(args) < 3:
+                raise KuduSparkError(
+                    "ANN_TOPK needs (table, column, ARRAY[...]) at least")
+
+            def _unq(s):
+                s = s.strip()
+                if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+                    return s[1:-1].replace("''", "'")
+                return s
+
+            tname, col = _unq(args[0]), _unq(args[1])
+            vm = _re.match(r"(?:ARRAY\s*)?[\[(](.*)[\])]\s*$", args[2],
+                           _re.IGNORECASE | _re.DOTALL)
+            if not vm:
+                raise KuduSparkError(
+                    f"ANN_TOPK: third argument must be ARRAY[...], got "
+                    f"{args[2][:40]!r}")
+            try:
+                vec = [float(x) for x in _json.loads(f"[{vm.group(1)}]")]
+            except Exception as e:
+                raise KuduSparkError(
+                    f"ANN_TOPK: cannot parse query vector: {e}")
+            k = int(args[3]) if len(args) > 3 else 5
+            probes = int(args[4]) if len(args) > 4 else 2
+            quant = (str(args[5]).strip().lower() in ("true", "1")
+                     if len(args) > 5 else False)
+            refine = int(args[6]) if len(args) > 6 else 4
+            df = self.table(tname).ann_topk_vectors(
+                col, [(0, vec)], k=k, n_probes=probes,
+                quantized=quant, refine=refine)
+            view = f"__ann_topk_{view_n}"
+            view_n += 1
+            df.createOrReplaceTempView(view)
+            out.append(view)
+            i = j + 1
+        return "".join(out)
 
     def _register_views(self, text: str, version_of: dict | None = None):
         """Register temp views for engine tables the statement text

@@ -502,3 +502,79 @@ def test_cli_ann_serve_and_model_stats(spark, tmp_path, capsys):
     want = sorted(tuple(r) for r in
                   t.ann_topk("embedding", [10, 20], k=3, n_probes=2).collect())
     assert got == want
+
+
+def test_cli_and_sql_external_vector_ann(spark, tmp_path, capsys):
+    """VERDICT r13 #4: the external-query-vector serve endpoint has a
+    CLI spelling (`ann --vector '[...]'`, repeatable) and a SQL
+    spelling (`ANN_TOPK('t', 'col', ARRAY[...], k[, probes[,
+    quantized[, refine]]])` as a FROM source) — both returning rows
+    identical to Table.ann_topk_vectors, composable in a join, and
+    rejecting malformed input with a clear error."""
+    import json
+
+    import pytest as _pytest
+
+    from kudu_spark import cli
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = str(tmp_path / "whav")
+    eng = Engine(spark, wh)
+    t = eng.create_table(
+        "xv", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"])
+    t.insert(load(spark, "/root/testdata/sf0.001", "embeddings"))
+    t = eng.table("xv")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    t = eng.table("xv")
+    t.compact(full=True)
+    t = eng.table("xv")
+
+    # two external query vectors = two stored rows' embeddings, so
+    # rank-1 must be the rows themselves at cosine 1.0
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in t.scan(filters=[("vec_id", "in", [10, 20])],
+                            columns=["vec_id", "embedding"]).collect()}
+    api = sorted(tuple(r) for r in t.ann_topk_vectors(
+        "embedding", [(0, vecs[10]), (1, vecs[20])], k=3,
+        n_probes=2).collect())
+    assert {(q, r) for q, n, r, c in api if c == 1.0} >= {(0, 1), (1, 1)}
+
+    # CLI --vector (repeatable; query_id = position)
+    capsys.readouterr()
+    assert cli.main(["--warehouse", wh, "ann", "xv", "embedding",
+                     "--vector", json.dumps(vecs[10]),
+                     "--vector", json.dumps(vecs[20]),
+                     "-k", "3", "--probes", "2"]) == 0
+    got = sorted(tuple(json.loads(ln).values()) for ln in
+                 capsys.readouterr().out.strip().splitlines())
+    assert got == api
+
+    # keys and --vector are mutually exclusive (argparse error -> exit 2)
+    with _pytest.raises(SystemExit):
+        cli.main(["--warehouse", wh, "ann", "xv", "embedding", "10",
+                  "--vector", json.dumps(vecs[10])])
+    with _pytest.raises(SystemExit):
+        cli.main(["--warehouse", wh, "ann", "xv", "embedding"])
+
+    # SQL table source: identical rows to the API (single query vector)
+    arr = ", ".join(str(x) for x in vecs[10])
+    sql_rows = sorted(tuple(r) for r in eng.sql(
+        f"SELECT query_id, neighbor_id, rank, cosine "
+        f"FROM ANN_TOPK('xv', 'embedding', ARRAY[{arr}], 3, 2)").collect())
+    want = sorted(tuple(r) for r in t.ann_topk_vectors(
+        "embedding", [(0, vecs[10])], k=3, n_probes=2).collect())
+    assert sql_rows == want
+
+    # composes: join the TVF against the table to pull neighbor labels
+    joined = eng.sql(
+        f"SELECT a.rank, x.label FROM "
+        f"ANN_TOPK('xv', 'embedding', ARRAY[{arr}], 3, 2) a "
+        f"JOIN xv x ON x.vec_id = a.neighbor_id ORDER BY a.rank").collect()
+    assert len(joined) == 3
+
+    # malformed vector -> clear engine error
+    with _pytest.raises(Exception, match="ANN_TOPK"):
+        eng.sql("SELECT * FROM ANN_TOPK('xv', 'embedding', ARRAY[oops], 3)")
