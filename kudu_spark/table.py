@@ -1685,6 +1685,48 @@ class Table:
         sub.files = [f for f in st.files if _keep(f)]
         return sub
 
+    def _snapshot_cells_q8(self, st: TableState, art: dict, column: str,
+                           cells: list) -> DataFrame:
+        """Hybrid int8 candidate snapshot shared by the quantized ANN
+        serve and the ingest semantic-dedup arm: merge-on-read frame
+        carrying __ivfc_<col> and __q8_<col>, cellr-pruned to ``cells``
+        (current-stamped base files only). Converged files serve both
+        sidecolumns from storage — the fp column never leaves parquet;
+        files missing the model stamp or the q8 pair derive the column
+        on the fly PER FILE (byte-identical codes), so a convergence
+        backlog costs only its own fraction of fp reads."""
+        cn, qn = IVFC_PREFIX + column, Q8_PREFIX + column
+        cur = art.get("model_id", "")
+
+        def stamped(f):
+            return bool(f.ivfm and f.ivfm.get(column) == cur)
+
+        st2 = self._augment_state(
+            st, [(cn, "int"), (qn, "array<tinyint>")])
+        sub = self._prune_cell_files(st2, column, cells, stamped=stamped)
+        if all(stamped(f) and f.vq and column in f.vq for f in st.files):
+            return self._snapshot_df(sub)
+        cell_e = self._cell_expr(column, art["centroids"])
+        qe, _se = self._quantize_exprs(column)
+
+        def per_file(f):
+            s = stamped(f)
+            v = bool(f.vq and column in f.vq)
+            if s and v:
+                return ("rv", None)
+
+            def xf(d, s=s, v=v):
+                if not s:
+                    d = d.withColumn(cn, cell_e)
+                if not v:
+                    d = d.withColumn(qn, qe)
+                return d
+
+            return ((s, v), xf)
+
+        return self._snapshot_df(
+            sub, per_file=per_file, per_file_tag=("annq8", column, cur))
+
     def ann_topk(self, column: str, query_keys: list, k: int = 5,
                  n_probes: int = 2, version: int | None = None,
                  quantized: bool = False, refine: int = 4) -> DataFrame:
@@ -1818,44 +1860,12 @@ class Table:
         if quantized:
             # int8 candidate pass: (pk, cell, q8) only — the fp column
             # stays in parquet for every converged file. Same cellr
-            # file pruning as scan_cells. Files missing either stamp
-            # (stale model / pre-quantization) route PER FILE through
-            # on-the-fly assignment/quantization inside the same
-            # snapshot — the derived codes are byte-identical to stored
-            # ones, so the shortlist (and hence the exact re-rank)
-            # matches the converged table's.
-            def stamped(f):
-                return bool(f.ivfm and f.ivfm.get(column) == cur)
-
-            st2 = self._augment_state(
-                st, [(cn, "int"), (qn, "array<tinyint>")])
-            sub = self._prune_cell_files(st2, column, probe_cells,
-                                         stamped=stamped)
-            if all(stamped(f) and f.vq and column in f.vq
-                   for f in st.files):
-                snap8 = self._snapshot_df(sub)
-            else:
-                cell_e = self._cell_expr(column, cents)
-                qe, _se = self._quantize_exprs(column)
-
-                def per_file(f):
-                    s = stamped(f)
-                    v = bool(f.vq and column in f.vq)
-                    if s and v:
-                        return ("rv", None)
-
-                    def xf(d, s=s, v=v):
-                        if not s:
-                            d = d.withColumn(cn, cell_e)
-                        if not v:
-                            d = d.withColumn(qn, qe)
-                        return d
-
-                    return ((s, v), xf)
-
-                snap8 = self._snapshot_df(
-                    sub, per_file=per_file,
-                    per_file_tag=("annq8", column, cur))
+            # file pruning as scan_cells; per-file hybrid for files
+            # missing either stamp (_snapshot_cells_q8) — the derived
+            # codes are byte-identical to stored ones, so the shortlist
+            # (and hence the exact re-rank) matches the converged
+            # table's.
+            snap8 = self._snapshot_cells_q8(st, art, column, probe_cells)
             cand8 = snap8.where(
                 F.col(cn).isin([int(c) for c in probe_cells])).select(
                 F.col(pk0).alias("neighbor_id"),

@@ -372,3 +372,93 @@ def test_ingest_semantic_multiprobe_recall(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert r2 <= exact
+
+
+def test_ingest_semantic_dedup_quantize_aware(spark, tmp_path):
+    """VERDICT r13 #7: when the docs table also stores int8 codes
+    (vector_quantize_cols), the semantic arm's candidate pass runs
+    over (pk, __ivfc, __q8) with the provable cosine-error envelope —
+    definite accepts/rejects straight from the codes, only the thin
+    threshold band refetches exact vectors by PK. Must (a) produce
+    accepted/rejected sets IDENTICAL to the fp path on the same data,
+    (b) never read the fp column in the candidate scan (ReadSchema),
+    and (c) forward semantic_probes through ingest_corpus_stream's
+    signature (ADVICE r13)."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from kudu_spark.queries import load
+    from kudu_spark.streaming.ingest import (_semantic_collisions,
+                                             ingest_corpus_stream)
+    from kudu_spark.table import IVFC_PREFIX
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def to_docs(df, id_col="vec_id", offset=0):
+        toks = [F.concat(F.lit(w), (F.col(id_col) + offset).cast("string"))
+                for w in ("tok", "lex", "gram", "word", "unit", "sig")]
+        return df.select(
+            (F.col(id_col) + offset).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+            F.lit("en").alias("lang"), F.lit("crawl").alias("source"),
+            F.col("embedding"))
+
+    seed = to_docs(emb.where(F.col("vec_id") < 300))
+    dups = to_docs(emb.where(F.col("vec_id") < 20), offset=10000)
+    fresh = to_docs(emb.where(F.col("vec_id") >= 300), offset=20000)
+    batch = dups.unionByName(fresh)
+
+    def build(root, quantized: bool):
+        eng = Engine(spark, str(root))
+        create_corpus_tables(eng, "corpus", embedding_col="embedding")
+        assert ingest_batch(eng, seed)["accepted"] == 300
+        t = eng.table("corpus")
+        t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+        al = eng.alter_table("corpus").set_property(
+            "cluster_by", IVFC_PREFIX + "embedding")
+        if quantized:
+            al = al.set_property("vector_quantize_cols", "embedding")
+        al.apply()
+        t = eng.table("corpus")
+        t.compact(full=True)  # converge stamps (+ q8 when enabled)
+        return eng
+
+    def accepted_ids(eng):
+        return sorted(
+            r.doc_id for r in eng.table("corpus")
+            .scan(columns=["doc_id"])
+            .where(F.col("doc_id") >= 10000).collect())
+
+    # (a) identical accepted/rejected sets, at an aggressive AND a
+    # loose threshold (the loose one exercises the boundary band)
+    for thr, tag in ((0.95, "hi"), (0.35, "lo")):
+        eng_fp = build(tmp_path / f"fp{tag}", quantized=False)
+        eng_q8 = build(tmp_path / f"q8{tag}", quantized=True)
+        rf = ingest_batch(eng_fp, batch, embedding_col="embedding",
+                          cosine_threshold=thr)
+        rq = ingest_batch(eng_q8, batch, embedding_col="embedding",
+                          cosine_threshold=thr)
+        assert rf["accepted"] == rq["accepted"]
+        assert accepted_ids(eng_fp) == accepted_ids(eng_q8)
+        if tag == "hi":
+            got = accepted_ids(eng_q8)
+            assert not any(10000 <= d < 10020 for d in got)
+            assert any(d >= 20000 for d in got)
+
+    # (b) candidate ReadSchema: the int8 pass never reads the fp
+    # column — only __ivfc + __q8 (plus pk) leave parquet
+    t = eng_q8.table("corpus")
+    art = t._ivf_artifact("embedding")
+    snap = t._snapshot_cells_q8(t.state(), art, "embedding", [0, 1])
+    cand = snap.select("doc_id", "__q8_embedding", "__ivfc_embedding")
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("embedding:array<float>" not in ln.replace(" ", "")
+                         for ln in reads), plan
+    assert any("__q8_embedding" in ln for ln in reads), plan
+
+    # (c) the streaming entry point forwards the multi-probe knob
+    assert "semantic_probes" in inspect.signature(
+        ingest_corpus_stream).parameters
