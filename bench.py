@@ -239,6 +239,26 @@ def headline_ratios(spark, sf_dir: str) -> dict:
          lambda: te.ann_topk("embedding", qids, k=5, n_probes=2),
          lambda: ivf_index_topk(spark, pq_dir + "/ivf", qids, k=5, n_probes=2))
 
+    # 4. int8-refine serve diagnostic (NOT a ratio_total cell — its
+    #    rows are the int8 shortlist's, identical in practice but not
+    #    by construction): quantized candidate pass vs the exact serve
+    #    on the SAME engine table — the bytes-for-recall trade at
+    #    production refine, recorded every round
+    eng.alter_table("emb").set_property(
+        "vector_quantize_cols", "embedding").apply()
+    te = eng.table("emb")
+    te.compact(full=True)
+    ex_t = min(_bench_once(
+        te.ann_topk("embedding", qids, k=5, n_probes=2)) for _ in range(3))
+    q8_t = min(_bench_once(
+        te.ann_topk("embedding", qids, k=5, n_probes=2,
+                    quantized=True, refine=4)) for _ in range(3))
+    out["__ann_q8_vs_exact"] = {
+        "exact_sec": round(ex_t, 3),
+        "q8_sec": round(q8_t, 3),
+        "ratio": round(q8_t / ex_t, 3),
+    }
+
     shutil.rmtree(wh, ignore_errors=True)
     shutil.rmtree(pq_dir, ignore_errors=True)
     return out
@@ -315,7 +335,10 @@ def main() -> None:
         # change — diff THIS number across rounds, not `value`.
         ratios = [cell["ratio"] for stage in evp.values()
                   for cell in stage.values()]
-        ratios += [cell["ratio"] for cell in hr.values()]
+        # "__"-prefixed entries are diagnostics (engine-vs-engine or
+        # non-identical-rows pairs), excluded from the ratio contract
+        ratios += [cell["ratio"] for k, cell in hr.items()
+                   if not k.startswith("__")]
         result["ratio_total"] = round(_geomean(ratios), 3)
     print(json.dumps(result))
 

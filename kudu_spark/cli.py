@@ -15,6 +15,11 @@ src/kudu/tools/tool_action_table.cc and table_scanner.cc).
     python -m kudu_spark.cli loadgen   --warehouse WH TABLE --rows 100000
     python -m kudu_spark.cli compact   --warehouse WH TABLE [--io-budget-bytes N] [--plan-only]
     python -m kudu_spark.cli maintenance --warehouse WH [--max-sweeps N]
+    python -m kudu_spark.cli train-cells --warehouse WH TABLE COLUMN [--cells N]
+    python -m kudu_spark.cli converge-cells --warehouse WH TABLE [--budget-bytes N]
+    python -m kudu_spark.cli ann       --warehouse WH TABLE COLUMN KEY... [-k N]
+    python -m kudu_spark.cli ann       --warehouse WH TABLE COLUMN --vector '[...]' [-k N]
+    python -m kudu_spark.cli sql       --warehouse WH 'SELECT ...'
 
 Predicates use the `kudu table scan` JSON grammar
 (table_scanner.cc:113-131): [op, col, value] with op in <= < = > >=,
@@ -120,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("column")
     sp.add_argument("--cells", type=int, default=8)
     sp.add_argument("--iters", type=int, default=3)
+    sp = sub.add_parser(
+        "converge-cells",
+        help="run budgeted convergence steps for stale cell-model "
+             "stamps (post train-cells/retrain): each step compacts "
+             "the best stale partitions within --budget-bytes; hybrid "
+             "serving keeps answers exact in between",
+    )
+    sp.add_argument("table")
+    sp.add_argument("--budget-bytes", type=int, default=None)
+    sp.add_argument("--max-steps", type=int, default=64)
     sp = sub.add_parser(
         "ann",
         help="serve ANN top-k through a table's stored IVF cells "
@@ -299,6 +314,19 @@ def main(argv: list[str] | None = None) -> int:
                              n_iters=args.iters)
         print(json.dumps({"table": args.table, "column": args.column,
                           "cells": args.cells, "iters": args.iters}))
+    elif args.cmd == "converge-cells":
+        t = eng.table(args.table)
+        steps = []
+        for _ in range(args.max_steps):
+            conv = t.converge_vector_cells(io_budget_bytes=args.budget_bytes)
+            steps.append(conv)
+            if not conv["partitions"]:
+                break
+        print(json.dumps({"table": args.table, "steps": len(steps),
+                          "partitions": sum(s["partitions"] for s in steps),
+                          "spent_bytes": sum(s["spent_bytes"] for s in steps),
+                          "stale_partitions_left":
+                              steps[-1]["stale_partitions_left"] if steps else 0}))
     elif args.cmd == "ann":
         def _key(v):
             try:

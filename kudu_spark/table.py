@@ -1978,6 +1978,12 @@ class Table:
             return 1.0
         if int(tv) >= st.version:
             return 0.0
+        # bound the log walk: past this many commits since training the
+        # walk would dominate the sweep (one metadata GET per commit on
+        # an object store) — and a model that old under that much churn
+        # should retrain anyway, so saturate instead of reading history
+        if st.version - int(tv) > 8192:
+            return 1.0
         from kudu_spark.meta import read_log
 
         mutation_ops = {"insert", "upsert", "update", "delete", "txn"}

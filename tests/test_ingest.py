@@ -462,3 +462,45 @@ def test_ingest_semantic_dedup_quantize_aware(spark, tmp_path):
     # (c) the streaming entry point forwards the multi-probe knob
     assert "semantic_probes" in inspect.signature(
         ingest_corpus_stream).parameters
+
+
+def test_q8_cosine_error_envelope_lemma():
+    """The margin the quantize-aware dedup classifies against —
+    |cos(q, v8) - cos(q, v)| <= sqrt(dims)/|v8| — must hold for EVERY
+    vector pair, or a definite accept/reject could diverge from the fp
+    path. Pure-numpy adversarial check: random scales/shapes plus the
+    worst cases (components straddling rounding boundaries, tiny
+    vectors whose codes collapse, near-orthogonal pairs where cosine
+    is most sensitive). 20k randomized pairs, seeded."""
+    import numpy as np
+
+    rng = np.random.default_rng(20140816)
+    dims_choices = [4, 8, 32, 64, 96]
+    for trial in range(20_000):
+        d = int(rng.choice(dims_choices))
+        scale_mag = 10.0 ** rng.uniform(-6, 6)
+        v = rng.standard_normal(d) * scale_mag
+        if trial % 7 == 0:
+            # adversarial: push components onto x.5 rounding boundaries
+            m = np.abs(v).max()
+            if m > 0:
+                s = 127.0 / m
+                v = (np.floor(v * s) + 0.5) / s
+        q = rng.standard_normal(d)
+        if trial % 11 == 0:
+            # near-orthogonal probe: cosine most sensitive to the code
+            # perturbation here
+            q = q - (q @ v) / max(v @ v, 1e-30) * v + rng.standard_normal(d) * 1e-6
+        m = np.abs(v).max()
+        if m == 0 or np.linalg.norm(q) == 0:
+            continue
+        s = 127.0 / m
+        v8 = np.clip(np.floor(v * s + 0.5), -127, 127)
+        n8 = np.linalg.norm(v8)
+        if n8 == 0:
+            continue  # margin undefined -> the code path re-checks exactly
+        cos_fp = (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+        cos_q8 = (q @ v8) / (np.linalg.norm(q) * n8)
+        margin = np.sqrt(d) / n8
+        assert abs(cos_q8 - cos_fp) <= margin + 1e-12, (
+            trial, d, abs(cos_q8 - cos_fp), margin)

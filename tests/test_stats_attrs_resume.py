@@ -578,3 +578,36 @@ def test_cli_and_sql_external_vector_ann(spark, tmp_path, capsys):
     # malformed vector -> clear engine error
     with _pytest.raises(Exception, match="ANN_TOPK"):
         eng.sql("SELECT * FROM ANN_TOPK('xv', 'embedding', ARRAY[oops], 3)")
+
+
+def test_cli_converge_cells(spark, tmp_path, capsys):
+    """`converge-cells` drains stale cell-model stamps through
+    budgeted compaction steps from the CLI — the manual spelling of
+    the maintenance sweep's converge motion."""
+    import json
+
+    from kudu_spark import cli
+    from kudu_spark.engine import Engine
+    from kudu_spark.queries import load
+
+    wh = str(tmp_path / "whcc")
+    eng = Engine(spark, wh)
+    t = eng.create_table(
+        "cc", [("vec_id", "bigint", False),
+               ("embedding", "array<float>", True),
+               ("label", "int", True)], pk=["vec_id"],
+        hash_partitions=[{"columns": ["vec_id"], "buckets": 4}])
+    eng.table("cc").insert(load(spark, "/root/testdata/sf0.001", "embeddings"))
+    t = eng.table("cc")
+    t.train_vector_cells("embedding", n_cells=4, n_iters=2)
+    assert eng.table("cc").vector_cell_staleness("embedding") == 1.0
+
+    capsys.readouterr()
+    # budget 1 byte -> one partition per step; 4 partitions -> 4 steps
+    # (+1 terminal no-op step)
+    assert cli.main(["--warehouse", wh, "converge-cells", "cc",
+                     "--budget-bytes", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 4 and out["steps"] == 5
+    assert out["stale_partitions_left"] == 0
+    assert eng.table("cc").vector_cell_staleness("embedding") == 0.0
