@@ -25,6 +25,8 @@ Scale shapes (the 100 TB lens):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -302,45 +304,87 @@ FROM act GROUP BY cohort_week, week_no
 """
 
 
-def sequence_match(
-    events: DataFrame,
-    pattern: list,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """ClickHouse-style sequenceMatch over the max-gap pattern subset
-    ``(?1)(?t<=g1)(?2)(?t<=g2)(?3)...``: per user, does SOME placement
-    of events (strictly increasing ts, like the funnel family) match
-    the whole chain, with each step at most ``gap`` after the
-    previous matched step? ``pattern`` is a list of event types or
-    (event_type, max_gap_interval) tuples, e.g.
-    ``["signup", ("view", "1 HOUR"), ("purchase", "2 DAY")]``.
-    Returns (user_id, depth, matched): depth = longest satisfiable
-    pattern PREFIX, matched = the full chain exists.
+_GAP_NS = {
+    "MICROSECOND": 1_000,
+    "MILLISECOND": 1_000_000,
+    "SECOND": 1_000_000_000,
+    "MINUTE": 60 * 1_000_000_000,
+    "HOUR": 3600 * 1_000_000_000,
+    "DAY": 86400 * 1_000_000_000,
+    "WEEK": 7 * 86400 * 1_000_000_000,
+}
 
-    Shape: ONE user-keyed shuffle, then a single-pass codegen fold in
-    ts order carrying, per pattern prefix k, the latest ts at which
-    the prefix completes — split into t_k (all completions so far) and
-    p_k (completions STRICTLY BEFORE the current timestamp; p shifts
-    from t whenever the fold crosses to a new ts). Advances read p,
-    not t: among completions x < y < e.ts, e.ts - y < e.ts - x, so the
-    latest STRICTLY-EARLIER completion dominates under max-gap upper
-    bounds — but a completion AT e.ts itself must not be read, or an
-    equal-ts event would shadow an older, still-admissible one (the
-    A@17, A@21, B@21 case: B must match A@17; caught by the randomized
-    exhaustive-search test). This is why a backtracking matcher
-    (ClickHouse's) is unnecessary for this subset, and why MIN-gap
-    constraints (t>N, where the dominance flips) are deliberately NOT
-    offered. An existential m-way self-join (the DuckDB oracle) is the
-    ground truth it provably equals. O(events x m) per user."""
-    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
-    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
-            for p in pattern]
-    m = len(steps)
-    if m == 0:
-        raise ValueError("sequence_match needs a non-empty pattern")
-    e = events.where(
+
+def _interval_ns(spec: str) -> int:
+    """Parse the INTERVAL-literal subset the sequence operators accept
+    ('12 HOUR', '1 DAY 12 HOUR', ...) into nanoseconds. The DP path
+    compares int64-ns timestamps, so its bounds must be the exact same
+    quantity Spark's INTERVAL arithmetic adds — integer unit multiples
+    only, rejected loudly otherwise."""
+    toks = spec.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"unsupported interval literal {spec!r}")
+    total = 0
+    for num, unit in zip(toks[::2], toks[1::2]):
+        u = unit.upper()
+        if u.endswith("S") and u[:-1] in _GAP_NS:
+            u = u[:-1]
+        if u not in _GAP_NS or not num.isdigit():
+            raise ValueError(f"unsupported interval literal {spec!r}")
+        total += int(num) * _GAP_NS[u]
+    return total
+
+
+def _parse_pattern(pattern: list) -> tuple[list, list]:
+    """Normalize a sequence pattern into (steps, bounds). Each element
+    is an event type, or a (type, constraint...) tuple where every
+    constraint is an interval string with an optional leading operator
+    — the full ClickHouse ``(?t OP N)`` surface:
+
+        ("view", "12 HOUR")               legacy shorthand for <=
+        ("view", "<= 12 HOUR")            gap at most (inclusive)
+        ("view", "< 12 HOUR")             gap strictly less
+        ("view", "> 1 HOUR")              gap strictly more (min-gap)
+        ("view", ">= 1 HOUR")             gap at least
+        ("view", "== 1 HOUR")             gap exactly
+        ("view", "> 1 HOUR", "<= 1 DAY")  both-sided window
+
+    Returns per-step dicts {"min": (interval, strict)|None,
+    "max": (interval, strict)|None}; ``==`` is min>= plus max<=."""
+    steps, bounds = [], []
+    for p in pattern:
+        if isinstance(p, (tuple, list)):
+            typ, specs = p[0], [s for s in p[1:] if s is not None]
+        else:
+            typ, specs = p, []
+        mn = mx = None
+        for s in specs:
+            s = str(s).strip()
+            m = re.match(r"^(<=|>=|==|<|>)\s*(.+)$", s)
+            op, iv = (m.group(1), m.group(2).strip()) if m else ("<=", s)
+            # an unparseable interval should fail at build time, not
+            # deep inside a Spark job or the DP kernel
+            _interval_ns(iv)
+            if op == "==":
+                if mn is not None or mx is not None:
+                    raise ValueError(f"conflicting gap bounds in {p!r}")
+                mn, mx = (iv, False), (iv, False)
+            elif op in ("<", "<="):
+                if mx is not None:
+                    raise ValueError(f"duplicate max-gap bound in {p!r}")
+                mx = (iv, op == "<")
+            else:
+                if mn is not None:
+                    raise ValueError(f"duplicate min-gap bound in {p!r}")
+                mn = (iv, op == ">")
+        steps.append(typ)
+        bounds.append({"min": mn, "max": mx})
+    return steps, bounds
+
+
+def _pattern_events(events: DataFrame, steps: list, user_col: str,
+                    type_col: str, ts_col: str) -> DataFrame:
+    return events.where(
         F.col(type_col).isin(list(set(steps))) & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col).alias("user_id"),
@@ -350,39 +394,211 @@ def sequence_match(
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(type_col).alias("typ"),
     )
+
+
+def _gap_cond(cond: Column, k: int, ev: Column, p: dict, q: dict,
+              steps: list, bounds: list) -> Column:
+    """AND the (k-1)->k transition's ordering + gap bounds onto cond.
+    ``p`` holds the LATEST strictly-earlier completion per prefix,
+    ``q`` the EARLIEST. An upper bound reads p — among completions
+    x < y < ev.ts, ev.ts - y < ev.ts - x, so the latest is the weakest
+    constraint; a lower bound reads q by the mirror argument (the
+    earliest maximizes the elapsed gap). Exact because each step
+    carries at most ONE side here (both-sided steps route the whole
+    call to _sequence_dp) and both slots are maintained exactly."""
+    b = bounds[k - 1]
+    prev = q[k - 1] if (b["min"] and not b["max"]) else p[k - 1]
+    cond = cond & prev.isNotNull()
+    if b["max"] is not None:
+        iv, strict = b["max"]
+        lim = prev + F.expr(f"INTERVAL {iv}")
+        cond = cond & (ev["ts"] < lim if strict else ev["ts"] <= lim)
+    if b["min"] is not None:
+        iv, strict = b["min"]
+        lim = prev + F.expr(f"INTERVAL {iv}")
+        cond = cond & (ev["ts"] > lim if strict else ev["ts"] >= lim)
+    return cond
+
+
+def _sequence_dp(e: DataFrame, steps: list, bounds: list,
+                 mode: str) -> DataFrame:
+    """Exact sequence matcher for arbitrary per-step gap windows — the
+    fallback when a step carries BOTH a min and a max bound, where no
+    single stored completion dominates (feasibility is an interval
+    query over the completion-time SET, which the constant-width fold
+    state cannot answer; completions {1, 10} against window [4, 6] is
+    the counterexample).
+
+    Level-by-level DP per user over the (ts, typ)-sorted event list:
+    completions of prefix k-1 form a ts-sorted array; a type-s_k event
+    at t extends iff the index window [lo, hi) of completions
+    satisfying t's gap bounds is non-empty — two np.searchsorted calls
+    over the whole candidate vector, no per-event Python. O(n log n x
+    m) per user for match; count iterates leftmost-completion +
+    restart (each iteration one level DP over the remaining suffix —
+    the non-overlap reset is why a single pass cannot be vectorized).
+    Arrow-batched applyInPandas keyed by user; per-user event counts
+    bound each batch (the windowFunnel assumption at module top)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(steps)
+    bnd = []
+    for b in bounds:
+        mn = (_interval_ns(b["min"][0]), b["min"][1]) if b["min"] else None
+        mx = (_interval_ns(b["max"][0]), b["max"][1]) if b["max"] else None
+        bnd.append((mn, mx))
+    uid_t = e.schema["user_id"].dataType.simpleString()
+    out_schema = (f"user_id {uid_t}, depth int, matched boolean"
+                  if mode == "match" else f"user_id {uid_t}, n_matches int")
+
+    def exists(comps: "np.ndarray", cand: "np.ndarray", k: int):
+        # comps: sorted prefix-(k-1) completion ts; cand: candidate
+        # event ts. Feasible x: x < t, plus the gap window. side=
+        # 'left' at v counts x < v; 'right' counts x <= v.
+        mn, mx = bnd[k - 1]
+        hi = np.searchsorted(comps, cand, side="left")
+        if mn is not None:
+            g, strict = mn
+            hi = np.minimum(hi, np.searchsorted(
+                comps, cand - g, side="left" if strict else "right"))
+        if mx is not None:
+            g, strict = mx
+            lo = np.searchsorted(
+                comps, cand - g, side="right" if strict else "left")
+        else:
+            lo = np.zeros(cand.shape, dtype=np.int64)
+        return hi > lo
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "typ"], kind="mergesort",
+                              ignore_index=True)
+        s = pdf["ts"]
+        try:
+            s = s.dt.tz_localize(None)
+        except TypeError:
+            pass
+        ts = s.to_numpy("datetime64[ns]").astype(np.int64)
+        typ = pdf["typ"].to_numpy()
+        uid = pdf["user_id"].iloc[0]
+        if mode == "match":
+            comps = ts[typ == steps[0]]
+            depth = 1 if comps.size else 0
+            for k in range(2, m + 1):
+                if comps.size == 0:
+                    break
+                comps = ts[typ == steps[k - 1]][
+                    exists(comps, ts[typ == steps[k - 1]], k)]
+                if comps.size:
+                    depth = k
+            return pd.DataFrame({"user_id": [uid], "depth": [depth],
+                                 "matched": [depth == m]})
+        n, start = 0, 0
+        while True:
+            sub_ts, sub_typ = ts[start:], typ[start:]
+            idx = np.nonzero(sub_typ == steps[0])[0]
+            comps_ts = sub_ts[idx]
+            for k in range(2, m + 1):
+                if idx.size == 0:
+                    break
+                cand_idx = np.nonzero(sub_typ == steps[k - 1])[0]
+                ok = exists(comps_ts, sub_ts[cand_idx], k)
+                idx = cand_idx[ok]
+                comps_ts = sub_ts[idx]
+            if idx.size == 0:
+                break
+            n += 1
+            # restart strictly after the MINIMAL completion event —
+            # idx ascends and ts is sorted, so idx[0] is both the
+            # min-position and min-ts completion (the oracle's
+            # min(e_m.pos); later-level events can't precede it: a
+            # chain's ts strictly increases, and pos order is ts-major)
+            start += int(idx[0]) + 1
+        return pd.DataFrame({"user_id": [uid], "n_matches": [n]})
+
+    return e.groupBy("user_id").applyInPandas(fn, schema=out_schema)
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse-style sequenceMatch with the FULL gap-operator
+    surface ``(?1)(?t OP N)(?2)...`` for OP in < <= > >= ==: per user,
+    does SOME placement of events (strictly increasing ts, like the
+    funnel family) match the whole chain with every adjacent gap
+    bound honored? ``pattern`` elements are event types or
+    (event_type, constraint...) tuples — see _parse_pattern; the bare
+    interval shorthand ``("view", "1 HOUR")`` keeps its original
+    <= meaning. Returns (user_id, depth, matched): depth = longest
+    satisfiable pattern PREFIX, matched = the full chain exists.
+
+    Shape: ONE user-keyed shuffle, then a single-pass codegen fold in
+    ts order carrying, per pattern prefix k, the LATEST completion ts
+    (t_k, published to p_k for strictly-earlier reads whenever the
+    fold crosses to a new timestamp — a completion AT ev.ts must not
+    be read, or an equal-ts event would shadow an older admissible
+    one; caught by the randomized exhaustive-search test) and, when
+    any step has a lower bound, the EARLIEST completion ts (e_k/q_k,
+    set once). Upper bounds read p (latest strictly-earlier completion
+    dominates: ev.ts - x is smallest), lower bounds read q (earliest
+    dominates: ev.ts - x is largest) — so a backtracking matcher
+    (ClickHouse's) is unnecessary for any chain whose steps each carry
+    ONE-sided bounds. A step with BOTH bounds is an interval query
+    over the completion set, which no constant-width state answers;
+    those calls route to the exact vectorized level DP
+    (_sequence_dp) instead — same semantics, same oracle. The
+    existential m-way self-join (sequence_match_sql) is the ground
+    truth both paths provably equal. O(events x m) per user."""
+    steps, bounds = _parse_pattern(pattern)
+    m = len(steps)
+    if m == 0:
+        raise ValueError("sequence_match needs a non-empty pattern")
+    e = _pattern_events(events, steps, user_col, type_col, ts_col)
+    if any(b["min"] and b["max"] for b in bounds):
+        return _sequence_dp(e, steps, bounds, "match")
+    need_min = any(b["min"] for b in bounds)
     # ts-sorted array per user; typ breaks ts ties deterministically
     per_user = e.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "typ"))).alias("__evs"))
 
     nul = F.lit(None).cast("timestamp")
+    slots = ["p", "t"] + (["q", "e"] if need_min else [])
     init = F.struct(
         nul.alias("last"),
-        *[nul.alias(f"p{k}") for k in range(1, m + 1)],
-        *[nul.alias(f"t{k}") for k in range(1, m + 1)],
+        *[nul.alias(f"{s}{k}") for s in slots for k in range(1, m + 1)],
     )
 
     def step(acc: Column, ev: Column) -> Column:
-        # crossing to a new timestamp publishes t -> p: p_k is the
-        # latest completion of prefix k at ts STRICTLY BELOW ev.ts
+        # crossing to a new timestamp publishes t -> p (and e -> q):
+        # p_k/q_k are the latest/earliest completions of prefix k at
+        # ts STRICTLY BELOW ev.ts
         shift = acc["last"].isNull() | (ev["ts"] > acc["last"])
         p = {k: F.when(shift, acc[f"t{k}"]).otherwise(acc[f"p{k}"])
              for k in range(1, m + 1)}
+        q = {k: F.when(shift, acc[f"e{k}"]).otherwise(acc[f"q{k}"])
+             for k in range(1, m + 1)} if need_min else p
         fields = [ev["ts"].alias("last")]
         fields += [p[k].alias(f"p{k}") for k in range(1, m + 1)]
+        conds = {}
         for k in range(1, m + 1):
             cond = ev["typ"] == steps[k - 1]
             if k > 1:
-                prev = p[k - 1]
-                # prev < ev.ts by construction, so strict ordering is
-                # implied; only the gap bound needs checking
-                cond = cond & prev.isNotNull()
-                if gaps[k - 1] is not None:
-                    cond = cond & (
-                        ev["ts"] <= prev + F.expr(f"INTERVAL {gaps[k - 1]}"))
+                cond = _gap_cond(cond, k, ev, p, q, steps, bounds)
+            conds[k] = cond
             # ascending fold order => ev.ts >= any stored completion,
             # so "set to ev.ts" IS the latest-completion update
             fields.append(
                 F.when(cond, ev["ts"]).otherwise(acc[f"t{k}"]).alias(f"t{k}"))
+        if need_min:
+            fields += [q[k].alias(f"q{k}") for k in range(1, m + 1)]
+            # earliest completion: set once, never overwritten
+            fields += [
+                F.coalesce(acc[f"e{k}"], F.when(conds[k], ev["ts"]))
+                .alias(f"e{k}") for k in range(1, m + 1)]
         return F.struct(*fields)
 
     state = F.aggregate(F.col("__evs"), init, step)
@@ -396,15 +612,30 @@ def sequence_match(
     )
 
 
+def _gap_conds_sql(i: int, bounds: list) -> list:
+    """The transition-(i-1)->i gap bounds as SQL predicates — shared
+    by both oracle builders so fold/DP and oracle can never disagree
+    on operator strictness."""
+    out = []
+    b = bounds[i - 1]
+    if b["max"] is not None:
+        iv, strict = b["max"]
+        out.append(f"e{i}.ts {'<' if strict else '<='} "
+                   f"e{i - 1}.ts + INTERVAL {iv}")
+    if b["min"] is not None:
+        iv, strict = b["min"]
+        out.append(f"e{i}.ts {'>' if strict else '>='} "
+                   f"e{i - 1}.ts + INTERVAL {iv}")
+    return out
+
+
 def sequence_match_sql(pattern: list, min_depth: int = 0) -> str:
     """DuckDB twin of sequence_match: the existential ground truth —
     prefix k is satisfiable iff a k-way self-join placement exists
-    with strictly increasing ts and each max-gap bound honored.
-    Returns (user_id, depth, matched) for every user with any pattern
-    event, like the fold."""
-    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
-    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
-            for p in pattern]
+    with strictly increasing ts and every gap bound (upper, lower, or
+    both) honored. Returns (user_id, depth, matched) for every user
+    with any pattern event, like the fold and the DP."""
+    steps, bounds = _parse_pattern(pattern)
     m = len(steps)
 
     def exists_k(k: int) -> str:
@@ -416,10 +647,7 @@ def sequence_match_sql(pattern: list, min_depth: int = 0) -> str:
                 f"e{i}.user_id = u.user_id",
                 f"e{i}.event_type = '{steps[i - 1]}'",
                 f"e{i}.ts > e{i - 1}.ts",
-            ]
-            if gaps[i - 1] is not None:
-                conds.append(
-                    f"e{i}.ts <= e{i - 1}.ts + INTERVAL {gaps[i - 1]}")
+            ] + _gap_conds_sql(i, bounds)
         return (f"EXISTS (SELECT 1 FROM {froms} WHERE "
                 + " AND ".join(conds) + ")")
 
@@ -449,9 +677,7 @@ def sequence_count_sql(pattern: list) -> str:
     is the non-overlapping match count — the reference the fold's
     count-at-first-completion + full-reset provably equals (pinned by
     the randomized exhaustive harness in tests)."""
-    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
-    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
-            for p in pattern]
+    steps, bounds = _parse_pattern(pattern)
     m = len(steps)
     froms = ", ".join(f"evs e{i}" for i in range(1, m + 1))
     conds = ["e1.user_id = c.user_id", f"e1.event_type = '{steps[0]}'",
@@ -461,9 +687,7 @@ def sequence_count_sql(pattern: list) -> str:
             f"e{i}.user_id = c.user_id",
             f"e{i}.event_type = '{steps[i - 1]}'",
             f"e{i}.ts > e{i - 1}.ts",
-        ]
-        if gaps[i - 1] is not None:
-            conds.append(f"e{i}.ts <= e{i - 1}.ts + INTERVAL {gaps[i - 1]}")
+        ] + _gap_conds_sql(i, bounds)
     types = ", ".join(f"'{s}'" for s in set(steps))
     return f"""
     WITH RECURSIVE evs AS (
@@ -495,60 +719,56 @@ def sequence_count(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """ClickHouse-style sequenceCount over the same max-gap pattern
-    subset as ``sequence_match``: the number of NON-OVERLAPPING chain
+    """ClickHouse-style sequenceCount over the same gap-operator
+    surface as ``sequence_match``: the number of NON-OVERLAPPING chain
     matches per user, counted left-to-right — each time the full chain
     first becomes satisfiable the counter increments and the search
     restarts strictly after that completion event (so matches never
     share events and never interleave). Returns (user_id, n_matches).
 
-    The fold is sequence_match's p/t two-slot DP plus a reset: t_m
-    first turning non-null IS the minimal completion ts (the DP tracks
-    every feasible prefix), so count-at-first-completion + full state
+    The fold is sequence_match's dual-slot DP plus a reset: t_m first
+    turning non-null IS the minimal completion ts (the DP tracks every
+    feasible prefix — exact for one-sided bounds by the same dual
+    dominance argument), so count-at-first-completion + full state
     reset equals the leftmost-completion + restart reference the tests
-    brute-force. Same single user-keyed shuffle, O(events x m)."""
-    steps = [p[0] if isinstance(p, (tuple, list)) else p for p in pattern]
-    gaps = [None if not isinstance(p, (tuple, list)) or len(p) < 2 else p[1]
-            for p in pattern]
+    brute-force. Both-sided steps route to _sequence_dp's iterated
+    level DP. Same single user-keyed shuffle, O(events x m)."""
+    steps, bounds = _parse_pattern(pattern)
     m = len(steps)
     if m == 0:
         raise ValueError("sequence_count needs a non-empty pattern")
-    e = events.where(
-        F.col(type_col).isin(list(set(steps))) & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("user_id"),
-        F.col(ts_col).cast("timestamp").alias("ts"),
-        F.col(type_col).alias("typ"),
-    )
+    e = _pattern_events(events, steps, user_col, type_col, ts_col)
+    if any(b["min"] and b["max"] for b in bounds):
+        return _sequence_dp(e, steps, bounds, "count")
+    need_min = any(b["min"] for b in bounds)
     per_user = e.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "typ"))).alias("__evs"))
 
     nul = F.lit(None).cast("timestamp")
+    slots = ["p", "t"] + (["q", "e"] if need_min else [])
     init = F.struct(
         F.lit(0).alias("n"),
         nul.alias("last"),
-        *[nul.alias(f"p{k}") for k in range(1, m + 1)],
-        *[nul.alias(f"t{k}") for k in range(1, m + 1)],
+        *[nul.alias(f"{s}{k}") for s in slots for k in range(1, m + 1)],
     )
 
     def step(acc: Column, ev: Column) -> Column:
         shift = acc["last"].isNull() | (ev["ts"] > acc["last"])
         p = {k: F.when(shift, acc[f"t{k}"]).otherwise(acc[f"p{k}"])
              for k in range(1, m + 1)}
-        t = {}
+        q = {k: F.when(shift, acc[f"e{k}"]).otherwise(acc[f"q{k}"])
+             for k in range(1, m + 1)} if need_min else p
+        t, conds = {}, {}
         for k in range(1, m + 1):
             cond = ev["typ"] == steps[k - 1]
             if k > 1:
-                prev = p[k - 1]
-                cond = cond & prev.isNotNull()
-                if gaps[k - 1] is not None:
-                    cond = cond & (
-                        ev["ts"] <= prev + F.expr(f"INTERVAL {gaps[k - 1]}"))
+                cond = _gap_cond(cond, k, ev, p, q, steps, bounds)
+            conds[k] = cond
             t[k] = F.when(cond, ev["ts"]).otherwise(acc[f"t{k}"])
         done = t[m].isNotNull()
         # completion: count it and restart strictly after this event —
         # last keeps ev.ts, so pre-reset completions can never leak
-        # into the next chain via the p-shift
+        # into the next chain via the p/q-shift
         fields = [
             F.when(done, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
             ev["ts"].alias("last"),
@@ -557,6 +777,13 @@ def sequence_count(
                    for k in range(1, m + 1)]
         fields += [F.when(done, nul).otherwise(t[k]).alias(f"t{k}")
                    for k in range(1, m + 1)]
+        if need_min:
+            fields += [F.when(done, nul).otherwise(q[k]).alias(f"q{k}")
+                       for k in range(1, m + 1)]
+            fields += [
+                F.when(done, nul).otherwise(
+                    F.coalesce(acc[f"e{k}"], F.when(conds[k], ev["ts"])))
+                .alias(f"e{k}") for k in range(1, m + 1)]
         return F.struct(*fields)
 
     return per_user.select(

@@ -1068,3 +1068,51 @@ def events_sequence_count(spark, sf_dir):
     (operators/events.py sequence_count); the oracle is the
     leftmost-completion + restart recursion as a recursive CTE."""
     return EV.sequence_count(load(spark, sf_dir, "events"), _CNT_PATTERN)
+
+
+# refractory-period shape: a purchase must NOT follow its click
+# immediately (bot/accidental-double-tap exclusion) — the min-gap
+# operator families r14 added for full ClickHouse (?t OP N) parity
+_MINGAP_PATTERN = ["signup", ("view", ">= 30 MINUTE"),
+                   ("purchase", "> 1 HOUR")]
+
+
+@query(
+    "events_sequence_match_mingap",
+    oracle=EV.sequence_match_sql(_MINGAP_PATTERN),
+    gated=False,  # gate capped at 50; pytest runs the oracle —
+    # events_sequence_match is the family's driver-gated entry
+)
+def events_sequence_match_mingap(spark, sf_dir):
+    """sequenceMatch with LOWER gap bounds: signup -> view (>=30min
+    later) -> purchase (>1h after the view). Runs in the same codegen
+    fold as the max-gap subset via the dual dominance argument — a
+    lower bound reads the EARLIEST strictly-earlier prefix completion
+    (set-once e/q slots), an upper bound the latest (operators/
+    events.py _gap_cond); the oracle is the existential self-join with
+    the same operator strictness."""
+    return EV.sequence_match(load(spark, sf_dir, "events"), _MINGAP_PATTERN)
+
+
+# dwell-window shape: a click counts only inside (15min, 12h] of its
+# view — both bounds on one step, the case no constant-width fold
+# state can answer (interval query over the completion SET)
+_WINDOW_PATTERN = ["view", ("click", "> 15 MINUTE", "<= 12 HOUR"),
+                   ("purchase", "<= 2 DAY")]
+
+
+@query(
+    "events_sequence_match_window",
+    oracle=EV.sequence_match_sql(_WINDOW_PATTERN),
+    gated=False,
+)
+def events_sequence_match_window(spark, sf_dir):
+    """sequenceMatch with a BOTH-SIDED gap window: view -> click
+    within (15min, 12h] -> purchase within 2d. The both-sided step
+    routes to the exact level DP (operators/events.py _sequence_dp):
+    per user, prefix completions form a ts-sorted array and each
+    candidate's feasible window is two np.searchsorted calls —
+    Arrow-batched applyInPandas, vectorized numpy inside, pinned
+    against exhaustive placement search in pytest; the oracle is the
+    same existential self-join."""
+    return EV.sequence_match(load(spark, sf_dir, "events"), _WINDOW_PATTERN)

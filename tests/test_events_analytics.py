@@ -408,3 +408,244 @@ def test_sequence_count_semantics_and_randomized(spark):
             assert u not in got
             continue
         assert got[u] == ref_count(evs), (u, sorted(evs), got[u])
+
+
+# ---- r14: full ClickHouse gap-operator surface (min-gap, strict,
+# equality, both-sided windows) ----
+
+def _gap_bnds(pattern):
+    """Per-step (min_s, min_strict, max_s, max_strict) in seconds for
+    the brute-force references — parsed with the operator's own parser
+    so a parser bug can't hide behind a hand-duplicated table."""
+    from kudu_spark.operators.events import _interval_ns, _parse_pattern
+
+    steps, bounds = _parse_pattern(pattern)
+    out = []
+    for b in bounds:
+        mn = (_interval_ns(b["min"][0]) // 10**9, b["min"][1]) \
+            if b["min"] else (None, False)
+        mx = (_interval_ns(b["max"][0]) // 10**9, b["max"][1]) \
+            if b["max"] else (None, False)
+        out.append((mn[0], mn[1], mx[0], mx[1]))
+    return steps, out
+
+
+def _gap_ok(g, bnd):
+    mn, mns, mx, mxs = bnd
+    if mn is not None and (g < mn or (mns and g == mn)):
+        return False
+    if mx is not None and (g > mx or (mxs and g == mx)):
+        return False
+    return True
+
+
+def _brute_depth(evs, steps, bnds):
+    evs = sorted(evs)
+    best = [0]
+
+    def dfs(i, k, prev_s):
+        best[0] = max(best[0], k)
+        if k == len(steps):
+            return
+        for j in range(i, len(evs)):
+            s, t = evs[j]
+            if t != steps[k]:
+                continue
+            if k > 0 and (s <= prev_s or not _gap_ok(s - prev_s, bnds[k])):
+                continue
+            dfs(j + 1, k + 1, s)
+
+    dfs(0, 0, None)
+    return best[0]
+
+
+def _brute_count(evs, steps, bnds):
+    evs = sorted(e for e in evs if e[1] in steps)
+
+    def min_completion(sub):
+        best = [None]
+
+        def dfs(i, k, prev_s):
+            for j in range(i, len(sub)):
+                if best[0] is not None and j >= best[0]:
+                    return
+                s, ty = sub[j]
+                if ty != steps[k]:
+                    continue
+                if k > 0 and (s <= prev_s
+                              or not _gap_ok(s - prev_s, bnds[k])):
+                    continue
+                if k == len(steps) - 1:
+                    best[0] = j
+                    return
+                dfs(j + 1, k + 1, s)
+
+        dfs(0, 0, None)
+        return best[0]
+
+    n = 0
+    while True:
+        j = min_completion(evs)
+        if j is None:
+            return n
+        n += 1
+        evs = evs[j + 1:]
+
+
+_GAP_PATTERNS = [
+    # min-only, strict and inclusive -> earliest-completion fold slots
+    ["A", ("B", "> 5 SECOND"), ("C", ">= 4 SECOND")],
+    # mixed sides across steps -> both slot families in one fold
+    ["A", ("B", "7 SECOND"), ("C", "> 3 SECOND")],
+    # both-sided windows -> the vectorized level DP
+    ["A", ("B", ">= 3 SECOND", "<= 9 SECOND"),
+     ("C", "> 2 SECOND", "< 8 SECOND")],
+    # equality gap (min>= plus max<=) -> DP
+    ["A", ("B", "== 5 SECOND")],
+]
+
+
+def test_sequence_match_gap_operators_randomized_vs_exhaustive(spark):
+    """sequence_match over every gap-operator family — the dual
+    (earliest+latest) dominance fold for one-sided chains and the
+    searchsorted level DP for both-sided/equality chains — pinned
+    against an exhaustive placement search on 150 seeded-random users
+    per pattern (the harness family that caught the equal-ts bug)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sequence_match
+
+    base = datetime(2024, 1, 1)
+    for pi, pat in enumerate(_GAP_PATTERNS):
+        steps, bnds = _gap_bnds(pat)
+        rng = random.Random(1400 + pi)
+        rows, byuser = [], {}
+        for u in range(150):
+            evs = [(rng.randint(0, 30), rng.choice(["A", "B", "C", "X"]))
+                   for _ in range(rng.randint(1, 10))]
+            byuser[u] = evs
+            rows += [(u, base + timedelta(seconds=s), t) for s, t in evs]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string")
+        got = {r.user_id: (r.depth, r.matched)
+               for r in sequence_match(df, pat).collect()}
+        m = len(steps)
+        for u, evs in byuser.items():
+            if not any(t in steps for _s, t in evs):
+                assert u not in got, (pi, u)
+                continue
+            want = _brute_depth(evs, steps, bnds)
+            assert got[u] == (want, want == m), (pi, u, sorted(evs), got[u])
+
+
+def test_sequence_count_gap_operators_randomized(spark):
+    """sequence_count over the same operator families vs the
+    leftmost-completion + restart brute force — the count fold's reset
+    interacts with the new earliest-completion slots, and the DP's
+    iterated-suffix restart must agree with min(e_m.pos) exactly."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sequence_count
+
+    base = datetime(2024, 1, 1)
+    for pi, pat in enumerate(_GAP_PATTERNS):
+        steps, bnds = _gap_bnds(pat)
+        rng = random.Random(2800 + pi)
+        rows, byuser = [], {}
+        for u in range(150):
+            evs = [(rng.randint(0, 30), rng.choice(["A", "B", "C", "X"]))
+                   for _ in range(rng.randint(1, 12))]
+            byuser[u] = evs
+            rows += [(u, base + timedelta(seconds=s), t) for s, t in evs]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string")
+        got = {r.user_id: r.n_matches
+               for r in sequence_count(df, pat).collect()}
+        for u, evs in byuser.items():
+            if not any(t in steps for _s, t in evs):
+                assert u not in got, (pi, u)
+                continue
+            assert got[u] == _brute_count(evs, steps, bnds), \
+                (pi, u, sorted(evs), got[u])
+
+
+def test_sequence_dp_equals_fold_on_one_sided(spark):
+    """The DP path must agree with the fold wherever both apply — run
+    _sequence_dp directly on one-sided patterns (which dispatch to the
+    fold publicly) and compare row sets."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import (
+        _parse_pattern, _pattern_events, _sequence_dp, sequence_count,
+        sequence_match)
+
+    base = datetime(2024, 1, 1)
+    rng = random.Random(777)
+    rows = []
+    for u in range(120):
+        for _ in range(rng.randint(1, 10)):
+            rows.append((u, base + timedelta(seconds=rng.randint(0, 30)),
+                         rng.choice(["A", "B", "C", "X"])))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    for pat in _GAP_PATTERNS[:2]:
+        steps, bounds = _parse_pattern(pat)
+        e = _pattern_events(df, steps, "user_id", "event_type", "ts")
+        fold_m = {tuple(r) for r in sequence_match(df, pat).collect()}
+        dp_m = {tuple(r) for r in
+                _sequence_dp(e, steps, bounds, "match").collect()}
+        assert fold_m == dp_m, pat
+        fold_c = {tuple(r) for r in sequence_count(df, pat).collect()}
+        dp_c = {tuple(r) for r in
+                _sequence_dp(e, steps, bounds, "count").collect()}
+        assert fold_c == dp_c, pat
+
+
+def test_sequence_gap_operator_edges(spark):
+    """Hand-picked gap-operator edges: boundary inclusivity for every
+    operator, equal timestamps never chain even under min-gap 0, and
+    the parser rejects malformed/conflicting specs."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from kudu_spark.operators.events import (
+        _interval_ns, _parse_pattern, sequence_match)
+
+    base = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, base + timedelta(seconds=s), t) for u, s, t in rows],
+            "user_id bigint, ts timestamp, event_type string")
+
+    # A@0, B@5: the gap is exactly 5s — each operator's boundary
+    df = mk([(1, 0, "A"), (1, 5, "B")])
+    for spec, want in [("<= 5 SECOND", True), ("< 5 SECOND", False),
+                       (">= 5 SECOND", True), ("> 5 SECOND", False),
+                       ("== 5 SECOND", True), ("== 4 SECOND", False)]:
+        r = sequence_match(df, ["A", ("B", spec)]).collect()[0]
+        assert r.matched is want, spec
+
+    # equal-ts pair never chains, even with min-gap >= 0 (strict ts
+    # order is the family invariant); a later B beyond the min-gap does
+    df2 = mk([(1, 10, "A"), (1, 10, "B"), (2, 10, "A"), (2, 10, "B"),
+              (2, 13, "B")])
+    got = {r.user_id: r.matched for r in
+           sequence_match(df2, ["A", ("B", ">= 0 SECOND")]).collect()}
+    assert got == {1: False, 2: True}
+
+    # interval parser: units, plurals, compounds, rejects
+    assert _interval_ns("90 MINUTE") == 90 * 60 * 10**9
+    assert _interval_ns("1 DAY 12 HOURS") == 36 * 3600 * 10**9
+    for bad in ["5 PARSEC", "HOUR 5", "5", "1.5 HOUR"]:
+        with pytest.raises(ValueError):
+            _interval_ns(bad)
+    for bad_pat in [[("A", "< 1 HOUR", "<= 2 HOUR")],
+                    [("A", "> 1 HOUR", ">= 2 HOUR")],
+                    [("A", "== 1 HOUR", "< 2 HOUR")]]:
+        with pytest.raises(ValueError):
+            _parse_pattern(bad_pat)
