@@ -791,3 +791,71 @@ def sequence_count(
         F.aggregate(F.col("__evs"), init, step)["n"]
         .cast("int").alias("n_matches"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 MINUTE",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inactivity-gap sessionization — the batch twin of Spark's
+    streaming ``session_window``: an event starts a NEW session when
+    it arrives strictly more than ``gap`` after the user's previous
+    event (an exactly-``gap`` pause keeps the session, matching
+    session_window's gapDuration semantics). Returns the input rows
+    (NULL-ts rows dropped — they order nowhere) plus ``session_no``,
+    1-based per user in time order.
+
+    Shape: ONE user-keyed shuffle; both window functions (lag + the
+    running sum of session starts) share the same
+    partitionBy(user)/orderBy(ts) frame, so Catalyst evaluates them in
+    a single Window node over a single sort — and a downstream
+    per-(user, session) aggregate reuses the same partitioning with
+    map-side partial aggregation, no second shuffle of the events.
+    Ties order by (ts, type) deterministically; tie order cannot move
+    a boundary, because equal timestamps always fall within any
+    non-negative gap of each other."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    starts = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("int")
+    return (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("session_no",
+                    F.sum(starts).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+
+
+def session_stats_sql(gap: str) -> str:
+    """DuckDB twin of sessionize + per-session aggregation: the same
+    lag/running-sum windows, spelled in ANSI SQL."""
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL {gap}
+                  THEN 1 ELSE 0 END AS s
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           min(ts) AS session_start,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_no
+    """

@@ -1116,3 +1116,26 @@ def events_sequence_match_window(spark, sf_dir):
     against exhaustive placement search in pytest; the oracle is the
     same existential self-join."""
     return EV.sequence_match(load(spark, sf_dir, "events"), _WINDOW_PATTERN)
+
+
+@query(
+    "events_sessionize",
+    oracle=EV.session_stats_sql("30 MINUTE"),
+    gated=False,
+)
+def events_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (30-min gap — the batch twin of
+    Spark's streaming session_window) + per-session stats: events,
+    distinct types, start, duration. ONE user-keyed shuffle: lag and
+    the running session counter share a single Window sort, and the
+    (user, session_no) aggregate reuses the partitioning with map-side
+    partials (operators/events.py sessionize)."""
+    s = EV.sessionize(load(spark, sf_dir, "events"), gap="30 MINUTE")
+    return s.groupBy("user_id", F.col("session_no").cast("int")
+                     .alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("session_start"),
+        (F.unix_timestamp(F.max("ts"))
+         - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+    )

@@ -649,3 +649,83 @@ def test_sequence_gap_operator_edges(spark):
                     [("A", "== 1 HOUR", "< 2 HOUR")]]:
         with pytest.raises(ValueError):
             _parse_pattern(bad_pat)
+
+
+def test_sessionize_semantics_and_randomized(spark):
+    """sessionize: a pause strictly greater than the gap starts a new
+    session, an exactly-gap pause does not (session_window's
+    gapDuration contract); equal-ts events share a session; NULL ts
+    drops. Pinned on hand cases + 200 seeded-random users against a
+    one-line python reference."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sessionize
+
+    base = datetime(2024, 1, 1)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    rows = [
+        # user 1: 0,5 | 20 (gap 10s: 15 would stay, 20 splits), 25
+        (1, t(0), "a"), (1, t(5), "b"), (1, t(20), "a"), (1, t(25), "b"),
+        # user 2: exactly-gap pause stays one session
+        (2, t(0), "a"), (2, t(10), "b"),
+        # user 3: equal timestamps share a session
+        (3, t(7), "a"), (3, t(7), "b"),
+        (4, None, "a"), (4, t(1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {(r.user_id, r.ts, r.event_type): r.session_no
+           for r in sessionize(df, gap="10 SECOND").collect()}
+    assert got[(1, t(0), "a")] == 1 and got[(1, t(5), "b")] == 1
+    assert got[(1, t(20), "a")] == 2 and got[(1, t(25), "b")] == 2
+    assert got[(2, t(0), "a")] == 1 and got[(2, t(10), "b")] == 1
+    assert got[(3, t(7), "a")] == 1 and got[(3, t(7), "b")] == 1
+    assert (4, None, "a") not in got and got[(4, t(1), "b")] == 1
+
+    def ref_sessions(secs, gap):
+        secs = sorted(secs)
+        out, cur = [], 0
+        for i, s in enumerate(secs):
+            if i == 0 or s - secs[i - 1] > gap:
+                cur += 1
+            out.append((s, cur))
+        return out
+
+    rng = random.Random(3141)
+    rows, byuser = [], {}
+    for u in range(200):
+        secs = sorted(rng.sample(range(0, 200), rng.randint(1, 15)))
+        byuser[u] = secs
+        rows += [(u, t(s), "e") for s in secs]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {}
+    for r in sessionize(df, gap="12 SECOND").collect():
+        got[(r.user_id, r.ts)] = r.session_no
+    for u, secs in byuser.items():
+        for s, want in ref_sessions(secs, 12):
+            assert got[(u, t(s))] == want, (u, secs)
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    """Both window functions and the per-session aggregate must run
+    off ONE user-keyed exchange — the scale claim in the docstring."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kudu_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "a")],
+        "user_id bigint, ts timestamp, event_type string")
+    agg = sessionize(df).groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n"))
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted")
+    # count tree nodes, not the detail section's repeats
+    assert plan.count("+- Exchange") == 1, plan
