@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 DEFAULT_FUNNEL = ("signup", "view", "click", "purchase")
 
 
-def _funnel_level(evs: Column, within: str | None = None) -> Column:
+def _funnel_level(evs: Column, within: str | None = None,
+                  mode: str | None = None) -> Column:
     """Fold a ts-sorted array of (ts, step) structs into the deepest
     funnel level reached: advance when the event IS the next step and
     happens strictly AFTER the level was reached (first step needs no
@@ -48,35 +49,62 @@ def _funnel_level(evs: Column, within: str | None = None) -> Column:
     whole chain to a conversion window anchored at the user's FIRST
     first-step event — first-touch attribution, the deterministic
     subset of ClickHouse windowFunnel(window) (a chain only a later
-    anchor would catch does not count; document over cleverness)."""
+    anchor would catch does not count; document over cleverness).
+
+    ``mode`` adds ClickHouse's interruption semantics via a sticky
+    ``stopped`` flag (the walk is operational by definition, so the
+    flag IS the semantics — no search argument needed):
+    ``"strict_order"``: once the chain has started, ANY non-advancing
+    event freezes the level (the A->B->D->C example stops at D; the
+    caller feeds ALL event types, non-funnel ones as step -1);
+    ``"strict_dedup"``: an event matching an ALREADY-matched step
+    (step index < level) freezes it."""
     init = F.struct(
         F.lit(0).alias("level"),
         F.lit(None).cast("timestamp").alias("ts"),
         F.lit(None).cast("timestamp").alias("t0"),
+        F.lit(False).alias("stopped"),
     )
 
     def step(acc: Column, ev: Column) -> Column:
-        adv = (ev["step"] == acc["level"]) & (
-            (acc["level"] == 0) | (ev["ts"] > acc["ts"])
+        adv = (
+            ~acc["stopped"]
+            & (ev["step"] == acc["level"])
+            & ((acc["level"] == 0) | (ev["ts"] > acc["ts"]))
         )
         if within is not None:
             adv = adv & (
                 (acc["level"] == 0)
                 | (ev["ts"] <= acc["t0"] + F.expr(f"INTERVAL {within}"))
             )
+        if mode == "strict_order":
+            viol = acc["level"] > 0
+        elif mode == "strict_dedup":
+            viol = (ev["step"] >= 0) & (ev["step"] < acc["level"])
+        else:
+            viol = F.lit(False)
         return F.when(
             adv,
             F.struct(
                 (acc["level"] + 1).alias("level"),
                 ev["ts"].alias("ts"),
                 F.coalesce(acc["t0"], ev["ts"]).alias("t0"),
+                F.lit(False).alias("stopped"),
             ),
-        ).otherwise(acc)
+        ).otherwise(
+            F.struct(
+                acc["level"].alias("level"),
+                acc["ts"].alias("ts"),
+                acc["t0"].alias("t0"),
+                (acc["stopped"] | viol).alias("stopped"),
+            )
+        )
 
     return F.aggregate(evs, init, step)["level"]
 
 
-def _funnel_level_any(evs: Column, within: str) -> Column:
+def _funnel_level_any(evs: Column, within: str | None,
+                      mode: str | None = None) -> Column:
     """Deepest funnel level over ANY anchor placement — full
     ClickHouse windowFunnel(window, strict_increase) semantics: every
     first-step event is a candidate chain anchor, the chain must land
@@ -89,12 +117,20 @@ def _funnel_level_any(evs: Column, within: str) -> Column:
     _funnel_level pinned to that anchor. Greedy-per-anchor is optimal
     by the standard exchange argument, so max-over-anchors is exact.
     O(anchors x events) per user, both bounded by the per-user event
-    count the one-shuffle design already assumes."""
-    w = F.expr(f"INTERVAL {within}")
+    count the one-shuffle design already assumes.
+
+    ``mode`` (strict_order / strict_dedup) freezes each anchor's walk
+    at its first interruption — only events strictly AFTER the anchor
+    can interrupt (earlier array entries belong to other anchors'
+    timelines). With a mode, ``within`` may be None: per-anchor walks
+    differ even unbounded (an interruption one anchor hits, a later
+    anchor skips), unlike the plain greedy case."""
+    w = F.expr(f"INTERVAL {within}") if within is not None else None
 
     def depth_from(anchor: Column) -> Column:
         init = F.struct(
-            F.lit(1).alias("level"), anchor["ts"].alias("ts")
+            F.lit(1).alias("level"), anchor["ts"].alias("ts"),
+            F.lit(False).alias("stopped"),
         )
         # NOTE (measured at 20M rows): pre-filtering the array to the
         # anchor's window (F.filter) looks like it should cut the
@@ -105,15 +141,29 @@ def _funnel_level_any(evs: Column, within: str) -> Column:
 
         def step(acc: Column, ev: Column) -> Column:
             adv = (
-                (ev["step"] == acc["level"])
+                ~acc["stopped"]
+                & (ev["step"] == acc["level"])
                 & (ev["ts"] > acc["ts"])
-                & (ev["ts"] <= anchor["ts"] + w)
             )
+            if w is not None:
+                adv = adv & (ev["ts"] <= anchor["ts"] + w)
+            after = ev["ts"] > anchor["ts"]
+            if mode == "strict_order":
+                viol = after
+            elif mode == "strict_dedup":
+                viol = after & (ev["step"] >= 0) & (ev["step"] < acc["level"])
+            else:
+                viol = F.lit(False)
             return F.when(
                 adv,
                 F.struct((acc["level"] + 1).alias("level"),
-                         ev["ts"].alias("ts")),
-            ).otherwise(acc)
+                         ev["ts"].alias("ts"),
+                         F.lit(False).alias("stopped")),
+            ).otherwise(
+                F.struct(acc["level"].alias("level"),
+                         acc["ts"].alias("ts"),
+                         (acc["stopped"] | viol).alias("stopped"))
+            )
 
         return F.aggregate(evs, init, step)["level"]
 
@@ -131,6 +181,7 @@ def window_funnel(
     ts_col: str = "ts",
     within: str | None = None,
     anchor: str = "first",
+    mode: str | None = None,
 ) -> DataFrame:
     """Strict-order funnel: for each user, walk their events in time
     order and count how deep into ``steps`` they got (each step must
@@ -148,29 +199,48 @@ def window_funnel(
     first-step event (first-touch — deterministic subset);
     ``"any"`` scores chains from EVERY first-step anchor and keeps
     the deepest — full ClickHouse windowFunnel(window) semantics
-    (_funnel_level_any). ``anchor`` is ignored without ``within``
-    (anchor choice cannot change an unbounded chain's greedy depth:
-    any chain from a later anchor is a suffix-extension the
-    first-anchor greedy walk also reaches).
+    (_funnel_level_any). Without ``within`` or ``mode``, ``anchor``
+    is ignored (anchor choice cannot change an unbounded chain's
+    greedy depth: any chain from a later anchor is a suffix-extension
+    the first-anchor greedy walk also reaches).
+
+    ``mode`` completes the ClickHouse mode surface:
+    ``"strict_order"`` — once a chain starts, ANY non-advancing event
+    interrupts it (including non-funnel types, which are folded in as
+    step -1 for this mode only); ``"strict_dedup"`` — an event
+    re-matching an already-matched step interrupts. Interruption
+    freezes the walk, so a LATER anchor can now beat the first one
+    even unbounded — with a mode, ``anchor="any"`` runs the
+    per-anchor fold regardless of ``within``.
     """
     if anchor not in ("first", "any"):
         raise ValueError(f"unknown funnel anchor mode {anchor!r}")
+    if mode not in (None, "strict_order", "strict_dedup"):
+        raise ValueError(f"unknown funnel mode {mode!r}")
     step_map = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
-    e = events.where(
-        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("__u"),
-        F.col(ts_col).alias("ts"),
-        step_map[F.col(type_col)].alias("step"),
-    )
+    if mode == "strict_order":
+        # every event can interrupt, so none may be filtered out
+        e = events.where(F.col(ts_col).isNotNull()).select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("ts"),
+            F.coalesce(step_map[F.col(type_col)], F.lit(-1)).alias("step"),
+        )
+    else:
+        e = events.where(
+            F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+        ).select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("ts"),
+            step_map[F.col(type_col)].alias("step"),
+        )
     per_user = e.groupBy("__u").agg(
         F.array_sort(F.collect_list(F.struct("ts", "step"))).alias("__evs")
     )
-    lv = (_funnel_level_any(F.col("__evs"), within)
-          if within is not None and anchor == "any"
-          else _funnel_level(F.col("__evs"), within))
+    lv = (_funnel_level_any(F.col("__evs"), within, mode)
+          if anchor == "any" and (within is not None or mode is not None)
+          else _funnel_level(F.col("__evs"), within, mode))
     levels = per_user.select(lv.alias("__lv"))
     counts = levels.agg(
         *[
@@ -248,6 +318,68 @@ def window_funnel_any_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL,
         for i, s in enumerate(steps)
     ]
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def window_funnel_strict_sql(steps: tuple[str, ...] = DEFAULT_FUNNEL,
+                             mode: str = "strict_order",
+                             within: str | None = None) -> str:
+    """DuckDB twin of window_funnel(mode=..., anchor='first'): the
+    strict modes are OPERATIONAL semantics (a walk with a sticky stop
+    flag), so the oracle simulates that exact walk as a recursive CTE
+    — one recursion step per event in (ts, step) position order, the
+    same total order the fold's array_sort uses. A stopped row emits
+    no successor, so each user's max-pos row carries the final level.
+    Chained-min-ts CTEs can't express interruption; recursion can."""
+    if mode not in ("strict_order", "strict_dedup"):
+        raise ValueError(f"unknown funnel mode {mode!r}")
+    step_case = ("CASE event_type " + " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(steps))
+        + " ELSE -1 END")
+    types = ", ".join(f"'{s}'" for s in steps)
+    src_filter = ("ts IS NOT NULL" if mode == "strict_order"
+                  else f"ts IS NOT NULL AND event_type IN ({types})")
+    wpred = (f" AND (w.level = 0 OR e.ts <= w.t0 + INTERVAL {within})"
+             if within else "")
+    viol = ("w.level > 0" if mode == "strict_order"
+            else "e.step >= 0 AND e.step < w.level")
+    m = len(steps)
+    selects = [
+        f"SELECT {i + 1} AS step_no, '{s}' AS step, "
+        f"(SELECT count(*) FROM final WHERE level >= {i + 1}) AS users"
+        for i, s in enumerate(steps)
+    ]
+    return f"""
+    WITH RECURSIVE evs AS (
+      SELECT user_id, ts, {step_case} AS step,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, {step_case}) AS pos
+      FROM events WHERE {src_filter}
+    ),
+    walk AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS pos, 0 AS level,
+             CAST(NULL AS TIMESTAMP) AS lts,
+             CAST(NULL AS TIMESTAMP) AS t0, FALSE AS stopped
+      FROM (SELECT DISTINCT user_id FROM evs)
+      UNION ALL
+      SELECT w.user_id, e.pos,
+             CASE WHEN x.adv THEN w.level + 1 ELSE w.level END,
+             CASE WHEN x.adv THEN e.ts ELSE w.lts END,
+             CASE WHEN x.adv AND w.level = 0 THEN e.ts ELSE w.t0 END,
+             CASE WHEN x.adv THEN FALSE
+                  ELSE w.stopped OR ({viol}) END
+      FROM walk w
+      JOIN evs e ON e.user_id = w.user_id AND e.pos = w.pos + 1,
+      LATERAL (SELECT (NOT w.stopped AND e.step = w.level
+                       AND (w.level = 0 OR e.ts > w.lts){wpred}) AS adv) x
+      WHERE NOT w.stopped AND w.level < {m}
+    ),
+    final AS (
+      SELECT user_id, level
+      FROM walk QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY pos DESC) = 1
+    )
+    {" UNION ALL ".join(selects)}
+    """
 
 
 def retention_cohorts(

@@ -1139,3 +1139,33 @@ def events_sessionize(spark, sf_dir):
         (F.unix_timestamp(F.max("ts"))
          - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
     )
+
+
+@query(
+    "window_funnel_strict_order",
+    oracle=EV.window_funnel_strict_sql(EV.DEFAULT_FUNNEL, "strict_order",
+                                       within="2 DAY"),
+    gated=False,
+)
+def window_funnel_strict_order(spark, sf_dir):
+    """windowFunnel(strict_order): once a user's chain starts, ANY
+    non-advancing event — including non-funnel types like 'error' —
+    freezes their level (the ClickHouse A->B->D->C example). Same
+    one-shuffle codegen fold with a sticky stop flag; the oracle
+    simulates the identical walk as a recursive CTE (chained-min-ts
+    CTEs cannot express interruption)."""
+    return EV.window_funnel(load(spark, sf_dir, "events"), within="2 DAY",
+                            mode="strict_order")
+
+
+@query(
+    "window_funnel_strict_dedup",
+    oracle=EV.window_funnel_strict_sql(EV.DEFAULT_FUNNEL, "strict_dedup"),
+    gated=False,
+)
+def window_funnel_strict_dedup(spark, sf_dir):
+    """windowFunnel(strict_dedup): an event re-matching an
+    already-matched funnel step (a second signup mid-chain) freezes
+    the level. Recursive-CTE walk oracle, like strict_order."""
+    return EV.window_funnel(load(spark, sf_dir, "events"),
+                            mode="strict_dedup")

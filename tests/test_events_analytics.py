@@ -729,3 +729,142 @@ def test_sessionize_plan_single_shuffle(spark):
         agg._jdf.queryExecution(), "formatted")
     # count tree nodes, not the detail section's repeats
     assert plan.count("+- Exchange") == 1, plan
+
+
+# ---- r14: windowFunnel strict_order / strict_dedup modes ----
+
+def _walk_level(evs, steps, mode, within=None, anchor_ts=None):
+    """Independent walk reference: greedy earliest-eligible advance
+    with a sticky stop. evs = sorted [(sec, step_idx)] (step -1 =
+    non-funnel); anchor_ts pins an any-anchor walk (starts at level 1
+    at the anchor)."""
+    if anchor_ts is None:
+        level, lts, t0, stopped = 0, None, None, False
+    else:
+        level, lts, t0, stopped = 1, anchor_ts, anchor_ts, False
+    for s, st in evs:
+        adv = (not stopped and st == level
+               and (level == 0 or s > lts)
+               and (within is None or level == 0 or s <= t0 + within))
+        if adv:
+            if level == 0:
+                t0 = s
+            level, lts = level + 1, s
+            continue
+        if stopped:
+            continue
+        if mode == "strict_order":
+            if (anchor_ts is None and level > 0) or \
+                    (anchor_ts is not None and s > anchor_ts):
+                stopped = True
+        elif mode == "strict_dedup":
+            if st >= 0 and st < level and \
+                    (anchor_ts is None or s > anchor_ts):
+                stopped = True
+    return level
+
+
+def _ref_funnel_users(byuser, steps, mode, within=None, anchor="first"):
+    want = {k: 0 for k in range(1, len(steps) + 1)}
+    for evs in byuser.values():
+        evs = sorted(evs)
+        if mode == "strict_order":
+            walked = evs
+        else:
+            walked = [e for e in evs if e[1] >= 0]
+        if anchor == "any":
+            d = 0
+            for s, st in walked:
+                if st == 0:
+                    d = max(d, _walk_level(walked, steps, mode,
+                                           within, anchor_ts=s))
+        else:
+            d = _walk_level(walked, steps, mode, within)
+        for k in range(1, d + 1):
+            want[k] += 1
+    return want
+
+
+def test_window_funnel_strict_modes_hand_cases(spark):
+    """The ClickHouse doc examples: strict_order stops A->B->C at the
+    D in A->B->D->C; strict_dedup stops at a re-matched step
+    (A->B->A->C freezes at 2 first-touch, but anchor='any' recovers
+    depth 3 from the second A when the chain after it is clean)."""
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import window_funnel
+
+    base = datetime(2024, 1, 1)
+
+    def t(s):
+        return base + timedelta(seconds=s)
+
+    steps = ("A", "B", "C")
+    rows = [
+        # user 1: A B D C -> strict_order stops at D (level 2)
+        (1, t(0), "A"), (1, t(1), "B"), (1, t(2), "D"), (1, t(3), "C"),
+        # user 2: clean A B C
+        (2, t(0), "A"), (2, t(1), "B"), (2, t(2), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r.step_no: r.users
+           for r in window_funnel(df, steps=steps,
+                                  mode="strict_order").collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+    # without the mode, user 1 completes (D is not a funnel type)
+    got = {r.step_no: r.users
+           for r in window_funnel(df, steps=steps).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    rows2 = [
+        # A B A C: dedup stops at the second A (first-touch level 2);
+        # anchored at the second A the chain B?-C is missing B -> 1
+        (1, t(0), "A"), (1, t(1), "B"), (1, t(2), "A"), (1, t(3), "C"),
+        # A A B C: first-touch stops at second A (level 1); the second
+        # anchor's walk B->C is clean -> any recovers 3
+        (2, t(0), "A"), (2, t(1), "A"), (2, t(2), "B"), (2, t(3), "C"),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "user_id bigint, ts timestamp, event_type string")
+    got = {r.step_no: r.users
+           for r in window_funnel(df2, steps=steps,
+                                  mode="strict_dedup").collect()}
+    assert got == {1: 2, 2: 1, 3: 0}
+    got = {r.step_no: r.users
+           for r in window_funnel(df2, steps=steps, mode="strict_dedup",
+                                  anchor="any").collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_window_funnel_strict_modes_randomized(spark):
+    """Strict modes x anchor x window pinned against an independent
+    python walk on 150 seeded-random users per configuration
+    (non-funnel 'N' events included — they interrupt strict_order
+    only)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import window_funnel
+
+    base = datetime(2024, 1, 1)
+    steps = ("A", "B", "C")
+    smap = {"A": 0, "B": 1, "C": 2, "N": -1}
+    cfgs = [("strict_order", None, "first"), ("strict_order", 9, "first"),
+            ("strict_order", None, "any"), ("strict_order", 9, "any"),
+            ("strict_dedup", None, "first"), ("strict_dedup", 9, "any")]
+    for ci, (mode, win_s, anchor) in enumerate(cfgs):
+        rng = random.Random(9100 + ci)
+        rows, byuser = [], {}
+        for u in range(150):
+            evs = [(rng.randint(0, 25), rng.choice(["A", "B", "C", "N"]))
+                   for _ in range(rng.randint(1, 10))]
+            byuser[u] = [(s, smap[ty]) for s, ty in evs]
+            rows += [(u, base + timedelta(seconds=s), ty) for s, ty in evs]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_type string")
+        got = {r.step_no: r.users for r in window_funnel(
+            df, steps=steps, mode=mode, anchor=anchor,
+            within=None if win_s is None else f"{win_s} SECOND").collect()}
+        want = _ref_funnel_users(byuser, steps, mode, win_s, anchor)
+        assert got == want, (mode, win_s, anchor, got, want)
