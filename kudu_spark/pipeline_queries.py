@@ -1239,3 +1239,52 @@ def pipeline_source_overlap(spark, sf_dir):
     Distinct-per-source 8-byte shingle hashes; output bounded by
     |sources|^2."""
     return CP.source_ngram_overlap(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py) — train a real subword vocabulary
+# on the corpus, then count tokens under it
+# ---------------------------------------------------------------------------
+
+from kudu_spark.operators import bpe as BP  # noqa: E402
+
+_BPE_MERGES = 40
+# small enough to BIND at sf0.001's tiny synthetic vocabulary, so the
+# deterministic cap rank (freq DESC, word) is exercised in both engines
+_BPE_CAP = 24
+
+
+@query(
+    "pipeline_bpe_merges",
+    oracle=BP.bpe_merges_sql(_BPE_MERGES, _BPE_CAP),
+    gated=False,
+)
+def pipeline_bpe_merges(spark, sf_dir):
+    """BPE merge-rule training on the documents corpus (operators/
+    bpe.py train_bpe): distributed capped word counting + the
+    driver-side incremental merge loop. Deterministic end to end, so
+    the oracle UNROLLS the training loop as chained materialized CTEs
+    — one pair-count/argmax/replace block per merge — and must pick
+    the IDENTICAL pair at every rank. Exhausting pairs early emits
+    fewer rows in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    art = BP.train_bpe(docs, n_merges=_BPE_MERGES, max_words=_BPE_CAP)
+    return BP.merges_df(spark, art)
+
+
+@query(
+    "pipeline_bpe_token_counts",
+    oracle=BP.bpe_token_counts_sql(_BPE_MERGES, _BPE_CAP),
+    gated=False,
+)
+def pipeline_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the corpus-trained BPE
+    (operators/bpe.py bpe_token_counts): encode each DISTINCT word
+    once with the codegen replace-fold (doubled-delimiter symbol
+    strings), join back, weighted-sum per doc — including words the
+    training cap dropped. The oracle re-derives the merges AND the
+    encoding in SQL, so this gate spans the whole train->encode
+    pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    art = BP.train_bpe(docs, n_merges=_BPE_MERGES, max_words=_BPE_CAP)
+    return BP.bpe_token_counts(docs, art)
