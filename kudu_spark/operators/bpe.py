@@ -71,19 +71,16 @@ def word_counts(docs: DataFrame, text_col: str = "text",
                 max_words: int | None = None) -> DataFrame:
     """(word, freq) for the corpus, optionally capped to the top
     ``max_words`` types by (freq DESC, word ASC) — the deterministic
-    rank that makes the cap reproducible across cluster sizes."""
-    from pyspark.sql import Window
-
+    TOTAL order that makes the cap reproducible across cluster sizes.
+    The cap plans as TakeOrderedAndProject (per-partition top-k +
+    merge), never a single-partition global sort: a web-scale type
+    table has hundreds of millions of rows, and only k of them ever
+    travel."""
     wc = _words(docs, text_col).groupBy("word").agg(
         F.count("*").alias("freq"))
     if max_words is None:
         return wc
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    # single-partition rank over the TYPE table (already aggregated,
-    # orders of magnitude smaller than the corpus); fine up to the
-    # max_words scale this is meant for
-    return (wc.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= max_words).drop("__r"))
+    return wc.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
 
 
 def _sym_text(syms: tuple) -> str:
@@ -106,8 +103,18 @@ def train_bpe(docs: DataFrame, n_merges: int = 64,
     incremental pair->count + pair->words index, touching only the
     words containing the merged pair — the model-sized cost that
     justifies running it on the driver."""
-    total = _words(docs, text_col).count()
-    rows = word_counts(docs, text_col, max_words).collect()
+    # one corpus scan: materialize the TYPE table, then both the
+    # total-mass aggregate and the top-k cap read the cached
+    # aggregate instead of re-tokenizing the corpus
+    wc = _words(docs, text_col).groupBy("word").agg(
+        F.count("*").alias("freq")).persist()
+    try:
+        total = wc.agg(F.sum("freq")).collect()[0][0] or 0
+        capped = wc if max_words is None else (
+            wc.orderBy(F.desc("freq"), F.asc("word")).limit(max_words))
+        rows = capped.collect()
+    finally:
+        wc.unpersist()
     kept = sum(r["freq"] for r in rows)
     words = [tuple(r["word"]) + (EOW,) for r in rows]
     freqs = [int(r["freq"]) for r in rows]
