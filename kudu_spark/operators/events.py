@@ -561,94 +561,170 @@ def _sequence_dp(e: DataFrame, steps: list, bounds: list,
     state cannot answer; completions {1, 10} against window [4, 6] is
     the counterexample).
 
-    Level-by-level DP per user over the (ts, typ)-sorted event list:
-    completions of prefix k-1 form a ts-sorted array; a type-s_k event
-    at t extends iff the index window [lo, hi) of completions
-    satisfying t's gap bounds is non-empty — two np.searchsorted calls
-    over the whole candidate vector, no per-event Python. O(n log n x
-    m) per user for match; count iterates leftmost-completion +
-    restart (each iteration one level DP over the remaining suffix —
-    the non-overlap reset is why a single pass cannot be vectorized).
-    Arrow-batched applyInPandas keyed by user; per-user event counts
-    bound each batch (the windowFunnel assumption at module top)."""
-    import numpy as np
-    import pandas as pd
+    Level-by-level DP over (ts, typ)-sorted events: completions of
+    prefix k-1 form a sorted array; a type-s_k event at t extends iff
+    the index window [lo, hi) of completions satisfying t's gap
+    bounds is non-empty — np.searchsorted, no per-event Python.
 
+    Shape: ONE user-keyed shuffle (repartition + sortWithinPartitions)
+    into mapInPandas, NOT per-user applyInPandas — at product-
+    analytics cardinalities (millions of users, dozens of events
+    each) the per-group Arrow/pandas overhead dominated by 10x
+    (measured: 10M events / 200k users, fold 6 s vs per-user-DP 64 s,
+    scripts/sequence_scale.py). Instead, every user in an Arrow batch
+    is OFFSET-ENCODED onto a disjoint int64 segment (ts_us + seg*K,
+    K > span + 2*max_gap), so one searchsorted per level serves ALL
+    users at once; the per-candidate lower bound is clamped to the
+    candidate's segment base so windows never bleed across users. A
+    batch whose seg*K arithmetic could overflow int64 (pathological
+    multi-year spans) falls back to a per-user loop over numpy
+    slices. Users split across Arrow batches are re-joined by a
+    carry buffer (rows are user-contiguous after the sort). count
+    mode iterates leftmost-completion + restart per user — the
+    non-overlap reset is inherently sequential — but over numpy
+    slices, not per-user pandas frames."""
     m = len(steps)
-    bnd = []
-    for b in bounds:
-        mn = (_interval_ns(b["min"][0]), b["min"][1]) if b["min"] else None
-        mx = (_interval_ns(b["max"][0]), b["max"][1]) if b["max"] else None
-        bnd.append((mn, mx))
     uid_t = e.schema["user_id"].dataType.simpleString()
     out_schema = (f"user_id {uid_t}, depth int, matched boolean"
                   if mode == "match" else f"user_id {uid_t}, n_matches int")
+    # microsecond bounds: Spark timestamps are micros; every interval
+    # unit is >= MICROSECOND so the ns parse divides exactly
+    bnd = []
+    for b in bounds:
+        mn = ((_interval_ns(b["min"][0]) // 1000, b["min"][1])
+              if b["min"] else None)
+        mx = ((_interval_ns(b["max"][0]) // 1000, b["max"][1])
+              if b["max"] else None)
+        bnd.append((mn, mx))
+    gmax = max((g[0] for mn_mx in bnd for g in mn_mx if g), default=0)
 
-    def exists(comps: "np.ndarray", cand: "np.ndarray", k: int):
-        # comps: sorted prefix-(k-1) completion ts; cand: candidate
-        # event ts. Feasible x: x < t, plus the gap window. side=
-        # 'left' at v counts x < v; 'right' counts x <= v.
-        mn, mx = bnd[k - 1]
-        hi = np.searchsorted(comps, cand, side="left")
-        if mn is not None:
-            g, strict = mn
-            hi = np.minimum(hi, np.searchsorted(
-                comps, cand - g, side="left" if strict else "right"))
-        if mx is not None:
-            g, strict = mx
-            lo = np.searchsorted(
-                comps, cand - g, side="right" if strict else "left")
-        else:
-            lo = np.zeros(cand.shape, dtype=np.int64)
-        return hi > lo
+    e2 = e.repartition("user_id").sortWithinPartitions("user_id", "ts",
+                                                       "typ")
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "typ"], kind="mergesort",
-                              ignore_index=True)
-        s = pdf["ts"]
-        try:
-            s = s.dt.tz_localize(None)
-        except TypeError:
-            pass
-        ts = s.to_numpy("datetime64[ns]").astype(np.int64)
-        typ = pdf["typ"].to_numpy()
-        uid = pdf["user_id"].iloc[0]
-        if mode == "match":
-            comps = ts[typ == steps[0]]
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        def exists(comps, cand, seg_lo, k):
+            # side='left' at v counts x < v; 'right' counts x <= v
+            mn, mx = bnd[k - 1]
+            hi = np.searchsorted(comps, cand, side="left")
+            if mn is not None:
+                g, strict = mn
+                hi = np.minimum(hi, np.searchsorted(
+                    comps, cand - g, side="left" if strict else "right"))
+            if mx is not None:
+                g, strict = mx
+                lo = np.searchsorted(
+                    comps, cand - g, side="right" if strict else "left")
+                lo = np.maximum(lo, seg_lo)
+            else:
+                lo = seg_lo
+            return hi > lo
+
+        zeros = lambda a: np.zeros(a.shape, dtype=np.int64)  # noqa: E731
+
+        def match_user(ts_u, typ_u):
+            comps = ts_u[typ_u == steps[0]]
             depth = 1 if comps.size else 0
             for k in range(2, m + 1):
                 if comps.size == 0:
                     break
-                comps = ts[typ == steps[k - 1]][
-                    exists(comps, ts[typ == steps[k - 1]], k)]
+                cand = ts_u[typ_u == steps[k - 1]]
+                comps = cand[exists(comps, cand, zeros(cand), k)]
                 if comps.size:
                     depth = k
-            return pd.DataFrame({"user_id": [uid], "depth": [depth],
-                                 "matched": [depth == m]})
-        n, start = 0, 0
-        while True:
-            sub_ts, sub_typ = ts[start:], typ[start:]
-            idx = np.nonzero(sub_typ == steps[0])[0]
-            comps_ts = sub_ts[idx]
-            for k in range(2, m + 1):
-                if idx.size == 0:
-                    break
-                cand_idx = np.nonzero(sub_typ == steps[k - 1])[0]
-                ok = exists(comps_ts, sub_ts[cand_idx], k)
-                idx = cand_idx[ok]
-                comps_ts = sub_ts[idx]
-            if idx.size == 0:
-                break
-            n += 1
-            # restart strictly after the MINIMAL completion event —
-            # idx ascends and ts is sorted, so idx[0] is both the
-            # min-position and min-ts completion (the oracle's
-            # min(e_m.pos); later-level events can't precede it: a
-            # chain's ts strictly increases, and pos order is ts-major)
-            start += int(idx[0]) + 1
-        return pd.DataFrame({"user_id": [uid], "n_matches": [n]})
+            return depth
 
-    return e.groupBy("user_id").applyInPandas(fn, schema=out_schema)
+        def count_user(ts_u, typ_u):
+            n, start = 0, 0
+            while True:
+                sub_ts, sub_typ = ts_u[start:], typ_u[start:]
+                idx = np.nonzero(sub_typ == steps[0])[0]
+                comps = sub_ts[idx]
+                for k in range(2, m + 1):
+                    if idx.size == 0:
+                        break
+                    cand_idx = np.nonzero(sub_typ == steps[k - 1])[0]
+                    ok = exists(comps, sub_ts[cand_idx],
+                                zeros(cand_idx), k)
+                    idx = cand_idx[ok]
+                    comps = sub_ts[idx]
+                if idx.size == 0:
+                    return n
+                n += 1
+                # restart strictly after the MINIMAL completion event
+                # — idx ascends and ts is sorted, so idx[0] is both
+                # the min-position and min-ts completion (the oracle's
+                # min(e_m.pos))
+                start += int(idx[0]) + 1
+
+        def process(pdf):
+            s = pdf["ts"]
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                pass
+            ts = s.to_numpy("datetime64[us]").astype(np.int64)
+            typ = pdf["typ"].to_numpy()
+            n_rows = len(pdf)
+            change = np.empty(n_rows, dtype=bool)
+            change[0] = True
+            uid_np = pdf["user_id"].to_numpy()
+            change[1:] = uid_np[1:] != uid_np[:-1]
+            seg = np.cumsum(change) - 1
+            nseg = int(seg[-1]) + 1
+            uids = pdf["user_id"].iloc[np.nonzero(change)[0]]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], n_rows)
+            if mode == "count":
+                vals = [count_user(ts[a:b], typ[a:b])
+                        for a, b in zip(starts, ends)]
+                return pd.DataFrame({"user_id": uids.reset_index(drop=True),
+                                     "n_matches": np.array(vals, "int32")})
+            tn = ts - int(ts.min())
+            K = int(tn.max()) + 2 * int(gmax) + 2
+            if K * (nseg + 1) >= (1 << 62):
+                depth = np.array([match_user(ts[a:b], typ[a:b])
+                                  for a, b in zip(starts, ends)], "int64")
+            else:
+                g_ts = seg * K + tn
+                mask = typ == steps[0]
+                comps = g_ts[mask]
+                depth = np.zeros(nseg, dtype=np.int64)
+                if comps.size:
+                    depth[np.unique(seg[mask])] = 1
+                    for k in range(2, m + 1):
+                        ckm = typ == steps[k - 1]
+                        cand, cseg = g_ts[ckm], seg[ckm]
+                        seg_lo = np.searchsorted(comps, cseg * K)
+                        ok = exists(comps, cand, seg_lo, k)
+                        comps = cand[ok]
+                        if comps.size == 0:
+                            break
+                        depth[np.unique(cseg[ok])] = k
+            return pd.DataFrame({"user_id": uids.reset_index(drop=True),
+                                 "depth": depth.astype("int32"),
+                                 "matched": depth == m})
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            u = pdf["user_id"].to_numpy()
+            tail = u == u[-1]
+            first_tail = int(np.argmax(tail))  # rows are user-contiguous
+            if first_tail == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[first_tail:].reset_index(drop=True)
+            yield process(pdf.iloc[:first_tail].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return e2.mapInPandas(fn, schema=out_schema)
 
 
 def sequence_match(
