@@ -42,7 +42,16 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity, NULL when either side has zero norm. The
+    guard is not cosmetic: Spark 4 defaults spark.sql.ansi.enabled to
+    TRUE, where a raw 0/0 throws and fails the whole job — one
+    all-zero embedding (a padding row, a failed encoder) would kill
+    every cosine-based path, including compaction stamping cells onto
+    a table. NULL composes with the callers' existing semantics: a
+    zero vector belongs to no IVF cell, never crosses a dedup
+    threshold, and ranks last in DESC top-k."""
+    nn = norm_expr(a) * norm_expr(b)
+    return F.when(nn > 0, dot_expr(a, b) / nn)
 
 
 def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:

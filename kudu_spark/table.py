@@ -1830,6 +1830,9 @@ class Table:
             qv.crossJoin(cent_df)
             .select("query_id", "centroid_id",
                     cosine_expr("qv", "centv").alias("c"))
+            # zero-norm queries (or centroids) probe nothing instead
+            # of row_number picking arbitrary NULL-cosine cells
+            .where(F.col("c").isNotNull())
             .withColumn("r", F.row_number().over(w1))
             .where(F.col("r") <= n_probes)
             .select("query_id", F.col("centroid_id").alias("cell"))
@@ -1927,7 +1930,12 @@ class Table:
                         cosine_expr("qv", "cv").alias("c"))
             )
         return (
-            scored.withColumn("rank", F.row_number().over(w2))
+            # NULL cosine = a zero-norm side (query or candidate):
+            # such a pair is "no match", never a ranked neighbor —
+            # without the filter row_number would still hand NULL-c
+            # rows the top ranks of a zero-norm query
+            scored.where(F.col("c").isNotNull())
+            .withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("c", 6).alias("cosine"))

@@ -950,3 +950,51 @@ def test_budgeted_convergence_and_hybrid_serving(spark, tmp_path):
     out = eng.maintenance_sweep()
     assert "__errors__" not in out and out["hc"] is False
     assert eng.table("hc").state().version == before
+
+
+def test_zero_norm_vectors_are_ansi_safe_everywhere(spark, tmp_path):
+    """One all-zero embedding must not fail any cosine path. Spark 4
+    defaults spark.sql.ansi.enabled=true, where a raw 0/0 THROWS —
+    before the cosine_expr guard, a single zero vector (padding row,
+    failed encoder output) killed compaction of a cell-stamped table,
+    every ANN serve, and embedding dedup. Semantics: zero vectors
+    belong to no cell, match nothing, rank nowhere."""
+    from kudu_spark.engine import Engine
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    eng = Engine(spark, str(tmp_path / "whz"))
+    t = eng.create_table(
+        "z", [("vec_id", "bigint", False),
+              ("embedding", "array<float>", True)], pk=["vec_id"],
+        hash_partitions=[{"columns": ["vec_id"], "buckets": 2}])
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(1, 40)]
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, None)]  # the hazards
+    t.insert(spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"))
+    eng.alter_table("z").set_property("vector_quantize_cols",
+                                      "embedding").apply()
+    t = eng.table("z")
+    t.train_vector_cells("embedding", n_cells=3, n_iters=2)
+    # the original crash: compaction stamps cells+codes via cosine
+    t.compact(full=True)
+    t = eng.table("z")
+
+    # serves: zero vector as candidate never ranks, as query returns
+    # an empty (all-NULL-cosine) result rather than failing
+    for kw in ({}, {"quantized": True, "refine": 4}):
+        out = t.ann_topk("embedding", [5, 100], k=3, n_probes=2, **kw)
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        assert all(n not in (100, 101) for _q, n in got)
+    ext = t.ann_topk_vectors(
+        "embedding", [(1, [0.0] * 4), (2, [1.0, 2.0, 3.0, 4.0])], k=2)
+    by_q = {}
+    for r in ext.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert 2 in by_q and 1 not in by_q  # zero query matches nothing
+
+    # embedding dedup: the zero vector joins no pair
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0001]), (3, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    pairs = SIM.cosine_pairs(emb, threshold=0.9)
+    ids = {x for r in pairs.collect() for x in (r["vec_a"], r["vec_b"])}
+    assert ids == {1, 2}
