@@ -326,3 +326,101 @@ def bpe_token_counts_sql(n_merges: int,
     SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens
     FROM documents d LEFT JOIN per p USING (doc_id)
     """
+
+
+# ---- artifact lifecycle + token ids ----
+
+def save_artifact(path: str, artifact: dict) -> None:
+    """Persist a trained tokenizer (train once, encode in every later
+    job — the vocabulary must be FROZEN across a training-data
+    pipeline's runs or token ids silently shift between shards)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"merges": [list(m) for m in artifact["merges"]],
+                   "n_word_types": artifact["n_word_types"],
+                   "dropped_mass": artifact["dropped_mass"]}, f)
+
+
+def load_artifact(path: str) -> dict:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    d["merges"] = [tuple(m) for m in d["merges"]]
+    return d
+
+
+def vocab(artifact: dict) -> list[str]:
+    """The deterministic id space: byte/char symbols CANNOT be
+    enumerated up front (any unicode char may appear), so ids are
+    assigned to the MERGED symbols only — rank order, id = rank - 1 —
+    and unmerged base symbols map to negative ids derived from the
+    symbol itself (stable across corpora; id collisions impossible
+    because merged ids are >= 0). Returns the merged-symbol list in
+    id order."""
+    return [a + b for a, b in artifact["merges"]]
+
+
+def encode_ids(docs: DataFrame, artifact: dict,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, token_ids array<bigint>, n_tokens) — the shape a
+    sequence-packing / pretraining-batch pipeline consumes. Ids:
+    merged symbols get their merge rank - 1 (>= 0); base symbols
+    (single chars and </w>-closed chars that never merged) get
+    -(xxhash64(symbol) magnitude), a stable negative id — a frozen
+    artifact yields identical ids on any corpus, and real deployments
+    remap the (tiny) observed id set to dense ids downstream.
+
+    Plan shape: distinct words encode once (the codegen replace
+    fold), the symbol split + id join happens per DISTINCT word, and
+    docs re-join by word — token arrays re-assemble in word order via
+    posexplode positions. The only corpus-sized shuffles are the
+    word explode and the final doc-keyed collect."""
+    merges = artifact["merges"]
+    vdf = F.broadcast(docs.sparkSession.createDataFrame(
+        [(s, i) for i, s in enumerate(vocab(artifact))],
+        "sym string, vid bigint"))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({text_col}, '{_SPARK_RE}', 0)")
+        ).alias("wpos", "word"),
+    )
+    init = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.concat(F.expr("regexp_extract_all(word, '.', 0)"),
+                     F.array(F.lit(EOW))),
+            "  "),
+        F.lit("  "))
+    folded = init if not merges else F.aggregate(
+        F.array(*[F.struct(F.lit(f" {a}  {b} ").alias("p"),
+                           F.lit(f" {a}{b} ").alias("r"))
+                  for a, b in merges]),
+        init, lambda acc, m: F.replace(acc, m["p"], m["r"]))
+    enc = (per_doc.select("word").distinct()
+           .withColumn("syms", F.split(F.trim(folded), "  "))
+           .select("word", F.posexplode("syms").alias("spos", "sym"))
+           .join(vdf, "sym", "left")
+           .withColumn("tid", F.coalesce(
+               "vid", -F.abs(F.xxhash64("sym"))))
+           .groupBy("word")
+           .agg(F.array_sort(F.collect_list(F.struct("spos", "tid")))
+                .alias("sp")))
+    assembled = (per_doc.join(enc, "word")
+                 .select("doc_id", "wpos",
+                         F.transform("sp", lambda x: x["tid"]).alias("wt"))
+                 .groupBy("doc_id")
+                 .agg(F.flatten(
+                     F.array_sort(F.collect_list(F.struct("wpos", "wt")))
+                      .getField("wt")).alias("token_ids")))
+    # a doc whose text pre-tokenizes to nothing still gets a row
+    # (empty id array), like bpe_token_counts
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(assembled, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("token_ids",
+                               F.array().cast("array<bigint>"))
+                    .alias("token_ids"))
+            .withColumn("n_tokens", F.size("token_ids")))

