@@ -54,6 +54,68 @@ def cosine_expr(a, b):
     return F.when(nn > 0, dot_expr(a, b) / nn)
 
 
+def assign_cells_expr(column: str, cents: list, threshold: int = 32):
+    """argmax-cosine cell id for every row — the assignment kernel
+    shared by engine cell stamping (table._cell_expr) and k-means
+    training. Tie-break = FIRST position of the max score (lowest
+    centroid id); NULL and zero-norm vectors yield NULL cells in BOTH
+    implementations.
+
+    Two shapes by model size: up to ``threshold`` centroids, a
+    per-centroid cosine expression array (JVM-side, no Python); past
+    it, an Arrow-batched pandas UDF computing the argmax as one numpy
+    gemm — higher-order-function cosines are NOT whole-stage compiled
+    (~10 us/pair interpreted, measured in scripts/semantic_scale.py),
+    so a giant expression over hundreds of centroids is the wrong
+    shape at sqrt(N) model sizes. Float64 summation order differs
+    between the two (gemm vs left-to-right fold), so exact-tie
+    vectors could in principle land differently across the threshold
+    — harmless for an approximate cell index, pinned empirically.
+
+    This is also why k-means assignment must NOT be a centroid
+    crossJoin + rank window: that materializes |rows| x n_cells
+    intermediate rows AND shuffles them through a per-vector window —
+    at 40k sampled rows x 640 cells that is 25.6M interpreted-cosine
+    rows PER ITERATION (measured minutes); the argmax form scans the
+    rows once with zero shuffle."""
+    if len(cents) <= threshold:
+        scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
+                           for c in cents])
+        return (F.array_position(scores, F.array_max(scores)) - 1
+                ).cast("int")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0.0] = np.inf  # zero centroid never wins argmax
+
+    def assign(col):
+        vals = col.to_numpy()
+        out = np.full(len(vals), None, dtype=object)
+        live = [i for i, v in enumerate(vals) if v is not None]
+        if live:
+            X = np.asarray([np.asarray(vals[i], dtype=np.float64)
+                            for i in live])
+            Xn = np.linalg.norm(X, axis=1)
+            zero = Xn == 0.0
+            Xn[zero] = 1.0
+            S = (X @ C.T) / Xn[:, None] / Cn[None, :]
+            idx = np.argmax(S, axis=1)
+            for j, i in enumerate(live):
+                # zero-norm vectors belong to no cell, matching the
+                # expression path's NULL-cosine scores
+                out[i] = None if zero[j] else int(idx[j])
+        return pd.Series(out)
+
+    # real class objects (not strings): `from __future__ import
+    # annotations` would otherwise stringify hints pyspark cannot
+    # resolve in this module's globals
+    assign.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, returnType="int")(F.col(column))
+
+
 def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the given query vectors.
     Query side is broadcast; candidates stream — one pass over the
@@ -78,18 +140,19 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataF
 def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF-lite: centroids are the embeddings of vec_id 0..n-1
     (deterministic, data-derived); every vector joins its argmax-cosine
-    centroid. Broadcast centroids → single scan, no shuffle."""
-    cent = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
-    )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "centroid_id", cosine_expr("embedding", "centv").alias("c")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    centroid via the shared assignment kernel (assign_cells_expr) —
+    one scan, zero shuffle, and no |rows| x k crossJoin-through-a-
+    window blowup. NULL/zero-norm vectors belong to no bucket."""
+    rows = (emb.where(F.col("vec_id") < n_centroids)
+            .orderBy("vec_id").select("vec_id", "embedding").collect())
+    cents = [list(r["embedding"]) for r in rows]
+    ids = F.array(*[F.lit(int(r["vec_id"])).cast("long") for r in rows])
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        emb.select(
+            "vec_id", "embedding",
+            F.element_at(ids, assign_cells_expr("embedding", cents) + 1)
+            .alias("centroid_id"))
+        .where(F.col("centroid_id").isNotNull())
     )
 
 
@@ -364,19 +427,16 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, n_iters: int = 5) -> list[list[
         .collect()
     )
     cents = [list(r.c) for r in init]
-    spark = emb.sparkSession
     for _ in range(n_iters):
-        cent_df = F.broadcast(spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "centroid_id int, centv array<double>"
-        ))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
-        assigned = (
-            emb.crossJoin(cent_df)
-            .select("vec_id", "embedding", "centroid_id",
-                    cosine_expr("embedding", "centv").alias("c"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-        )
+        # argmax assignment, NOT a centroid crossJoin + rank window:
+        # identical result (first-max tie-break = the window's
+        # (desc c, asc centroid_id)), but one zero-shuffle scan
+        # instead of |rows| x k intermediate rows through a window —
+        # and the gemm kernel past the threshold (assign_cells_expr)
+        assigned = emb.select(
+            "embedding",
+            assign_cells_expr("embedding", cents).alias("centroid_id"),
+        ).where(F.col("centroid_id").isNotNull())
         new = (
             assigned.select("centroid_id", F.posexplode(_dbl("embedding")).alias("pos", "v"))
             .groupBy("centroid_id", "pos")
@@ -406,22 +466,26 @@ def ivf_kmeans_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     cent_df = F.broadcast(spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "centroid_id int, centv array<double>"
     ))
-    scored_cells = emb.crossJoin(cent_df).select(
-        "vec_id", "embedding", "centroid_id",
-        cosine_expr("embedding", "centv").alias("c"),
-    )
-    w1 = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
-    ranked = scored_cells.withColumn("r", F.row_number().over(w1))
-    assigned = ranked.where(F.col("r") == 1).select(
+    # corpus side: argmax kernel, one scan, no |rows| x k crossJoin
+    # through a rank window (identical result — first-max tie-break)
+    assigned = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        F.col("centroid_id").alias("cell"),
-    )
-    probes = ranked.where((F.col("r") <= n_probes) & F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell")
-    )
+        assign_cells_expr("embedding", cents).alias("cell"),
+    ).where(F.col("cell").isNotNull())
     qv = emb.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # probe ranking stays a window — over the QUERY rows only
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    probes = (
+        qv.crossJoin(cent_df)
+        .select("query_id", "centroid_id",
+                cosine_expr("qv", "centv").alias("c"))
+        .where(F.col("c").isNotNull())
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= n_probes)
+        .select("query_id", F.col("centroid_id").alias("cell"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -742,14 +806,18 @@ def append_ivf_index(emb_batch: DataFrame, out_path: str) -> None:
 
 
 def _assign_cells(emb: DataFrame, cent_df: DataFrame, mode: str):
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("centroid_id"))
+    # model-sized collect, then the shared argmax kernel — one corpus
+    # scan, no |rows| x k crossJoin through a rank window
+    rows = cent_df.orderBy("centroid_id").collect()
+    cents = [list(r["centv"]) for r in rows]
+    ids = F.array(*[F.lit(int(r["centroid_id"])).cast("int")
+                    for r in rows])
     assigned = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .select("vec_id", "embedding", "centroid_id",
-                cosine_expr("embedding", "centv").alias("c"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        emb.select(
+            "vec_id", "embedding",
+            F.element_at(ids, assign_cells_expr("embedding", cents) + 1)
+            .alias("cell"))
+        .where(F.col("cell").isNotNull())
     )
     return assigned.write.mode(mode).partitionBy("cell")
 

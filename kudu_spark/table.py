@@ -1490,42 +1490,16 @@ class Table:
         (numpy gemm vs left-to-right fold), so exact-tie vectors could
         in principle land differently across the threshold — harmless
         for an approximate cell index (every row still has exactly one
-        cell) and pinned empirically in tests on the test corpus."""
-        from kudu_spark.operators.similarity import cosine_expr
+        cell) and pinned empirically in tests on the test corpus.
 
-        if len(cents) <= ARROW_CELL_ASSIGN_THRESHOLD:
-            scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
-                               for c in cents])
-            return (F.array_position(scores, F.array_max(scores)) - 1
-                    ).cast("int")
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        Shared with the operator family — body in
+        similarity.assign_cells_expr (kmeans assignment runs the
+        identical kernel, so engine stamping and operator training
+        agree by construction)."""
+        from kudu_spark.operators.similarity import assign_cells_expr
 
-        C = np.asarray(cents, dtype=np.float64)
-        Cn = np.linalg.norm(C, axis=1)
-        Cn[Cn == 0.0] = np.inf  # zero centroid never wins argmax
-
-        def assign(col):
-            vals = col.to_numpy()
-            out = np.full(len(vals), None, dtype=object)
-            live = [i for i, v in enumerate(vals) if v is not None]
-            if live:
-                X = np.asarray([np.asarray(vals[i], dtype=np.float64)
-                                for i in live])
-                Xn = np.linalg.norm(X, axis=1)
-                Xn[Xn == 0.0] = 1.0
-                S = (X @ C.T) / Xn[:, None] / Cn[None, :]
-                idx = np.argmax(S, axis=1)
-                for j, i in enumerate(live):
-                    out[i] = int(idx[j])
-            return pd.Series(out)
-
-        # real class objects (not strings): table.py's `from
-        # __future__ import annotations` would otherwise stringify
-        # hints pyspark cannot resolve in this module's globals
-        assign.__annotations__ = {"col": pd.Series, "return": pd.Series}
-        return pandas_udf(assign, returnType="int")(F.col(column))
+        return assign_cells_expr(column, cents,
+                                 threshold=ARROW_CELL_ASSIGN_THRESHOLD)
 
     def train_vector_cells(self, column: str, n_cells: int = 8,
                            n_iters: int = 3,
