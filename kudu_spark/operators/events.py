@@ -1067,3 +1067,71 @@ def session_stats_sql(gap: str) -> str:
     FROM sess
     GROUP BY user_id, session_no
     """
+
+
+def retention_conditions(
+    events: DataFrame,
+    conds: list,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, ..., condN)``: per user, cond 1
+    is the QUALIFYING event (did it ever hold?) and each later
+    condition counts only for qualified users — the classic
+    signed-up-on-day-0, came-back-on-day-k funnel where the conditions
+    are arbitrary boolean expressions, not just event types (what
+    retention_cohorts' fixed week grid cannot express). ``conds`` are
+    SQL boolean strings (or Columns) over the event columns.
+
+    Returns one row per condition: (cond_no 1-based, users = #users
+    with cond_0 AND cond_i, pct = users / qualified, NULL when nobody
+    qualifies — never a divide-by-zero under ANSI).
+
+    Shape: ONE map-side-combined aggregation — per user a vector of
+    max(cond_i) flags, then one global sum; no joins, no shuffle of
+    events beyond the user groupBy. N conditions cost N counters per
+    group, not N passes."""
+    from pyspark.sql import Window
+
+    n = len(conds)
+    if n == 0:
+        raise ValueError("retention_conditions needs >= 1 condition")
+    cols = [F.expr(c) if isinstance(c, str) else c for c in conds]
+    per_user = events.groupBy(F.col(user_col)).agg(*[
+        F.max(F.when(c, 1).otherwise(0)).alias(f"__c{i}")
+        for i, c in enumerate(cols)])
+    totals = per_user.agg(*[
+        F.sum(F.col("__c0") * F.col(f"__c{i}")).alias(f"__r{i}")
+        for i in range(n)])
+    rows = totals.select(F.posexplode(
+        F.array(*[F.col(f"__r{i}") for i in range(n)])
+    ).alias("__p", "users"))
+    qualified = F.first("users").over(
+        Window.orderBy("__p").rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing))
+    return (rows.select(
+        (F.col("__p") + 1).cast("int").alias("cond_no"),
+        F.coalesce("users", F.lit(0)).alias("users"),
+        F.when(qualified > 0,
+               F.round(F.coalesce("users", F.lit(0)) / qualified, 6))
+        .alias("pct")))
+
+
+def retention_conditions_sql(conds: list) -> str:
+    """DuckDB twin of retention_conditions on the events table."""
+    n = len(conds)
+    flags = ", ".join(
+        f"max(CASE WHEN {c} THEN 1 ELSE 0 END) AS c{i}"
+        for i, c in enumerate(conds))
+    sums = ", ".join(f"sum(c0 * c{i}) AS r{i}" for i in range(n))
+    rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS cond_no, COALESCE(r{i}, 0) AS users, "
+        f"CASE WHEN COALESCE(r0, 0) > 0 THEN round(COALESCE(r{i}, 0) "
+        f"/ CAST(r0 AS DOUBLE), 6) END AS pct FROM t"
+        for i in range(n))
+    return f"""
+    WITH u AS (SELECT user_id, {flags} FROM events GROUP BY user_id),
+    t AS (SELECT {sums} FROM u)
+    SELECT CAST(cond_no AS INT) AS cond_no, CAST(users AS BIGINT) AS users,
+           pct
+    FROM ({rows}) ORDER BY cond_no
+    """

@@ -1169,3 +1169,33 @@ def window_funnel_strict_dedup(spark, sf_dir):
     the level. Recursive-CTE walk oracle, like strict_order."""
     return EV.window_funnel(load(spark, sf_dir, "events"),
                             mode="strict_dedup")
+
+
+# week-over-week comeback conditions: qualify in week 1, return in
+# each later week — arbitrary boolean conditions, the ClickHouse
+# retention() shape (retention_cohorts' fixed week grid can't mix
+# predicates like event_type into the qualifier)
+_RETENTION_CONDS = [
+    "event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'",
+    "ts >= TIMESTAMP '2024-01-08 00:00:00' AND "
+    "ts < TIMESTAMP '2024-01-15 00:00:00'",
+    "ts >= TIMESTAMP '2024-01-15 00:00:00' AND "
+    "ts < TIMESTAMP '2024-01-22 00:00:00'",
+    "event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-22 00:00:00'",
+]
+
+
+@query(
+    "events_retention_conditions",
+    oracle=EV.retention_conditions_sql(_RETENTION_CONDS),
+    gated=False,
+)
+def events_retention_conditions(spark, sf_dir):
+    """ClickHouse retention(cond1..condN): cond 1 qualifies a user
+    (signed up in week 1), each later condition counts only qualified
+    users (active week 2, active week 3, purchased after). ONE
+    map-side-combined user aggregation — N conditions are N counters
+    per group, not N passes (operators/events.py
+    retention_conditions)."""
+    return EV.retention_conditions(load(spark, sf_dir, "events"),
+                                   _RETENTION_CONDS)

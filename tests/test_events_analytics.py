@@ -903,3 +903,43 @@ def test_sequence_dp_carry_across_arrow_batches(spark):
     assert small_m == big_m
     assert small_c == big_c
     assert len(big_m) == 60  # every user with pattern events has a row
+
+
+def test_retention_conditions_semantics(spark):
+    """retention(): cond 1 qualifies; later conditions count only
+    qualified users; pct is relative to the qualified count and NULL
+    (not a crash) when nobody qualifies."""
+    from datetime import datetime, timedelta
+
+    from kudu_spark.operators.events import retention_conditions
+
+    base = datetime(2024, 1, 1)
+
+    def t(d):
+        return base + timedelta(days=d)
+
+    rows = [
+        # u1 qualifies and returns both weeks
+        (1, t(0), "signup"), (1, t(8), "view"), (1, t(15), "view"),
+        # u2 qualifies, returns week 2 only
+        (2, t(1), "signup"), (2, t(9), "click"),
+        # u3 does NOT qualify (no signup) but is active later — must
+        # not count anywhere
+        (3, t(8), "view"), (3, t(16), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+    conds = [
+        "event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-08 00:00:00' AND "
+        "ts < TIMESTAMP '2024-01-15 00:00:00'",
+        "ts >= TIMESTAMP '2024-01-15 00:00:00'",
+    ]
+    got = {r.cond_no: (r.users, r.pct)
+           for r in retention_conditions(df, conds).collect()}
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (1, 0.5)}
+
+    # nobody qualifies -> zero users, NULL pct, no ANSI divide error
+    got0 = {r.cond_no: (r.users, r.pct) for r in retention_conditions(
+        df, ["event_type = 'refund'", "event_type = 'view'"]).collect()}
+    assert got0 == {1: (0, None), 2: (0, None)}
