@@ -289,17 +289,36 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
             ])
         ).alias("band"),
     ).select("vec_id", "embedding", "band.b", "band.bk")
-    a = banded.select(
-        F.col("b").alias("b_a"), F.col("bk").alias("bk_a"),
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+    # grouped pair generation, not a banded self-join: the self-join
+    # plans the whole signature pipeline (corpus scan + 16 dot folds)
+    # twice; collecting each band bucket's (vec_id, embedding) rows
+    # reuses the one signature pass. Buckets are collision groups —
+    # near-duplicate-sized by construction — so the collect_list is
+    # bounded, and the per-bucket quadratic expansion matches the
+    # join's output exactly. Dedup still precedes the exact cosine so
+    # a multi-band collision scores once.
+    buckets = (
+        banded.groupBy("b", "bk")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding")))
+             .alias("rows"))
+        .where(F.size("rows") >= 2)
     )
-    bb = banded.select(
-        F.col("b").alias("b_b"), F.col("bk").alias("bk_b"),
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+    pair_expr = F.flatten(
+        F.transform(
+            "rows",
+            lambda x, i: F.transform(
+                F.slice("rows", i + 2, F.size("rows")),
+                lambda y: F.struct(
+                    x["vec_id"].alias("vec_a"), y["vec_id"].alias("vec_b"),
+                    x["embedding"].alias("va"), y["embedding"].alias("vb"),
+                ),
+            ),
+        )
     )
     cand = (
-        a.join(bb, (F.col("b_a") == F.col("b_b")) & (F.col("bk_a") == F.col("bk_b"))
-               & (F.col("vec_a") < F.col("vec_b")))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.va", "p.vb")
+        .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (

@@ -416,21 +416,24 @@ def pipeline_clean_corpus(spark, sf_dir):
     each candidate pair). Every stage composes as DataFrames, so
     Catalyst sees one plan end-to-end — the shape a 100 TB corpus
     clean actually runs."""
-    from pyspark.sql import Window as _W
-
     docs = load(spark, sf_dir, "documents")
     q = TX.quality_cols()[2]  # quality_score
     good = docs.select("doc_id", "text", q).where(
         F.col("quality_score") >= QUALITY_CUT
     )
-    # exact dedup inline (keep min doc_id per content hash) — one
-    # window carrying text forward, instead of exact_duplicates() plus
-    # a join back to `good` that re-scans and re-scores the corpus
+    # exact dedup inline (keep min doc_id per content hash) as a
+    # map-side-combinable AGGREGATE, not a window: groupBy(md5(text))
+    # collapses duplicate texts inside each map task, so the shuffle
+    # carries one row per distinct text per map partition instead of
+    # every good row through a window sort. min_by ships the canonical
+    # row's text (all texts in a group are md5-equal, so this is the
+    # window formulation's exact survivor row).
     canon = (
-        good.withColumn(
-            "__c", F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+        good.groupBy(F.md5("text").alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
         )
-        .where(F.col("doc_id") == F.col("__c"))
         .select("doc_id", "text")
     )
     dup_ids = (

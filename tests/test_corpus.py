@@ -453,3 +453,30 @@ def test_ngram_containment_catches_embedded_doc(spark):
     assert got[(1, 2)][1] < 0.2
     # symmetric Jaccard at the same threshold finds nothing
     assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_simhash_pairs_match_reference_banding(spark):
+    """Pin simhash_pairs' grouped pair generation (r14: bucket
+    collect + nested-transform expansion replaced the banded
+    self-join) against a Python recomputation from the
+    oracle-verified simhash values: every pair agreeing on >= 1 of
+    the 4 15-bit bands (SIMHASH_BITS=60) with hamming <= max_hamming,
+    and nothing else."""
+    from itertools import combinations
+
+    from kudu_spark.operators.dedup import simhash, simhash_pairs
+    from kudu_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    max_h = 10  # loose enough that both filters (band + hamming) bite
+    expected = {}
+    for a, b in combinations(sorted(sigs), 2):
+        x = sigs[a] ^ sigs[b]
+        if bin(x).count("1") > max_h:
+            continue
+        if any((x >> (q * 15)) & 0x7FFF == 0 for q in range(4)):
+            expected[(a, b)] = bin(x).count("1")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs(docs, max_hamming=max_h).collect()}
+    assert got == expected
