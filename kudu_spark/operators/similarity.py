@@ -54,6 +54,22 @@ def cosine_expr(a, b):
     return F.when(nn > 0, dot_expr(a, b) / nn)
 
 
+def cosine_with_norms(a, b, na, nb):
+    """cosine_expr with the two norms supplied as PRECOMPUTED columns
+    (r14, guide §1.2 per-task work): the higher-order-function folds
+    are interpreted, not codegen'd, so a scoring join that evaluates
+    cosine_expr per (query, candidate) pair pays THREE 64-term folds
+    per pair — dot(a,b), dot(a,a), dot(b,b) — although each side's
+    norm is a per-ROW quantity. Callers project norm_expr once on
+    each side before the join and pass the columns here, cutting the
+    per-pair fold work to the dot alone (~3x less interpreted
+    arithmetic in the scoring stage). Bit-identical to cosine_expr:
+    the norms are the same sqrt(dot(x,x)) fold, and the product/guard
+    order is unchanged (na must be the left/query side)."""
+    nn = na * nb
+    return F.when(nn > 0, dot_expr(a, b) / nn)
+
+
 def assign_cells_expr(column: str, cents: list, threshold: int = 32):
     """argmax-cosine cell id for every row — the assignment kernel
     shared by engine cell stamping (table._cell_expr) and k-means
@@ -119,15 +135,22 @@ def assign_cells_expr(column: str, cents: list, threshold: int = 32):
 def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the given query vectors.
     Query side is broadcast; candidates stream — one pass over the
-    corpus regardless of |queries|."""
+    corpus regardless of |queries|. Norms are projected once per row
+    on each side, so the |corpus| x |queries| scoring stage folds only
+    the dot product per pair (cosine_with_norms)."""
     q = emb.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("__qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cv"),
+                      norm_expr("embedding").alias("__cn"))
     scored = (
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .select("query_id", "neighbor_id",
+                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (
@@ -164,15 +187,19 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int 
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("centroid_id").alias("qc"),
+        norm_expr("embedding").alias("__qn"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         F.col("centroid_id").alias("cc"),
+        norm_expr("embedding").alias("__cn"),
     )
     scored = (
         cand.join(F.broadcast(q), (F.col("cc") == F.col("qc")) & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .select("query_id", "neighbor_id",
+                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (
@@ -207,19 +234,27 @@ def ivf_cosine_pairs(emb: DataFrame, threshold: float, n_centroids: int = 8) -> 
     (cells stay executor-sized); the all-pairs exact variant
     (cosine_pairs) exists as the pytest recall baseline."""
     assigned = ivf_assign(emb, n_centroids)
+    # norms projected once per ROW before the pair join: the within-
+    # cell pairing evaluates O(Σ|cell|²) cosines, and the interpreted
+    # norm folds are per-row quantities — cosine_with_norms leaves
+    # only the dot per pair (bit-identical values)
     a = assigned.select(
         F.col("centroid_id").alias("cell_a"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
+        norm_expr("embedding").alias("__na"),
     )
     b = assigned.select(
         F.col("centroid_id").alias("cell_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
+        norm_expr("embedding").alias("__nb"),
     )
     return (
         a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", cosine_expr("va", "vb").alias("c"))
+        .select("vec_a", "vec_b",
+                cosine_with_norms("va", "vb", F.col("__na"), F.col("__nb"))
+                .alias("c"))
         .where(F.col("c") >= threshold)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
@@ -279,6 +314,9 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
     banded = sigs.select(
         "vec_id",
         "embedding",
+        # norm once per row here (not per candidate pair): the exact-
+        # cosine stage below then folds only the dot per pair
+        norm_expr("embedding").alias("__n"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -288,7 +326,7 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
                 for b in range(bands)
             ])
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.b", "band.bk")
+    ).select("vec_id", "embedding", "__n", "band.b", "band.bk")
     # grouped pair generation, not a banded self-join: the self-join
     # plans the whole signature pipeline (corpus scan + 16 dot folds)
     # twice; collecting each band bucket's (vec_id, embedding) rows
@@ -299,8 +337,8 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
     # a multi-band collision scores once.
     buckets = (
         banded.groupBy("b", "bk")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding")))
-             .alias("rows"))
+        .agg(F.sort_array(F.collect_list(
+            F.struct("vec_id", "embedding", "__n"))).alias("rows"))
         .where(F.size("rows") >= 2)
     )
     pair_expr = F.flatten(
@@ -311,18 +349,21 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
                 lambda y: F.struct(
                     x["vec_id"].alias("vec_a"), y["vec_id"].alias("vec_b"),
                     x["embedding"].alias("va"), y["embedding"].alias("vb"),
+                    x["__n"].alias("na"), y["__n"].alias("nb"),
                 ),
             ),
         )
     )
     cand = (
         buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.vec_a", "p.vec_b", "p.va", "p.vb")
+        .select("p.vec_a", "p.vec_b", "p.va", "p.vb", "p.na", "p.nb")
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        cand.select("vec_a", "vec_b", cosine_expr("va", "vb").alias("c"))
+        cand.select("vec_a", "vec_b",
+                    cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
+                    .alias("c"))
         .where(F.col("c") >= threshold)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
     )
@@ -491,9 +532,11 @@ def ivf_kmeans_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         assign_cells_expr("embedding", cents).alias("cell"),
+        norm_expr("embedding").alias("__cn"),
     ).where(F.col("cell").isNotNull())
     qv = emb.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("__qn"),
     )
     # probe ranking stays a window — over the QUERY rows only
     w1 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("centroid_id"))
@@ -510,7 +553,9 @@ def ivf_kmeans_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .select("query_id", "neighbor_id",
+                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
@@ -666,18 +711,21 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
     qe = emb.select(
         "vec_id", quantize_expr(F.col("embedding"), scale).alias("qv8"))
     q = qe.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("qv8").alias("qq"))
+        F.col("vec_id").alias("query_id"), F.col("qv8").alias("qq"),
+        norm_expr("qv8").alias("__qn"))
     cand = qe.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("qv8").alias("cv"))
+                     F.col("qv8").alias("cv"),
+                     norm_expr("qv8").alias("__cn"))
     # zero vectors quantize to all-zero: guard the norm product so the
     # cosine reads NULL (sorts last under DESC) instead of an ANSI
-    # divide-by-zero failing the job
-    nn = norm_expr("qq") * norm_expr("cv")
+    # divide-by-zero failing the job. Norms are per-row projections
+    # (cosine_with_norms): only the dot folds per pair.
     scored = (
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.when(nn > 0, dot_expr("qq", "cv") / nn).alias("c"))
+                cosine_with_norms("qq", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (
@@ -732,15 +780,17 @@ def quantized_index_topk(index: DataFrame, query_ids: list[int],
     WindowGroupLimit top-k."""
     qe = index.select("vec_id", "qv8")
     q = qe.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("qv8").alias("qq"))
+        F.col("vec_id").alias("query_id"), F.col("qv8").alias("qq"),
+        norm_expr("qv8").alias("__qn"))
     cand = qe.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("qv8").alias("cv"))
-    nn = norm_expr("qq") * norm_expr("cv")  # dot_expr casts to double
+                     F.col("qv8").alias("cv"),
+                     norm_expr("qv8").alias("__cn"))  # dot_expr casts to double
     scored = (
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                F.when(nn > 0, dot_expr("qq", "cv") / nn).alias("c"))
+                cosine_with_norms("qq", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (
@@ -853,7 +903,8 @@ def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
     cent_df = spark.read.parquet(index_path + "/centroids")
     cells = spark.read.parquet(index_path + "/cells")
     qv = cells.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("__qn"))
     # per-query probe cells from the k x dims model (no corpus scan)
     w1 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("centroid_id"))
     probes = (
@@ -875,7 +926,8 @@ def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
         "query_id long, cell int"))
     cand = cells.where(F.col("cell").isin(probe_cells)).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"), "cell")
+        F.col("embedding").alias("cv"), "cell",
+        norm_expr("embedding").alias("__cn"))
     # every (query, neighbor) pair is unique by construction — a vector
     # lives in exactly ONE cell partition and the (query, cell) probes
     # are distinct — so no dedup stage (= one whole shuffle) is needed;
@@ -884,7 +936,9 @@ def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
         cand.join(probes_df, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("c"))
+        .select("query_id", "neighbor_id",
+                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                .alias("c"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
     return (

@@ -709,13 +709,23 @@ def pipeline_semantic_decontaminate(spark, sf_dir):
     id, so the comparison never goes all-pairs."""
     emb = load(spark, sf_dir, "embeddings")
     assigned = SIM.ivf_assign(emb, n_centroids=8)
-    bench = assigned.where(F.col("vec_id") < 50).select(
-        F.col("centroid_id").alias("bc"), F.col("embedding").alias("bv")
+    # norms once per row on each side (cosine_with_norms): the within-
+    # cell train x bench comparison then folds only the dot per pair;
+    # the bench side (a bounded eval set) is broadcast explicitly so
+    # the 8-distinct-value cell join can never plan as a shuffle join
+    # on a hot key
+    bench = F.broadcast(assigned.where(F.col("vec_id") < 50).select(
+        F.col("centroid_id").alias("bc"), F.col("embedding").alias("bv"),
+        SIM.norm_expr("embedding").alias("__bn"),
+    ))
+    train = assigned.where(F.col("vec_id") >= 50).select(
+        "vec_id", "centroid_id", "embedding",
+        SIM.norm_expr("embedding").alias("__tn"),
     )
-    train = assigned.where(F.col("vec_id") >= 50)
     hit = (
         train.join(bench, train.centroid_id == F.col("bc"))
-        .where(SIM.cosine_expr("embedding", "bv") >= COSINE_DUP_THRESHOLD)
+        .where(SIM.cosine_with_norms("embedding", "bv", F.col("__tn"),
+                                     F.col("__bn")) >= COSINE_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
     )

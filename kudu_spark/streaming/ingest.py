@@ -182,15 +182,20 @@ def _semantic_collisions(docs_t, batch: DataFrame, column: str,
     if column in docs_t._vector_quantize_cols(st):
         return _semantic_collisions_q8(docs_t, st, art, bv, column,
                                        threshold, cells)
+    # norms once per row on both sides (cosine_with_norms): the batch
+    # x candidate comparison folds only the dot per pair
+    from kudu_spark.operators.similarity import cosine_with_norms, norm_expr
+
     cand = docs_t.scan_cells(column, cells, _art=art).select(
         F.col(column).alias("__cv"),
         F.col(IVFC_PREFIX + column).alias("__cell"),
+        norm_expr(column).alias("__cn"),
     )
-    from kudu_spark.operators.similarity import cosine_expr
-
     return (
-        bv.join(cand, "__cell")
-        .where(cosine_expr("__bv", "__cv") >= threshold)
+        bv.withColumn("__bn", norm_expr("__bv"))
+        .join(cand, "__cell")
+        .where(cosine_with_norms("__bv", "__cv", F.col("__bn"),
+                                 F.col("__cn")) >= threshold)
         .select("doc_id").distinct()
     )
 
@@ -222,19 +227,24 @@ def _semantic_collisions_q8(docs_t, st, art: dict, bv: DataFrame,
 
     cn, qn = IVFC_PREFIX + column, Q8_PREFIX + column
     pk0 = st.schema.pk[0]
+    # candidate-side norms/margins once per ROW (the margin was already
+    # per-row; the cosine's norm product now is too — per-pair work is
+    # the dot fold alone, values bit-identical)
     cand8 = docs_t._snapshot_cells_q8(st, art, column, cells).where(
         F.col(cn).isin([int(c) for c in cells])).select(
         F.col(pk0).alias("__pk"),
         F.col(qn).alias("__cv8"),
         F.col(cn).alias("__cell"),
-    ).where(F.col("__cv8").isNotNull())
-    n8 = norm_expr("__cv8")
-    nn = norm_expr("__bv") * n8
+    ).where(F.col("__cv8").isNotNull()).withColumn(
+        "__n8", norm_expr("__cv8"))
+    nn = F.col("__bn") * F.col("__n8")
     c8 = F.when(nn > 0, dot_expr("__bv", "__cv8") / nn)
     margin = F.when(
-        n8 > 0, F.sqrt(F.size(F.col("__cv8")).cast("double")) / n8)
+        F.col("__n8") > 0,
+        F.sqrt(F.size(F.col("__cv8")).cast("double")) / F.col("__n8"))
     scored = (
-        bv.join(cand8, "__cell")
+        bv.withColumn("__bn", norm_expr("__bv"))
+        .join(cand8, "__cell")
         .select("doc_id", "__bv", "__pk",
                 c8.alias("__c8"), margin.alias("__m"))
     ).persist()  # every classification pass reads this boundary once

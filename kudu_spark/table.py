@@ -1791,7 +1791,11 @@ class Table:
         and rank — with the optional int8 candidate pass. ``qv`` must
         be bounded (query-sized): it is broadcast and its probe set is
         collected."""
-        from kudu_spark.operators.similarity import cosine_expr
+        from kudu_spark.operators.similarity import (
+            cosine_expr,
+            cosine_with_norms,
+            norm_expr,
+        )
 
         cents = art["centroids"]
         pk0 = st.schema.pk[0]
@@ -1811,6 +1815,10 @@ class Table:
             .where(F.col("r") <= n_probes)
             .select("query_id", F.col("centroid_id").alias("cell"))
         )
+        # query norms once per query row (guide §1.2): every scoring
+        # stage below folds only the dot per (query, candidate) pair —
+        # cosine_with_norms is bit-identical to cosine_expr
+        qv = qv.withColumn("__qn", norm_expr("qv"))
         probe_rows = probes.collect()  # bounded: |queries| x n_probes
         probe_cells = sorted({r["cell"] for r in probe_rows})
         probes_df = F.broadcast(self.spark.createDataFrame(
@@ -1848,21 +1856,20 @@ class Table:
                 F.col(pk0).alias("neighbor_id"),
                 F.col(qn).alias("cv8"),
                 F.col(cn).alias("cell"),
-            ).where(F.col("cv8").isNotNull())
-            from kudu_spark.operators.similarity import dot_expr, norm_expr
-
+            ).where(F.col("cv8").isNotNull()).withColumn(
+                "__cn8", norm_expr("cv8"))
             # all-zero q8 codes (tiny vectors rounding to zero) have
             # zero norm: NULL cosine sorts last instead of failing the
-            # job under ANSI division
-            nn = norm_expr("qv") * norm_expr("cv8")
+            # job under ANSI division. Norms are per-row projections,
+            # so each pair folds only the dot.
             approx = (
                 cand8.join(probes_df, "cell")
                 .where(F.col("neighbor_id") != F.col("query_id")
                        if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        F.when(nn > 0, dot_expr("qv", "cv8") / nn)
-                        .alias("c"))
+                        cosine_with_norms("qv", "cv8", F.col("__qn"),
+                                          F.col("__cn8")).alias("c"))
             )
             short = (
                 approx.withColumn("rank", F.row_number().over(w2))
@@ -1881,12 +1888,14 @@ class Table:
                 columns=[pk0, column], version=version,
                 filters=[(pk0, "in", ids)],
             ).select(F.col(pk0).alias("neighbor_id"),
-                     F.col(column).alias("cv"))
+                     F.col(column).alias("cv"),
+                     norm_expr(column).alias("__cn"))
             scored = (
                 F.broadcast(short).join(exact, "neighbor_id")
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        cosine_expr("qv", "cv").alias("c"))
+                        cosine_with_norms("qv", "cv", F.col("__qn"),
+                                          F.col("__cn")).alias("c"))
             )
         else:
             cand = self.scan_cells(column, probe_cells, version=version,
@@ -1894,6 +1903,7 @@ class Table:
                 F.col(pk0).alias("neighbor_id"),
                 F.col(column).alias("cv"),
                 F.col(cn).alias("cell"),
+                norm_expr(column).alias("__cn"),
             )
             scored = (
                 cand.join(probes_df, "cell")
@@ -1901,7 +1911,8 @@ class Table:
                        if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        cosine_expr("qv", "cv").alias("c"))
+                        cosine_with_norms("qv", "cv", F.col("__qn"),
+                                          F.col("__cn")).alias("c"))
             )
         return (
             # NULL cosine = a zero-norm side (query or candidate):
