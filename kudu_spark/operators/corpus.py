@@ -56,57 +56,68 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (dup_word_ratio), most-frequent-token share (top_token_ratio) and
     most-frequent-bigram share (top_2gram_ratio).
 
-    Plan: one explode per granularity -> groupBy(doc_id, gram) with
-    map-side partial counts -> per-doc max/sum. Returns one row per
-    input doc (empty docs get 0 ratios)."""
+    Plan (r14, guide §2.4 — remove shuffles outright): ZERO exchanges.
+    The former shape exploded each granularity and paid two
+    groupBy shuffles per granularity, moving one (doc_id, gram) row
+    per token through the cluster. But every output is a per-DOCUMENT
+    array statistic: sorting the gram array and folding it once yields
+    the distinct count and the maximum run length (= the top gram's
+    frequency, since equal grams are adjacent after the sort) — a
+    map-only projection pipelined into the scan, work bounded by the
+    document length like every other per-doc text operator here."""
+
+    def _mode_stats(arr):
+        # fold over the SORTED array: (prev, run, top, nd) — run
+        # tracks the current equal-gram run, top the longest run seen,
+        # nd the distinct count. Equal grams are adjacent post-sort,
+        # so top == max gram frequency.
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("top"),
+            F.lit(0).alias("nd"),
+        )
+
+        def step(acc, x):
+            same = acc["prev"].eqNullSafe(x)
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["top"], run).alias("top"),
+                F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, step)
+
     t = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select("doc_id", t.alias("__t"))
-
-    words = base.select("doc_id", F.explode("__t").alias("g"))
-    word_stats = (
-        words.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("__n"),
-            F.count(F.lit(1)).alias("__distinct"),
-            F.max("c").alias("__top"),
-        )
-        .select(
-            "doc_id",
-            round4(1.0 - F.col("__distinct") / F.col("__n")).alias("dup_word_ratio"),
-            round4(F.col("__top") / F.col("__n")).alias("top_token_ratio"),
-        )
-    )
-
-    bigrams = base.select(
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", t.alias("__t")).select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("__t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("__t", i), F.element_at("__t", i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.size("__t").alias("__n"),
+        _mode_stats(F.col("__t")).alias("__w"),
+        F.size(bigrams).alias("__bn"),
+        _mode_stats(bigrams).alias("__b"),
     )
-    bigram_stats = (
-        bigrams.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("__n"), F.max("c").alias("__top"))
-        .select(
-            "doc_id", round4(F.col("__top") / F.col("__n")).alias("top_2gram_ratio")
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(word_stats, "doc_id", "left_outer")
-        .join(bigram_stats, "doc_id", "left_outer")
-        .na.fill({"dup_word_ratio": 0.0, "top_token_ratio": 0.0, "top_2gram_ratio": 0.0})
+    return base.select(
+        "doc_id",
+        F.when(F.col("__n") > 0,
+               round4(1.0 - F.col("__w.nd") / F.col("__n")))
+        .otherwise(0.0).alias("dup_word_ratio"),
+        F.when(F.col("__n") > 0,
+               round4(F.col("__w.top") / F.col("__n")))
+        .otherwise(0.0).alias("top_token_ratio"),
+        F.when(F.col("__bn") > 0,
+               round4(F.col("__b.top") / F.col("__bn")))
+        .otherwise(0.0).alias("top_2gram_ratio"),
     )
 
 
@@ -1057,12 +1068,17 @@ def source_ngram_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
     a curated set, a dump syndicated across sites) BEFORE per-document
     dedup spends the big join.
 
-    Plan: explode shingles -> distinct (source, 60-bit md5 prefix)
-    (the shuffle carries 8-byte ints, not gram strings; distinct-ness
-    is per source, so the hot-shingle quadratic blowup of document
-    pairing cannot occur — each gram appears once per source) ->
-    self-join on the hash (sources-bounded output) -> containment vs
-    per-source totals. Output rows = |sources|^2 at most."""
+    Plan (r14, guide §2.3/§2.4): explode shingles -> ONE
+    groupBy(60-bit md5 prefix) collecting the DISTINCT sources per
+    shingle (the shuffle carries 8-byte ints, not gram strings, and
+    collect_set subsumes the former standalone distinct — one shuffle
+    where the old shape paid a distinct THEN re-shuffled a self-join;
+    the set is |sources|-bounded, so no hot-key blowup is possible).
+    Ordered source pairs and the per-source totals both expand from
+    the same grouped frame with codegen transforms — the old
+    formulation planned the scan+explode+distinct subtree three times
+    (join a-side, b-side, totals). Output rows = |sources|^2 at
+    most."""
     sh = (
         docs.withColumn("__t", TX.tokens_expr(text_col))
         .select("source", F.explode(TX.shingles_from(F.col("__t"))).alias("g"))
@@ -1072,16 +1088,29 @@ def source_ngram_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .cast("bigint")
             .alias("h"),
         )
-        .distinct()
     )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = sh.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs"))
+    tot = (
+        buckets.select(F.explode("srcs").alias("source"))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x: F.transform(
+                F.filter("srcs", lambda y: y != x),
+                lambda y: F.struct(x.alias("source_a"),
+                                   y.alias("source_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.source") != F.col("b.source")))
+        buckets.where(F.size("srcs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -392,29 +392,50 @@ def retention_cohorts(
     active that many weeks later. The product-analytics retention
     triangle.
 
-    Plan: groupBy(user) min(ts) -> join back on user (reuses the
-    user-hash partitioning; AQE broadcasts the cohort side only while
-    it fits) -> distinct (cohort, week_no, user) -> count. Weeks are
-    date_trunc('week') deltas, exact integers in both engines."""
-    first = events.groupBy(F.col(user_col).alias("__u")).agg(
-        F.min(ts_col).alias("__first_ts")
+    Plan (r14, guide §2.3/§2.4): ONE pass — the former shape
+    aggregated first-activity per user, joined it back to the full
+    event stream, and paid a distinct over (cohort, week, user):
+    two event scans, a join, and three data-sized shuffles. One
+    user-keyed aggregation now collects each user's DISTINCT active
+    weeks next to their min(ts) (collect_set dedups map-side, so the
+    single shuffle carries per-user week sets — bounded by the
+    calendar, not the event count), and the triangle explodes the
+    user-sized sets. A NULL-ts event contributes a NULL week row in
+    both engines (collect_set drops NULLs, so it is re-appended when
+    observed), keeping the old join formulation's NULL algebra
+    exactly. Weeks are date_trunc('week') deltas, exact integers in
+    both engines."""
+    wk = F.date_trunc("week", F.col("__ts"))
+    per_user = (
+        events.select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+        .groupBy("__u")
+        .agg(
+            F.min("__ts").alias("__first_ts"),
+            F.collect_set(wk).alias("__wks"),
+            F.sum(F.col("__ts").isNull().cast("int")).alias("__nullts"),
+        )
     )
-    cohorted = events.select(
-        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
-    ).join(first, "__u")
-    act = cohorted.select(
+    wks = F.when(
+        F.col("__nullts") > 0,
+        F.concat(F.col("__wks"),
+                 F.array(F.lit(None).cast("timestamp"))),
+    ).otherwise(F.col("__wks"))
+    act = per_user.select(
         F.date_trunc("week", F.col("__first_ts")).alias("cohort_week"),
+        F.col("__first_ts").alias("__f"),
+        F.explode(wks).alias("__wk"),
+    ).select(
+        "cohort_week",
         (
             F.datediff(
-                F.to_date(F.date_trunc("week", F.col("__ts"))),
-                F.to_date(F.date_trunc("week", F.col("__first_ts"))),
+                F.to_date(F.col("__wk")),
+                F.to_date(F.date_trunc("week", F.col("__f"))),
             )
             / 7
         )
         .cast("int")
         .alias("week_no"),
-        F.col("__u"),
-    ).distinct()
+    )
     return act.groupBy("cohort_week", "week_no").agg(
         F.count(F.lit(1)).alias("active_users")
     )

@@ -943,3 +943,32 @@ def test_retention_conditions_semantics(spark):
     got0 = {r.cond_no: (r.users, r.pct) for r in retention_conditions(
         df, ["event_type = 'refund'", "event_type = 'view'"]).collect()}
     assert got0 == {1: (0, None), 2: (0, None)}
+
+
+def test_retention_cohorts_null_ts_rows(spark):
+    """r14 single-pass rewrite: a NULL-ts event must still contribute
+    its (cohort_week, NULL week_no) row exactly like the old
+    join-then-distinct formulation did (collect_set drops NULLs, so
+    the operator re-appends one when observed)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),                           # week 0
+        (1, base + dt.timedelta(weeks=2)),   # week 2
+        (1, None),                           # NULL ts -> NULL week row
+        (2, None),                           # all-NULL user: one NULL/NULL row
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {(r["cohort_week"], r["week_no"]): r["active_users"]
+           for r in __import__("kudu_spark.operators.events",
+                               fromlist=["retention_cohorts"])
+           .retention_cohorts(df).collect()}
+    assert out == {
+        (base, 0): 1,
+        (base, 2): 1,
+        (base, None): 1,   # u1's NULL-ts event
+        (None, None): 1,   # u2: no non-NULL ts at all
+    }
