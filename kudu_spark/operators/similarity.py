@@ -95,10 +95,44 @@ def assign_cells_expr(column: str, cents: list, threshold: int = 32):
     rows PER ITERATION (measured minutes); the argmax form scans the
     rows once with zero shuffle."""
     if len(cents) <= threshold:
-        scores = F.array(*[cosine_expr(F.col(column), F.lit(c))
-                           for c in cents])
-        return (F.array_position(scores, F.array_max(scores)) - 1
-                ).cast("int")
+        # r14 (guide §1.2): the naive form — array_position(scores,
+        # array_max(scores)) over an array of cosine_expr's — evaluates
+        # the scores array TWICE per row (both references re-run in the
+        # interpreted evaluator) and each cosine re-folds BOTH norms,
+        # ~6k fold terms per row at k=8/64d. Lambda-binding via
+        # single-element transform arrays evaluates the row norm once
+        # and the scores array once (~9 folds per row); centroid norms
+        # are Python-precomputed literals — the same left-to-right
+        # float64 sum + sqrt the SQL fold performs, so every score (and
+        # hence the argmax and its ties) is bit-identical to the
+        # previous expression and to the unrolled SQL oracles.
+        import math
+
+        cnorms = []
+        for c in cents:
+            s = 0.0
+            for x in c:
+                s = s + float(x) * float(x)
+            cnorms.append(math.sqrt(s))
+
+        def scores_with(n):
+            out = []
+            for c, cn in zip(cents, cnorms):
+                nn = n * F.lit(float(cn))
+                out.append(
+                    F.when(nn > 0,
+                           dot_expr(F.col(column), F.lit(c)) / nn))
+            return F.array(*out)
+
+        packed = F.transform(
+            F.array(norm_expr(F.col(column))),
+            lambda n: F.transform(
+                F.array(scores_with(n)),
+                lambda s: (F.array_position(s, F.array_max(s)) - 1
+                           ).cast("int"),
+            ),
+        )
+        return F.element_at(F.element_at(packed, 1), 1)
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
