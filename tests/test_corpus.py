@@ -455,6 +455,55 @@ def test_ngram_containment_catches_embedded_doc(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
 
 
+def test_ngram_hot_shingle_capped_before_collect(spark):
+    """Pin the max_shingle_freq boundary of the r15 pre-collect guard
+    (_rare_shingle_parts): a shingle in MORE than max_shingle_freq
+    docs is dropped from candidates AND sizes before any posting list
+    materializes, one in EXACTLY max_shingle_freq docs is kept — the
+    same kept-bucket set as the former size()-post-filter — and the
+    surviving Jaccard values match a brute-force reference over the
+    capped shingle space."""
+    import math
+
+    from kudu_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the "hot stop word" trigram (4 docs > cap=3);
+    # docs 1-3 also share "rare shared gram" (== cap, kept); unique
+    # u{i}* bridge tokens keep every other trigram doc-private
+    texts = {
+        i: (f"u{i}a u{i}b hot stop word u{i}c u{i}d"
+            + (f" u{i}e rare shared gram u{i}f" if i <= 3 else ""))
+        for i in range(1, 5)
+    }
+    docs = _docs(spark, [(i, t, "en") for i, t in texts.items()])
+    cap = 3
+
+    # brute-force reference with the operator's documented semantics
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    gsets = {i: grams(t) for i, t in texts.items()}
+    freq = {}
+    for g in (g for s in gsets.values() for g in s):
+        freq[g] = freq.get(g, 0) + 1
+    rare = {i: {g for g in s if freq[g] <= cap} for i, s in gsets.items()}
+    want = {}
+    for a in rare:
+        for b in rare:
+            if a < b and rare[a] & rare[b]:
+                j = len(rare[a] & rare[b]) / len(rare[a] | rare[b])
+                want[(a, b)] = math.floor(j * 10000.0 + 0.5) / 10000.0
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(
+               docs, threshold=0.01, max_shingle_freq=cap).collect()}
+    assert got == want
+    # the hot shingle alone linked doc 4 to everything: its exclusion
+    # must leave doc 4 pairless while the ==cap shingle still pairs 1-3
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_simhash_pairs_match_reference_banding(spark):
     """Pin simhash_pairs' grouped pair generation (r14: bucket
     collect + nested-transform expansion replaced the banded
