@@ -54,6 +54,80 @@ def cosine_expr(a, b):
     return F.when(nn > 0, dot_expr(a, b) / nn)
 
 
+def dot_py(a, b):
+    """Driver-side mirror of dot_expr: the SAME left-to-right float64
+    fold (0.0 + a0*b0 + a1*b1 + ...), so the result is bit-identical
+    to the SQL expression for the same inputs — Python floats ARE
+    IEEE doubles and `+`/`*` round identically to the JVM."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+def norm_py(a):
+    """Driver-side mirror of norm_expr (sqrt of the self-dot fold);
+    math.sqrt and the JVM's SQRT are both correctly rounded, so the
+    result is bit-identical to the SQL expression."""
+    import math
+
+    return math.sqrt(dot_py(a, a))
+
+
+def probe_cells_py(qv_rows, cents, n_probes, null_scores_probe_tail=False):
+    """Driver-side probe-cell selection — replaces the crossJoin +
+    row_number Spark job the ANN serve paths used to run during
+    DataFrame CONSTRUCTION. The queries are bounded (serve-request
+    sized) and the centroid model is already driver-local, so the
+    |queries| x |cells| scoring is microseconds of driver math; the
+    replaced job cost 300-600 ms per serve, most of it the
+    pickled-RDD centroid frame spinning Python workers (measured
+    r15, guide §5: the driver should do no DATA work — this is
+    model-sized metadata work, exactly what belongs on the driver).
+
+    Bit-exact contract (the serve results are oracle-pinned): scores
+    are cosine_expr's fold — dot_py/norm_py above, NULL when
+    norm(q)*norm(c) is not > 0 — and the per-query order is
+    row_number over (c DESC, centroid_id ASC), NaN greatest like
+    Spark's double ordering. ``null_scores_probe_tail`` mirrors the
+    two callers' historical NULL handling: False drops NULL-score
+    pairs before ranking (Table._ann_serve probed nothing for a
+    zero-norm query); True ranks them NULLS LAST with the same id
+    tie-break (ivf_index_topk lets a zero-norm query probe the
+    lowest-id cells). Returns [(query_id, cell)] in input order of
+    queries, rank order within each."""
+    import math
+
+    cnorms = [norm_py(c) for c in cents]
+    out = []
+    for qid, v in qv_rows:
+        if v is None and not null_scores_probe_tail:
+            continue
+        # a NULL element poisons the SQL fold to NULL exactly like a
+        # NULL vector: every score is NULL for such a query
+        valid = v is not None and all(x is not None for x in v)
+        nq = norm_py(v) if valid else None
+        scored = []
+        for i, (c, cn) in enumerate(zip(cents, cnorms)):
+            nn = nq * cn if valid else None
+            # Spark SQL's `nn > 0` is TRUE for NaN (NaN compares
+            # greater than every value in predicates too, not just
+            # ordering) — Python's `nan > 0` is False, so test NaN
+            # explicitly to keep the guard bit-faithful
+            if nn is not None and (nn > 0 or math.isnan(nn)):
+                s = dot_py(v, c) / nn
+                # Spark orders double NaN greater than any value, so
+                # under DESC a NaN score ranks FIRST; -inf as the sort
+                # key reproduces that (ties still break on id)
+                key = -math.inf if math.isnan(s) else -s
+                scored.append((0, key, i))
+            elif null_scores_probe_tail:
+                scored.append((1, 0.0, i))  # NULLS LAST, id tie-break
+        scored.sort()
+        out.extend((qid, i) for _, _, i in scored[:n_probes])
+    return out
+
+
 def cosine_with_norms(a, b, na, nb):
     """cosine_expr with the two norms supplied as PRECOMPUTED columns
     (r14, guide §1.2 per-task work): the higher-order-function folds
@@ -369,6 +443,17 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
     # bounded, and the per-bucket quadratic expansion matches the
     # join's output exactly. Dedup still precedes the exact cosine so
     # a multi-band collision scores once.
+    #
+    # Memory bound (degenerate inputs, ADVICE r14): the collected
+    # structs carry the EMBEDDINGS, so a pathological bucket — e.g.
+    # millions of identical/zero vectors sharing a sketch key — holds
+    # |bucket| x dims floats in one aggregation buffer (~256 B/row at
+    # 64 dims) where the replaced self-join spilled its sort run; the
+    # quadratic pair OUTPUT of such a bucket was equally fatal to the
+    # join, so the practical remedy is upstream exact/normalized
+    # dedup, not a bucket cap (bucket membership is part of the
+    # declared result — the DuckDB oracle expands the same buckets,
+    # so a defensive drop would change what the query computes).
     buckets = (
         banded.groupBy("b", "bk")
         .agg(F.sort_array(F.collect_list(

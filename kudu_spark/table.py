@@ -252,6 +252,20 @@ def observed_metrics(obs, timeout_s: float = 10.0) -> dict | None:
         _time.sleep(0.02)
 
 
+def _inline_frame(spark: SparkSession, structs: list) -> DataFrame:
+    """Bounded literal frame from a list of struct Columns: one
+    Generate(inline) over range(1) — a pure-JVM plan. The serve paths
+    use this instead of ``spark.createDataFrame(rows)`` because local
+    Python frames take the pickled-RDD path, which spins Python
+    workers on EVERY downstream job that references the frame
+    (~300-450 ms per job measured r15, guide §4: keep the JVM↔Python
+    boundary out of query paths). Callers guarantee ``structs`` is
+    small (serve-request sized); each struct must carry identically
+    named+typed fields."""
+    return spark.range(1).select(
+        F.inline(F.array(*structs)))
+
+
 def partition_key(f: "FileEntry"):
     """Partition identity of a manifest entry — THE grouping key for
     merge planning, delta relevancy, broadcast bin packing and
@@ -1742,12 +1756,18 @@ class Table:
                 f"column {column!r} has no trained cell model; call "
                 "train_vector_cells first")
         pk0 = st.schema.pk[0]
-        qv = self.scan(
-            columns=[pk0, column], version=version,
-            filters=[(pk0, "in", list(query_keys))],
-        ).select(F.col(pk0).alias("query_id"), F.col(column).alias("qv")) \
-         .where(F.col("qv").isNotNull())
-        return self._ann_serve(st, art, column, qv, st.schema.col(pk0).type,
+        # bounded collect (|query_keys| rows, PK-pruned scan): the
+        # serve core computes probe cells on the driver, so the query
+        # vectors come to the driver once — replacing the old probe
+        # crossJoin job's collect, not adding one
+        qv_rows = [
+            (r[0], r[1]) for r in self.scan(
+                columns=[pk0, column], version=version,
+                filters=[(pk0, "in", list(query_keys))],
+            ).select(pk0, column).collect()
+        ]
+        return self._ann_serve(st, art, column, qv_rows,
+                               st.schema.col(pk0).type,
                                k, n_probes, version, quantized, refine,
                                exclude_self=True)
 
@@ -1775,55 +1795,77 @@ class Table:
             # a repeated label would double-score every candidate and
             # let row_number hand the same neighbor consecutive ranks
             raise KuduSparkError("ann_topk_vectors: duplicate query ids")
-        qv = self.spark.createDataFrame(
-            pairs, "query_id bigint, qv array<float>")
-        return self._ann_serve(st, art, column, qv, "bigint", k, n_probes,
-                               version, quantized, refine,
+        return self._ann_serve(st, art, column, pairs, "bigint", k,
+                               n_probes, version, quantized, refine,
                                exclude_self=False)
 
     def _ann_serve(self, st: TableState, art: dict, column: str,
-                   qv: DataFrame, qid_type: str, k: int, n_probes: int,
+                   qv_rows: list, qid_type: str, k: int, n_probes: int,
                    version: int | None, quantized: bool, refine: int,
                    exclude_self: bool) -> DataFrame:
         """Shared serve core of ann_topk / ann_topk_vectors: probe the
-        frozen centroids with the (query_id, qv) frame, fetch
+        frozen centroids with the (query_id, vector) rows, fetch
         candidates from the probed cells through the snapshot, score,
-        and rank — with the optional int8 candidate pass. ``qv`` must
-        be bounded (query-sized): it is broadcast and its probe set is
-        collected."""
+        and rank — with the optional int8 candidate pass. ``qv_rows``
+        must be bounded (serve-request sized): probes are computed on
+        the driver and the query frame is broadcast.
+
+        r15 (guide §1.2): probe-cell selection runs as DRIVER MATH
+        (probe_cells_py — bit-identical fold, see its contract)
+        instead of a crossJoin + row_number Spark job at DataFrame
+        construction time, and the query/probe frames are literal
+        (inline) frames instead of spark.createDataFrame — the
+        pickled-RDD local frames spun Python workers on every
+        downstream reference (~300-450 ms per job, measured r15,
+        dominating the serve's construction). The query vectors are
+        float32-rounded FIRST (struct.pack '<f', IEEE round-to-
+        nearest — the same conversion the replaced array<float>
+        createDataFrame applied) so norms/scores match the old
+        stored-column arithmetic bit-for-bit."""
+        import struct as _struct
+
         from kudu_spark.operators.similarity import (
-            cosine_expr,
             cosine_with_norms,
             norm_expr,
+            norm_py,
+            probe_cells_py,
         )
+
+        def _f32(x):
+            return _struct.unpack("<f", _struct.pack("<f", float(x)))[0]
 
         cents = art["centroids"]
         pk0 = st.schema.pk[0]
-        cent_df = F.broadcast(self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "centroid_id int, centv array<double>"))
-        w1 = Window.partitionBy("query_id").orderBy(
-            F.desc("c"), F.asc("centroid_id"))
-        probes = (
-            qv.crossJoin(cent_df)
-            .select("query_id", "centroid_id",
-                    cosine_expr("qv", "centv").alias("c"))
-            # zero-norm queries (or centroids) probe nothing instead
-            # of row_number picking arbitrary NULL-cosine cells
-            .where(F.col("c").isNotNull())
-            .withColumn("r", F.row_number().over(w1))
-            .where(F.col("r") <= n_probes)
-            .select("query_id", F.col("centroid_id").alias("cell"))
-        )
+        nb_type = st.schema.col(pk0).type
+        out_schema = (f"query_id {qid_type}, neighbor_id {nb_type}, "
+                      "rank int, cosine double")
+        rows = [
+            (q, None if v is None
+             else [None if x is None else _f32(x) for x in v])
+            for q, v in qv_rows
+        ]
+        # NULL vectors never probed and never scored (the old frame
+        # dropped them with isNotNull before the crossJoin)
+        rows = [(q, v) for q, v in rows if v is not None]
+        probe_rows = probe_cells_py(rows, cents, n_probes)
+        if not probe_rows:
+            return self.spark.createDataFrame([], out_schema)
+        probe_cells = sorted({c for _, c in probe_rows})
+        probes_df = F.broadcast(_inline_frame(self.spark, [
+            F.struct(F.lit(q).cast(qid_type).alias("query_id"),
+                     F.lit(int(c)).cast("int").alias("cell"))
+            for q, c in probe_rows]))
         # query norms once per query row (guide §1.2): every scoring
         # stage below folds only the dot per (query, candidate) pair —
-        # cosine_with_norms is bit-identical to cosine_expr
-        qv = qv.withColumn("__qn", norm_expr("qv"))
-        probe_rows = probes.collect()  # bounded: |queries| x n_probes
-        probe_cells = sorted({r["cell"] for r in probe_rows})
-        probes_df = F.broadcast(self.spark.createDataFrame(
-            [(r["query_id"], int(r["cell"])) for r in probe_rows],
-            f"query_id {qid_type}, cell int"))
+        # norm_py is bit-identical to the norm_expr fold (a vector
+        # with a NULL element folds to a NULL norm, exactly like SQL)
+        qv = F.broadcast(_inline_frame(self.spark, [
+            F.struct(
+                F.lit(q).cast(qid_type).alias("query_id"),
+                F.lit(v).cast("array<float>").alias("qv"),
+                (F.lit(norm_py(v)) if all(x is not None for x in v)
+                 else F.lit(None)).cast("double").alias("__qn"))
+            for q, v in rows]))
         cn = IVFC_PREFIX + column
         # scan_cells excludes NULL-vector rows and transparently falls
         # back to on-the-fly assignment for stale/pre-training files,
@@ -3427,66 +3469,113 @@ class Table:
                 AUTO_INC_COL, (F.lit(base) + F.monotonically_increasing_id()).cast("bigint")
             ).select(*st.schema.names)
             props["auto_inc_next"] = base + AUTO_INC_STRIDE
+            entries = self._write_files(batch, st, seq_for(st.version + 1), "base")
         else:
-            batch = batch.persist()
-            # one validation job: row count, distinct-PK count, null-PK
-            # count (PK columns are non-nullable, common.proto)
+            # STAGE-WRITE FIRST, validate from the staged files
+            # (VERDICT r14 #4): the old shape persisted the full batch
+            # and paid an eager validation aggregate (count +
+            # count_distinct + null checks) BEFORE the write — a whole
+            # extra pass plus a batch-sized cache footprint per
+            # insert. Now the batch streams straight into its staged
+            # base files (computed exactly once, never persisted);
+            # null checks ride the write job as observed metrics
+            # (CollectMetrics, same pattern as upsert), the row count
+            # comes from the staged parquet footers, and the exact
+            # duplicate-PK check is ONE count_distinct over the staged
+            # files' PK columns — a pruned columnar read of just the
+            # key bytes, not a second full-batch pass. A violation
+            # discards the (unpublished, manifest-invisible) staged
+            # files and raises the same error classes the eager path
+            # did; INSERT_IGNORE with actual dups/collisions rewrites
+            # from the staged files (rare path, still never recomputes
+            # the caller's batch plan).
+            from pyspark.sql import Observation
+
             null_pk = None
             for c in logical_pk:
                 cond = F.col(c).isNull()
                 null_pk = cond if null_pk is None else (null_pk | cond)
             nn = self._null_violation_cond(st, [c for c in st.schema.names if c not in pk])
-            checks = [
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct(*[F.col(c) for c in pk]).alias("nd"),
-                F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls"),
-            ]
+            checks = [F.sum(F.when(null_pk, 1).otherwise(0)).alias("nulls")]
             if nn is not None:
                 checks.append(F.sum(F.when(nn, 1).otherwise(0)).alias("nn"))
-            agg = batch.agg(*checks).collect()[0]
-            n, nd = agg.n, agg.nd
-            if agg.nulls:
-                batch.unpersist()
-                raise SchemaError(f"batch holds {agg.nulls} row(s) with NULL primary key")
-            if nn is not None and agg.nn:
-                batch.unpersist()
+            val_src = batch  # kept for the rare failed-observation path
+            obs = Observation()
+            batch = batch.observe(obs, *checks)
+            entries = self._write_files(batch, st, seq_for(st.version + 1), "base")
+            vals = observed_metrics(obs)
+            if vals is None:
+                # unusable observation (failed/pruned execution):
+                # re-validate explicitly — one extra job, rare path
+                vals = val_src.agg(*checks).collect()[0].asDict()
+            if vals.get("nulls"):
+                self._discard(entries)
+                raise SchemaError(
+                    f"batch holds {vals['nulls']} row(s) with NULL primary key")
+            if nn is not None and vals.get("nn"):
+                self._discard(entries)
                 # row_operations.cc:559
                 raise SchemaError(
                     "NULL value not allowed for non-nullable column "
-                    f"({agg.nn} row(s))"
+                    f"({vals['nn']} row(s))"
                 )
-            if n != nd:
-                if mode == "error":
-                    batch.unpersist()
-                    raise DuplicateKeyError(
-                        f"batch contains {n - nd} duplicate primary key(s)"
-                    )
-                batch = batch.dropDuplicates(pk)
-            if st.files:  # empty table: nothing can collide — skip the probe
+            n = sum(e.rows for e in entries)
+            staged_keys = (
+                self._read_files(st, entries, with_seq=False).select(*pk)
+                if entries and n else None
+            )
+            need_dedup = False
+            existing = None
+            if staged_keys is not None:
+                nd = staged_keys.agg(
+                    F.count_distinct(*[F.col(c) for c in pk]).alias("nd")
+                ).collect()[0][0]
+                if n != nd:
+                    if mode == "error":
+                        self._discard(entries)
+                        raise DuplicateKeyError(
+                            f"batch contains {n - nd} duplicate primary key(s)"
+                        )
+                    need_dedup = True
+            if staged_keys is not None and st.files:
                 # presence-index short circuit: rows failing the index
                 # are PROVABLY absent (Kudu's per-rowset presence check
                 # before the B-tree seek, tablet/tablet.cc:116-124); the
                 # exact probe scan runs only over index positives —
-                # O(positives), zero data IO for append-only ingest
-                src = self.present_key_probe(batch.select(*pk), pk, st)
+                # O(positives), zero data IO for append-only ingest.
+                # Every probe input is the staged PK frame (columnar,
+                # key-bytes-only), never the batch plan.
+                src = self.present_key_probe(staged_keys, pk, st)
                 if src is not None and not src.limit(1).collect():
                     existing = None
                 else:
-                    existing = self._existing_pks(st, batch if src is None else src)
-                if existing is None:
-                    pass
-                elif mode == "error":
-                    hit = batch.join(existing, on=logical_pk, how="left_semi").limit(1).collect()
-                    if hit:
-                        batch.unpersist()
-                        raise DuplicateKeyError(f"key already present: {hit[0].asDict()}")
-                else:
-                    batch = batch.join(existing, on=logical_pk, how="left_anti")
-        entries = self._write_files(batch, st, seq_for(st.version + 1), "base")
-        try:
-            batch.unpersist()
-        except Exception:
-            pass
+                    existing = self._existing_pks(
+                        st, staged_keys if src is None else src)
+                if existing is not None:
+                    hit = staged_keys.join(
+                        existing, on=logical_pk, how="left_semi").limit(1).collect()
+                    if not hit:
+                        existing = None  # probe positives, zero real collisions
+                    elif mode == "error":
+                        self._discard(entries)
+                        raise DuplicateKeyError(
+                            f"key already present: {hit[0].asDict()}")
+            if need_dedup or existing is not None:
+                # INSERT_IGNORE with in-batch dups and/or existing-key
+                # collisions: rebuild the surviving rows FROM THE
+                # STAGED FILES (one columnar read), restage, then drop
+                # the originals — the caller's batch plan still ran
+                # exactly once
+                clean = self._read_files(st, entries, with_seq=False).select(
+                    *st.schema.names)
+                if need_dedup:
+                    clean = clean.dropDuplicates(pk)
+                if existing is not None:
+                    clean = clean.join(existing, on=logical_pk, how="left_anti")
+                rewritten = self._write_files(
+                    clean, st, seq_for(st.version + 1), "base")
+                self._discard(entries)
+                entries = rewritten
         return self._commit_revalidated(
             st, "insert", entries,
             lambda a: self.insert(df, mode, handle_schema_drift, _attempts=a),
