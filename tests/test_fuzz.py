@@ -14,6 +14,11 @@ import pytest
 from kudu_spark.engine import Engine
 from kudu_spark.errors import DuplicateKeyError, RowNotFoundError
 
+# nightly lane: every test here replays hundreds of randomized ops
+# against the in-memory model — exhaustive by design (~12 min total),
+# excluded from the default (CI-capped) lane by pytest.ini
+pytestmark = pytest.mark.slow
+
 SIMPLE = [("key", "int", False), ("int_val", "int", False), ("string_val", "string", True)]
 KEYS = range(16)
 

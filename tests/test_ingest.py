@@ -374,6 +374,7 @@ def test_ingest_semantic_multiprobe_recall(spark, tmp_path):
     assert r2 <= exact
 
 
+@pytest.mark.slow  # nightly lane (pytest.ini): exhaustive/stress
 def test_ingest_semantic_dedup_quantize_aware(spark, tmp_path):
     """VERDICT r13 #7: when the docs table also stores int8 codes
     (vector_quantize_cols), the semantic arm's candidate pass runs

@@ -23,6 +23,7 @@ ROUNDS = 6
 PER_ROUND = 21  # nodes inserted per round (3 per chain)
 
 
+@pytest.mark.slow  # nightly lane (pytest.ini): exhaustive/stress
 def test_linked_list_workload(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "wh"))
     t = eng.create_table(

@@ -639,6 +639,7 @@ def test_cluster_by_reorders_files_probes_stay_exact(engine, spark, tmp_path):
                                         "k bigint, ts bigint, v int, pad string"))
 
 
+@pytest.mark.slow  # nightly lane (pytest.ini): exhaustive/stress
 def test_no_cartesian_or_row_udf_anywhere(spark, sf_dir):
     """Registry-wide plan contract: NO query may plan a
     CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython).

@@ -846,6 +846,7 @@ def test_arrow_cell_assignment_and_sampled_training(spark, tmp_path, monkeypatch
         t.train_vector_cells("embedding", n_cells=8, sample_rows=4)
 
 
+@pytest.mark.slow  # nightly lane (pytest.ini): exhaustive/stress
 def test_budgeted_convergence_and_hybrid_serving(spark, tmp_path):
     """VERDICT r13 #1: a retrain (or post-training backlog) converges
     through the BUDGETED compaction knapsack across sweeps — never one

@@ -202,6 +202,7 @@ def test_session_write_op_metrics(t, engine, spark):
     assert got[1] == (4, "frozen")
 
 
+@pytest.mark.slow  # nightly lane (pytest.ini): exhaustive/stress
 def test_fuzz_session_error_collector_vs_model(t):
     """Seeded op-sequence fuzz of the buffered session against a
     sequential-apply model (fuzz-itest.cc:122-141 discipline): after
