@@ -19,6 +19,8 @@ prefixes, set ops via explode/groupBy/join. Scale notes per operator:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,39 @@ def _spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+@lru_cache(maxsize=None)
+def _perm_agg_exprs(seeds: int) -> tuple:
+    """The per-seed min-aggregate Columns of minhash_signature_row,
+    built from ONE sql string each and cached for the process
+    lifetime (r15, guide §4 driver-side overhead): this sandbox's
+    py4j round trip is ~2 ms, so composing each aggregate from ~10
+    Column operations cost ~90 ms per query construction — F.expr
+    parses the whole expression in one call (~12 ms total), and the
+    analyzed plan is IDENTICAL (verified: same literal casts, same
+    fold), so results are bit-identical. Cached Columns are unresolved
+    expression wrappers bound to no session — safe to reuse across
+    DataFrames and sessions within one process."""
+    return tuple(
+        F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{s}")
+        for s, (a, b) in enumerate(minhash_perms(seeds))
+    )
+
+
+@lru_cache(maxsize=None)
+def _band_struct_exprs(seeds: int, bands: int) -> tuple:
+    """minhash_band_keys' per-band structs as cached one-call sql
+    expressions — same rationale and bit-exactness argument as
+    _perm_agg_exprs (analyzed-plan equality verified)."""
+    r = seeds // bands
+    return tuple(
+        F.expr(
+            "struct(CAST(%d AS INT) AS band, md5(concat_ws(',', %s)) AS bkey)"
+            % (b, ", ".join(f"CAST(mh{b * r + i} AS STRING)" for i in range(r)))
+        )
+        for b in range(bands)
+    )
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -74,12 +109,10 @@ def minhash_signature_row(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFr
         _spread(docs)
         .withColumn("__t", tokens_expr())
         .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
-        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h"))
+        .select("doc_id",
+                F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS h"))
     )
-    return sh.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{s}")
-        for s, (a, b) in enumerate(minhash_perms(seeds))
-    ])
+    return sh.groupBy("doc_id").agg(*_perm_agg_exprs(seeds))
 
 
 def minhash_band_keys(docs: DataFrame, seeds: int = MINHASH_SEEDS,
@@ -87,19 +120,9 @@ def minhash_band_keys(docs: DataFrame, seeds: int = MINHASH_SEEDS,
     """(doc_id, band, bkey) LSH band keys straight off the wide
     signature row (seed order = column order, identical strings to
     the former sorted collect_list formulation)."""
-    r = seeds // bands
     sig = minhash_signature_row(docs, seeds)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("int").alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh{b * r + i}").cast("string") for i in range(r)
-            ])).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
     return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("__bk")
+        "doc_id", F.explode(F.array(*_band_struct_exprs(seeds, bands))).alias("__bk")
     ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.bkey").alias("bkey"))
 
 
@@ -415,7 +438,8 @@ def _rare_shingle_parts(docs: DataFrame, max_shingle_freq: int):
         .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
         # 60-bit md5 prefix as the groupBy key: the inverted-index
         # shuffle carries 8-byte ints instead of shingle strings
-        .select("doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("s"))
+        .select("doc_id",
+                F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS s"))
     )
     wf = Window.partitionBy("s")
     buckets = (
