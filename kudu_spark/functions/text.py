@@ -15,6 +15,8 @@ no serialization boundary.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -75,15 +77,35 @@ def round4_sql(x: str) -> str:
 
 # -- tokenization -------------------------------------------------------------
 
+@lru_cache(maxsize=None)
 def tokens_expr(col: str = "text") -> Column:
-    return F.split(F.lower(F.col(col)), " ")
+    # cached one-parse expr (r15, guide §4 driver overhead): identical
+    # analyzed plan to F.split(F.lower(F.col(col)), " "), and F.expr
+    # Columns are unresolved (no ExprIds) so reuse across plans is safe
+    return F.expr(f"split(lower({col}), ' ')")
 
 
 def tokens_sql(col: str = "text") -> str:
     return f"string_split(lower({col}), ' ')"
 
 
-def shingles_from(t: Column, n: int = SHINGLE_N) -> Column:
+@lru_cache(maxsize=None)
+def _shingles_attr_expr(name: str, n: int) -> Column:
+    """shingles_from over a named column as ONE cached parse call
+    (r15, guide §4 driver overhead): the Column-composed version costs
+    ~25 py4j round trips (HOF lambda registration dominates) per query
+    construction. Analyzed plan verified identical to the composed
+    form modulo lambda-variable names."""
+    k = f"(size({name}) - {n - 1})"
+    elems = ", ".join(f"element_at({name}, i + {j})" for j in range(n))
+    return F.expr(
+        f"array_distinct(CASE WHEN {k} >= 1 THEN "
+        f"transform(sequence(1, {k}), i -> concat_ws(' ', {elems})) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def shingles_from(t: Column | str, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles over an ALREADY-MATERIALIZED
     tokens column (guarding short docs: Spark's sequence(1, k)
     DESCENDS when k < 1, so it must be gated).
@@ -93,7 +115,10 @@ def shingles_from(t: Column, n: int = SHINGLE_N) -> Column:
     ``element_at(t, i)`` runs once per sequence index, and an inline
     ``split`` there re-tokenizes the document per index (quadratic;
     measured 10-17x slower at 100-token docs, worse at 100 TB doc
-    sizes)."""
+    sizes). Pass the attribute NAME (str) on hot paths to hit the
+    cached one-parse expression."""
+    if isinstance(t, str):
+        return _shingles_attr_expr(t, n)
     k = F.size(t) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), k),
@@ -176,24 +201,42 @@ def langid_sql() -> str:
 
 # -- quality score ---------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _quality_col_exprs() -> tuple:
+    """quality_cols as three cached one-parse expressions (r15, guide
+    §4 driver overhead): the Column-composed version cost ~100 py4j
+    round trips per construction — the stopword isin() seq transfer
+    plus the filter() HOF lambda dominate. Every float literal carries
+    the D (double) suffix so the SQL literals match F.lit(float)'s
+    DoubleType exactly, and the operator nesting reproduces Python's
+    left-associative grouping — analyzed plan verified identical to
+    the composed form, so the IEEE op sequence (and thus every bit of
+    every ratio) is unchanged."""
+    stops = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    t = "split(lower(text), ' ')"
+    n = f"CAST(size({t}) AS DOUBLE)"
+    chars = "CAST(length(text) AS DOUBLE)"
+    avg_len = f"({chars} / {n})"
+    stop_ratio = f"(CAST(size(filter({t}, x -> x IN ({stops}))) AS DOUBLE) / {n})"
+    score = (
+        f"(((least(1.0D, ({n} / 500.0D)) * 0.4D) + ({stop_ratio} * 0.4D)) + "
+        f"((1.0D - least(1.0D, (abs(({avg_len} - 5.0D)) / 10.0D))) * 0.2D))"
+    )
+
+    def r4(x: str, alias: str) -> Column:
+        return F.expr(f"(floor((({x}) * 10000.0D) + 0.5D) / 10000.0D) AS {alias}")
+
+    return (
+        r4(stop_ratio, "stopword_ratio"),
+        r4(avg_len, "avg_token_len"),
+        r4(score, "quality_score"),
+    )
+
+
 def quality_cols() -> list[Column]:
     """Rational-arithmetic-only quality score (no transcendentals, so
     Spark and DuckDB agree bit-for-bit before rounding)."""
-    t = tokens_expr()
-    n = F.size(t).cast("double")
-    chars = F.length("text").cast("double")
-    avg_len = chars / n
-    stop_ratio = F.size(F.filter(t, lambda x: x.isin(*ALL_STOPWORDS))).cast("double") / n
-    score = (
-        F.least(F.lit(1.0), n / 500.0) * 0.4
-        + stop_ratio * 0.4
-        + (1.0 - F.least(F.lit(1.0), F.abs(avg_len - 5.0) / 10.0)) * 0.2
-    )
-    return [
-        round4(stop_ratio).alias("stopword_ratio"),
-        round4(avg_len).alias("avg_token_len"),
-        round4(score).alias("quality_score"),
-    ]
+    return list(_quality_col_exprs())
 
 
 def quality_sql() -> str:
@@ -218,10 +261,30 @@ def quality_sql() -> str:
 
 # -- fingerprint ------------------------------------------------------------------
 
-def fingerprint_from(t: Column) -> Column:
+@lru_cache(maxsize=None)
+def _fingerprint_attr_expr(name: str) -> Column:
+    """fingerprint_from over a named column as one cached parse call —
+    same rationale and plan-equality argument as _shingles_attr_expr."""
+    k = f"(size({name}) - {SHINGLE_N - 1})"
+    elems = ", ".join(f"element_at({name}, i + {j})" for j in range(SHINGLE_N))
+    sh = (
+        f"array_distinct(CASE WHEN {k} >= 1 THEN "
+        f"transform(sequence(1, {k}), i -> concat_ws(' ', {elems})) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+    return F.expr(
+        f"coalesce(array_min(transform({sh}, s -> substring(md5(s), 1, 16))), "
+        f"substring(md5(text), 1, 16))"
+    )
+
+
+def fingerprint_from(t: Column | str) -> Column:
     """Winnowing-lite document fingerprint over a materialized tokens
     column: min md5-prefix over word n-gram shingles (empty-doc guard
-    → md5 of whole text)."""
+    → md5 of whole text). Pass the attribute NAME (str) on hot paths
+    to hit the cached one-parse expression."""
+    if isinstance(t, str):
+        return _fingerprint_attr_expr(t)
     sh = shingles_from(t)
     mins = F.array_min(F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)))
     return F.coalesce(mins, F.substring(F.md5(F.col("text")), 1, 16))

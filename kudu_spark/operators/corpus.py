@@ -1081,7 +1081,7 @@ def source_ngram_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
     most."""
     sh = (
         docs.withColumn("__t", TX.tokens_expr(text_col))
-        .select("source", F.explode(TX.shingles_from(F.col("__t"))).alias("g"))
+        .select("source", F.explode(TX.shingles_from("__t")).alias("g"))
         .select(
             "source",
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)

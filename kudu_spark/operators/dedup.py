@@ -35,6 +35,15 @@ from kudu_spark.functions.text import (
 )
 
 
+# (plan semanticHash, defaultParallelism) -> numPartitions. The probe
+# below needs df.rdd, which PHYSICALLY PLANS the whole upstream
+# subtree (50-600 ms per construction for computed inputs like
+# clean_corpus's canon frame). The partition count of a given analyzed
+# plan over the same files is deterministic, so one probe per distinct
+# plan per process suffices — metadata caching only, no data/results.
+_SPREAD_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input arrives with fewer
     partitions than cores (e.g. one small parquet file) so the
@@ -42,9 +51,42 @@ def _spread(df: DataFrame) -> DataFrame:
     already carry >= cores partitions and this is a no-op — no shuffle
     is added on the 100 TB path."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    key = (df.semanticHash(), sc.defaultParallelism)
+    n = _SPREAD_PROBE_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPREAD_PROBE_CACHE[key] = n
+    if n < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+@lru_cache(maxsize=None)
+def _id_pair_expand_expr(list_col: str) -> "F.Column":
+    """Ordered-pair expansion of a sorted id list as ONE cached parse
+    call (r15, guide §4 driver overhead): the Column-composed nested
+    transform costs ~15 py4j round trips (two HOF lambda
+    registrations) per query construction. Analyzed plan verified
+    identical to the composed form modulo lambda-variable names."""
+    c = list_col
+    return F.expr(
+        f"flatten(transform({c}, (x, i) -> "
+        f"transform(slice({c}, i + 2, size({c})), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+
+
+@lru_cache(maxsize=None)
+def _simhash_pair_expand_expr(list_col: str) -> "F.Column":
+    """simhash_pairs' (doc_id, simhash)-struct pair expansion as one
+    cached parse call — same rationale as _id_pair_expand_expr."""
+    c = list_col
+    return F.expr(
+        f"flatten(transform({c}, (x, i) -> "
+        f"transform(slice({c}, i + 2, size({c})), "
+        f"y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        f"bit_count(x.simhash ^ y.simhash) AS hamming))))"
+    )
 
 
 @lru_cache(maxsize=None)
@@ -108,7 +150,7 @@ def minhash_signature_row(docs: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFr
     sh = (
         _spread(docs)
         .withColumn("__t", tokens_expr())
-        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        .select("doc_id", F.explode(shingles_from("__t")).alias("s"))
         .select("doc_id",
                 F.expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) AS h"))
     )
@@ -162,17 +204,8 @@ def minhash_lsh_pairs(docs: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = 
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode(_id_pair_expand_expr("ids")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -270,21 +303,8 @@ def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 
              .alias("rows"))
         .where(F.size("rows") >= 2)
     )
-    pair_expr = F.flatten(
-        F.transform(
-            "rows",
-            lambda x, i: F.transform(
-                F.slice("rows", i + 2, F.size("rows")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.explode(_simhash_pair_expand_expr("rows")).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .where((F.col("hamming") <= max_hamming)
                & (F.col("doc_a") < F.col("doc_b")))
@@ -435,7 +455,7 @@ def _rare_shingle_parts(docs: DataFrame, max_shingle_freq: int):
     sizes branches onto one physical scan."""
     sh = (
         _spread(docs).withColumn("__t", tokens_expr())
-        .select("doc_id", F.explode(shingles_from(F.col("__t"))).alias("s"))
+        .select("doc_id", F.explode(shingles_from("__t")).alias("s"))
         # 60-bit md5 prefix as the groupBy key: the inverted-index
         # shuffle carries 8-byte ints instead of shingle strings
         .select("doc_id",
@@ -453,18 +473,9 @@ def _rare_shingle_parts(docs: DataFrame, max_shingle_freq: int):
         buckets.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     )
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     inter = (
         buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(F.explode(_id_pair_expand_expr("ids")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")

@@ -18,6 +18,8 @@ the Arrow round-trip.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,8 +30,52 @@ def _dbl(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# -- SQL-string mirrors of the fold kernels (r15, guide §4 driver
+# overhead). Composing the folds from Column objects costs ~25 py4j
+# round trips per dot (HOF lambda registration per fold); the string
+# forms parse in ONE call and are cached per column-name signature.
+# Analyzed plans verified identical to the Column-composed forms
+# (modulo lambda-variable names), so every value is bit-identical.
+
+def _dbl_sql(a: str) -> str:
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({_dbl_sql(a)}, {_dbl_sql(b)}, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+
+
+def _norm_sql(a: str) -> str:
+    return f"SQRT({_dot_sql(a, a)})"
+
+
+@lru_cache(maxsize=None)
+def _dot_expr_cached(a: str, b: str):
+    return F.expr(_dot_sql(a, b))
+
+
+@lru_cache(maxsize=None)
+def _norm_expr_cached(a: str):
+    return F.expr(_norm_sql(a))
+
+
+@lru_cache(maxsize=None)
+def _cosine_expr_cached(a: str, b: str):
+    nn = f"({_norm_sql(a)} * {_norm_sql(b)})"
+    return F.expr(f"CASE WHEN ({nn} > 0) THEN ({_dot_sql(a, b)} / {nn}) END")
+
+
+@lru_cache(maxsize=None)
+def _cosine_with_norms_cached(a: str, b: str, na: str, nb: str):
+    nn = f"({na} * {nb})"
+    return F.expr(f"CASE WHEN ({nn} > 0) THEN ({_dot_sql(a, b)} / {nn}) END")
+
+
 def dot_expr(a, b):
     """Left-to-right ordered dot product in doubles."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _dot_expr_cached(a, b)
     return F.aggregate(
         F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -38,6 +84,8 @@ def dot_expr(a, b):
 
 
 def norm_expr(a):
+    if isinstance(a, str):
+        return _norm_expr_cached(a)
     return F.sqrt(dot_expr(a, a))
 
 
@@ -50,6 +98,8 @@ def cosine_expr(a, b):
     a table. NULL composes with the callers' existing semantics: a
     zero vector belongs to no IVF cell, never crosses a dedup
     threshold, and ranks last in DESC top-k."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _cosine_expr_cached(a, b)
     nn = norm_expr(a) * norm_expr(b)
     return F.when(nn > 0, dot_expr(a, b) / nn)
 
@@ -140,6 +190,8 @@ def cosine_with_norms(a, b, na, nb):
     arithmetic in the scoring stage). Bit-identical to cosine_expr:
     the norms are the same sqrt(dot(x,x)) fold, and the product/guard
     order is unchanged (na must be the left/query side)."""
+    if all(isinstance(c, str) for c in (a, b, na, nb)):
+        return _cosine_with_norms_cached(a, b, na, nb)
     nn = na * nb
     return F.when(nn > 0, dot_expr(a, b) / nn)
 
@@ -188,6 +240,28 @@ def assign_cells_expr(column: str, cents: list, threshold: int = 32):
             for x in c:
                 s = s + float(x) * float(x)
             cnorms.append(math.sqrt(s))
+
+        # r15 (guide §4 driver overhead): the whole packed argmax —
+        # previously ~40 py4j round trips per centroid (literal array
+        # transfer, fold-lambda registration, guards) — renders as ONE
+        # SQL string parsed in a single call. Float literals use
+        # repr(), which round-trips to the identical double, so the
+        # analyzed plan (verified) and every score bit are unchanged.
+        # Non-finite centroid values have no SQL literal; fall back to
+        # the composed form there.
+        if all(math.isfinite(float(x)) for c in cents for x in c):
+            def arr(c):
+                return "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+
+            scores = ", ".join(
+                f"CASE WHEN ((n * {float(cn)!r}D) > 0) THEN "
+                f"({_dot_sql(column, arr(c))} / (n * {float(cn)!r}D)) END"
+                for c, cn in zip(cents, cnorms))
+            return F.expr(
+                f"element_at(element_at(transform(array({_norm_sql(column)}), "
+                f"n -> transform(array(array({scores})), "
+                f"s -> CAST((array_position(s, array_max(s)) - 1) AS INT))), "
+                f"1), 1)")
 
         def scores_with(n):
             out = []
@@ -257,7 +331,7 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataF
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qv", "cv", "__qn", "__cn")
                 .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
@@ -306,7 +380,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5, n_centroids: int 
     scored = (
         cand.join(F.broadcast(q), (F.col("cc") == F.col("qc")) & (F.col("neighbor_id") != F.col("query_id")))
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qv", "cv", "__qn", "__cn")
                 .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
@@ -361,7 +435,7 @@ def ivf_cosine_pairs(emb: DataFrame, threshold: float, n_centroids: int = 8) -> 
     return (
         a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b",
-                cosine_with_norms("va", "vb", F.col("__na"), F.col("__nb"))
+                cosine_with_norms("va", "vb", "__na", "__nb")
                 .alias("c"))
         .where(F.col("c") >= threshold)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
@@ -386,25 +460,34 @@ def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]
     ]
 
 
+@lru_cache(maxsize=None)
+def _cosine_lsh_sig_expr(n_planes: int):
+    """The full sign-random-projection signature as ONE cached parse
+    call (r15, guide §4 driver overhead): the composed form cost
+    n_planes x (dims literal transfers + 2 fold-lambda registrations)
+    ≈ 1 s of py4j round trips per construction at 16x64. Hyperplanes
+    are md5-derived constants, so the expression is fully static;
+    repr() float literals round-trip exactly and the analyzed plan is
+    verified identical to the composed form."""
+    v = _dbl_sql("embedding")
+    sig = None
+    for p, w in enumerate(hyperplanes(n_planes)):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+        dot = (f"aggregate(zip_with({v}, {arr}, (a, b) -> a * b), "
+               f"0.0D, (acc, x) -> acc + x)")
+        bit = (f"CASE WHEN ({dot} >= 0) THEN CAST({1 << p} AS BIGINT) "
+               f"ELSE CAST(0 AS BIGINT) END")
+        sig = bit if sig is None else f"({sig} + {bit})"
+    return F.expr(sig)
+
+
 def cosine_lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane (sign-random-projection) signature: bit p =
     sign(v . plane_p); P(bits agree) = 1 - angle/pi, the classic LSH
     family for cosine. One pass, pure codegen expressions — at corpus
     scale the signature is 8 bytes per vector regardless of dims."""
-    planes = hyperplanes(n_planes)
-    v = _dbl(F.col("embedding"))
-    sig = None
-    for p, w in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = bit if sig is None else sig + bit
-    return emb.select("vec_id", "embedding", sig.alias("sig"))
+    return emb.select(
+        "vec_id", "embedding", _cosine_lsh_sig_expr(n_planes).alias("sig"))
 
 
 def cosine_lsh_pairs(emb: DataFrame, threshold: float,
@@ -481,7 +564,7 @@ def cosine_lsh_pairs(emb: DataFrame, threshold: float,
     )
     return (
         cand.select("vec_a", "vec_b",
-                    cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
+                    cosine_with_norms("va", "vb", "na", "nb")
                     .alias("c"))
         .where(F.col("c") >= threshold)
         .select("vec_a", "vec_b", F.round("c", 6).alias("cosine"))
@@ -673,7 +756,7 @@ def ivf_kmeans_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qv", "cv", "__qn", "__cn")
                 .alias("c"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -843,7 +926,7 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qq", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qq", "cv", "__qn", "__cn")
                 .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
@@ -908,7 +991,7 @@ def quantized_index_topk(index: DataFrame, query_ids: list[int],
         cand.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qq", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qq", "cv", "__qn", "__cn")
                 .alias("c"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
@@ -1056,7 +1139,7 @@ def ivf_index_topk(spark, index_path: str, query_ids: list[int], k: int = 5,
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id",
-                cosine_with_norms("qv", "cv", F.col("__qn"), F.col("__cn"))
+                cosine_with_norms("qv", "cv", "__qn", "__cn")
                 .alias("c"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))

@@ -88,7 +88,7 @@ def text_fingerprint(spark, sf_dir):
     return (
         load(spark, sf_dir, "documents")
         .withColumn("__t", TX.tokens_expr())
-        .select("doc_id", TX.fingerprint_from(F.col("__t")).alias("fingerprint"))
+        .select("doc_id", TX.fingerprint_from("__t").alias("fingerprint"))
     )
 
 
@@ -724,8 +724,7 @@ def pipeline_semantic_decontaminate(spark, sf_dir):
     )
     hit = (
         train.join(bench, train.centroid_id == F.col("bc"))
-        .where(SIM.cosine_with_norms("embedding", "bv", F.col("__tn"),
-                                     F.col("__bn")) >= COSINE_DUP_THRESHOLD)
+        .where(SIM.cosine_with_norms("embedding", "bv", "__tn", "__bn") >= COSINE_DUP_THRESHOLD)
         .select("vec_id")
         .distinct()
     )

@@ -54,17 +54,36 @@ def query(name: str, oracle: str | None = None, gated: bool = True):
     return deco
 
 
+# Catalog-style schema cache (r15, guide §4 driver-side overhead):
+# spark.read.parquet() runs a footer-reading schema-inference job on
+# every call — 60-125 ms per table per query CONSTRUCTION, the largest
+# single slice of the ~0.2 s fixed per-query overhead. Supplying the
+# schema skips that job (12-25 ms). This caches ONLY the inferred
+# StructType per parquet path — exactly what a metastore/catalog holds.
+# No data, no query results, and no plan state are cached: every
+# execution still scans the parquet files.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    path = f"{sf_dir}/{table}.parquet"
     if table == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as long and truncate to micros (lossless
         # here — the generator emits whole-microsecond values).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        schema = df.schema
+        _SCHEMA_CACHE[path] = schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    if table == "events" and any(
+        f.name == "ts" and f.dataType.simpleString() == "bigint" for f in schema.fields
+    ):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def _ts(lit: str):

@@ -194,8 +194,7 @@ def _semantic_collisions(docs_t, batch: DataFrame, column: str,
     return (
         bv.withColumn("__bn", norm_expr("__bv"))
         .join(cand, "__cell")
-        .where(cosine_with_norms("__bv", "__cv", F.col("__bn"),
-                                 F.col("__cn")) >= threshold)
+        .where(cosine_with_norms("__bv", "__cv", "__bn", "__cn") >= threshold)
         .select("doc_id").distinct()
     )
 

@@ -1910,8 +1910,7 @@ class Table:
                        if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        cosine_with_norms("qv", "cv8", F.col("__qn"),
-                                          F.col("__cn8")).alias("c"))
+                        cosine_with_norms("qv", "cv8", "__qn", "__cn8").alias("c"))
             )
             short = (
                 approx.withColumn("rank", F.row_number().over(w2))
@@ -1936,8 +1935,7 @@ class Table:
                 F.broadcast(short).join(exact, "neighbor_id")
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        cosine_with_norms("qv", "cv", F.col("__qn"),
-                                          F.col("__cn")).alias("c"))
+                        cosine_with_norms("qv", "cv", "__qn", "__cn").alias("c"))
             )
         else:
             cand = self.scan_cells(column, probe_cells, version=version,
@@ -1953,8 +1951,7 @@ class Table:
                        if exclude_self else F.lit(True))
                 .join(F.broadcast(qv), "query_id")
                 .select("query_id", "neighbor_id",
-                        cosine_with_norms("qv", "cv", F.col("__qn"),
-                                          F.col("__cn")).alias("c"))
+                        cosine_with_norms("qv", "cv", "__qn", "__cn").alias("c"))
             )
         return (
             # NULL cosine = a zero-norm side (query or candidate):
